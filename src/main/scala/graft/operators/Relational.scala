@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Relational core over the TPC-H-ish star schema — the batch-SQL capability
+  * surface (SURVEY.md §3.2) exercised at bench scale.
+  *
+  * Scale notes (these hold at 100 TB, not just sf0.1):
+  *  - Dimension tables (region/nation/supplier/customer/part) are orders of
+  *    magnitude smaller than the facts → always `broadcast()` them so fact
+  *    tables never shuffle for those joins.
+  *  - Aggregations run as partial+final HashAggregate (map-side combine) —
+  *    the shuffle carries one row per group per task.
+  *  - Double-typed SUM/AVG results are rounded in BOTH engines so the oracle
+  *    hash is insensitive to summation order (parallel sums are not
+  *    associative in IEEE754; at 1000 executors the order is arbitrary).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full-scan aggregate with selective
+    * predicate pushed to parquet. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** TPC-H Q3-style: top revenue orders for one market segment.
+    * customer is broadcast (150 rows/sf); orders⋈lineitem is the only
+    * shuffle, on the join key both sides already need. */
+  def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation through a 4-way dimension chain.
+    * Every dimension side is broadcast; the fact table is scanned once. */
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+      .join(Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name", $"n_regionkey"),
+        $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir).select($"r_regionkey", $"r_name"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name")
+    val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  /** Window top-k: 3 highest-value orders per order priority. One shuffle on
+    * the partition key; rank prunes before any further stage. */
+  def topOrdersPerPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      // cast to long: DuckDB row_number() yields BIGINT, and the oracle
+      // compares schemas as well as values
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_orderpriority", $"rk")
+  }
+
+  /** Exact distinct counts per return flag (expand-based distinct agg). */
+  def distinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"))
+      .orderBy($"l_returnflag")
+
+  /** Semi/anti join: customers with vs without any order. Broadcast the
+    * distinct key set when it fits; Catalyst/AQE picks the side. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+}
