@@ -1,5 +1,24 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every SparkEntry query at the given scale factor and
+  * emits one JSON line with per-query wall times.
+  *
+  * Measurement notes:
+  *  - The action is a `noop`-format write: every column of every row is fully
+  *    computed and serialized, but nothing hits disk. A bare `.count()` would
+  *    let Catalyst prune projections/sorts and time an empty scan instead.
+  *  - One untimed warmup pass per query first (JIT + page cache + codegen
+  *    compilation), then the timed pass. Cold-start noise made rounds 1-2
+  *    incomparable (61.9 s vs 15.3 s on identical code).
+  *  - Failures are recorded per query in `errors` (time -1), never swallowed.
+  *  - The JSON line goes to stdout AND to bench_last.json in the working
+  *    directory (sbt's forked-run log prefixes made rounds 1-2 unparseable;
+  *    build.sbt now also sets StdoutOutput so the stdout line is raw).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +26,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // warmup: full untimed pass (also fails fast on broken queries)
+    names.foreach { name =>
+      try runOnce(SparkEntry.queries(name))
+      catch { case e: Throwable => errors(name) = e.toString.take(200) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val times = names.map { name =>
+      if (errors.contains(name)) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { runOnce(SparkEntry.queries(name)); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => errors(name) = e.toString.take(200); name -> -1.0 }
+      }
+    }
+
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val total = times.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jq(sfDir)}}"""
+    Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
+    // print last, after Spark's shutdown logging, so the line tails cleanly
+    println(line)
   }
 }

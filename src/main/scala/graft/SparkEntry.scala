@@ -47,20 +47,20 @@ object SparkEntry {
     "scan_count" ->
       "SELECT count(*) AS n_rows FROM documents",
     "groupby_text_count" ->
-      "SELECT text, count(*) AS n FROM documents GROUP BY text ORDER BY text",
+      "SELECT text, count(*) AS n FROM documents GROUP BY text",
     "select_text_notnull_limit" ->
       "SELECT doc_id, text FROM documents WHERE text IS NOT NULL ORDER BY doc_id LIMIT 5",
     "lang_filter_fr" ->
-      "SELECT doc_id, text, lang FROM documents WHERE starts_with(coalesce(lang, ''), 'fr') ORDER BY doc_id",
+      "SELECT doc_id, text, lang FROM documents WHERE starts_with(coalesce(lang, ''), 'fr')",
     "sanitize_projection" ->
       ("SELECT doc_id, regexp_replace(replace(replace(translate(coalesce(text, ''), chr(9) || '\"', ''), " +
-        "'[\\r\\n]', ''), ',', ''''), '[\\p{C}]', '', 'g') AS text_clean FROM documents ORDER BY doc_id"),
+        "'[' || chr(13) || chr(10) || ']', ''), ',', ''''), '[\\p{C}]', '', 'g') AS text_clean FROM documents"),
     "timestamp_format" ->
       "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') || '.0' AS created_at_text FROM events ORDER BY event_id LIMIT 1000",
     "encode_pipe_line" ->
       ("SELECT doc_id, regexp_replace(replace(replace(translate(coalesce(text, ''), chr(9) || '\"', ''), " +
-        "'[\\r\\n]', ''), ',', ''''), '[\\p{C}]', '', 'g') || '|' || coalesce(lang, '') || '|' || coalesce(source, '') AS line " +
-        "FROM documents ORDER BY doc_id"),
+        "'[' || chr(13) || chr(10) || ']', ''), ',', ''''), '[\\p{C}]', '', 'g') || '|' || coalesce(lang, '') || '|' || coalesce(source, '') AS line " +
+        "FROM documents"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

@@ -13,22 +13,25 @@ import graft.tweets.TweetSchema
   * whole-stage codegen so the hot ingest path vectorizes at scale.
   *
   * Quirk decisions (SURVEY.md §2.8):
-  *  - Q1: the reference's literal-string `.replace("[\r\n]", "")` is a no-op
-  *    for real data (actual CR/LF are caught by the `\p{C}` regex); we keep
-  *    the literal strip for byte-for-byte fidelity with inputs that contain
-  *    the 6-char literal, then apply the control-char regex.
+  *  - Q1: the reference's `.replace("[\r\n]", "")` is a *literal-string*
+  *    replace, but the Scala compiler already processed the escapes in the
+  *    source literal — so the removed needle is the 4-character sequence
+  *    `[` + CR + LF + `]`, not the 6-character text `[\r\n]`. We reproduce
+  *    exactly that: strip `[`+CR+LF+`]`, then the control-char regex catches
+  *    any remaining bare CR/LF (matching the reference's later replaceAll).
   */
 object Sanitize {
 
-  /** Null→"", strip tab and double-quote, drop the literal "[\r\n]" (Q1),
-    * comma→apostrophe, strip all Unicode control chars.
+  /** Null→"", strip tab and double-quote, drop the 4-char sequence
+    * `[`+CR+LF+`]` (Q1), comma→apostrophe, strip all Unicode control chars.
     * Mirrors TwitterStreamingCollector.scala:57-64 exactly.
     */
   def sanitize(c: Column): Column = {
     val nonNull = coalesce(c, lit(""))
     val noTabQuote = translate(nonNull, "\t\"", "")
-    // literal (non-regex) removal of the 6-char string [\r\n] — quirk Q1
-    val noLiteral = regexp_replace(noTabQuote, "\\[\\\\r\\\\n\\]", "")
+    // quirk Q1: the reference removes the 4-char sequence [ + CR + LF + ]
+    // (its source literal "[\r\n]" was escape-processed by scalac)
+    val noLiteral = regexp_replace(noTabQuote, "\\[\r\n\\]", "")
     val noComma = regexp_replace(noLiteral, ",", "'")
     regexp_replace(noComma, "[\\p{C}]", "")
   }

@@ -14,7 +14,10 @@ import graft.util.Cols._
   * Every query is a declarative DataFrame plan: scans prune columns, filters
   * push to the parquet reader, aggregates get partial (map-side) combine from
   * Catalyst — nothing here would change shape on a 1000-executor cluster.
-  * ORDER BY on a unique key makes each result deterministic for the oracle.
+  * The oracle compare is order-insensitive (rows are sorted before hashing),
+  * so no query sorts except under LIMIT, where ordering on a unique key is
+  * what makes the prefix deterministic (TakeOrderedAndProject, not a global
+  * sort).
   */
 object Reference {
 
@@ -30,7 +33,6 @@ object Reference {
     Tables.documents(spark, sfDir)
       .groupBy($"text")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"text")
 
   /** P8+L1 — `select text from twitter_presi where text is not null limit 2`
     * (README.md:126,156). The reference's bare LIMIT is nondeterministic;
@@ -49,14 +51,12 @@ object Reference {
     Tables.documents(spark, sfDir)
       .filter(coalesce($"lang", lit("")).startsWith("fr"))
       .select($"doc_id", $"text", $"lang")
-      .orderBy($"doc_id")
 
   /** P5 — the `safeValue` sanitizer as a projection over document text
     * (TwitterStreamingCollector.scala:57-64). */
   def sanitizeProjection(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select($"doc_id", Sanitize.sanitize($"text").as("text_clean"))
-      .orderBy($"doc_id")
 
   /** P4 — Hive legacy timestamp render (TwitterStreamingCollector.scala:45)
     * over the events stream stand-in. */
@@ -74,5 +74,4 @@ object Reference {
       .select($"doc_id",
         concat_ws("|", Sanitize.sanitize($"text"), coalesce($"lang", lit("")),
           coalesce($"source", lit(""))).as("line"))
-      .orderBy($"doc_id")
 }

@@ -33,8 +33,22 @@ class SanitizeSpec extends SparkTestBase {
     assert(sanitized("a\u0007b\u0001c") == "abc")
   }
 
-  test("quirk Q1: the literal 6-char string [\\r\\n] is removed") {
-    assert(sanitized("a[\\r\\n]b") == "ab")
+  test("quirk Q1: the 4-char sequence [+CR+LF+] is removed as one unit") {
+    // the reference's .replace("[\r\n]", "") needle is escape-processed by
+    // scalac → removes [ + CR + LF + ] wholesale (brackets included)
+    assert(sanitized("a[\r\n]b") == "ab")
+  }
+
+  test("quirk Q1: the 6-char literal text [\\r\\n] is NOT removed") {
+    // backslash-r-backslash-n between brackets is ordinary text to the
+    // reference (its needle holds real CR/LF, not backslashes)
+    assert(sanitized("a[\\r\\n]b") == "a[\\r\\n]b")
+  }
+
+  test("quirk Q1: bracketed CR alone falls through to the control-char strip") {
+    // [ + CR + ] does not match the 4-char needle; the \p{C} regex then
+    // removes the CR, leaving the brackets — same as the reference
+    assert(sanitized("a[\r]b") == "a[]b")
   }
 
   test("plain text is untouched, emoji survive") {
