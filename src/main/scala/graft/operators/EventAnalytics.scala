@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.util.Cols._
 
-/** Event-stream analytics in batch form — the same plans the streaming
-  * extension runs incrementally (SURVEY.md §2.6 T2); batch form is what the
-  * DuckDB oracle can check. Streaming variants live in
-  * [[graft.streaming.EventStreams]] and share these column expressions.
+/** Event-stream analytics in batch form — the same plans the streaming twins
+  * in [[graft.streaming.EventStreams]] run incrementally (SURVEY.md §2.6 T2);
+  * the batch form is what the DuckDB oracle can check, and the spec asserts
+  * both forms agree on the same rows.
   */
 object EventAnalytics {
 

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+
+/** Event-time window + watermark semantics (SURVEY.md §2.6 T2): the streaming
+  * twin agrees with the batch plan, finalized windows emit exactly once in
+  * append mode, and data older than the watermark is dropped.
+  */
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(t: String, typ: String, v: Double): (Timestamp, String, Double) =
+    (Timestamp.valueOf(t), typ, v)
+
+  test("watermarked tumbling windows: finalize once, drop late data") {
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyTypeCounts(events, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ev_hourly")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in hour 00, one in hour 02 (advances max event time)
+      ms.addData(ev("2024-01-01 00:10:00", "click", 1.0),
+        ev("2024-01-01 00:20:00", "click", 2.0),
+        ev("2024-01-01 02:00:00", "view", 5.0))
+      q.processAllAvailable()
+      // batch 2: watermark is now 01:50 → hour-00 window finalizes; the late
+      // 00:30 row is behind the watermark and must NOT be merged
+      ms.addData(ev("2024-01-01 00:30:00", "click", 100.0),
+        ev("2024-01-01 03:30:00", "view", 7.0))
+      q.processAllAvailable()
+      // batch 3: watermark 03:20 → hour-02 window finalizes
+      ms.addData(ev("2024-01-01 05:00:00", "view", 0.5))
+      q.processAllAvailable()
+
+      val byKey = spark.table("ev_hourly")
+        .as[(String, String, Long, Double)].collect()
+        .map { case (h, t, n, sv) => (h, t) -> ((n, sv)) }.toMap
+      assert(byKey(("2024-01-01 00:00:00", "click")) == ((2L, 3.0))) // late row dropped
+      assert(byKey(("2024-01-01 02:00:00", "view")) == ((1L, 5.0)))
+      assert(!byKey.contains(("2024-01-01 05:00:00", "view"))) // still open
+    } finally q.stop()
+  }
+
+  test("streaming twin agrees with the batch plan on the same data") {
+    val data = Seq(
+      ev("2024-01-01 00:10:00", "click", 1.0),
+      ev("2024-01-01 00:40:00", "view", 2.5),
+      ev("2024-01-01 01:15:00", "click", 4.0))
+
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyTypeCounts(ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ev_twin")
+      .outputMode("complete").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ev_twin")
+        .as[(String, String, Long, Double)].collect().toSet
+      // batch twin: same expressions, date_trunc form (EventAnalytics shape)
+      import org.apache.spark.sql.functions._
+      val batch = data.toDF("ts", "event_type", "value")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
