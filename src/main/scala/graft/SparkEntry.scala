@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventAnalytics, Reference, Relational}
+import graft.ml.TextClustering
+import graft.operators.{Dedup, EventAnalytics, Reference, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,10 +36,24 @@ object SparkEntry {
     "top_orders_per_priority" -> (Relational.topOrdersPerPriority _),
     "distinct_parts" -> (Relational.distinctParts _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
-    // —— event analytics (streaming twins in graft.streaming) ——
+    // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
     "user_activity" -> (EventAnalytics.userActivity _),
+    // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
+    "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
+    // —— LLM-pipeline: dedup family ——
+    "exact_dedup" -> (Dedup.exactDedup _),
+    "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // rows-only (xxhash64 not in DuckDB)
+    // —— LLM-pipeline: similarity search ——
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only (approximate by design)
+    // —— LLM-pipeline: text analysis ——
+    "text_stats" -> (TextAnalysis.textStats _),
+    "lang_id" -> (TextAnalysis.langId _),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "lang_profile" -> (TextAnalysis.langProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +116,62 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "exact_dedup" ->
+      ("SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id, " +
+        "count(*) AS n_dups FROM documents GROUP BY 1"),
+    // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
+    // with b=32,r=2 the LSH miss probability is ~3e-15, so exact match holds
+    "near_dup_pairs" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
+        "FROM documents) " +
+        "SELECT a_doc_id, b_doc_id, jaccard FROM (" +
+        "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(a.s) > 0 AND len(b.s) > 0) " +
+        "WHERE jaccard >= 0.8"),
+    "cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id, cosine, rk FROM (" +
+        "SELECT query_id, vec_id, cosine, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    "text_stats" ->
+      ("WITH t AS (SELECT doc_id, coalesce(text,'') AS txt, " +
+        "CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "m AS (SELECT doc_id, len(txt) AS len_chars, len(toks) AS n_tokens, " +
+        "len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stopwords, " +
+        "len(txt) - len(regexp_replace(txt, '[[:punct:]]', '', 'g')) AS n_punct FROM t) " +
+        "SELECT doc_id, len_chars, n_tokens, n_bpe_tokens, n_stopwords, " +
+        "round(n_punct::DOUBLE / greatest(len_chars, 1), 4) AS punct_ratio, " +
+        "round(n_stopwords::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio, " +
+        "round(least(len_chars::DOUBLE / 500.0, 1.0) * 0.5 " +
+        "+ (n_stopwords::DOUBLE / greatest(n_tokens, 1)) * 0.3 " +
+        "+ (1.0 - n_punct::DOUBLE / greatest(len_chars, 1)) * 0.2, 4) AS quality_score FROM m"),
+    "lang_id" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS n_en, " +
+        "len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est'], x))) AS n_fr, " +
+        "len(list_filter(toks, x -> list_contains(['el','los','las','de','y','un','es'], x))) AS n_es FROM t) " +
+        "SELECT doc_id, n_en, n_fr, n_es, " +
+        "CASE WHEN n_en >= n_fr AND n_en >= n_es THEN 'en' " +
+        "WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS lang_guess FROM h"),
+    "doc_fingerprint" ->
+      ("SELECT doc_id, list_min(list_transform(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(coalesce(text,''))-7, 0)), i -> coalesce(text,'')[i:i+7])), " +
+        "s -> md5(s))) AS fingerprint FROM documents"),
+    "lang_profile" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "round(avg(len(coalesce(text,''))), 2) AS avg_len, " +
+        "round(avg(CASE WHEN len(trim(coalesce(text,''))) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(coalesce(text,'')), '\\s+')) END), 2) AS avg_tokens " +
+        "FROM documents GROUP BY lang"),
   )
 }

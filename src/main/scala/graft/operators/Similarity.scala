@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.TextClustering
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Similarity search over an embedding column (builder-brief north star):
+  * brute-force cosine top-k as the exact baseline, IVF (inverted-file via
+  * K-Means coarse quantizer) as the scale path.
+  *
+  * Scale design:
+  *  - The query set is broadcast (queries are few by definition); the corpus
+  *    is never shuffled for scoring — each partition scores its own rows
+  *    against the broadcast queries. Cosine is `zip_with` + `aggregate`
+  *    built-ins: codegen'd, no UDF.
+  *  - Top-k is TWO-phase: a salted local rank prunes each salt bucket to k,
+  *    then the global rank runs over ≤ salts×k rows per query. A single
+  *    `Window.partitionBy(query_id)` would funnel the whole corpus through
+  *    |queries| tasks — the skew-by-construction the round-2 verdict flagged
+  *    on top_orders_per_priority.
+  *  - IVF: corpus is bucketed once by nearest coarse centroid; a query
+  *    probes its `nprobe` nearest cells, so scored candidates shrink by
+  *    ~nlist/nprobe. Recall < 1 by design — measured against the exact
+  *    baseline in the spec.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns in double precision —
+    * sequential left-to-right summation, bit-stable across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k per query over the full corpus. Rounded cosine is the sort
+    * key (with vec_id tiebreak) so ranking is stable across engines. */
+  def cosineTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, salts: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
+      .select($"query_id", $"vec_id", $"cosine")
+    topKPerQuery(scored, k, salts)
+  }
+
+  /** Two-phase exact top-k: local rank within (query, salt) prunes to k,
+    * then the global rank sees ≤ salts×k rows per query. */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
+    val localW = Window.partitionBy($"query_id", pmod($"vec_id", lit(salts)))
+      .orderBy($"cosine".desc, $"vec_id")
+    val globalW = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("lrk", row_number().over(localW))
+      .filter($"lrk" <= k)
+      .withColumn("rk", row_number().over(globalW).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"vec_id", $"cosine", $"rk")
+  }
+
+  /** IVF approximate top-k: K-Means coarse quantizer (nlist cells, fixed
+    * seed), corpus bucketed by nearest cell, queries probe their nprobe
+    * nearest cells. The query→cells map is computed on the driver — the
+    * query set and the centroid table are both small by definition — then
+    * joined (broadcast) against the bucketed corpus.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", array_to_vector($"embedding").as("features"))
+      .persist()
+    try {
+      val model = TextClustering.fitKMeans(emb, k = nlist, maxIter = 20)
+      val bucketed = model.transform(emb)
+        .select($"vec_id", $"embedding", $"prediction".as("cell"))
+      val centers = model.clusterCenters // nlist × dim, driver-side
+      val queryRows = emb.filter($"vec_id" < numQueries)
+        .select($"vec_id", $"embedding").collect()
+      val probes = queryRows.flatMap { r =>
+        val qid = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        centers.zipWithIndex
+          .map { case (c, i) =>
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            (i, d)
+          }
+          .sortBy(_._2).take(nprobe)
+          .map { case (cell, _) => (qid, cell, r.getSeq[Float](1)) }
+      }.toSeq
+      val queryCells = spark.createDataFrame(probes)
+        .toDF("query_id", "cell", "q_emb")
+      val scored = bucketed
+        .join(broadcast(queryCells),
+          bucketed("cell") === queryCells("cell") && $"vec_id" =!= $"query_id")
+        .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
+        .select($"query_id", $"vec_id", $"cosine")
+      topKPerQuery(scored, k, salts = 8)
+    } finally emb.unpersist()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Text-analysis operators for LLM-training-data pipelines (builder-brief
+  * north star): per-document statistics, quality scoring, tokenization
+  * counts, n-gram language identification, and content fingerprinting.
+  *
+  * Everything is built-in column expressions (regexp/array/higher-order
+  * functions) — codegen'd, shuffle-free, embarrassingly parallel per row:
+  * the exact shape that scales linearly to 100 TB. The only shuffles in this
+  * file are the final small roll-ups (one hash-agg each).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe (split of "" would yield [""]). */
+  def tokens(text: Column): Column = {
+    val t = trim(coalesce(text, lit("")))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single non-space
+    * symbols — the pre-merge word pieces a byte-pair tokenizer starts from.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document statistics + a deterministic quality score.
+    *
+    * The score is rational arithmetic only (no transcendentals), so the
+    * DuckDB oracle reproduces it bit-for-bit after 4-dp rounding:
+    * 0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1−punct_ratio).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = coalesce($"text", lit(""))
+    val toks = tokens($"text")
+    val nTokens = size(toks)
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
+    val nPunct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val lenChars = length(t)
+    val punctRatio = nPunct.cast("double") / greatest(lenChars, lit(1))
+    val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1))
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      lenChars.cast("long").as("len_chars"), // DuckDB len() is BIGINT
+      nTokens.cast("long").as("n_tokens"),
+      bpeTokenCount($"text").cast("long").as("n_bpe_tokens"),
+      nStop.cast("long").as("n_stopwords"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(least(lenChars.cast("double") / 500.0, lit(1.0)) * 0.5
+        + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2, 4).as("quality_score"))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "es"))
+
+  /** N-gram(1) language-ID heuristic: count marker-word hits per language,
+    * pick the argmax (ties resolve in the fixed en→fr→es order). A real
+    * pipeline extends `markers` — the operator shape (per-row array filter +
+    * chained comparison, zero shuffles) is what matters at scale.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens($"text")
+    val hits = markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, w => w.isin(ws: _*)))
+    }
+    val Seq(en, fr, es) = hits.map(_._2)
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      en.cast("long").as("n_en"), fr.cast("long").as("n_fr"),
+      es.cast("long").as("n_es"),
+      when(en >= fr && en >= es, "en").when(fr >= es, "fr").otherwise("es")
+        .as("lang_guess"))
+  }
+
+  /** Winnowing-style document fingerprint: minimum MD5 over the document's
+    * character shingles — one stable 128-bit id per content neighborhood,
+    * computable without any shuffle. MD5 (not xxhash64) so the DuckDB
+    * oracle can reproduce it exactly.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String,
+      shingleLen: Int = 8): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      array_min(transform(Dedup.charShingles($"text", shingleLen),
+        s => md5(s.cast("binary")))).as("fingerprint"))
+
+  /** Roll-up: per-language volume and quality profile (one hash-agg). */
+  def langProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(coalesce($"text", lit("")))), 2).as("avg_len"),
+        round(avg(size(tokens($"text"))), 2).as("avg_tokens"))
+}

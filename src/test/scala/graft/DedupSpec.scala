@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operator family (builder-brief north star): shingling edge cases,
+  * exact-hash grouping, LSH-vs-brute-force equivalence, SimHash locality.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("charShingles: sliding windows, dedup, short/empty/null safety") {
+    val df = Seq((1L, "abcdef"), (2L, "aaaa"), (3L, "ab"), (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.charShingles($"text", 3).as("s"))
+    val m = df.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L) == Seq("abc", "bcd", "cde", "def"))
+    assert(m(2L) == Seq("aaa")) // deduplicated
+    assert(m(3L) == Seq.empty) // shorter than n — no descending-sequence trap
+    assert(m(4L) == Seq.empty)
+    assert(m(5L) == Seq.empty)
+  }
+
+  test("exactDedup groups identical texts and keeps the minimum doc_id") {
+    val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactDedupOf(docs)
+      .select($"keep_doc_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(r == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhash signature: deterministic, right arity, equal sets agree") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "totally different words"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        Dedup.minhashSignature(Dedup.charShingles($"text", 4), 16).as("sig"))
+    val m = df.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L).size == 16)
+    assert(m(1L) == m(2L)) // identical shingle sets → identical signatures
+    assert(m(1L) != m(3L))
+  }
+
+  test("LSH near-dup pairs equal brute-force Jaccard pairs on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val lsh = Dedup.nearDupPairsOf(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: all-pairs exact Jaccard over the same shingle sets
+    val sh = docs.select($"doc_id", Dedup.charShingles($"text", 5).as("s"))
+      .filter(size($"s") > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))), 4).as("j"))
+      .filter($"j" >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty) // the fixture does contain near-duplicates
+    assert(lsh.forall(_._3 >= 0.8))
+  }
+
+  test("simhash: locality — near-dup texts land within small Hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "hazy") // one-word perturbation
+    val far = "completely unrelated content about database query planning"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash(Dedup.charShingles($"text", 5)).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    assert(hamming(m(1L), m(1L)) == 0)
+  }
+
+  test("simhashNearDup returns only pairs within the Hamming budget") {
+    val r = Dedup.simhashNearDup(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._3 <= 3))
+    // sanity: the SimHash pairs are a subset of the (looser) Jaccard@0.8 LSH
+    // pairs' doc-id universe — both detect the same near-dup families
+    val jaccardPairs = Dedup.nearDupPairs(spark, sf)
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect().toSet
+    val overlap = r.map(p => (p._1, p._2)).count(jaccardPairs.contains)
+    assert(overlap.toDouble / r.length > 0.8)
+  }
+}

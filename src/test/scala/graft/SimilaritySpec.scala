@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity search (builder-brief north star): cosine correctness,
+  * two-phase top-k exactness, IVF recall against the exact baseline.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: known geometry") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(2.0f, 2.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0),
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f), 1.0))
+      .toDF("a", "b", "want")
+      .select(round(Similarity.cosine($"a", $"b"), 9).as("got"), $"want")
+    df.as[(Double, Double)].collect().foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9, s"$got != $want")
+    }
+  }
+
+  test("two-phase top-k equals the naive single-window top-k") {
+    val exact = Similarity.cosineTopK(spark, sf, numQueries = 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // naive: one global window per query (fine at test scale, skewed at 100TB)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val naive = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cosine", round(Similarity.cosine($"embedding", $"q_emb"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"vec_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(exact == naive)
+    assert(exact.size == 50) // 5 queries × k=10
+  }
+
+  test("top-k results are self-free, rank-contiguous, score-monotonic") {
+    val rows = Similarity.cosineTopK(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall { case (q, v, _, _) => q != v })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 10L))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _ => true
+      })
+    }
+  }
+
+  test("IVF top-k recalls a usable fraction of the exact top-k") {
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf, nlist = 16, nprobe = 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // The fixture's embeddings are deliberately weakly clustered (near-random
+    // directions), which is the WORST case for IVF: with nprobe/nlist = 1/4
+    // of the cells probed, expected recall is ~nprobe/nlist-ish. Assert it
+    // beats that floor; on real clustered data recall rises sharply.
+    assert(recall > 0.25, s"IVF recall@10 = $recall")
+  }
+}
