@@ -1,0 +1,172 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for LLM-training-data pipelines (builder-brief north
+  * star): image/audio/video carried as opaque `binary` payloads with typed
+  * metadata, processed by batched per-partition operators.
+  *
+  * The Spark-side plumbing — schema, partitioning, operator signatures,
+  * batch shape — is real and tested. The codec itself is a clearly-marked
+  * DETERMINISTIC FAKE ([[FakeCodec]]): the container has no image/audio
+  * libraries, and the engine design question is the dataflow, not the
+  * pixels. Swapping in a real decoder changes one object.
+  *
+  * Scale notes:
+  *  - Payloads ride the DataFrame as `BinaryType` — they stay columnar in
+  *    Parquet, split across executors by the scan, and never pass through
+  *    the driver.
+  *  - Decode/feature-extract runs via `mapPartitions` over micro-batches of
+  *    `batchSize` rows — the JVM analogue of `mapInPandas`: per-batch setup
+  *    cost (a real codec would init once per batch/partition) is amortized,
+  *    memory is bounded by batch × payload size, and the operator emits one
+  *    typed row per input row with no shuffle.
+  *  - Frame sampling explodes videos into frame rows BEFORE feature
+  *    extraction, so a long video parallelizes across the cluster instead
+  *    of pinning one task.
+  */
+object Media {
+
+  /** Typed metadata traveling next to the opaque payload. */
+  final case class MediaMeta(
+      mediaType: String, // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      sampleRateHz: Int,
+      durationMs: Long,
+      codec: String)
+
+  final case class MediaRow(
+      media_id: Long,
+      doc_id: Long,
+      meta: MediaMeta,
+      payload: Array[Byte])
+
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      luma_histogram: Array[Long]) // 8 buckets
+
+  /** DETERMINISTIC FAKE codec — stands in for libjpeg/ffmpeg/etc., which are
+    * not in this container. Every function is a pure, seeded transform of
+    * the payload bytes so specs can assert exact values; the signatures are
+    * the ones a real codec adapter would implement.
+    */
+  object FakeCodec {
+    /** "Decode" a payload to width×height luma bytes (row-major). */
+    def decodeLuma(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val out = new Array[Byte](width * height)
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload(i % payload.length)
+        i += 1
+      }
+      out
+    }
+
+    /** Nearest-neighbor "resize" of a luma plane. */
+    def resizeLuma(luma: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
+      val out = new Array[Byte](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          out(y * w2 + x) = luma((y * h / h2) * w + (x * w / w2))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** "Extract" the bytes of one video frame from the payload. */
+    def frameAt(payload: Array[Byte], frameIdx: Int, frameBytes: Int): Array[Byte] = {
+      val out = new Array[Byte](frameBytes)
+      var i = 0
+      while (i < frameBytes) {
+        out(i) = payload((frameIdx * frameBytes + i) % payload.length)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic synthetic media table: opaque payload seeded by media_id.
+    * Generated distributed (spark.range), never on the driver.
+    */
+  def synthesize(spark: SparkSession, n: Int, payloadBytes: Int = 256,
+      mediaType: String = "image"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val rnd = new scala.util.Random(id) // seeded → reproducible
+      val payload = new Array[Byte](payloadBytes)
+      rnd.nextBytes(payload)
+      MediaRow(id, id % 100,
+        MediaMeta(mediaType, width = 16, height = 16, sampleRateHz = 0,
+          durationMs = if (mediaType == "video") 4000L else 0L,
+          codec = "fake"),
+        payload)
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition (mapInPandas shape):
+    * rows are consumed in groups of `batchSize`; each batch "opens the
+    * codec" once, then emits one feature row per media row.
+    */
+  def imageFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real adapter would init the native codec here, once per batch
+        batch.iterator.map { r =>
+          val luma = FakeCodec.decodeLuma(r.payload, r.meta.width, r.meta.height)
+          val hist = new Array[Long](8)
+          var sum = 0L
+          luma.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            hist(v >> 5) += 1
+          }
+          ImageFeatures(r.media_id, r.meta.width, r.meta.height,
+            sum.toDouble / luma.length, hist)
+        }
+      }
+    }
+  }
+
+  /** Resize as a standalone stage: emits resized luma payloads with updated
+    * metadata — unchanged rows stream through, no shuffle. */
+  def resize(media: Dataset[MediaRow], w2: Int, h2: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val luma = FakeCodec.decodeLuma(r.payload, r.meta.width, r.meta.height)
+          val out = FakeCodec.resizeLuma(luma, r.meta.width, r.meta.height, w2, h2)
+          r.copy(meta = r.meta.copy(width = w2, height = h2), payload = out)
+        }
+      }
+    }
+  }
+
+  /** Sample every `everyMs` milliseconds of a video into frame rows —
+    * the explode happens BEFORE decode so frames parallelize downstream. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+      frameBytes: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "video")
+      .flatMap { r =>
+        val n = math.max(1L, r.meta.durationMs / everyMs).toInt
+        (0 until n).iterator.map { f =>
+          (r.media_id, f, f * everyMs,
+            FakeCodec.frameAt(r.payload, f, frameBytes))
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset_ms", "frame")
+  }
+}

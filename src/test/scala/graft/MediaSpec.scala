@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.multimodal.Media
+
+/** Multimodal plumbing: binary columns through Parquet, batched decode
+  * shape, deterministic features, resize metadata, frame explosion.
+  */
+class MediaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binary payload + typed metadata round-trips through Parquet") {
+    val dir = Files.createTempDirectory("media").toString + "/t"
+    val media = Media.synthesize(spark, 50)
+    media.write.parquet(dir)
+    val back = spark.read.parquet(dir).as[Media.MediaRow]
+    assert(back.count() == 50)
+    val (orig, rt) = (media.filter(_.media_id == 7L).head(),
+      back.filter(_.media_id == 7L).head())
+    assert(orig.payload.toSeq == rt.payload.toSeq)
+    assert(orig.meta == rt.meta)
+    // schema: payload is a real BinaryType column, meta a nested struct
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("imageFeatures: deterministic, one row per media row, bounded stats") {
+    val feats = Media.imageFeatures(Media.synthesize(spark, 100), batchSize = 16)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 100)
+    feats.foreach { f =>
+      assert(f.mean_luma >= 0 && f.mean_luma <= 255)
+      assert(f.luma_histogram.sum == f.width * f.height)
+    }
+    // determinism: second run bit-identical
+    val again = Media.imageFeatures(Media.synthesize(spark, 100), batchSize = 16)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.mean_luma).toSeq == again.map(_.mean_luma).toSeq)
+    // batch size must not change results, only batch shape
+    val bigBatch = Media.imageFeatures(Media.synthesize(spark, 100), batchSize = 1000)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.mean_luma).toSeq == bigBatch.map(_.mean_luma).toSeq)
+  }
+
+  test("resize updates metadata and payload dimensions") {
+    val resized = Media.resize(Media.synthesize(spark, 10), 4, 4).collect()
+    assert(resized.length == 10)
+    resized.foreach { r =>
+      assert(r.meta.width == 4 && r.meta.height == 4)
+      assert(r.payload.length == 16)
+    }
+  }
+
+  test("sampleFrames explodes videos into parallelizable frame rows") {
+    val videos = Media.synthesize(spark, 6, mediaType = "video") // 4000 ms each
+    val frames = Media.sampleFrames(videos, everyMs = 1000)
+    assert(frames.count() == 24) // 6 videos × 4 frames
+    val one = frames.filter($"media_id" === 2L)
+      .select($"frame_idx", $"offset_ms").as[(Int, Long)].collect().sorted
+    assert(one.toSeq == Seq((0, 0L), (1, 1000L), (2, 2000L), (3, 3000L)))
+    // images produce no frames
+    assert(Media.sampleFrames(Media.synthesize(spark, 5), 1000).count() == 0)
+  }
+}
