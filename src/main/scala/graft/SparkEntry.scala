@@ -27,6 +27,7 @@ object SparkEntry {
     "select_text_notnull_limit" -> (Reference.selectTextNotNullLimit _),
     "lang_filter_fr" -> (Reference.langFilterFr _),
     "sanitize_projection" -> (Reference.sanitizeProjection _),
+    "row_strings" -> (Reference.rowStrings _),
     "timestamp_format" -> (Reference.timestampFormat _),
     "encode_pipe_line" -> (Reference.encodePipeLine _),
     // —— relational core / bench headliners ——
@@ -40,12 +41,14 @@ object SparkEntry {
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
     "user_activity" -> (EventAnalytics.userActivity _),
+    "user_sessions" -> (EventAnalytics.userSessions _),
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
     "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // rows-only (xxhash64 not in DuckDB)
+    "embedding_near_dup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // —— LLM-pipeline: similarity search ——
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only (approximate by design)
@@ -72,6 +75,9 @@ object SparkEntry {
         "'[' || chr(13) || chr(10) || ']', ''), ',', ''''), '[\\p{C}]', '', 'g') AS text_clean FROM documents"),
     "timestamp_format" ->
       "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') || '.0' AS created_at_text FROM events ORDER BY event_id LIMIT 1000",
+    // quirk Q5: Row.toString wraps the single column in brackets
+    "row_strings" ->
+      "SELECT '[' || text || ']' AS value FROM documents WHERE text IS NOT NULL",
     "encode_pipe_line" ->
       ("SELECT doc_id, regexp_replace(replace(replace(translate(coalesce(text, ''), chr(9) || '\"', ''), " +
         "'[' || chr(13) || chr(10) || ']', ''), ',', ''''), '[\\p{C}]', '', 'g') || '|' || coalesce(lang, '') || '|' || coalesce(source, '') AS line " +
@@ -116,6 +122,15 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "user_sessions" ->
+      ("WITH f AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS flag " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, sum(flag) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
+        "round(count(*)::DOUBLE / max(sid), 4) AS avg_session_events " +
+        "FROM s GROUP BY user_id ORDER BY user_id"),
     "exact_dedup" ->
       ("SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id, " +
         "count(*) AS n_dups FROM documents GROUP BY 1"),
@@ -130,6 +145,13 @@ object SparkEntry {
         "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(a.s) > 0 AND len(b.s) > 0) " +
         "WHERE jaccard >= 0.8"),
+    // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
+    // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
+    "embedding_near_dup" ->
+      ("SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"),
     "cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
         "s AS (SELECT q.query_id, e.vec_id, " +

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.util.Cols.spread
 
 /** The reference's ML stage (README.md:152-208), rebuilt on DataFrame-native
   * `spark.ml`: character-bigram hashing-TF featurization and seeded K-Means.
@@ -64,7 +65,7 @@ object TextClustering {
     */
   def clusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = featurize(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      spread(Tables.documents(spark, sfDir)).select(col("doc_id"), col("text")))
       .persist() // reference cached its vectors too (README.md:176)
     try {
       val model = fitKMeans(feats)
@@ -81,7 +82,7 @@ object TextClustering {
     */
   def clusterEmbeddings(spark: SparkSession, sfDir: String, k: Int,
       seed: Long = 42L): DataFrame = {
-    val feats = Tables.embeddings(spark, sfDir)
+    val feats = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label"),
         array_to_vector(col("embedding")).as("features"))
       .persist()

@@ -97,7 +97,9 @@ object Dedup {
   def nearDupPairsOf(documents: DataFrame, shingleLen: Int = 5,
       numBands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val docs = documents
+    // spread first: shingling + 64 minhash passes are the dominant cost and
+    // higher-order functions run interpreted — never leave them on one task
+    val docs = spread(documents)
       .select($"doc_id", charShingles($"text", shingleLen).as("shingles"))
       .filter(size($"shingles") > 0)
     val sig = docs.select($"doc_id", $"shingles",
@@ -122,6 +124,91 @@ object Dedup {
           size(array_union($"a_sh", $"b_sh")), 4))
       .filter($"jaccard" >= threshold)
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
+  }
+
+  /** Random-hyperplane (sign-LSH) signature for cosine similarity: bit i is
+    * the sign of the dot product with seeded Gaussian plane i. Packed into
+    * one Long per band (`rowsPerBand` bits each) so banding is an explode +
+    * equi-join, exactly like the MinHash path. P[bit agrees] = 1 - θ/π.
+    *
+    * A scalar UDF for the same reason as [[simhashUdf]]: bands×rows plane
+    * dot-products per row would otherwise be that many separate `aggregate`
+    * expressions. The plane matrix is closure-captured (bands×rows×dim
+    * doubles — a few hundred KB at most, broadcast with the task binary).
+    */
+  private def signLshUdf(planes: Array[Array[Double]], rowsPerBand: Int) =
+    udf { emb: Seq[Float] =>
+      if (emb == null) null
+      else {
+        val v = emb.toArray
+        val numBands = planes.length / rowsPerBand
+        val keys = new Array[Long](numBands)
+        var b = 0
+        while (b < numBands) {
+          var key = 0L
+          var r = 0
+          while (r < rowsPerBand) {
+            val p = planes(b * rowsPerBand + r)
+            var d = 0.0
+            var j = 0
+            val n = math.min(v.length, p.length)
+            while (j < n) { d += v(j) * p(j); j += 1 }
+            if (d >= 0) key |= (1L << r)
+            r += 1
+          }
+          keys(b) = key
+          b += 1
+        }
+        keys
+      }
+    }
+
+  /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
+  private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH banded candidates +
+    * exact cosine verification — the embedding-space member of the dedup
+    * family (exact / MinHash / SimHash / this).
+    *
+    * Scale design mirrors [[nearDupPairs]]: explode bands → self-equi-join on
+    * (band, key) → distinct candidates → exact cosine (codegen'd `zip_with`/
+    * `aggregate`, see [[Similarity.cosine]]) ≥ threshold. Never all-pairs *at
+    * production thresholds*: at cosine ≥ 0.95 with r=8,b=32 a random pair
+    * collides in ~1e-2 of buckets while a qualifying pair is missed with
+    * p≈2e-8. The registered test entry runs threshold=0.4 (the synthetic
+    * fixture has no truly-near pairs; max pair cosine ≈ 0.51) with r=2,b=64 —
+    * miss p≈7e-15, so the brute-force DuckDB oracle matches exactly.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, numBands: Int = 64, rowsPerBand: Int = 2,
+      dim: Int = 64, seed: Long = 7L): DataFrame =
+    embeddingNearDupOf(Tables.embeddings(spark, sfDir), threshold, numBands,
+      rowsPerBand, dim, seed)
+
+  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame. */
+  def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val sig = signLshUdf(gaussianPlanes(numBands * rowsPerBand, dim, seed), rowsPerBand)
+    val emb = spread(embeddings).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val banded = emb
+      .select($"vec_id", posexplode(sig($"embedding")).as(Seq("band", "key")))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_vec_id"), col("r.vec_id").as("b_vec_id"))
+      .distinct()
+    candidates
+      .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("a_emb")), "a_vec_id")
+      .join(emb.select($"vec_id".as("b_vec_id"), $"embedding".as("b_emb")), "b_vec_id")
+      .withColumn("cosine", round(Similarity.cosine($"a_emb", $"b_emb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"a_vec_id", $"b_vec_id", $"cosine")
   }
 
   /** 64-bit SimHash of a shingle set. The bit-majority vote over per-shingle
@@ -163,7 +250,7 @@ object Dedup {
   /** Core of [[simhashNearDup]] over any (doc_id, text) frame. */
   def simhashNearDupOf(documents: DataFrame, shingleLen: Int = 5,
       maxHamming: Int = 3): DataFrame = {
-    val docs = documents
+    val docs = spread(documents)
       .select($"doc_id", simhash(charShingles($"text", shingleLen)).as("sh"))
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -35,6 +36,41 @@ object EventAnalytics {
         count($"k").as("n_k"),
         max($"k").as("max_k"))
       .orderBy($"event_type")
+
+  /** Gap-based sessionization, batch form: a session ends after `gapMinutes`
+    * of per-user inactivity. One lag + one running sum over the same
+    * (user_id, ts) window — a single shuffle on user_id; the flag/id
+    * computation is pipelined inside one window operator. Tie-safe: equal
+    * timestamps give gap 0 regardless of tie order, so session ids are
+    * deterministic over the multiset of events. The streaming twin
+    * ([[graft.streaming.EventStreams.sessionize]]) computes the same sessions
+    * incrementally with flatMapGroupsWithState.
+    *
+    * Scale note: the window partitions by user_id (high cardinality — no
+    * skew-by-construction), unlike a rank over a 5-value key; state per task
+    * is one partition's rows, spillable by the sort-based window exec.
+    */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame =
+    userSessionsOf(Tables.events(spark, sfDir))
+
+  /** Core of [[userSessions]] over any (user_id, ts) frame. */
+  def userSessionsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val prev = lag($"ts", 1).over(w)
+    val flag = when(prev.isNull ||
+      unix_timestamp($"ts") - unix_timestamp(prev) > gapMinutes * 60L, 1L)
+      .otherwise(0L)
+    events
+      .select($"user_id", $"ts")
+      .withColumn("flag", flag)
+      .withColumn("sid", sum($"flag").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"sid").as("n_sessions"),
+        round(count(lit(1)).cast("double") / max($"sid"), 4).as("avg_session_events"))
+      .orderBy($"user_id")
+  }
 
   /** Sessionless per-user rollup: activity span + volume per user. */
   def userActivity(spark: SparkSession, sfDir: String): DataFrame =

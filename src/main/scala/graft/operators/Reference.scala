@@ -66,6 +66,23 @@ object Reference {
       .orderBy($"event_id")
       .limit(1000)
 
+  /** P9 — Row→string map (README.md:156, quirk Q5): the reference mapped SQL
+    * rows with `_.toString`, feeding `[bracketed]` renderings into its
+    * featurizer. Preserved verbatim via a typed map (`Row.toString` =
+    * `mkString("[", ",", "]")`); the clean alternative is `.as[String]` on
+    * the single column (SURVEY.md §2.8 Q5). The typed map breaks whole-stage
+    * codegen for exactly this narrow, stateless projection — acceptable for a
+    * fidelity op, not a pattern for hot paths.
+    */
+  def rowStrings(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    Tables.documents(spark, sfDir)
+      .filter($"text".isNotNull)
+      .select($"text")
+      .map(_.toString)
+      .toDF("value")
+  }
+
   /** P6 — pipe-join encode of the projected fields (the collector's
     * interchange line, TwitterStreamingCollector.scala:66-68), using events
     * value as a stand-in numeric pair. */

@@ -31,19 +31,23 @@ import graft.util.Cols._
 object Similarity {
 
   /** Cosine similarity of two float-array columns in double precision —
-    * sequential left-to-right summation, bit-stable across engines. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * sequential left-to-right summation, bit-stable across engines.
+    *
+    * Backed by the native codegen [[graft.functions.CosineSimilarity]]
+    * expression: the equivalent `zip_with`+`aggregate` built-ins are
+    * higher-order functions, which Spark executes INTERPRETED
+    * (CodegenFallback) — a per-element lambda binding on every comparison of
+    * a corpus×queries scoring loop. The custom expression is one fused
+    * primitive loop inside whole-stage codegen, numerically identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k per query over the full corpus. Rounded cosine is the sort
     * key (with vec_id tiebreak) so ranking is stable across engines. */
   def cosineTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
       k: Int = 10, salts: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
@@ -75,7 +79,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding", array_to_vector($"embedding").as("features"))
       .persist()
     try {

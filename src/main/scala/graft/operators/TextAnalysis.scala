@@ -48,7 +48,7 @@ object TextAnalysis {
     val lenChars = length(t)
     val punctRatio = nPunct.cast("double") / greatest(lenChars, lit(1))
     val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1))
-    Tables.documents(spark, sfDir).select(
+    spread(Tables.documents(spark, sfDir)).select(
       $"doc_id",
       lenChars.cast("long").as("len_chars"), // DuckDB len() is BIGINT
       nTokens.cast("long").as("n_tokens"),
@@ -76,7 +76,7 @@ object TextAnalysis {
       lang -> size(filter(toks, w => w.isin(ws: _*)))
     }
     val Seq(en, fr, es) = hits.map(_._2)
-    Tables.documents(spark, sfDir).select(
+    spread(Tables.documents(spark, sfDir)).select(
       $"doc_id",
       en.cast("long").as("n_en"), fr.cast("long").as("n_fr"),
       es.cast("long").as("n_es"),
@@ -91,14 +91,14 @@ object TextAnalysis {
     */
   def fingerprint(spark: SparkSession, sfDir: String,
       shingleLen: Int = 8): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    spread(Tables.documents(spark, sfDir)).select(
       $"doc_id",
       array_min(transform(Dedup.charShingles($"text", shingleLen),
         s => md5(s.cast("binary")))).as("fingerprint"))
 
   /** Roll-up: per-language volume and quality profile (one hash-agg). */
   def langProfile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    spread(Tables.documents(spark, sfDir))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(length(coalesce($"text", lit("")))), 2).as("avg_len"),

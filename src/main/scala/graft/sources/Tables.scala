@@ -27,16 +27,16 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long (SPARK-40819 legacy
-    * flag) and floor-divide to micros — integer `div`, NOT `/`: a ns-epoch
-    * (~1.7e18) exceeds double's 2^53 exact-integer range, so float division
-    * would corrupt timestamps.
+    * flag, set by every session builder — Verify, Bench, SparkTestBase — not
+    * mutated here: a loader changing session config is a call-order-dependent
+    * side effect) and floor-divide to micros — integer `div`, NOT `/`: a
+    * ns-epoch (~1.7e18) exceeds double's 2^53 exact-integer range, so float
+    * division would corrupt timestamps.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     parquet(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "embeddings")
 

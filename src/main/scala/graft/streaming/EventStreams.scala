@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the batch event analytics
   * (SURVEY.md §2.6 T2; batch forms in [[graft.operators.EventAnalytics]]).
@@ -28,4 +31,70 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** One event of the sessionization input stream. */
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+
+  /** A closed session — emitted once, in append mode. */
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Per-user state between micro-batches: the still-open session. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** Gap-based sessionization, streaming form (SURVEY.md §2.6 T3 extension;
+    * batch twin: [[graft.operators.EventAnalytics.userSessionsOf]]): custom
+    * per-key state via `flatMapGroupsWithState`. A session closes when
+    * `gapMinutes` pass with no event for that user — detected either by a
+    * later event in a subsequent batch or by an event-time timeout once the
+    * watermark passes (last event + gap).
+    *
+    * State per user is ONE OpenSession (24 bytes) regardless of stream
+    * length, and timed-out keys are removed — bounded state is what lets this
+    * run forever. Late events behind the watermark are dropped by the
+    * pre-aggregation watermark filter; events late-but-within-allowance merge
+    * into the open session or (if older than it) extend it backwards.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(s: OpenSession, userId: Long): Session =
+      Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(_, userId)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = List.newBuilder[Session]
+            times.foreach { t =>
+              open match {
+                case null => open = OpenSession(t, t, 1)
+                case o if t - o.lastMs <= gapMs =>
+                  open = OpenSession(math.min(o.startMs, t), math.max(o.lastMs, t), o.n + 1)
+                case o =>
+                  closed += close(o, userId)
+                  open = OpenSession(t, t, 1)
+              }
+            }
+            state.update(open)
+            // fires once the watermark passes the would-be session end
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -61,6 +61,33 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.forall(_._3 >= 0.8))
   }
 
+  test("embeddingNearDup equals brute-force cosine pairs on the fixture") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val lsh = Dedup.embeddingNearDupOf(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .filter($"c" >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty)
+  }
+
+  test("embeddingNearDup finds a planted near-identical vector at a real threshold") {
+    val dim = 8
+    val base = Array.fill(dim)(1.0f)
+    val near = base.clone(); near(0) = 0.9f // cosine ≈ 0.9986
+    val far = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDupOf(emb, threshold = 0.95, numBands = 32,
+      rowsPerBand = 8, dim = dim)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(r.head._3 > 0.99)
+  }
+
   test("simhash: locality — near-dup texts land within small Hamming distance") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("lazy", "hazy") // one-word perturbation

@@ -47,6 +47,70 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: gap splits, timeout closes, state evicts (T3)") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val events = ms.toDF().toDF("user_id", "ts")
+    val q = EventStreams.sessionize(events, gapMinutes = 30, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(t: String) = Timestamp.valueOf(t)
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h jump in the
+      // SAME batch → first session closes immediately via the gap rule
+      ms.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+        (1L, ts("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(afterBatch1 == Set(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
+
+      // user 2 appears far in the future → watermark advances past user 1's
+      // open session end + gap → event-time timeout closes it
+      ms.addData((2L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      ms.addData((2L, ts("2024-01-01 06:01:00"))) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(afterTimeout.contains(
+        (1L, ts("2024-01-01 02:30:00"), ts("2024-01-01 02:30:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with the batch userSessions rollup on the same data") {
+    val data = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:30:00"), (1L, "2024-01-01 02:45:00"),
+      (2L, "2024-01-01 01:00:00"))
+      .map { case (u, t) => (u, Timestamp.valueOf(t)) }
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(ms.toDF().toDF("user_id", "ts"),
+      gapMinutes = 30, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      // close everything with a far-future watermark bump + a flushing batch
+      ms.addData((99L, Timestamp.valueOf("2024-02-01 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, Timestamp.valueOf("2024-02-01 00:01:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_twin")
+        .filter($"user_id" < 99)
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.sum($"n_events").as("n_events"),
+          org.apache.spark.sql.functions.count_distinct($"session_start").as("n_sessions"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.EventAnalytics
+        .userSessionsOf(data.toDF("user_id", "ts"))
+        .select($"user_id", $"n_events", $"n_sessions")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming twin agrees with the batch plan on the same data") {
     val data = Seq(
       ev("2024-01-01 00:10:00", "click", 1.0),

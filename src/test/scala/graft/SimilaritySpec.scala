@@ -24,6 +24,27 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native cosine expression: matches interpreted HOF form, propagates nulls") {
+    val df = Seq(
+      (Seq(0.3f, -1.2f, 2.7f, 0.01f), Seq(1.9f, 0.4f, -0.6f, 3.3f)),
+      (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    // the pre-expression formulation this replaced — semantics must not move
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val both = df.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      (dot($"a", $"b") / (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b")))).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n == h, s"$n != $h") }
+
+    val withNull = Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]]))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
   test("two-phase top-k equals the naive single-window top-k") {
     val exact = Similarity.cosineTopK(spark, sf, numQueries = 5, k = 10)
       .as[(Long, Long, Double, Long)].collect().toSet
