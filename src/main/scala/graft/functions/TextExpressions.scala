@@ -1,0 +1,218 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the shingle/MinHash/SimHash hot path.
+  *
+  * The column-expression forms (`transform(sequence(...), i => substr)` +
+  * nested `transform`/`array_min`) are higher-order functions, which Spark
+  * executes INTERPRETED (CodegenFallback) — and the MinHash signature nests
+  * them, costing numHashes full passes of boxed evaluation per document.
+  * These expressions run one fused primitive loop per document inside
+  * whole-stage codegen (the generated code calls the static impl below), and
+  * hash each shingle's bytes ONCE, deriving all `numHashes` slot values from
+  * that 64-bit base — turning O(shingles × numHashes) string hashes into
+  * O(shingles) string hashes + O(shingles × numHashes) long mixes.
+  *
+  * Semantics are pinned to the column forms they replace (same
+  * `UTF8String.substringSQL` character addressing, same first-occurrence
+  * distinct order) so the Dedup specs hold unchanged.
+  */
+object TextHashImpl {
+
+  /** Distinct character shingles in first-occurrence order — the fused form
+    * of `array_distinct(transform(sequence(...), i => substr(i, n)))`. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 1
+    while (i <= len - n + 1) {
+      seen.add(s.substringSQL(i, n))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature straight from text. Duplicate shingles cannot change
+    * a minimum, so no distinct pass is needed. Each slot h mixes the slot
+    * index into the shingle's base hash exactly like `xxhash64(shingle, h)`
+    * (seed 42, then int child), so the estimator is the same family the
+    * column form used. */
+  def minhash(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val len = s.numChars()
+    if (len >= n) {
+      var i = 1
+      while (i <= len - n + 1) {
+        val sh = s.substringSQL(i, n)
+        val base = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        var h = 0
+        while (h < numHashes) {
+          val v = XXH64.hashInt(h, base)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over the DISTINCT shingle set (majority vote counts each
+    * distinct shingle once, so the dedup pass matters here, unlike minhash). */
+  def simhash(s: UTF8String, n: Int): Long = {
+    val len = s.numChars()
+    if (len < n) return 0L
+    val seen = new java.util.HashSet[UTF8String]
+    val counts = new Array[Int](64)
+    var any = false
+    var i = 1
+    while (i <= len - n + 1) {
+      val sh = s.substringSQL(i, n)
+      if (seen.add(sh)) {
+        any = true
+        val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return 0L
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  /** Minimum MD5 (lowercase hex) over the shingle multiset — the winnowing
+    * fingerprint. Digest byte arrays are compared unsigned-lexicographically,
+    * which equals comparing their hex renderings, so only the winner is
+    * hex-encoded. Returns null when the text is shorter than one shingle
+    * (matching `array_min(empty) = null`). */
+  def minMd5(s: UTF8String, n: Int): UTF8String = {
+    val len = s.numChars()
+    if (len < n) return null
+    val md = MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 1
+    while (i <= len - n + 1) {
+      val sh = s.substringSQL(i, n)
+      md.reset()
+      val d = md.digest(sh.getBytes)
+      if (best == null || unsignedCompare(d, best) < 0) best = d
+      i += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    best.foreach { b => hex.append(Character.forDigit((b >> 4) & 0xf, 16)).append(Character.forDigit(b & 0xf, 16)) }
+    UTF8String.fromString(hex.toString)
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+}
+
+/** Base for the text-hash expressions: null-safe unary over StringType with
+  * codegen that stays inside whole-stage codegen by calling the static impl. */
+abstract class TextHashExpression extends UnaryExpression {
+  /** Java call with `%s` where the input UTF8String goes. */
+  protected def implCall: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => implCall.format(c))
+}
+
+case class CharShinglesExpr(child: Expression, shingleLen: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.shingles(input.asInstanceOf[UTF8String], shingleLen)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.shingles(%s, $shingleLen)"
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
+    copy(child = c)
+}
+
+case class MinHashSignatureExpr(child: Expression, shingleLen: Int, numHashes: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhash(input.asInstanceOf[UTF8String], shingleLen, numHashes)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.minhash(%s, $shingleLen, $numHashes)"
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr =
+    copy(child = c)
+}
+
+case class SimHash64Expr(child: Expression, shingleLen: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhash(input.asInstanceOf[UTF8String], shingleLen)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.simhash(%s, $shingleLen)"
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+}
+
+case class MinMd5ShinglesExpr(child: Expression, shingleLen: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = StringType
+  // minMd5 returns null for too-short text: route through the nullable path
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minMd5(input.asInstanceOf[UTF8String], shingleLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextHashImpl.minMd5($c, $shingleLen);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def implCall: String = "" // unused: doGenCode overridden
+  override protected def withNewChildInternal(c: Expression): MinMd5ShinglesExpr =
+    copy(child = c)
+}
+
+object TextExpressions {
+  private def wrap(e: Expression): Column = GraftSqlBridge.column(e)
+  private def expr(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  /** Distinct character shingles of a string column (codegen'd). */
+  def charShingles(text: Column, n: Int): Column =
+    wrap(CharShinglesExpr(expr(text), n))
+
+  /** MinHash signature of a string column, fused shingle→hash→min (codegen'd). */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    wrap(MinHashSignatureExpr(expr(text), shingleLen, numHashes))
+
+  /** 64-bit SimHash of a string column over distinct shingles (codegen'd). */
+  def simhash(text: Column, shingleLen: Int): Column =
+    wrap(SimHash64Expr(expr(text), shingleLen))
+
+  /** Minimum-MD5 shingle fingerprint of a string column (codegen'd). */
+  def minMd5Shingles(text: Column, shingleLen: Int): Column =
+    wrap(MinMd5ShinglesExpr(expr(text), shingleLen))
+}

@@ -47,26 +47,24 @@ object Dedup {
       .groupBy(sha2(coalesce($"text", lit("")), 256).as("text_hash"))
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct character n-gram shingle set, as a pure column expression:
-    * positions 1..len-n+1 swept with `Column.substr`, deduplicated. Empty
-    * or too-short text yields an empty set (guarded — `sequence(1,0)` would
-    * count DOWN, not produce empty).
+  /** Distinct character n-gram shingle set, null-safe (null → empty set).
+    * Backed by the native codegen [[graft.functions.CharShinglesExpr]] — the
+    * equivalent `array_distinct(transform(sequence(...), substr))` built-ins
+    * are higher-order functions, which Spark executes interpreted.
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = coalesce(text, lit(""))
-    when(length(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.charShingles(coalesce(text, lit("")), n)
 
-  /** MinHash signature: for each of `numHashes` hash functions (xxhash64
-    * seeded by slot index), the minimum over the shingle set. Standard
-    * estimator: P[sig_i(A)=sig_i(B)] = Jaccard(A,B).
+  /** MinHash signature straight from text: for each of `numHashes` hash
+    * slots, the minimum over the shingle set. Standard estimator:
+    * P[sig_i(A)=sig_i(B)] = Jaccard(A,B). Fused native expression
+    * ([[graft.functions.MinHashSignatureExpr]]): hashes each shingle's bytes
+    * once and derives all slot values from the 64-bit base, instead of
+    * numHashes interpreted passes over the shingle array.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    graft.functions.TextExpressions.minhashSignature(
+      coalesce(text, lit("")), shingleLen, numHashes)
 
   /** LSH banding: split the signature into `numBands` bands of `rowsPerBand`
     * and hash each band to one bucket key. Two docs collide in a band iff
@@ -97,15 +95,15 @@ object Dedup {
   def nearDupPairsOf(documents: DataFrame, shingleLen: Int = 5,
       numBands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    // spread first: shingling + 64 minhash passes are the dominant cost and
-    // higher-order functions run interpreted — never leave them on one task
-    val docs = spread(documents)
-      .select($"doc_id", charShingles($"text", shingleLen).as("shingles"))
-      .filter(size($"shingles") > 0)
-    val sig = docs.select($"doc_id", $"shingles",
-      minhashSignature($"shingles", numBands * rowsPerBand).as("sig"))
-    val banded = sig.select($"doc_id",
-      explode(bandKeys($"sig", numBands, rowsPerBand)).as("b"))
+    // spread first: shingling + minhash are the dominant per-row cost —
+    // never leave them on one task (a small fixture file is one scan split)
+    val base = spread(documents)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen) // same rows as size(shingles) > 0
+    val banded = base.select($"doc_id",
+      explode(bandKeys(
+        minhashSignature($"t", shingleLen, numBands * rowsPerBand),
+        numBands, rowsPerBand)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("bsig"))
     val candidates = banded.as("l")
       .join(banded.as("r"),
@@ -113,7 +111,8 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"))
       .distinct()
-    val sets = docs.select($"doc_id", $"shingles")
+    val sets = base.select($"doc_id",
+      graft.functions.TextExpressions.charShingles($"t", shingleLen).as("shingles"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "a_doc_id")
         .withColumnRenamed("shingles", "a_sh"), "a_doc_id")
@@ -211,31 +210,13 @@ object Dedup {
       .select($"a_vec_id", $"b_vec_id", $"cosine")
   }
 
-  /** 64-bit SimHash of a shingle set. The bit-majority vote over per-shingle
-    * hashes is the one step built-ins can't express without 64 aggregates
-    * per row, so it is a (deliberate, documented) scalar UDF — O(shingles)
-    * per row, driver-free, still narrow.
+  /** 64-bit SimHash of the text's distinct shingle set. The bit-majority
+    * vote over per-shingle hashes is inexpressible as efficient built-ins
+    * (64 aggregates per row), so it is the native codegen
+    * [[graft.functions.SimHash64Expr]] — one fused pass, no UDF boxing.
     */
-  private val simhashUdf = udf { hashes: Seq[Long] =>
-    if (hashes == null || hashes.isEmpty) 0L
-    else {
-      val counts = new Array[Int](64)
-      hashes.foreach { h =>
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
-      }
-      var sim = 0L
-      var j = 0
-      while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
-      sim
-    }
-  }
-
-  def simhash(shingles: Column): Column =
-    simhashUdf(transform(shingles, s => xxhash64(s)))
+  def simhash(text: Column, shingleLen: Int): Column =
+    graft.functions.TextExpressions.simhash(coalesce(text, lit("")), shingleLen)
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -251,7 +232,7 @@ object Dedup {
   def simhashNearDupOf(documents: DataFrame, shingleLen: Int = 5,
       maxHamming: Int = 3): DataFrame = {
     val docs = spread(documents)
-      .select($"doc_id", simhash(charShingles($"text", shingleLen)).as("sh"))
+      .select($"doc_id", simhash($"text", shingleLen).as("sh"))
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright($"sh", c * 16).bitwiseAND(lit(0xffffL)).as("key")))

@@ -87,14 +87,16 @@ object TextAnalysis {
   /** Winnowing-style document fingerprint: minimum MD5 over the document's
     * character shingles — one stable 128-bit id per content neighborhood,
     * computable without any shuffle. MD5 (not xxhash64) so the DuckDB
-    * oracle can reproduce it exactly.
+    * oracle can reproduce it exactly. Native fused expression
+    * ([[graft.functions.MinMd5ShinglesExpr]]): the `transform(..., md5)`
+    * column form would run interpreted per shingle.
     */
   def fingerprint(spark: SparkSession, sfDir: String,
       shingleLen: Int = 8): DataFrame =
     spread(Tables.documents(spark, sfDir)).select(
       $"doc_id",
-      array_min(transform(Dedup.charShingles($"text", shingleLen),
-        s => md5(s.cast("binary")))).as("fingerprint"))
+      graft.functions.TextExpressions.minMd5Shingles(
+        coalesce($"text", lit("")), shingleLen).as("fingerprint"))
 
   /** Roll-up: per-language volume and quality profile (one hash-agg). */
   def langProfile(spark: SparkSession, sfDir: String): DataFrame =

@@ -35,8 +35,7 @@ class DedupSpec extends SparkTestBase {
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "totally different words"))
       .toDF("doc_id", "text")
-      .select($"doc_id",
-        Dedup.minhashSignature(Dedup.charShingles($"text", 4), 16).as("sig"))
+      .select($"doc_id", Dedup.minhashSignature($"text", 4, 16).as("sig"))
     val m = df.as[(Long, Seq[Long])].collect().toMap
     assert(m(1L).size == 16)
     assert(m(1L) == m(2L)) // identical shingle sets → identical signatures
@@ -93,7 +92,7 @@ class DedupSpec extends SparkTestBase {
     val near = base.replace("lazy", "hazy") // one-word perturbation
     val far = "completely unrelated content about database query planning"
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-      .select($"doc_id", Dedup.simhash(Dedup.charShingles($"text", 5)).as("sh"))
+      .select($"doc_id", Dedup.simhash($"text", 5).as("sh"))
     val m = df.as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
