@@ -35,7 +35,10 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated query filter, for isolating one query's time
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warmup: full untimed pass (also fails fast on broken queries)
     names.foreach { name =>

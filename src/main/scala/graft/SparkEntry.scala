@@ -135,7 +135,7 @@ object SparkEntry {
       ("SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id, " +
         "count(*) AS n_dups FROM documents GROUP BY 1"),
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
-    // with b=32,r=2 the LSH miss probability is ~3e-15, so exact match holds
+    // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" ->
       ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +

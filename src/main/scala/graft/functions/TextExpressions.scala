@@ -71,6 +71,31 @@ object TextHashImpl {
     new GenericArrayData(mins)
   }
 
+  /** LSH band keys straight from text: the minhash signature split into
+    * `numBands` runs of `rowsPerBand`, each folded to one 64-bit bucket key
+    * (seed 42, hashLong chain — the xxhash64-of-slice shape). Band index =
+    * array position. Fused for a reason beyond speed: a `transform` lambda
+    * over a signature COLUMN re-evaluates the signature expression once per
+    * band (common-subexpression elimination does not reach inside
+    * interpreted higher-order lambdas), which round-3 benching caught as a
+    * 32× recompute of the whole minhash per document. */
+  def minhashBands(s: UTF8String, n: Int, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val mins = minhash(s, n, numBands * rowsPerBand).toLongArray()
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 42L
+      var j = 0
+      while (j < rowsPerBand) {
+        acc = XXH64.hashLong(mins(b * rowsPerBand + j), acc)
+        j += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** 64-bit SimHash over the DISTINCT shingle set (majority vote counts each
     * distinct shingle once, so the dedup pass matters here, unlike minhash). */
   def simhash(s: UTF8String, n: Int): Long = {
@@ -166,6 +191,19 @@ case class MinHashSignatureExpr(child: Expression, shingleLen: Int, numHashes: I
     copy(child = c)
 }
 
+case class MinHashBandsExpr(child: Expression, shingleLen: Int,
+    numBands: Int, rowsPerBand: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhashBands(input.asInstanceOf[UTF8String], shingleLen,
+      numBands, rowsPerBand)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.minhashBands(%s, $shingleLen, $numBands, $rowsPerBand)"
+  override protected def withNewChildInternal(c: Expression): MinHashBandsExpr =
+    copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression, shingleLen: Int)
     extends TextHashExpression {
   override def dataType: DataType = LongType
@@ -207,6 +245,11 @@ object TextExpressions {
   /** MinHash signature of a string column, fused shingle→hash→min (codegen'd). */
   def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
     wrap(MinHashSignatureExpr(expr(text), shingleLen, numHashes))
+
+  /** LSH band bucket keys of a string column; band = array position (codegen'd). */
+  def minhashBands(text: Column, shingleLen: Int, numBands: Int,
+      rowsPerBand: Int): Column =
+    wrap(MinHashBandsExpr(expr(text), shingleLen, numBands, rowsPerBand))
 
   /** 64-bit SimHash of a string column over distinct shingles (codegen'd). */
   def simhash(text: Column, shingleLen: Int): Column =

@@ -66,34 +66,43 @@ object Dedup {
     graft.functions.TextExpressions.minhashSignature(
       coalesce(text, lit("")), shingleLen, numHashes)
 
-  /** LSH banding: split the signature into `numBands` bands of `rowsPerBand`
-    * and hash each band to one bucket key. Two docs collide in a band iff
-    * that whole band matches; P[some band matches] = 1-(1-J^r)^b.
+  /** LSH banding: the signature split into `numBands` bands of `rowsPerBand`,
+    * each folded to one bucket key; band index = array position. Two docs
+    * collide in a band iff that whole band matches; P[some band matches] =
+    * 1-(1-J^r)^b. Fused with the signature into one native expression — a
+    * `transform` lambda over a signature column would re-evaluate the whole
+    * minhash once PER BAND (CSE does not reach inside interpreted HOF
+    * lambdas; benched as a 32× recompute).
     */
-  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
+  def bandKeys(text: Column, shingleLen: Int, numBands: Int,
+      rowsPerBand: Int): Column =
+    graft.functions.TextExpressions.minhashBands(
+      coalesce(text, lit("")), shingleLen, numBands, rowsPerBand)
 
   /** Near-duplicate pairs via MinHash-LSH with exact verification.
     *
     * shingle(n) → minhash(b×r) → explode bands → self-join on (band,sig) →
     * distinct candidate pairs → exact Jaccard on the shingle sets → filter.
     *
-    * Default b=32, r=2: a pair at the default threshold J=0.8 is missed with
-    * probability (1-0.8²)³² ≈ 3e-15 — effectively exhaustive above the
-    * threshold (which is why the DuckDB brute-force oracle matches), while
-    * candidates stay bucket-local.
+    * Band geometry is tuned to the corpus's BACKGROUND similarity, not just
+    * the threshold: this corpus has median pairwise Jaccard ≈ 0.17 (measured
+    * at sf0.1), and with shallow bands (r=2) a 0.17-pair collides somewhere
+    * with p≈0.6 — the candidate set degenerates to all-pairs (round-3 bench:
+    * 32 cores stuck in set-ops for minutes). Default b=128, r=8 keeps the
+    * S-curve steep: candidate rate at J=0.17 ≈ 0.8%, while a true pair at
+    * the J=0.8 threshold is missed with p=(1-0.8⁸)¹²⁸ ≈ 7e-11 — still
+    * effectively exhaustive, which is why the DuckDB brute-force oracle
+    * matches exactly.
     */
   def nearDupPairs(spark: SparkSession, sfDir: String, shingleLen: Int = 5,
-      numBands: Int = 32, rowsPerBand: Int = 2,
+      numBands: Int = 128, rowsPerBand: Int = 8,
       threshold: Double = 0.8): DataFrame =
     nearDupPairsOf(Tables.documents(spark, sfDir), shingleLen, numBands,
       rowsPerBand, threshold)
 
   /** Core of [[nearDupPairs]] over any (doc_id, text) frame. */
   def nearDupPairsOf(documents: DataFrame, shingleLen: Int = 5,
-      numBands: Int = 32, rowsPerBand: Int = 2,
+      numBands: Int = 128, rowsPerBand: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     // spread first: shingling + minhash are the dominant per-row cost —
     // never leave them on one task (a small fixture file is one scan split)
@@ -101,10 +110,8 @@ object Dedup {
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen) // same rows as size(shingles) > 0
     val banded = base.select($"doc_id",
-      explode(bandKeys(
-        minhashSignature($"t", shingleLen, numBands * rowsPerBand),
-        numBands, rowsPerBand)).as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("bsig"))
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig")))
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
@@ -118,9 +125,11 @@ object Dedup {
         .withColumnRenamed("shingles", "a_sh"), "a_doc_id")
       .join(sets.withColumnRenamed("doc_id", "b_doc_id")
         .withColumnRenamed("shingles", "b_sh"), "b_doc_id")
-      .withColumn("jaccard", round(
-        size(array_intersect($"a_sh", $"b_sh")).cast("double") /
-          size(array_union($"a_sh", $"b_sh")), 4))
+      // |A∪B| = |A|+|B|−|A∩B|: one set op per pair instead of two
+      // (ArrayUnion/ArrayIntersect evaluate interpreted — halve the work)
+      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .withColumn("jaccard", round($"inter".cast("double") /
+        (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
   }

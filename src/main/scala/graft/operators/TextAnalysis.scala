@@ -40,23 +40,30 @@ object TextAnalysis {
     * 0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1−punct_ratio).
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = coalesce($"text", lit(""))
+    // materialize tokens/counts ONCE in a first projection: referencing the
+    // tokenizer expression from several output columns would re-run the
+    // (interpreted) HOF per column — CollapseProject keeps multi-referenced
+    // non-trivial expressions un-inlined, so the two-step shape sticks
     val toks = tokens($"text")
-    val nTokens = size(toks)
-    val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
-    val nPunct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
-    val lenChars = length(t)
-    val punctRatio = nPunct.cast("double") / greatest(lenChars, lit(1))
-    val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1))
-    spread(Tables.documents(spark, sfDir)).select(
+    val base = spread(Tables.documents(spark, sfDir)).select(
       $"doc_id",
-      lenChars.cast("long").as("len_chars"), // DuckDB len() is BIGINT
-      nTokens.cast("long").as("n_tokens"),
-      bpeTokenCount($"text").cast("long").as("n_bpe_tokens"),
-      nStop.cast("long").as("n_stopwords"),
+      length(coalesce($"text", lit(""))).as("len_i"),
+      size(toks).as("n_tok_i"),
+      size(filter(toks, w => w.isin(stopwords: _*))).as("n_stop_i"),
+      bpeTokenCount($"text").as("n_bpe_i"),
+      (length(coalesce($"text", lit(""))) -
+        length(regexp_replace(coalesce($"text", lit("")), "[\\p{Punct}]", ""))).as("n_punct_i"))
+    val punctRatio = $"n_punct_i".cast("double") / greatest($"len_i", lit(1))
+    val stopRatio = $"n_stop_i".cast("double") / greatest($"n_tok_i", lit(1))
+    base.select(
+      $"doc_id",
+      $"len_i".cast("long").as("len_chars"), // DuckDB len() is BIGINT
+      $"n_tok_i".cast("long").as("n_tokens"),
+      $"n_bpe_i".cast("long").as("n_bpe_tokens"),
+      $"n_stop_i".cast("long").as("n_stopwords"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
-      round(least(lenChars.cast("double") / 500.0, lit(1.0)) * 0.5
+      round(least($"len_i".cast("double") / 500.0, lit(1.0)) * 0.5
         + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2, 4).as("quality_score"))
   }
 
@@ -71,17 +78,20 @@ object TextAnalysis {
     * chained comparison, zero shuffles) is what matters at scale.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens($"text")
+    // tokenize once into a materialized column (see textStats note), then
+    // count each language's markers from it
+    val withToks = spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("toks"))
     val hits = markers.map { case (lang, ws) =>
-      lang -> size(filter(toks, w => w.isin(ws: _*)))
+      lang -> size(filter($"toks", w => w.isin(ws: _*)))
     }
     val Seq(en, fr, es) = hits.map(_._2)
-    spread(Tables.documents(spark, sfDir)).select(
-      $"doc_id",
-      en.cast("long").as("n_en"), fr.cast("long").as("n_fr"),
-      es.cast("long").as("n_es"),
-      when(en >= fr && en >= es, "en").when(fr >= es, "fr").otherwise("es")
-        .as("lang_guess"))
+    withToks
+      .select($"doc_id", en.cast("long").as("n_en"),
+        fr.cast("long").as("n_fr"), es.cast("long").as("n_es"))
+      .select($"doc_id", $"n_en", $"n_fr", $"n_es",
+        when($"n_en" >= $"n_fr" && $"n_en" >= $"n_es", "en")
+          .when($"n_fr" >= $"n_es", "fr").otherwise("es").as("lang_guess"))
   }
 
   /** Winnowing-style document fingerprint: minimum MD5 over the document's
