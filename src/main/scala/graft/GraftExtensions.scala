@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** Spark-native integration point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same fused
+  * hot-path operators the DataFrame API uses (SURVEY.md §7.3 — the
+  * `SparkSessionExtensions` route, the same mechanism Delta/Iceberg-style
+  * libraries use; no Spark internals are modified).
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Registered functions:
+  *  - `cosine_sim(a array<float>, b array<float>) -> double`
+  *  - `char_shingles(text string, n int) -> array<string>`
+  *  - `minhash_bands(text string, n int, bands int, rows int) -> array<bigint>`
+  *  - `simhash64(text string, n int) -> bigint`
+  *  - `min_md5_shingles(text string, n int) -> string`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.TextHashImpl", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, n) - distinct character n-gram set"),
+      (args: Seq[Expression]) => CharShinglesExpr(args(0),
+        intLit(args(1), "char_shingles", "n"))))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(text, n, bands, rows) - LSH band bucket keys"),
+      (args: Seq[Expression]) => MinHashBandsExpr(args(0),
+        intLit(args(1), "minhash_bands", "n"),
+        intLit(args(2), "minhash_bands", "bands"),
+        intLit(args(3), "minhash_bands", "rows"))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text, n) - 64-bit SimHash over distinct shingles"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0),
+        intLit(args(1), "simhash64", "n"))))
+    ext.injectFunction((FunctionIdentifier("min_md5_shingles"),
+      info("min_md5_shingles", "min_md5_shingles(text, n) - winnowing fingerprint"),
+      (args: Seq[Expression]) => MinMd5ShinglesExpr(args(0),
+        intLit(args(1), "min_md5_shingles", "n"))))
+  }
+}

@@ -159,6 +159,25 @@ object TextHashImpl {
   }
 }
 
+/** Number of elements of `a` that occur in `b`, both UTF8String arrays.
+  * For distinct (set-like) inputs this is |A∩B| — the fused replacement for
+  * `size(array_intersect(a, b))`, whose ArrayIntersect evaluates interpreted
+  * with per-element lambda dispatch (the near-dup verify hot path). */
+object SetOpsImpl {
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    val ns = small.numElements()
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var count = 0
+    val nl = large.numElements()
+    i = 0
+    while (i < nl) { if (set.contains(large.getUTF8String(i))) count += 1; i += 1 }
+    count
+  }
+}
+
 /** Base for the text-hash expressions: null-safe unary over StringType with
   * codegen that stays inside whole-stage codegen by calling the static impl. */
 abstract class TextHashExpression extends UnaryExpression {
@@ -234,9 +253,26 @@ case class MinMd5ShinglesExpr(child: Expression, shingleLen: Int)
     copy(child = c)
 }
 
+case class SetIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOpsImpl.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetOpsImpl.intersectSize($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SetIntersectSizeExpr =
+    copy(left = l, right = r)
+}
+
 object TextExpressions {
   private def wrap(e: Expression): Column = GraftSqlBridge.column(e)
   private def expr(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  /** Count of left's elements present in right (|A∩B| for sets; codegen'd). */
+  def setIntersectSize(a: Column, b: Column): Column =
+    wrap(SetIntersectSizeExpr(expr(a), expr(b)))
 
   /** Distinct character shingles of a string column (codegen'd). */
   def charShingles(text: Column, n: Int): Column =

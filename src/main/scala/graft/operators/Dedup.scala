@@ -125,9 +125,11 @@ object Dedup {
         .withColumnRenamed("shingles", "a_sh"), "a_doc_id")
       .join(sets.withColumnRenamed("doc_id", "b_doc_id")
         .withColumnRenamed("shingles", "b_sh"), "b_doc_id")
-      // |A∪B| = |A|+|B|−|A∩B|: one set op per pair instead of two
-      // (ArrayUnion/ArrayIntersect evaluate interpreted — halve the work)
-      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      // |A∪B| = |A|+|B|−|A∩B|: one set op per pair instead of two, and the
+      // intersect-size is a native codegen expression (ArrayIntersect/
+      // ArrayUnion evaluate interpreted with per-element lambda dispatch)
+      .withColumn("inter",
+        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
       .withColumn("jaccard", round($"inter".cast("double") /
         (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)

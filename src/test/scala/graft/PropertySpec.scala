@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Sanitize
+import graft.operators.Dedup
+
+/** Property-style invariants (SURVEY.md §5.2) over ScalaCheck-generated
+  * corpora. Each property evaluates in ONE Spark pass over a generated
+  * DataFrame (per-case Spark jobs would dominate the suite's runtime).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  // strings over a troublesome alphabet: pipes, quotes, tabs, CR/LF,
+  // brackets, commas, unicode, control chars
+  private val nastyString: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('|', '"', '\t', '\r',
+      '\n', '[', ']', ',', '', 'é', '☺', ' '))).map(_.mkString)
+
+  // the pipe-delimited interchange format cannot carry '|' inside a field
+  // (the reference shares this limitation — its sanitizer never strips the
+  // separator), so round-trip properties use a pipe-free alphabet
+  private val pipeFreeString: Gen[String] = nastyString.map(_.replace('|', '/'))
+
+  test("sanitize is idempotent and output is free of stripped characters") {
+    val rows = sample(nastyString, 300)
+    val out = rows.toDF("t")
+      .select(Sanitize.sanitize($"t").as("once"))
+      .select($"once", Sanitize.sanitize($"once").as("twice"))
+      .as[(String, String)].collect()
+    out.foreach { case (once, twice) =>
+      assert(once == twice, s"not idempotent: $once")
+      assert(!once.exists(c => c == '\t' || c == '"' || c == ','),
+        s"stripped char survived: $once")
+      assert(!once.exists(_.isControl), s"control char survived: $once")
+    }
+  }
+
+  test("decodePipe inverts encodePipe for sanitized rows") {
+    val gen = for {
+      t <- pipeFreeString
+      lat <- Gen.option(Gen.chooseNum(-90f, 90f))
+      lon <- Gen.option(Gen.chooseNum(-180f, 180f))
+      // second-granularity epochs inside a sane range; format has no millis
+      s <- Gen.chooseNum(0L, 1700000000L)
+    } yield (t, lat, lon, new Timestamp(s * 1000))
+    val rows = sample(gen, 200)
+    val decoded = rows.toDF("text", "lat", "lon", "created_at")
+      .select(Sanitize.encodePipe($"text", $"lat", $"lon", $"created_at").as("line"))
+      .select(Sanitize.decodePipe($"line").as("r"))
+      .select($"r.text", $"r.latitude", $"r.longitude", $"r.created_at")
+      .as[(String, Option[Float], Option[Float], Timestamp)].collect()
+    rows.zip(decoded).foreach { case ((t, lat, lon, ts), (t2, lat2, lon2, ts2)) =>
+      // text round-trips through its sanitized form ("" decodes as NULL)
+      val sanitized = Seq(t).toDF("t").select(Sanitize.sanitize($"t"))
+        .as[String].head()
+      val expectText = if (sanitized.isEmpty) null else sanitized
+      assert(t2 == expectText, s"text: '$t' -> '$t2' != '$expectText'")
+      // floats survive via their string rendering
+      assert(lat2.map(_.toString) == lat.map(_.toString), s"lat: $lat -> $lat2")
+      assert(lon2.map(_.toString) == lon.map(_.toString), s"lon: $lon -> $lon2")
+      assert(ts2 == ts, s"ts: $ts -> $ts2")
+    }
+  }
+
+  test("charShingles: width n, count bound, distinct, membership") {
+    val rows = sample(nastyString, 300)
+    val out = rows.toDF("t")
+      .select($"t", Dedup.charShingles($"t", 3).as("sh"))
+      .as[(String, Seq[String])].collect()
+    out.foreach { case (t, sh) =>
+      assert(sh.forall(_.length == 3))
+      assert(sh.length <= math.max(0, t.length - 2))
+      assert(sh.distinct.length == sh.length, "shingles must be distinct")
+      assert(sh.forall(t.contains(_)), "every shingle occurs in the text")
+    }
+  }
+
+  test("near-dup candidate superset: exact duplicates always collide") {
+    // pad to ≥ shingle length (suchThat retries can exhaust Gen.apply)
+    val texts = sample(nastyString.map(s => if (s.length < 5) s + "abcde" else s), 40)
+    // each text twice with distinct ids: every (2i, 2i+1) pair is an exact dup
+    val docs = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((2L * i, t), (2L * i + 1, t))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsOf(docs)
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect().toSet
+    texts.indices.foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)),
+        s"exact dup pair ${2 * i}/${2 * i + 1} missed")
+    }
+  }
+}

@@ -8,6 +8,7 @@ object SparkTestBase {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    .withExtensions(new GraftExtensions) // SQL access to graft expressions
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (see Tables.events)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions.{array_intersect, size}
+
+import graft.functions.TextExpressions
+import graft.operators.Dedup
+
+/** GraftExtensions SQL registration + native set-op expression: the custom
+  * expressions are reachable from `spark.sql`, and agree with both the
+  * DataFrame API path and the built-ins they replace.
+  */
+class SqlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft expressions callable from SQL via GraftExtensions") {
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(float(1.0), float(0.0)), array(float(1.0), float(0.0)))")
+      .head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val sh = spark.sql("SELECT char_shingles('abcd', 3)").head.getSeq[String](0)
+    assert(sh == Seq("abc", "bcd"))
+
+    val bands = spark.sql("SELECT minhash_bands('hello world hello', 5, 4, 2)")
+      .head.getSeq[Long](0)
+    assert(bands.length == 4)
+
+    assert(spark.sql("SELECT simhash64('hello world again', 5)").head.getLong(0) != 0L)
+
+    val fp = spark.sql("SELECT min_md5_shingles('abcdefghij', 8)").head.getString(0)
+    assert(fp.length == 32 && fp.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+
+    // SQL and DataFrame paths resolve to the same expression
+    val viaDf = Seq("abcd").toDF("t")
+      .select(Dedup.charShingles($"t", 3)).head.getSeq[String](0)
+    assert(viaDf == sh)
+  }
+
+  test("non-literal geometry argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT char_shingles('abc', 1 + 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("setIntersectSize agrees with size(array_intersect) on distinct sets") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("x")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("p", "q"), Seq.empty[String]))
+      .toDF("a", "b")
+    df.select(
+      TextExpressions.setIntersectSize($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin"))
+      .as[(Int, Int)].collect()
+      .foreach { case (n, m) => assert(n == m) }
+  }
+}
