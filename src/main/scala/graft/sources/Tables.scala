@@ -57,4 +57,16 @@ object Tables {
     * runs verbatim through spark.sql (README.md:105-126). */
   def registerTwitterPresi(spark: SparkSession, dir: String): Unit =
     tweetText(spark, dir).createOrReplaceTempView("twitter_presi")
+
+  /** Persist a frame bucketed (and sorted) by a join key. Joins between
+    * tables bucketed the same way on the same key read co-located — no
+    * shuffle on either side (asserted by BucketingSpec). This is the
+    * pre-pay-the-shuffle-once scale path for fact⋈fact joins that recur on
+    * one key (e.g. lineitem⋈orders at 100 TB): every subsequent join is a
+    * per-bucket sort-merge with zero exchanges.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }
