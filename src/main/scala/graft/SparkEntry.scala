@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{Dedup, EventAnalytics, Reference, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, Pipelines, Reference, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,7 +57,39 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "lang_profile" -> (TextAnalysis.langProfile _),
+    // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
+    "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
   )
+
+  // oracle bodies shared between their own entry and the clean_corpus
+  // composition (DuckDB allows WITH-queries inside a CTE subquery)
+  private val exactDedupSql =
+    "SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id, " +
+      "count(*) AS n_dups FROM documents GROUP BY 1"
+  private val textStatsSql =
+    "WITH t AS (SELECT doc_id, coalesce(text,'') AS txt, " +
+      "CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+      "m AS (SELECT doc_id, len(txt) AS len_chars, len(toks) AS n_tokens, " +
+      "len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens, " +
+      "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stopwords, " +
+      "len(txt) - len(regexp_replace(txt, '[[:punct:]]', '', 'g')) AS n_punct FROM t) " +
+      "SELECT doc_id, len_chars, n_tokens, n_bpe_tokens, n_stopwords, " +
+      "round(n_punct::DOUBLE / greatest(len_chars, 1), 4) AS punct_ratio, " +
+      "round(n_stopwords::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio, " +
+      "round(least(len_chars::DOUBLE / 500.0, 1.0) * 0.5 " +
+      "+ (n_stopwords::DOUBLE / greatest(n_tokens, 1)) * 0.3 " +
+      "+ (1.0 - n_punct::DOUBLE / greatest(len_chars, 1)) * 0.2, 4) AS quality_score FROM m"
+  private val langIdSql =
+    "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+      "h AS (SELECT doc_id, " +
+      "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS n_en, " +
+      "len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est'], x))) AS n_fr, " +
+      "len(list_filter(toks, x -> list_contains(['el','los','las','de','y','un','es'], x))) AS n_es FROM t) " +
+      "SELECT doc_id, n_en, n_fr, n_es, " +
+      "CASE WHEN n_en >= n_fr AND n_en >= n_es THEN 'en' " +
+      "WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS lang_guess FROM h"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,9 +163,7 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid), 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
-    "exact_dedup" ->
-      ("SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id, " +
-        "count(*) AS n_dups FROM documents GROUP BY 1"),
+    "exact_dedup" -> exactDedupSql,
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" ->
@@ -161,30 +191,13 @@ object SparkEntry {
         "SELECT query_id, vec_id, cosine, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
-    "text_stats" ->
-      ("WITH t AS (SELECT doc_id, coalesce(text,'') AS txt, " +
-        "CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
-        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
-        "m AS (SELECT doc_id, len(txt) AS len_chars, len(toks) AS n_tokens, " +
-        "len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens, " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stopwords, " +
-        "len(txt) - len(regexp_replace(txt, '[[:punct:]]', '', 'g')) AS n_punct FROM t) " +
-        "SELECT doc_id, len_chars, n_tokens, n_bpe_tokens, n_stopwords, " +
-        "round(n_punct::DOUBLE / greatest(len_chars, 1), 4) AS punct_ratio, " +
-        "round(n_stopwords::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio, " +
-        "round(least(len_chars::DOUBLE / 500.0, 1.0) * 0.5 " +
-        "+ (n_stopwords::DOUBLE / greatest(n_tokens, 1)) * 0.3 " +
-        "+ (1.0 - n_punct::DOUBLE / greatest(len_chars, 1)) * 0.2, 4) AS quality_score FROM m"),
-    "lang_id" ->
-      ("WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
-        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
-        "h AS (SELECT doc_id, " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS n_en, " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est'], x))) AS n_fr, " +
-        "len(list_filter(toks, x -> list_contains(['el','los','las','de','y','un','es'], x))) AS n_es FROM t) " +
-        "SELECT doc_id, n_en, n_fr, n_es, " +
-        "CASE WHEN n_en >= n_fr AND n_en >= n_es THEN 'en' " +
-        "WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS lang_guess FROM h"),
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "clean_corpus" ->
+      (s"WITH k AS ($exactDedupSql), s AS ($textStatsSql), l AS ($langIdSql) " +
+        "SELECT s.doc_id, l.lang_guess, s.quality_score " +
+        "FROM k JOIN s ON s.doc_id = k.keep_doc_id JOIN l ON l.doc_id = s.doc_id " +
+        "WHERE s.quality_score >= 0.45 AND l.lang_guess = 'en'"),
     "doc_fingerprint" ->
       ("SELECT doc_id, list_min(list_transform(list_distinct(list_transform(" +
         "generate_series(1, greatest(len(coalesce(text,''))-7, 0)), i -> coalesce(text,'')[i:i+7])), " +

@@ -10,23 +10,30 @@ import graft.util.Cols._
   * brief north star; no reference-repo analogue — the reference's closest op
   * is the group-by-count at README.md:149).
   *
-  * Three tiers, in increasing tolerance:
-  *  1. exact — content-hash group-by ([[exactDedup]]);
-  *  2. near  — MinHash-LSH banded candidates + exact-Jaccard verify
-  *             ([[nearDupPairs]]);
-  *  3. fuzzy — 64-bit SimHash with banded Hamming candidates
-  *             ([[simhashNearDup]]).
+  * Four tiers, in increasing tolerance:
+  *  1. exact     — content-hash group-by ([[exactDedup]]);
+  *  2. near      — MinHash-LSH banded candidates + exact-Jaccard verify
+  *                 ([[nearDupPairs]]);
+  *  3. fuzzy     — 64-bit SimHash with banded Hamming candidates
+  *                 ([[simhashNearDup]]);
+  *  4. semantic  — embedding-space sign-LSH + exact cosine verify
+  *                 ([[embeddingNearDup]]).
   *
   * Scale design (the part that must survive 100 TB):
   *  - Nothing here is ever all-pairs. MinHash candidates come from a
-  *    shuffle-join on (band, band-signature) — cost O(docs × bands) rows
+  *    shuffle-join on (band, band-key) — cost O(docs × bands) rows
   *    exchanged, and only colliding buckets join. SimHash candidates come
-  *    from grouping on 16-bit key chunks.
-  *  - The shingle → minhash → band pipeline is pure built-in higher-order
-  *    functions (`transform`/`sequence`/`array_min`/`xxhash64`/`slice`) —
-  *    whole-stage-codegen'd, no UDF, no Python, no serialization cliff.
+  *    from grouping on 16-bit key chunks; sign-LSH from hyperplane bands.
+  *  - Band geometry is tuned against the corpus's BACKGROUND similarity,
+  *    not just the threshold (see [[nearDupPairs]]) — shallow bands on a
+  *    self-similar corpus silently degenerate to all-pairs.
+  *  - The shingle → minhash → band pipeline is ONE fused native Catalyst
+  *    expression per document ([[graft.functions.MinHashBandsExpr]]) inside
+  *    whole-stage codegen — the equivalent higher-order-function chain
+  *    evaluates interpreted, and referencing a signature column from a
+  *    banding lambda re-evaluates the signature once per band.
   *  - Skew: duplicate-heavy corpora make hot buckets. The verify join keys
-  *    are (band, sig) pairs whose fan-out is quadratic in bucket size; at
+  *    are (band, key) pairs whose fan-out is quadratic in bucket size; at
   *    production scale cap bucket size (drop or sub-sample buckets over ~1k
   *    docs — those are exact-dup families better handled by tier 1 first).
   *    AQE's skew-join splitting covers moderate skew automatically.
