@@ -74,12 +74,17 @@ object SparkEntry {
       "len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens, " +
       "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stopwords, " +
       "len(txt) - len(regexp_replace(txt, '[[:punct:]]', '', 'g')) AS n_punct FROM t) " +
+      // single exact-integer division + 1e-9 nudge per rounded column: same
+      // bit-identical pre-round double as the Spark side, and half-way
+      // decimals (where Spark's decimal-string rounding and DuckDB's
+      // scale-then-round disagree) land consistently on round-up
       "SELECT doc_id, len_chars, n_tokens, n_bpe_tokens, n_stopwords, " +
-      "round(n_punct::DOUBLE / greatest(len_chars, 1), 4) AS punct_ratio, " +
-      "round(n_stopwords::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio, " +
-      "round(least(len_chars::DOUBLE / 500.0, 1.0) * 0.5 " +
-      "+ (n_stopwords::DOUBLE / greatest(n_tokens, 1)) * 0.3 " +
-      "+ (1.0 - n_punct::DOUBLE / greatest(len_chars, 1)) * 0.2, 4) AS quality_score FROM m"
+      "round(n_punct::DOUBLE / greatest(len_chars, 1) + 1e-9, 4) AS punct_ratio, " +
+      "round(n_stopwords::DOUBLE / greatest(n_tokens, 1) + 1e-9, 4) AS stopword_ratio, " +
+      "round((least(len_chars, 500)::BIGINT * greatest(n_tokens, 1) * greatest(len_chars, 1) " +
+      "+ 300 * n_stopwords * greatest(len_chars, 1) " +
+      "+ 200 * (greatest(len_chars, 1) - n_punct) * greatest(n_tokens, 1))::DOUBLE " +
+      "/ (1000::BIGINT * greatest(n_tokens, 1) * greatest(len_chars, 1)) + 1e-9, 4) AS quality_score FROM m"
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +

@@ -53,8 +53,22 @@ object TextAnalysis {
       bpeTokenCount($"text").as("n_bpe_i"),
       (length(coalesce($"text", lit(""))) -
         length(regexp_replace(coalesce($"text", lit("")), "[\\p{Punct}]", ""))).as("n_punct_i"))
-    val punctRatio = $"n_punct_i".cast("double") / greatest($"len_i", lit(1))
-    val stopRatio = $"n_stop_i".cast("double") / greatest($"n_tok_i", lit(1))
+    // Cross-engine rounding determinism (bit at sf0.1): every rounded ratio
+    // is (a) computed as ONE division of exact integers, so the pre-rounding
+    // double is bit-identical in any engine, and (b) nudged +1e-9 before
+    // rounding — Spark rounds the double's shortest decimal rendering
+    // (BigDecimal.valueOf) while DuckDB scales-then-rounds in binary, and
+    // they disagree on exact half-way decimals like 7/160 = 0.04375; the
+    // nudge lands every boundary consistently on round-up in both.
+    val eps = lit(1e-9)
+    val punctRatio = $"n_punct_i".cast("double") / greatest($"len_i", lit(1)) + eps
+    val stopRatio = $"n_stop_i".cast("double") / greatest($"n_tok_i", lit(1)) + eps
+    val gLen = greatest($"len_i", lit(1)).cast("long")
+    val gTok = greatest($"n_tok_i", lit(1)).cast("long")
+    val scoreNum = least($"len_i", lit(500)).cast("long") * gTok * gLen +
+      lit(300L) * $"n_stop_i" * gLen +
+      lit(200L) * (gLen - $"n_punct_i") * gTok
+    val scoreDen = lit(1000L) * gTok * gLen
     base.select(
       $"doc_id",
       $"len_i".cast("long").as("len_chars"), // DuckDB len() is BIGINT
@@ -63,8 +77,7 @@ object TextAnalysis {
       $"n_stop_i".cast("long").as("n_stopwords"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
-      round(least($"len_i".cast("double") / 500.0, lit(1.0)) * 0.5
-        + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2, 4).as("quality_score"))
+      round(scoreNum.cast("double") / scoreDen + eps, 4).as("quality_score"))
   }
 
   private val markers: Seq[(String, Seq[String])] = Seq(

@@ -32,6 +32,21 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup at the ingest edge: drop re-deliveries of the
+    * same key (at-least-once sources re-send on retry) while bounding state
+    * with the watermark — a key's dedup state is evicted once the watermark
+    * passes its event time plus the allowance, so state is O(keys per
+    * watermark window), not O(stream length). The batch twin is
+    * [[graft.operators.Dedup.exactDedup]]'s canonical-keep; here arrival
+    * order decides (first delivery wins), which is the streaming-native
+    * semantics.
+    */
+  def dedupEvents(events: DataFrame, keyCol: String = "event_id",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** One event of the sessionization input stream. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 

@@ -47,6 +47,28 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEvents: re-deliveries within the watermark are dropped") {
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupEvents(events, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    def ts(t: String) = Timestamp.valueOf(t)
+    try {
+      ms.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (2L, ts("2024-01-01 00:01:00"), 2.0),
+        (1L, ts("2024-01-01 00:00:00"), 1.0)) // same-batch re-delivery
+      q.processAllAvailable()
+      ms.addData((1L, ts("2024-01-01 00:02:00"), 9.0)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val rows = spark.table("dedup_ev")
+        .as[(Long, Timestamp, Double)].collect().toSeq
+      assert(rows.count(_._1 == 1L) == 1, "event 1 must survive exactly once")
+      assert(rows.find(_._1 == 1L).get._3 == 1.0, "first delivery wins")
+      assert(rows.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits, timeout closes, state evicts (T3)") {
     val ms = MemoryStream[(Long, Timestamp)]
     val events = ms.toDF().toDF("user_id", "ts")
