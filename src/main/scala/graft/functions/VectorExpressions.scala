@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -80,9 +80,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static impl for [[SignLshBandsExpr]] — one pass over the embedding per
+  * band bit, branch-free inner loops, no per-row boxing. */
+object VectorHashImpl {
+  def signLshBands(emb: ArrayData, planes: Array[Array[Double]],
+      rowsPerBand: Int): ArrayData = {
+    val numBands = planes.length / rowsPerBand
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val p = planes(b * rowsPerBand + r)
+        var d = 0.0
+        var j = 0
+        val n = math.min(emb.numElements(), p.length)
+        while (j < n) { d += emb.getFloat(j) * p(j); j += 1 }
+        if (d >= 0) key |= (1L << r)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
+/** Random-hyperplane (sign-LSH) band keys of an `array<float>` embedding:
+  * bit r of band b is the sign of the dot product with plane b·rows+r,
+  * packed to one Long per band (band index = array position). The plane
+  * matrix rides along as a codegen reference object — a Scala UDF here
+  * deserializes every row's array into a boxed Seq; this stays on the
+  * unsafe array data inside whole-stage codegen.
+  */
+case class SignLshBandsExpr(child: Expression, planes: Array[Array[Double]],
+    rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.signLshBands(input.asInstanceOf[ArrayData], planes, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.signLshBands($c, $ref, $rowsPerBand);")
+  }
+  override protected def withNewChildInternal(c: Expression): SignLshBandsExpr =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column wrapper: cosine similarity of two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper: sign-LSH band keys of an `array<float>` column. */
+  def signLshBands(emb: Column, planes: Array[Array[Double]],
+      rowsPerBand: Int): Column =
+    GraftSqlBridge.column(
+      SignLshBandsExpr(GraftSqlBridge.expression(emb), planes, rowsPerBand))
 }

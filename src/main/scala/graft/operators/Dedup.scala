@@ -143,43 +143,6 @@ object Dedup {
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
   }
 
-  /** Random-hyperplane (sign-LSH) signature for cosine similarity: bit i is
-    * the sign of the dot product with seeded Gaussian plane i. Packed into
-    * one Long per band (`rowsPerBand` bits each) so banding is an explode +
-    * equi-join, exactly like the MinHash path. P[bit agrees] = 1 - θ/π.
-    *
-    * A scalar UDF for the same reason as [[simhashUdf]]: bands×rows plane
-    * dot-products per row would otherwise be that many separate `aggregate`
-    * expressions. The plane matrix is closure-captured (bands×rows×dim
-    * doubles — a few hundred KB at most, broadcast with the task binary).
-    */
-  private def signLshUdf(planes: Array[Array[Double]], rowsPerBand: Int) =
-    udf { emb: Seq[Float] =>
-      if (emb == null) null
-      else {
-        val v = emb.toArray
-        val numBands = planes.length / rowsPerBand
-        val keys = new Array[Long](numBands)
-        var b = 0
-        while (b < numBands) {
-          var key = 0L
-          var r = 0
-          while (r < rowsPerBand) {
-            val p = planes(b * rowsPerBand + r)
-            var d = 0.0
-            var j = 0
-            val n = math.min(v.length, p.length)
-            while (j < n) { d += v(j) * p(j); j += 1 }
-            if (d >= 0) key |= (1L << r)
-            r += 1
-          }
-          keys(b) = key
-          b += 1
-        }
-        keys
-      }
-    }
-
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -209,11 +172,15 @@ object Dedup {
   def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
       seed: Long = 7L): DataFrame = {
-    val sig = signLshUdf(gaussianPlanes(numBands * rowsPerBand, dim, seed), rowsPerBand)
+    // sign-LSH band keys as a native expression (bit r of band b = sign of
+    // the dot with plane b·rows+r, P[bit agrees] = 1 − θ/π); the plane
+    // matrix (bands×rows×dim doubles) rides along as a codegen reference
+    val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
     val emb = spread(embeddings).select($"vec_id", $"embedding")
       .filter($"embedding".isNotNull)
     val banded = emb
-      .select($"vec_id", posexplode(sig($"embedding")).as(Seq("band", "key")))
+      .select($"vec_id", posexplode(graft.functions.VectorExpressions
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
