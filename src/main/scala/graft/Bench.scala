@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   *    computed and serialized, but nothing hits disk. A bare `.count()` would
   *    let Catalyst prune projections/sorts and time an empty scan instead.
   *  - One untimed warmup pass per query first (JIT + page cache + codegen
-  *    compilation), then the timed pass. Cold-start noise made rounds 1-2
-  *    incomparable (61.9 s vs 15.3 s on identical code).
+  *    compilation), then TWO timed passes keeping the per-query MIN.
+  *    Cold-start noise made rounds 1-2 incomparable (61.9 s vs 15.3 s on
+  *    identical code), and round 3 showed one-off ~40 s environmental stalls
+  *    (OS memory management under a ~90 GB heap; GC logs clean, stall moves
+  *    to a random query per run) — min-of-2 reports the plan's cost, not
+  *    the environment's worst hiccup.
   *  - Failures are recorded per query in `errors` (time -1), never swallowed.
   *  - The JSON line goes to stdout AND to bench_last.json in the working
   *    directory (sbt's forked-run log prefixes made rounds 1-2 unparseable;
@@ -46,12 +50,17 @@ object Bench {
       try runOnce(SparkEntry.queries(name))
       catch { case e: Throwable => errors(name) = e.toString.take(200) }
     }
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { runOnce(SparkEntry.queries(name)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => errors(name) = e.toString.take(200); -1.0 }
+    }
     val times = names.map { name =>
       if (errors.contains(name)) name -> -1.0
       else {
-        val t0 = System.nanoTime()
-        try { runOnce(SparkEntry.queries(name)); name -> (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => errors(name) = e.toString.take(200); name -> -1.0 }
+        val a = timed(name)
+        if (errors.contains(name)) name -> -1.0
+        else { val b = timed(name); name -> (if (b >= 0) math.min(a, b) else -1.0) }
       }
     }
 

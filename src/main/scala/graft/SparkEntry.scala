@@ -161,12 +161,12 @@ object SparkEntry {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     "user_sessions" ->
       ("WITH f AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
-        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS flag " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS flag " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
         "s AS (SELECT user_id, sum(flag) OVER (PARTITION BY user_id ORDER BY ts " +
         "ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
-        "round(count(*)::DOUBLE / max(sid), 4) AS avg_session_events " +
+        "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
     "exact_dedup" -> exactDedupSql,
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold

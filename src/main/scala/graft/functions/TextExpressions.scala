@@ -159,10 +159,15 @@ object TextHashImpl {
   }
 }
 
-/** Number of elements of `a` that occur in `b`, both UTF8String arrays.
-  * For distinct (set-like) inputs this is |A∩B| — the fused replacement for
-  * `size(array_intersect(a, b))`, whose ArrayIntersect evaluates interpreted
-  * with per-element lambda dispatch (the near-dup verify hot path). */
+/** Intersection size of two UTF8String arrays — PRECONDITION: both inputs
+  * must be distinct (set-like). The implementation counts elements of the
+  * LARGER array present in the smaller, which equals |A∩B| only when neither
+  * side has duplicates; with multiset inputs the count is asymmetric and
+  * differs from `size(array_intersect(a, b))` (and would corrupt a
+  * |A|+|B|−inter Jaccard denominator). All call sites pass distinct shingle
+  * sets ([[TextHashImpl.shingles]] dedupes). The fused form replaces
+  * ArrayIntersect, which evaluates interpreted with per-element lambda
+  * dispatch (the near-dup verify hot path). */
 object SetOpsImpl {
   def intersectSize(a: ArrayData, b: ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)

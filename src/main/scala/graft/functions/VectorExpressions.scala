@@ -86,6 +86,13 @@ object VectorHashImpl {
   def signLshBands(emb: ArrayData, planes: Array[Array[Double]],
       rowsPerBand: Int): ArrayData = {
     val numBands = planes.length / rowsPerBand
+    // fail fast on a dim mismatch: silently truncating the dot product to
+    // min(len) would degrade candidate recall with no error while the
+    // exact-cosine verify uses full vectors (ADVICE r3)
+    if (planes.length > 0 && emb.numElements() != planes(0).length)
+      throw new IllegalArgumentException(
+        s"sign-LSH plane dim ${planes(0).length} != embedding dim ${emb.numElements()}; " +
+          "pass dim matching the embedding column")
     val keys = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
@@ -95,7 +102,7 @@ object VectorHashImpl {
         val p = planes(b * rowsPerBand + r)
         var d = 0.0
         var j = 0
-        val n = math.min(emb.numElements(), p.length)
+        val n = p.length
         while (j < n) { d += emb.getFloat(j) * p(j); j += 1 }
         if (d >= 0) key |= (1L << r)
         r += 1

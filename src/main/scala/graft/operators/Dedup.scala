@@ -168,7 +168,10 @@ object Dedup {
     embeddingNearDupOf(Tables.embeddings(spark, sfDir), threshold, numBands,
       rowsPerBand, dim, seed)
 
-  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame. */
+  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame.
+    * `dim` must equal the embedding column's length — the band expression
+    * fails fast on a mismatch (a truncated dot product would silently
+    * degrade candidate recall while the exact verify uses full vectors). */
   def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
       seed: Long = 7L): DataFrame = {

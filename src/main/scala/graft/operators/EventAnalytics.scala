@@ -57,8 +57,11 @@ object EventAnalytics {
   def userSessionsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy($"user_id").orderBy($"ts")
     val prev = lag($"ts", 1).over(w)
+    // microsecond gap comparison: unix_timestamp truncates to whole seconds,
+    // which mis-classifies sub-second gaps straddling the boundary (the
+    // DuckDB oracle uses epoch_us — both floor ns→µs identically)
     val flag = when(prev.isNull ||
-      unix_timestamp($"ts") - unix_timestamp(prev) > gapMinutes * 60L, 1L)
+      unix_micros($"ts") - unix_micros(prev) > gapMinutes * 60000000L, 1L)
       .otherwise(0L)
     events
       .select($"user_id", $"ts")
@@ -68,7 +71,10 @@ object EventAnalytics {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
         max($"sid").as("n_sessions"),
-        round(count(lit(1)).cast("double") / max($"sid"), 4).as("avg_session_events"))
+        // +1e-9 nudge as everywhere else a rounded ratio crosses engines:
+        // exact half-way 4-dp quotients round differently in Spark
+        // (decimal-string HALF_UP) vs DuckDB (binary scale-then-round)
+        round(count(lit(1)).cast("double") / max($"sid") + 1e-9, 4).as("avg_session_events"))
       .orderBy($"user_id")
   }
 

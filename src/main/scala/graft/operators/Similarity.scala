@@ -83,7 +83,10 @@ object Similarity {
       .select($"vec_id", $"embedding", array_to_vector($"embedding").as("features"))
       .persist()
     try {
-      val model = TextClustering.fitKMeans(emb, k = nlist, maxIter = 20)
+      // coarse-quantizer fit: 10 Lloyd iterations is plenty for cell
+      // assignment (the index build is amortized across all queries; at
+      // production scale fit on a bounded sample, not the full corpus)
+      val model = TextClustering.fitKMeans(emb, k = nlist, maxIter = 10)
       val bucketed = model.transform(emb)
         .select($"vec_id", $"embedding", $"prediction".as("cell"))
       val centers = model.clusterCenters // nlist × dim, driver-side

@@ -54,8 +54,11 @@ object EventStreams {
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
-  /** Per-user state between micro-batches: the still-open session. */
-  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  /** Per-user state between micro-batches: the still-open session.
+    * Times in epoch MICROseconds — same precision as the batch twin's
+    * unix_micros gap comparison (ms would mis-classify sub-ms gaps at the
+    * boundary the same way whole-second truncation did, ADVICE r3). */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
   /** Gap-based sessionization, streaming form (SURVEY.md §2.6 T3 extension;
     * batch twin: [[graft.operators.EventAnalytics.userSessionsOf]]): custom
@@ -74,10 +77,19 @@ object EventStreams {
       lateness: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def toMicros(ts: Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L % 1000000L
+
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def close(s: OpenSession, userId: Long): Session =
-      Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+      Session(userId, fromMicros(s.startUs), fromMicros(s.lastUs), s.n)
 
     events
       .withWatermark("ts", lateness)
@@ -92,14 +104,14 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val times = batch.map(_.ts.getTime).toArray.sorted
+            val times = batch.map(e => toMicros(e.ts)).toArray.sorted
             var open = state.getOption.orNull
             val closed = List.newBuilder[Session]
             times.foreach { t =>
               open match {
                 case null => open = OpenSession(t, t, 1)
-                case o if t - o.lastMs <= gapMs =>
-                  open = OpenSession(math.min(o.startMs, t), math.max(o.lastMs, t), o.n + 1)
+                case o if t - o.lastUs <= gapUs =>
+                  open = OpenSession(math.min(o.startUs, t), math.max(o.lastUs, t), o.n + 1)
                 case o =>
                   closed += close(o, userId)
                   open = OpenSession(t, t, 1)
@@ -107,7 +119,9 @@ object EventStreams {
             }
             state.update(open)
             // fires once the watermark passes the would-be session end
-            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            // (timeout API is ms — round UP so the timeout never fires a
+            // fraction early and splits a would-be-merged session)
+            state.setTimeoutTimestamp((open.lastUs + gapUs + 999) / 1000)
             closed.result().iterator
           }
       }

@@ -87,6 +87,19 @@ class DedupSpec extends SparkTestBase {
     assert(r.head._3 > 0.99)
   }
 
+  test("embeddingNearDup fails fast on a plane/embedding dim mismatch") {
+    // silent min-length truncation would degrade LSH recall invisibly while
+    // the exact-cosine verify uses full vectors (ADVICE r3)
+    val emb = Seq((1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDupOf(emb, dim = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dim")))
+  }
+
   test("simhash: locality — near-dup texts land within small Hamming distance") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val near = base.replace("lazy", "hazy") // one-word perturbation

@@ -133,6 +133,46 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: sub-second gaps at the boundary split/merge by microseconds") {
+    // gap of 1800.8 s must SPLIT (old whole-second floor-diff said 1800 →
+    // merge); gap of 1799.5 s must MERGE — in the batch form AND streaming twin
+    val data = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00.8"),
+      (2L, "2024-01-01 00:00:00.5"), (2L, "2024-01-01 00:30:00"))
+      .map { case (u, t) => (u, Timestamp.valueOf(t)) }
+    val batch = graft.operators.EventAnalytics
+      .userSessionsOf(data.toDF("user_id", "ts"))
+      .select($"user_id", $"n_sessions")
+      .as[(Long, Long)].collect().toMap
+    assert(batch == Map(1L -> 2L, 2L -> 1L))
+
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(ms.toDF().toDF("user_id", "ts"),
+      gapMinutes = 30, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_subsec")
+      .outputMode("append").start()
+    try {
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      ms.addData((99L, Timestamp.valueOf("2024-02-01 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, Timestamp.valueOf("2024-02-01 00:01:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_subsec")
+        .filter($"user_id" < 99)
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.count_distinct($"session_start").as("n_sessions"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+      // session bounds keep microsecond precision through the state round-trip
+      val bounds = spark.table("sess_subsec").filter($"user_id" === 2L)
+        .select($"session_start", $"session_end")
+        .as[(Timestamp, Timestamp)].collect().head
+      assert(bounds == (Timestamp.valueOf("2024-01-01 00:00:00.5"),
+        Timestamp.valueOf("2024-01-01 00:30:00")))
+    } finally q.stop()
+  }
+
   test("streaming twin agrees with the batch plan on the same data") {
     val data = Seq(
       ev("2024-01-01 00:10:00", "click", 1.0),
