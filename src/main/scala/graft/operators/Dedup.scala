@@ -32,11 +32,14 @@ import graft.util.Cols._
   *    whole-stage codegen — the equivalent higher-order-function chain
   *    evaluates interpreted, and referencing a signature column from a
   *    banding lambda re-evaluates the signature once per band.
-  *  - Skew: duplicate-heavy corpora make hot buckets. The verify join keys
-  *    are (band, key) pairs whose fan-out is quadratic in bucket size; at
-  *    production scale cap bucket size (drop or sub-sample buckets over ~1k
-  *    docs — those are exact-dup families better handled by tier 1 first).
-  *    AQE's skew-join splitting covers moderate skew automatically.
+  *  - Skew: duplicate-heavy corpora make hot buckets. The candidate join's
+  *    fan-out is quadratic in bucket size, so every banded tier takes a
+  *    `maxBucketSize` cap ([[dropHotBuckets]]): buckets over the cap are
+  *    dropped from candidate generation — those are exact-dup families
+  *    better handled by tier 1 first. The guard is a broadcast ANTI-join
+  *    against the (few, by definition) hot keys, so the big side is never
+  *    re-shuffled. AQE's skew-join splitting covers moderate skew below
+  *    the cap automatically.
   */
 object Dedup {
 
@@ -86,6 +89,26 @@ object Dedup {
     graft.functions.TextExpressions.minhashBands(
       coalesce(text, lit("")), shingleLen, numBands, rowsPerBand)
 
+  /** Skew guard for banded-LSH candidate generation: remove rows belonging
+    * to buckets with more than `cap` members. A bucket of n docs yields
+    * n·(n−1)/2 candidate pairs — one 1M-doc exact-dup family would emit
+    * 5·10¹¹ pairs and pin the join; such families are tier-1 (exact dedup)
+    * work, not near-dup work. Hot keys are aggregated to a (tiny) frame and
+    * removed with a broadcast anti-join: the banded frame itself is not
+    * re-shuffled, so the guard's cost is one map-side pass + a small agg.
+    */
+  private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    if (cap <= 0) banded // cap disabled
+    else {
+      val hot = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter($"bucket_n" > cap)
+        .select(keyCols.map(col): _*)
+      banded.join(broadcast(hot), keyCols, "left_anti")
+    }
+  }
+
   /** Near-duplicate pairs via MinHash-LSH with exact verification.
     *
     * shingle(n) → minhash(b×r) → explode bands → self-join on (band,sig) →
@@ -107,18 +130,21 @@ object Dedup {
     nearDupPairsOf(Tables.documents(spark, sfDir), shingleLen, numBands,
       rowsPerBand, threshold)
 
-  /** Core of [[nearDupPairs]] over any (doc_id, text) frame. */
+  /** Core of [[nearDupPairs]] over any (doc_id, text) frame.
+    * `maxBucketSize` caps LSH bucket fan-out (see [[dropHotBuckets]]); the
+    * fixture corpora never approach the default cap, so the oracle's
+    * brute-force twin still matches exactly. */
   def nearDupPairsOf(documents: DataFrame, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     // spread first: shingling + minhash are the dominant per-row cost —
     // never leave them on one task (a small fixture file is one scan split)
     val base = spread(documents)
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen) // same rows as size(shingles) > 0
-    val banded = base.select($"doc_id",
+    val banded = dropHotBuckets(base.select($"doc_id",
       posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
-        .as(Seq("band", "bsig")))
+        .as(Seq("band", "bsig"))), Seq("band", "bsig"), maxBucketSize)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
@@ -174,16 +200,17 @@ object Dedup {
     * degrade candidate recall while the exact verify uses full vectors). */
   def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
     // sign-LSH band keys as a native expression (bit r of band b = sign of
     // the dot with plane b·rows+r, P[bit agrees] = 1 − θ/π); the plane
     // matrix (bands×rows×dim doubles) rides along as a codegen reference
     val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
     val emb = spread(embeddings).select($"vec_id", $"embedding")
       .filter($"embedding".isNotNull)
-    val banded = emb
+    val banded = dropHotBuckets(emb
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
-        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucketSize)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -218,15 +245,16 @@ object Dedup {
 
   /** Core of [[simhashNearDup]] over any (doc_id, text) frame. */
   def simhashNearDupOf(documents: DataFrame, shingleLen: Int = 5,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val docs = spread(documents)
       .select($"doc_id", simhash($"text", shingleLen).as("sh"))
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright($"sh", c * 16).bitwiseAND(lit(0xffffL)).as("key")))
-    val chunked = docs.select($"doc_id", $"sh",
+    val chunked = dropHotBuckets(docs.select($"doc_id", $"sh",
       explode(array(chunkStructs: _*)).as("c"))
-      .select($"doc_id", $"sh", $"c.chunk".as("chunk"), $"c.key".as("key"))
+      .select($"doc_id", $"sh", $"c.chunk".as("chunk"), $"c.key".as("key")),
+      Seq("chunk", "key"), maxBucketSize)
     chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&

@@ -87,6 +87,26 @@ class DedupSpec extends SparkTestBase {
     assert(r.head._3 > 0.99)
   }
 
+  test("hot-bucket cap drops exact-dup families from candidates, keeps true near-dups") {
+    // 40 identical docs (an exact-dup family → one hot LSH bucket) plus one
+    // genuine near-dup pair; with the cap the family's quadratic candidate
+    // fan-out is excluded — it's tier-1 (exact dedup) work — while the
+    // near-dup pair still surfaces
+    val family = (0 until 40).map(i =>
+      (100L + i, "identical boilerplate text repeated across the corpus many times"))
+    val nearA = (1L, "the quick brown fox jumps over the lazy dog in the misty morning light")
+    val nearB = (2L, "the quick brown fox jumps over the lazy dog in the misty morning lights")
+    val docs = (family :+ nearA :+ nearB).toDF("doc_id", "text")
+
+    val capped = Dedup.nearDupPairsOf(docs, maxBucketSize = 10)
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // family excluded, near-pair kept
+
+    val uncapped = Dedup.nearDupPairsOf(docs, maxBucketSize = 0)
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 40 * 39 / 2 + 1) // cap off → family pairs appear
+  }
+
   test("embeddingNearDup fails fast on a plane/embedding dim mismatch") {
     // silent min-length truncation would degrade LSH recall invisibly while
     // the exact-cosine verify uses full vectors (ADVICE r3)
