@@ -38,8 +38,12 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
 
   /** TPC-H Q3-style: top revenue orders for one market segment.
-    * customer is broadcast (150 rows/sf); orders⋈lineitem is the only
-    * shuffle, on the join key both sides already need. */
+    * The filtered customer key set is NOT force-broadcast: one market
+    * segment is still ~1/5 of all customers — tens of GB at 100 TB scale.
+    * AQE broadcasts it at small SF (runtime size under the threshold) and
+    * degrades gracefully to a shuffle join at scale, same policy as
+    * [[q5NationRevenue]]. orders⋈lineitem shuffles once, on the join key
+    * both sides already need. */
   def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .filter($"c_mktsegment" === "BUILDING")
@@ -49,7 +53,7 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey")
       .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
