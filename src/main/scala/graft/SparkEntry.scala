@@ -59,6 +59,7 @@ object SparkEntry {
     "lang_profile" -> (TextAnalysis.langProfile _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
+    "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
   )
 
   // oracle bodies shared between their own entry and the clean_corpus
@@ -85,6 +86,15 @@ object SparkEntry {
       "+ 300 * n_stopwords * greatest(len_chars, 1) " +
       "+ 200 * (greatest(len_chars, 1) - n_punct) * greatest(n_tokens, 1))::DOUBLE " +
       "/ (1000::BIGINT * greatest(n_tokens, 1) * greatest(len_chars, 1)) + 1e-9, 4) AS quality_score FROM m"
+  private val nearDupPairsSql =
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
+      "FROM documents) " +
+      "SELECT a_doc_id, b_doc_id, jaccard FROM (" +
+      "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
+      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(a.s) > 0 AND len(b.s) > 0) " +
+      "WHERE jaccard >= 0.8"
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
@@ -171,15 +181,12 @@ object SparkEntry {
     "exact_dedup" -> exactDedupSql,
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
-    "near_dup_pairs" ->
-      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
-        "FROM documents) " +
-        "SELECT a_doc_id, b_doc_id, jaccard FROM (" +
-        "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
-        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(a.s) > 0 AND len(b.s) > 0) " +
-        "WHERE jaccard >= 0.8"),
+    "near_dup_pairs" -> nearDupPairsSql,
+    "near_dedup_corpus" ->
+      (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql) " +
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+        "JOIN k ON d.doc_id = k.keep_doc_id " +
+        "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd)"),
     // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
     // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
     "embedding_near_dup" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.sources.Tables
 import graft.util.Cols._
 
 /** Composed training-data pipelines: the operator families are most useful
@@ -33,5 +34,29 @@ object Pipelines {
       .join(language, "doc_id")
       .filter($"quality_score" >= minQuality && $"lang_guess" === lang)
       .select($"doc_id", $"lang_guess", $"quality_score")
+  }
+
+  /** Near-dedup corpus pass: exact dedup (keep each content family's
+    * canonical minimum doc_id) THEN near-dup removal (for every MinHash-LSH
+    * pair at/above `threshold`, drop the higher doc_id). The drop rule is
+    * deterministic over the pair set, so the result is engine-comparable.
+    *
+    * Plan shape: the exact branch is one hash-agg; the near branch is the
+    * banded-LSH candidate join (never all-pairs, hot buckets capped); the
+    * final combination is a left-anti join against the (small relative to
+    * the corpus) drop set. All shuffles key on doc_id or the band keys —
+    * nothing quadratic in the corpus survives to 100 TB.
+    */
+  def nearDedupCorpus(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val keep = Dedup.exactDedup(spark, sfDir)
+      .select($"keep_doc_id".as("doc_id"))
+    val drops = Dedup.nearDupPairs(spark, sfDir, threshold = threshold)
+      .select($"b_doc_id".as("doc_id"))
+      .distinct()
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(keep, "doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
   }
 }
