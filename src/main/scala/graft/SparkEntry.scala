@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{Dedup, EventAnalytics, Pipelines, Reference, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, Reference, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,7 @@ object SparkEntry {
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
     "user_activity" -> (EventAnalytics.userActivity _),
     "user_sessions" -> (EventAnalytics.userSessions _),
+    "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
     // —— LLM-pipeline: dedup family ——
@@ -178,6 +179,14 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // DuckDB's native ASOF JOIN with the same strict > bound — an
+    // independent implementation of the same temporal-join semantics
+    "last_purchase_asof" ->
+      ("WITH p AS (SELECT user_id, ts, max(event_id) AS last_purchase_id " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) " +
+        "SELECT e.event_id, e.user_id, e.event_type, p.last_purchase_id, " +
+        "(epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS secs_since_purchase " +
+        "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"),
     "exact_dedup" -> exactDedupSql,
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
