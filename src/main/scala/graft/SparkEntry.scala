@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, Reference, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,7 @@ object SparkEntry {
     "user_activity" -> (EventAnalytics.userActivity _),
     "user_sessions" -> (EventAnalytics.userSessions _),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
+    "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
     // —— LLM-pipeline: dedup family ——
@@ -179,6 +180,22 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // same session intervals derived with the same window logic, then a
+    // native inequality join — an independent implementation of the
+    // bucketed range join's containment semantics
+    "event_session_attribution" ->
+      ("WITH f AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS flag " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(flag) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS session_id FROM f), " +
+        "iv AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM s GROUP BY user_id, session_id) " +
+        "SELECT e.event_id, e.user_id, iv.session_id, " +
+        "(epoch_us(e.ts) - epoch_us(iv.session_start)) // 1000000 AS secs_into_session " +
+        "FROM events e JOIN iv ON e.user_id = iv.user_id " +
+        "AND e.ts >= iv.session_start AND e.ts <= iv.session_end"),
     // DuckDB's native ASOF JOIN with the same strict > bound — an
     // independent implementation of the same temporal-join semantics
     "last_purchase_asof" ->

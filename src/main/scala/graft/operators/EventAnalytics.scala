@@ -78,6 +78,29 @@ object EventAnalytics {
       .orderBy($"user_id")
   }
 
+  /** Session INTERVALS (one row per session) rather than the per-user
+    * rollup: (user_id, session_id, session_start, session_end, n_events).
+    * Same flag/running-sum machinery as [[userSessionsOf]] — one shuffle on
+    * user_id — plus a (user_id, sid) hash-agg that reuses the window's
+    * partitioning. Feeds the range join ([[RangeJoin]]): events → their
+    * containing session. */
+  def sessionIntervalsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val prev = lag($"ts", 1).over(w)
+    val flag = when(prev.isNull ||
+      unix_micros($"ts") - unix_micros(prev) > gapMinutes * 60000000L, 1L)
+      .otherwise(0L)
+    events
+      .select($"user_id", $"ts")
+      .withColumn("flag", flag)
+      .withColumn("session_id", sum($"flag").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Sessionless per-user rollup: activity span + volume per user. */
   def userActivity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
