@@ -84,6 +84,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("as-of join equals the brute-force maximum-earlier-right on random data") {
+    // random (key, time) points both sides; Spark result must equal the
+    // reference semantics computed in plain Scala: for each left row, the
+    // right row with max time strictly below it on the same key
+    val keyGen = Gen.choose(1L, 5L)
+    val timeGen = Gen.choose(0L, 2000L) // µs offsets — sub-second ties likely
+    val lefts = sample(Gen.zip(keyGen, timeGen), 120).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+    val rights = sample(Gen.zip(keyGen, timeGen), 60)
+      .groupBy(identity).keys.toList.zipWithIndex // unique per (key,time)
+      .map { case ((k, t), i) => (k, new Timestamp(t), 1000L + i) }
+
+    val out = graft.operators.AsOf.joinAsOf(
+      lefts.toDF("id", "k", "t"), rights.toDF("k", "t", "v"),
+      key = "k", time = "t", payload = Seq("v"))
+      .select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    lefts.foreach { case (id, k, t) =>
+      val expect = rights.filter(r => r._1 == k && r._2.getTime < t.getTime)
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(out(id) == expect, s"left $id key $k t $t")
+    }
+  }
+
+  test("range join equals the brute-force containment filter on random data") {
+    val keyGen = Gen.choose(1L, 4L)
+    val timeGen = Gen.choose(0L, 500000L) // ms-scale offsets across buckets
+    val lefts = sample(Gen.zip(keyGen, timeGen), 100).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+    val rights = sample(Gen.zip(keyGen, Gen.zip(timeGen, Gen.choose(0L, 200000L))), 40)
+      .zipWithIndex.map { case ((k, (s, len)), i) =>
+        (k, new Timestamp(s), new Timestamp(s + len), 100L + i) }
+
+    val out = graft.operators.RangeJoin.joinRange(
+      lefts.toDF("id", "k", "t"), rights.toDF("k", "s", "e", "iv"),
+      key = "k", time = "t", start = "s", end = "e", payload = Seq("iv"),
+      bucketWidthSec = 60L) // small buckets → intervals span many
+      .select($"id", $"iv").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (id, k, t) <- lefts
+      (rk, s, e, iv) <- rights
+      if rk == k && t.getTime >= s.getTime && t.getTime <= e.getTime
+    } yield (id, iv)).toSet
+    assert(out == expect)
+  }
+
   test("near-dup candidate superset: exact duplicates always collide") {
     // pad to ≥ shingle length (suchThat retries can exhaust Gen.apply)
     val texts = sample(nastyString.map(s => if (s.length < 5) s + "abcde" else s), 40)
