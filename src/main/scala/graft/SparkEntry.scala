@@ -44,6 +44,7 @@ object SparkEntry {
     "user_sessions" -> (EventAnalytics.userSessions _),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
+    "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
     // —— LLM-pipeline: dedup family ——
@@ -196,6 +197,16 @@ object SparkEntry {
         "(epoch_us(e.ts) - epoch_us(iv.session_start)) // 1000000 AS secs_into_session " +
         "FROM events e JOIN iv ON e.user_id = iv.user_id " +
         "AND e.ts >= iv.session_start AND e.ts <= iv.session_end"),
+    // native inequality join over the same hour window — independent
+    // implementation of the bucketed interval-attribution semantics
+    "purchase_click_attribution" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, " +
+        "count(*) AS n_clicks_1h, max(c.event_id) AS last_click_id " +
+        "FROM events p JOIN events c ON p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' AND c.user_id = p.user_id " +
+        "AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+        "GROUP BY p.event_id, p.user_id"),
     // DuckDB's native ASOF JOIN with the same strict > bound — an
     // independent implementation of the same temporal-join semantics
     "last_purchase_asof" ->

@@ -50,6 +50,28 @@ object RangeJoin {
       .drop("__bucket", "__rkey")
   }
 
+  /** Registered query: each purchase attributed to the same user's clicks
+    * in the preceding hour (inclusive bounds), aggregated to a count and
+    * the latest click id — the batch twin of the watermarked stream-stream
+    * interval join ([[graft.streaming.EventStreams.purchaseClickPairs]]).
+    * A click "covers" [c_ts, c_ts + 1 h], so purchase∈interval ⟺
+    * click ∈ [p_ts − 1 h, p_ts]; the bucketed range join keeps the
+    * candidate set linear. Purchases with no prior click drop out (inner). */
+  def purchaseClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id",
+        $"ts".as("c_start"), ($"ts" + expr("INTERVAL 1 HOUR")).as("c_end"))
+    joinRange(purchases, clicks, key = "user_id", time = "ts",
+      start = "c_start", end = "c_end", payload = Seq("click_id"),
+      bucketWidthSec = 3600L)
+      .groupBy($"purchase_id", $"user_id")
+      .agg(count(lit(1)).as("n_clicks_1h"), max($"click_id").as("last_click_id"))
+  }
+
   /** Registered query: every event attributed to its containing session
     * (intervals from [[EventAnalytics.sessionIntervalsOf]] — disjoint per
     * user by construction, so each event matches exactly one session; the

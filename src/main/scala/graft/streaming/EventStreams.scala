@@ -47,6 +47,37 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Watermarked stream-stream interval join: each purchase paired with the
+    * same user's clicks in the preceding `windowSpec` (inclusive bounds) —
+    * the streaming twin of the bucketed batch range join
+    * ([[graft.operators.RangeJoin.purchaseClickAttribution]], which also
+    * aggregates; here the raw pairs are emitted in append mode so no second
+    * stateful operator is needed).
+    *
+    * State is bounded on BOTH sides by the watermark plus the join's
+    * time-range condition: a buffered click can only match purchases with
+    * p_ts ∈ [c_ts, c_ts + window], so once the watermark passes c_ts +
+    * window + lateness the click's state row is evicted — the property that
+    * keeps a forever-running attribution join at firehose rates in O(window)
+    * state, not O(stream).
+    */
+  def purchaseClickPairs(clicks: DataFrame, purchases: DataFrame,
+      windowSpec: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSpec") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** One event of the sessionization input stream. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 

@@ -173,6 +173,50 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.purchaseClickPairs(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("pc_pairs")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00")), // in window
+        (2L, 7L, Timestamp.valueOf("2024-01-01 10:30:00")), // in window
+        (3L, 7L, Timestamp.valueOf("2024-01-01 09:30:00")), // 75 min before → out
+        (4L, 8L, Timestamp.valueOf("2024-01-01 10:40:00"))) // other user
+      purchases.addData(
+        (10L, 7L, Timestamp.valueOf("2024-01-01 10:45:00")),
+        (11L, 9L, Timestamp.valueOf("2024-01-01 10:45:00"))) // no clicks → no row
+      q.processAllAvailable()
+      val pairs = spark.table("pc_pairs")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 1L), (10L, 2L)))
+      // batch twin on the same rows produces the same attribution
+      val ev = Seq(
+        (1L, 7L, "click", "2024-01-01 10:00:00"),
+        (2L, 7L, "click", "2024-01-01 10:30:00"),
+        (3L, 7L, "click", "2024-01-01 09:30:00"),
+        (4L, 8L, "click", "2024-01-01 10:40:00"),
+        (10L, 7L, "purchase", "2024-01-01 10:45:00"),
+        (11L, 9L, "purchase", "2024-01-01 10:45:00"))
+        .map { case (e, u, t, s) => (e, u, t, Timestamp.valueOf(s)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_start"),
+          ($"ts" + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")).as("c_end"))
+      val batchPairs = graft.operators.RangeJoin.joinRange(
+        p, c, key = "user_id", time = "ts", start = "c_start", end = "c_end",
+        payload = Seq("click_id"), bucketWidthSec = 3600L)
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(batchPairs == pairs)
+    } finally q.stop()
+  }
+
   test("streaming twin agrees with the batch plan on the same data") {
     val data = Seq(
       ev("2024-01-01 00:10:00", "click", 1.0),
