@@ -42,6 +42,7 @@ object SparkEntry {
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
     "user_activity" -> (EventAnalytics.userActivity _),
     "user_sessions" -> (EventAnalytics.userSessions _),
+    "value_quantiles" -> (EventAnalytics.valueQuantiles _),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
@@ -181,6 +182,13 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    "value_quantiles" ->
+      ("SELECT event_type, " +
+        "round(quantile_cont(value, 0.25) + 1e-9, 4) AS p25, " +
+        "round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50, " +
+        "round(quantile_cont(value, 0.75) + 1e-9, 4) AS p75, " +
+        "round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // same session intervals derived with the same window logic, then a
     // native inequality join — an independent implementation of the
     // bucketed range join's containment semantics

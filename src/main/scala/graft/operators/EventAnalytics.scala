@@ -101,6 +101,22 @@ object EventAnalytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** Exact value quartiles per event type (linear interpolation — the same
+    * definition DuckDB's quantile_cont uses, so the oracle compares
+    * value-for-value after rounding). Exact percentile buffers each group's
+    * values; at 100 TB swap in `approx_percentile` (t-digest, fixed-size
+    * state, same call shape) — the exact form is the correctness anchor the
+    * approximate path is measured against. */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)") + 1e-9, 4).as("p25"),
+        round(expr("percentile(value, 0.5)") + 1e-9, 4).as("p50"),
+        round(expr("percentile(value, 0.75)") + 1e-9, 4).as("p75"),
+        round(expr("percentile(value, 0.95)") + 1e-9, 4).as("p95"))
+      .orderBy($"event_type")
+
   /** Sessionless per-user rollup: activity span + volume per user. */
   def userActivity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
