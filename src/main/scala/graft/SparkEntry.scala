@@ -61,6 +61,7 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "lang_profile" -> (TextAnalysis.langProfile _),
+    "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
@@ -259,6 +260,10 @@ object SparkEntry {
       ("SELECT doc_id, list_min(list_transform(list_distinct(list_transform(" +
         "generate_series(1, greatest(len(coalesce(text,''))-7, 0)), i -> coalesce(text,'')[i:i+7])), " +
         "s -> md5(s))) AS fingerprint FROM documents"),
+    "lang_source_rollup" ->
+      ("SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid, " +
+        "count(*) AS n_docs, round(avg(n_chars) + 1e-9, 2) AS avg_chars " +
+        "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY gid, lang, source"),
     "lang_profile" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "round(avg(len(coalesce(text,''))), 2) AS avg_len, " +

@@ -128,4 +128,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(length(coalesce($"text", lit("")))), 2).as("avg_len"),
         round(avg(size(tokens($"text"))), 2).as("avg_tokens"))
+
+  /** Hierarchical ROLLUP over (lang, source): per-pair, per-lang subtotal,
+    * and grand-total rows in ONE pass — Catalyst's Expand emits the three
+    * grouping sets map-side, so the corpus is still scanned once and one
+    * shuffle carries (groups × 3) rows. `grouping_id` disambiguates subtotal
+    * rows from genuine NULL group values (both engines emit the same ids).
+    */
+  def langSourceRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .rollup($"lang", $"source")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_chars") + 1e-9, 2).as("avg_chars"))
+      .select($"lang", $"source", $"gid", $"n_docs", $"avg_chars")
+      .orderBy($"gid", $"lang", $"source")
 }
