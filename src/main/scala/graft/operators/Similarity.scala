@@ -71,48 +71,71 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cosine", $"rk")
   }
 
-  /** IVF approximate top-k: K-Means coarse quantizer (nlist cells, fixed
-    * seed), corpus bucketed by nearest cell, queries probe their nprobe
-    * nearest cells. The query→cells map is computed on the driver — the
-    * query set and the centroid table are both small by definition — then
-    * joined (broadcast) against the bucketed corpus.
+  /** A built IVF index: the corpus bucketed by nearest coarse centroid plus
+    * the (small, driver-side) centroid matrix. Build ONCE, query many — in
+    * production the bucketed frame is written out partitioned by `cell`
+    * (probing then prunes file partitions) and the centroids persisted with
+    * the model; the fit cost amortizes across every subsequent query batch.
     */
-  def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = spread(Tables.embeddings(spark, sfDir))
+  final case class IvfIndex(bucketed: DataFrame, centers: Array[Array[Double]])
+
+  /** Build the IVF coarse index: seeded K-Means (nlist cells, 10 Lloyd
+    * iterations — plenty for cell ASSIGNMENT; at production scale fit on a
+    * bounded sample, not the full corpus), corpus bucketed by nearest cell.
+    * Expects columns (vec_id, embedding). */
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16): IvfIndex = {
+    val emb = spread(embeddings)
       .select($"vec_id", $"embedding", array_to_vector($"embedding").as("features"))
       .persist()
     try {
-      // coarse-quantizer fit: 10 Lloyd iterations is plenty for cell
-      // assignment (the index build is amortized across all queries; at
-      // production scale fit on a bounded sample, not the full corpus)
       val model = TextClustering.fitKMeans(emb, k = nlist, maxIter = 10)
       val bucketed = model.transform(emb)
         .select($"vec_id", $"embedding", $"prediction".as("cell"))
-      val centers = model.clusterCenters // nlist × dim, driver-side
-      val queryRows = emb.filter($"vec_id" < numQueries)
-        .select($"vec_id", $"embedding").collect()
-      val probes = queryRows.flatMap { r =>
-        val qid = r.getLong(0)
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        centers.zipWithIndex
-          .map { case (c, i) =>
-            var d = 0.0
-            var j = 0
-            while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-            (i, d)
-          }
-          .sortBy(_._2).take(nprobe)
-          .map { case (cell, _) => (qid, cell, r.getSeq[Float](1)) }
-      }.toSeq
-      val queryCells = spark.createDataFrame(probes)
-        .toDF("query_id", "cell", "q_emb")
-      val scored = bucketed
-        .join(broadcast(queryCells),
-          bucketed("cell") === queryCells("cell") && $"vec_id" =!= $"query_id")
-        .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
-        .select($"query_id", $"vec_id", $"cosine")
-      topKPerQuery(scored, k, salts = 8)
-    } finally emb.unpersist()
+      IvfIndex(bucketed, model.clusterCenters.map(_.toArray))
+    } finally emb.unpersist() // plan already captured; lazily recomputed rows are narrow
+  }
+
+  /** Query an IVF index: each query probes its `nprobe` nearest cells. The
+    * query→cells map is computed on the driver — the query set and the
+    * centroid table are both small by definition — then joined (broadcast)
+    * against the bucketed corpus, so scored candidates shrink by
+    * ~nprobe/nlist versus brute force. `queries` = (query_id, q_emb) rows,
+    * collected (a query batch is driver-small by construction).
+    */
+  def queryIvfIndex(index: IvfIndex, queries: Seq[(Long, Seq[Float])],
+      k: Int = 10, nprobe: Int = 4, salts: Int = 8): DataFrame = {
+    val spark = index.bucketed.sparkSession
+    val probes = queries.flatMap { case (qid, q) =>
+      val v = q.map(_.toDouble).toArray
+      index.centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(nprobe)
+        .map { case (cell, _) => (qid, cell, q) }
+    }
+    val queryCells = spark.createDataFrame(probes)
+      .toDF("query_id", "cell", "q_emb")
+    val scored = index.bucketed
+      .join(broadcast(queryCells),
+        index.bucketed("cell") === queryCells("cell") && $"vec_id" =!= $"query_id")
+      .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
+      .select($"query_id", $"vec_id", $"cosine")
+    topKPerQuery(scored, k, salts)
+  }
+
+  /** Registered query: end-to-end IVF build + probe (the bench therefore
+    * times index construction too — honest for a one-shot run; a standing
+    * index amortizes [[buildIvfIndex]] away, see [[IvfIndex]]). */
+  def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
+    val index = buildIvfIndex(emb, nlist)
+    val queries = emb.filter($"vec_id" < numQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    queryIvfIndex(index, queries, k, nprobe)
   }
 }

@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF index reuse: one build serves repeated query batches deterministically") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val index = Similarity.buildIvfIndex(emb, nlist = 16)
+    val queries = emb.filter($"vec_id" < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val r1 = Similarity.queryIvfIndex(index, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val r2 = Similarity.queryIvfIndex(index, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(r1 == r2) // same index, same answers
+    // the one-shot entry (fresh build, same seed) agrees with the reused index
+    val oneShot = Similarity.ivfTopK(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(oneShot == r1)
+  }
+
   test("IVF top-k recalls a usable fraction of the exact top-k") {
     val exact = Similarity.cosineTopK(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
