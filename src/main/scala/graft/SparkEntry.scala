@@ -62,6 +62,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "lang_profile" -> (TextAnalysis.langProfile _),
     "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
+    // —— LLM-pipeline: multimodal (rows-only: seeded fake codec, no SQL twin) ——
+    "media_image_features" -> (graft.multimodal.Media.imageFeatureRollup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),

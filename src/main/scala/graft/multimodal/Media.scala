@@ -154,6 +154,24 @@ object Media {
     }
   }
 
+  /** Registered query (rows-only: the seeded fake codec is Scala-side, so
+    * no DuckDB twin exists): synthesize a deterministic media table, run
+    * the batched decode + feature extraction, and roll the features up per
+    * (width, height) — pins the full multimodal dataflow (binary payloads →
+    * mapPartitions batches → typed features → relational agg) under the
+    * correctness dump and the bench. */
+  def imageFeatureRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = imageFeatures(synthesize(spark, n = 2000))
+    feats
+      .groupBy($"width", $"height")
+      .agg(
+        count(lit(1)).as("n_images"),
+        round(avg($"mean_luma") + 1e-9, 4).as("avg_luma"),
+        sum(element_at($"luma_histogram", 1)).as("bucket0_total"))
+      .orderBy($"width", $"height")
+  }
+
   /** Sample every `everyMs` milliseconds of a video into frame rows —
     * the explode happens BEFORE decode so frames parallelize downstream. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
