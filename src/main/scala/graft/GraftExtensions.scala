@@ -22,6 +22,7 @@ import graft.functions._
   *  - `minhash_bands(text string, n int, bands int, rows int) -> array<bigint>`
   *  - `simhash64(text string, n int) -> bigint`
   *  - `min_md5_shingles(text string, n int) -> string`
+  *  - `ngram_jaccard(a string, b string, n int) -> double`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("min_md5_shingles", "min_md5_shingles(text, n) - winnowing fingerprint"),
       (args: Seq[Expression]) => MinMd5ShinglesExpr(args(0),
         intLit(args(1), "min_md5_shingles", "n"))))
+    ext.injectFunction((FunctionIdentifier("ngram_jaccard"),
+      info("ngram_jaccard", "ngram_jaccard(a, b, n) - exact character n-gram Jaccard"),
+      (args: Seq[Expression]) => NgramJaccardExpr(args(0), args(1),
+        intLit(args(2), "ngram_jaccard", "n"))))
   }
 }

@@ -258,6 +258,52 @@ case class MinMd5ShinglesExpr(child: Expression, shingleLen: Int)
     copy(child = c)
 }
 
+/** Static impl for [[NgramJaccardExpr]] — shingle both sides ONCE, count
+  * the overlap, finish the |A∩B| / (|A|+|B|−|A∩B|) ratio. Composing the
+  * shingle and intersect expressions in a tree would re-evaluate each
+  * side's shingle set per use (no CSE across sibling expressions). */
+object JaccardImpl {
+  /** Jaccard in [0,1]; -1.0 sentinel when either shingle set is empty
+    * (text shorter than one shingle) — mapped to SQL NULL by the caller. */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = TextHashImpl.shingles(a, n)
+    val sb = TextHashImpl.shingles(b, n)
+    val na = sa.numElements()
+    val nb = sb.numElements()
+    if (na == 0 || nb == 0) return -1.0
+    val inter = SetOpsImpl.intersectSize(sa, sb)
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** Exact character-n-gram Jaccard similarity of two strings — the direct
+  * pair-scoring form of the dedup family's verify metric (the banded join
+  * in [[graft.operators.Dedup.nearDupPairsOf]] materializes shingle sets
+  * once per doc instead, which wins when docs appear in many pairs; this
+  * expression wins for ad-hoc pair scoring, e.g. from SQL). NULL when
+  * either input is NULL or too short to shingle. */
+case class NgramJaccardExpr(left: Expression, right: Expression,
+    shingleLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val j = JaccardImpl.ngramJaccard(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], shingleLen)
+    if (j < 0) null else j
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.JaccardImpl.ngramJaccard($a, $b, $shingleLen);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NgramJaccardExpr =
+    copy(left = l, right = r)
+}
+
 case class SetIntersectSizeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -299,4 +345,8 @@ object TextExpressions {
   /** Minimum-MD5 shingle fingerprint of a string column (codegen'd). */
   def minMd5Shingles(text: Column, shingleLen: Int): Column =
     wrap(MinMd5ShinglesExpr(expr(text), shingleLen))
+
+  /** Exact n-gram Jaccard similarity of two string columns (codegen'd). */
+  def ngramJaccard(a: Column, b: Column, shingleLen: Int): Column =
+    wrap(NgramJaccardExpr(expr(a), expr(b), shingleLen))
 }

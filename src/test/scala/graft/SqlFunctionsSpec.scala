@@ -36,6 +36,24 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaDf == sh)
   }
 
+  test("ngram_jaccard: identity 1.0, disjoint 0.0, short/null → NULL, matches set-op form") {
+    assert(spark.sql("SELECT ngram_jaccard('abcdef', 'abcdef', 3)").head.getDouble(0) == 1.0)
+    assert(spark.sql("SELECT ngram_jaccard('aaaa', 'bbbb', 3)").head.getDouble(0) == 0.0)
+    assert(spark.sql("SELECT ngram_jaccard('ab', 'abcdef', 3)").head.isNullAt(0))
+    assert(spark.sql("SELECT ngram_jaccard(NULL, 'abcdef', 3)").head.isNullAt(0))
+    // fused expression equals the compositional set-op form
+    val (a, b) = ("the quick brown fox", "the quick brown dog")
+    val fused = spark.sql(s"SELECT ngram_jaccard('$a', '$b', 4)").head.getDouble(0)
+    val viaSets = Seq((a, b)).toDF("a", "b")
+      .select((size(array_intersect(TextExpressions.charShingles($"a", 4),
+        TextExpressions.charShingles($"b", 4))).cast("double") /
+        size(org.apache.spark.sql.functions.array_union(
+          TextExpressions.charShingles($"a", 4),
+          TextExpressions.charShingles($"b", 4)))))
+      .head.getDouble(0)
+    assert(math.abs(fused - viaSets) < 1e-12)
+  }
+
   test("non-literal geometry argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT char_shingles('abc', 1 + 2)").collect()
