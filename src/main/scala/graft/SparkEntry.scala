@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "lang_profile" -> (TextAnalysis.langProfile _),
     "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
+    "stratified_sample" -> (Sampling.stratifiedSample _),
     // —— LLM-pipeline: multimodal (rows-only: seeded fake codec, no SQL twin) ——
     "media_image_features" -> (graft.multimodal.Media.imageFeatureRollup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
@@ -266,6 +267,11 @@ object SparkEntry {
       ("SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid, " +
         "count(*) AS n_docs, round(avg(n_chars) + 1e-9, 2) AS avg_chars " +
         "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY gid, lang, source"),
+    // identical md5 hash-gate predicate (thresholds = fraction × 16^8 in hex)
+    "stratified_sample" ->
+      ("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' " +
+        "THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' " +
+        "ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' END"),
     "lang_profile" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "round(avg(len(coalesce(text,''))), 2) AS avg_len, " +

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Reproducible sampling for corpus builds (builder-brief extension; no
+  * reference analogue). `df.sample()` draws from a partition-seeded RNG —
+  * resample-stable only for a fixed partitioning, and not reproducible by
+  * any other engine. The hash-gate form is: keep a row iff the first 8 hex
+  * chars of `md5(key)` fall below a threshold encoding the fraction. That
+  * makes the sample a pure function of the KEY — stable under repartition,
+  * re-runs, engine ports (the DuckDB oracle evaluates the identical
+  * predicate), and incremental loads (a row's membership never changes),
+  * which is what a training-data pipeline needs from a holdout split.
+  *
+  * Scale: a narrow filter, no shuffle, fully pushed into the scan stage;
+  * selectivity is uniform because md5 is. Correlated sampling (same key →
+  * same decision across tables) falls out of keying both tables the same
+  * way — the join-safe sampling trick.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold encoding `fraction` of the 16^8 hash space.
+    * fraction = 1.0 returns "g", which sorts after every hex string, so
+    * the gate keeps all rows (a numeric 2^32 threshold would need 9 chars
+    * and break the fixed-width comparison). */
+  private[graft] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val units = math.round(fraction * 0x100000000L) // 16^8 = 2^32
+    if (units >= 0x100000000L) "g" else f"$units%08x"
+  }
+
+  /** Keep rows whose key hashes under `fraction` (deterministic). */
+  def hashGate(key: Column, fraction: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(fraction))
+
+  /** Registered query: stratified deterministic sample of `documents` —
+    * 25% of English, 50% of every other language (quota-balancing a
+    * dominant stratum is the typical corpus-mix correction). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(when($"lang" === "en", hashGate($"doc_id", 0.25))
+        .otherwise(hashGate($"doc_id", 0.5)))
+      .select($"doc_id", $"lang")
+}
