@@ -43,6 +43,7 @@ object SparkEntry {
     "user_activity" -> (EventAnalytics.userActivity _),
     "user_sessions" -> (EventAnalytics.userSessions _),
     "value_quantiles" -> (EventAnalytics.valueQuantiles _),
+    "value_quantiles_approx" -> ((s, d) => EventAnalytics.valueQuantilesApprox(s, d)), // rows-only (sketch)
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),

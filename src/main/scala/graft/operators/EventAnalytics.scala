@@ -117,6 +117,23 @@ object EventAnalytics {
         round(expr("percentile(value, 0.95)") + 1e-9, 4).as("p95"))
       .orderBy($"event_type")
 
+  /** The quantile SCALE path: `approx_percentile` (t-digest-style sketch —
+    * fixed-size state per group, mergeable map-side, no per-group value
+    * buffer), same call shape as the exact form. Registered rows-only (the
+    * sketch is engine-specific); the spec measures its error against
+    * [[valueQuantiles]], which is the correctness anchor. `accuracy` 10000
+    * bounds rank error at 1/10000 of the group. */
+  def valueQuantilesApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr(s"approx_percentile(value, 0.25, $accuracy)") + 1e-9, 4).as("p25"),
+        round(expr(s"approx_percentile(value, 0.5, $accuracy)") + 1e-9, 4).as("p50"),
+        round(expr(s"approx_percentile(value, 0.75, $accuracy)") + 1e-9, 4).as("p75"),
+        round(expr(s"approx_percentile(value, 0.95, $accuracy)") + 1e-9, 4).as("p95"))
+      .orderBy($"event_type")
+
   /** Sessionless per-user rollup: activity span + volume per user. */
   def userActivity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

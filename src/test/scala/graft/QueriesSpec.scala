@@ -26,4 +26,23 @@ class QueriesSpec extends SparkTestBase {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
+
+  test("approx quantiles track the exact anchor within sketch tolerance") {
+    // approx_percentile returns an actual data value (no interpolation), so
+    // it can differ from the exact interpolated form by up to one local
+    // value gap; with ~200 values per group a 5% relative band is generous
+    // without being vacuous
+    def byType(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] =
+      df.collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = byType(graft.operators.EventAnalytics.valueQuantiles(spark, sf))
+    val approx = byType(graft.operators.EventAnalytics.valueQuantilesApprox(spark, sf))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (t, es) =>
+      es.zip(approx(t)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 0.05 * (math.abs(e) + 1.0),
+          s"$t: approx $a vs exact $e")
+      }
+    }
+  }
 }
