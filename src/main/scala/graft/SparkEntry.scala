@@ -36,6 +36,7 @@ object SparkEntry {
     "q5_nation_revenue" -> (Relational.q5NationRevenue _),
     "top_orders_per_priority" -> (Relational.topOrdersPerPriority _),
     "distinct_parts" -> (Relational.distinctParts _),
+    "distinct_parts_approx" -> ((s, d) => Relational.distinctPartsApprox(s, d)), // rows-only (sketch)
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),

@@ -118,6 +118,20 @@ object Relational {
         countDistinct($"l_suppkey").as("n_supps"))
       .orderBy($"l_returnflag")
 
+  /** The distinct-count SCALE path: HyperLogLog++ sketches — fixed-size
+    * mergeable state per group versus the exact form's expand (which
+    * multiplies shuffled rows by the number of distinct aggregates).
+    * Registered rows-only (the sketch is engine-specific); the spec bounds
+    * its error against [[distinctParts]], the exact anchor. `rsd` 0.02 →
+    * ~2% relative standard deviation. */
+  def distinctPartsApprox(spark: SparkSession, sfDir: String,
+      rsd: Double = 0.02): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", rsd).as("n_parts"),
+        approx_count_distinct($"l_suppkey", rsd).as("n_supps"))
+      .orderBy($"l_returnflag")
+
   /** Semi/anti join: customers with vs without any order. Broadcast the
     * distinct key set when it fits; Catalyst/AQE picks the side. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {

@@ -27,6 +27,20 @@ class QueriesSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("approx distinct counts track the exact anchor within HLL tolerance") {
+    def byFlag(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byFlag(graft.operators.Relational.distinctParts(spark, sf))
+    val approx = byFlag(graft.operators.Relational.distinctPartsApprox(spark, sf))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, (ep, es)) =>
+      val (ap, as_) = approx(flag)
+      // rsd 0.02 → 5σ band of 10%
+      assert(math.abs(ap - ep) <= 0.1 * ep + 1, s"$flag parts: $ap vs $ep")
+      assert(math.abs(as_ - es) <= 0.1 * es + 1, s"$flag supps: $as_ vs $es")
+    }
+  }
+
   test("approx quantiles track the exact anchor within sketch tolerance") {
     // approx_percentile returns an actual data value (no interpolation), so
     // it can differ from the exact interpolated form by up to one local
