@@ -38,6 +38,7 @@ object SparkEntry {
     "distinct_parts" -> (Relational.distinctParts _),
     "distinct_parts_approx" -> ((s, d) => Relational.distinctPartsApprox(s, d)), // rows-only (sketch)
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "orders_above_cust_avg" -> (Relational.ordersAboveCustAvg _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
@@ -166,6 +167,14 @@ object SparkEntry {
     "customers_without_orders" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+    // integer-cents boundary arithmetic: double avg would flip borderline
+    // rows between engines (summation order)
+    "orders_above_cust_avg" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) * " +
+        "(SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+        "> 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) " +
+        "FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"),
     "events_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +

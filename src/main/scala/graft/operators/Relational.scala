@@ -132,6 +132,30 @@ object Relational {
         approx_count_distinct($"l_suppkey", rsd).as("n_supps"))
       .orderBy($"l_returnflag")
 
+  /** Correlated scalar subquery — orders priced above 1.5× their OWN
+    * customer's average order value. Exercises Catalyst's subquery
+    * decorrelation: the correlated aggregates rewrite to one grouped
+    * aggregate over orders joined back on o_custkey (verify in PLANS.md —
+    * no per-row subquery execution survives).
+    *
+    * Cross-engine exactness: the boundary predicate is kept in INTEGER
+    * cents — `2·cents·count > 3·sum_cents` instead of `price > 1.5·avg` —
+    * because double summation order differs per engine and a borderline
+    * row could otherwise flip inclusion. Entered through `spark.sql`, the
+    * library's SQL surface.
+    */
+  def ordersAboveCustAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+                   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    """)
+  }
+
   /** Semi/anti join: customers with vs without any order. Broadcast the
     * distinct key set when it fits; Catalyst/AQE picks the side. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
