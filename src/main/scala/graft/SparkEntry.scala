@@ -39,6 +39,8 @@ object SparkEntry {
     "distinct_parts_approx" -> ((s, d) => Relational.distinctPartsApprox(s, d)), // rows-only (sketch)
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "orders_above_cust_avg" -> (Relational.ordersAboveCustAvg _),
+    "repeat_customers" -> (Relational.repeatCustomers _),
+    "user_type_pivot" -> (Relational.userTypePivot _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
@@ -175,6 +177,19 @@ object SparkEntry {
         "(SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
         "> 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) " +
         "FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"),
+    "repeat_customers" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995 " +
+        "ORDER BY o_custkey"),
+    "user_type_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'error') AS error, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "events_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events " +

@@ -156,6 +156,31 @@ object Relational {
     """)
   }
 
+  /** Set operation (INTERSECT): customers active in both halves of the
+    * order history — plans as a distinct + semi-join-shaped aggregate on
+    * the intersect keys, one shuffle each side. */
+  def repeatCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_custkey", year($"o_orderdate").as("y"))
+    val median = 1995 // fixture orders span 1992-1998; fixed split keeps the query deterministic
+    ord.filter($"y" < median).select($"o_custkey")
+      .intersect(ord.filter($"y" >= median).select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Pivot: per-user event counts, one column per event type. The pivot
+    * values are DECLARED (not discovered with an extra pass) — at scale an
+    * undeclared pivot first scans the corpus just to enumerate columns.
+    * Null cells (user never produced the type) are filled to 0 so the
+    * frame is dense. */
+  def userTypePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+
   /** Semi/anti join: customers with vs without any order. Broadcast the
     * distinct key set when it fits; Catalyst/AQE picks the side. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
