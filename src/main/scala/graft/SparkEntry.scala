@@ -178,9 +178,9 @@ object SparkEntry {
         "> 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) " +
         "FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"),
     "repeat_customers" ->
-      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1995 " +
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998 " +
         "INTERSECT " +
-        "SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1995 " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998 " +
         "ORDER BY o_custkey"),
     "user_type_pivot" ->
       ("SELECT user_id, " +

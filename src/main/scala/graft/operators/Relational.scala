@@ -162,7 +162,7 @@ object Relational {
   def repeatCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .select($"o_custkey", year($"o_orderdate").as("y"))
-    val median = 1995 // fixture orders span 1992-1998; fixed split keeps the query deterministic
+    val median = 1998 // fixture orders span 1995-2001; fixed split keeps the query deterministic
     ord.filter($"y" < median).select($"o_custkey")
       .intersect(ord.filter($"y" >= median).select($"o_custkey"))
       .orderBy($"o_custkey")
