@@ -68,6 +68,7 @@ object SparkEntry {
     "lang_profile" -> (TextAnalysis.langProfile _),
     "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
     "stratified_sample" -> (Sampling.stratifiedSample _),
+    "sampled_users_per_type" -> ((s, d) => Sampling.sampledUsersPerType(s, d)),
     // —— LLM-pipeline: multimodal (rows-only: seeded fake codec, no SQL twin) ——
     "media_image_features" -> (graft.multimodal.Media.imageFeatureRollup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
@@ -293,6 +294,16 @@ object SparkEntry {
       ("SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid, " +
         "count(*) AS n_docs, round(avg(n_chars) + 1e-9, 2) AS avg_chars " +
         "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY gid, lang, source"),
+    // window formulation of the same bottom-k-by-hash sample (the Spark
+    // side computes it as a mergeable partial aggregate instead)
+    "sampled_users_per_type" ->
+      ("WITH d AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "r AS (SELECT event_type, user_id, row_number() OVER (" +
+        "PARTITION BY event_type " +
+        "ORDER BY md5(CAST(user_id AS VARCHAR)), CAST(user_id AS VARCHAR)) AS rk " +
+        "FROM d) " +
+        "SELECT event_type, rk, user_id FROM r WHERE rk <= 8 " +
+        "ORDER BY event_type, rk"),
     // identical md5 hash-gate predicate (thresholds = fraction × 16^8 in hex)
     "stratified_sample" ->
       ("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' " +

@@ -1,0 +1,63 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` extensions (SURVEY.md §2.7 — the one custom-agg
+  * surface the engine exposes; everything else is built-ins).
+  */
+object Aggregators {
+
+  /** One candidate held by [[BottomKByHash]]: the md5 hex of the value and
+    * the value itself (hash first so tuple ordering is the sample order). */
+  final case class HashEntry(h: String, v: String)
+
+  /** Deterministic per-group sample: the `k` values with the smallest
+    * `md5(value)` — the group-level counterpart of the row-level hash gate
+    * ([[graft.operators.Sampling.hashGate]]). Because md5 is uniform, the
+    * result is a uniform sample of the group's distinct values, yet a pure
+    * function of the value set: stable across runs, partitionings, and
+    * engines (DuckDB reproduces it as a row_number over md5 ordering).
+    *
+    * Scale: this is a MERGEABLE partial aggregate — each task keeps at most
+    * k entries per group and merges are take-k of a merge-sort, so the
+    * shuffle carries O(groups × k), not O(distinct values). The window
+    * (`row_number() OVER (ORDER BY md5)` ≤ k) formulation computes the same
+    * rows but must shuffle-sort EVERY distinct value to its group first —
+    * the same partial-vs-total distinction as partial top-k vs global sort.
+    * Feed it pre-distinct input: duplicate values would occupy multiple of
+    * the k slots (entries dedupe exactly, so exact dups collapse, but that
+    * is a guarantee about ties, not a distinct-ness guarantee).
+    */
+  final class BottomKByHash(k: Int) extends Aggregator[String, Seq[HashEntry], Seq[String]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    private def md5hex(s: String): String = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b =>
+        sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(b & 0xf, 16))
+      }
+      sb.toString
+    }
+
+    private def trim(entries: Seq[HashEntry]): Seq[HashEntry] =
+      entries.distinct.sortBy(e => (e.h, e.v)).take(k)
+
+    override def zero: Seq[HashEntry] = Nil
+    override def reduce(b: Seq[HashEntry], v: String): Seq[HashEntry] =
+      if (v == null) b else trim(b :+ HashEntry(md5hex(v), v))
+    override def merge(a: Seq[HashEntry], b: Seq[HashEntry]): Seq[HashEntry] =
+      trim(a ++ b)
+    override def finish(b: Seq[HashEntry]): Seq[String] = b.map(_.v)
+    override def bufferEncoder: Encoder[Seq[HashEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashEntry]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+}

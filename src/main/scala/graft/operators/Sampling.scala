@@ -45,4 +45,26 @@ object Sampling {
       .filter(when($"lang" === "en", hashGate($"doc_id", 0.25))
         .otherwise(hashGate($"doc_id", 0.5)))
       .select($"doc_id", $"lang")
+
+  /** Registered query: per-event-type deterministic sample of k distinct
+    * users via the [[graft.functions.Aggregators.BottomKByHash]] typed
+    * Aggregator — a MERGEABLE partial aggregate (each task holds ≤ k
+    * entries per group; the shuffle carries groups × k rows), where the
+    * equivalent `row_number() OVER (ORDER BY md5(...))` window — which the
+    * DuckDB oracle uses — must shuffle-sort every distinct pair first.
+    * Same rows, partial-agg cost.
+    */
+  def sampledUsersPerType(spark: SparkSession, sfDir: String,
+      k: Int = 8): DataFrame = {
+    val sampler = udaf(new graft.functions.Aggregators.BottomKByHash(k))
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id")
+      .distinct()
+      .groupBy($"event_type")
+      .agg(sampler($"user_id".cast("string")).as("sample"))
+      .select($"event_type", posexplode($"sample").as(Seq("pos", "uid")))
+      .select($"event_type", ($"pos" + 1).cast("long").as("rk"),
+        $"uid".cast("long").as("user_id"))
+      .orderBy($"event_type", $"rk")
+  }
 }

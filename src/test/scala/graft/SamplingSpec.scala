@@ -17,6 +17,27 @@ class SamplingSpec extends SparkTestBase {
     assert("ffffffff" < "g")
   }
 
+  test("bottom-k-by-hash aggregator: partition-invariant, equals window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sampler = udaf(new graft.functions.Aggregators.BottomKByHash(5))
+    val data = (0L until 500L).map(i => (s"g${i % 3}", i.toString)).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"g").agg(sampler($"v").as("s"))
+      .select($"g", $"s")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val a = run(data)
+    val b = run(data.repartition(13)) // partial-agg merge order changes
+    assert(a == b)
+    // equals the total-sort window formulation
+    val w = Window.partitionBy($"g").orderBy(md5($"v"), $"v")
+    val windowed = data.distinct()
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .groupBy($"g").agg(collect_list($"v").as("s")) // window order not kept by collect_list
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(a.view.mapValues(_.toSet).toMap == windowed)
+  }
+
   test("membership is key-pure: identical across runs and partitionings") {
     val ids = (0L until 2000L).toDF("id")
     val a = ids.filter(Sampling.hashGate($"id", 0.3))
