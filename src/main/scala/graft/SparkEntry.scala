@@ -40,6 +40,7 @@ object SparkEntry {
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "orders_above_cust_avg" -> (Relational.ordersAboveCustAvg _),
     "repeat_customers" -> (Relational.repeatCustomers _),
+    "rolling_customer_spend" -> (Relational.rollingCustomerSpend _),
     "user_type_pivot" -> (Relational.userTypePivot _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
@@ -178,6 +179,13 @@ object SparkEntry {
         "(SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
         "> 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) " +
         "FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"),
+    // identical integer-cents accumulation inside a value-RANGE frame
+    "rolling_customer_spend" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+        "PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) " +
+        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 + 1e-9, 2) " +
+        "AS spend_30d FROM orders"),
     "repeat_customers" ->
       ("SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998 " +
         "INTERSECT " +

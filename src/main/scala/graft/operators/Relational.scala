@@ -156,6 +156,26 @@ object Relational {
     """)
   }
 
+  /** RANGE-frame window: each order's trailing-30-day spend for its
+    * customer — the frame is bounded by the ORDER-BY VALUE (epoch seconds),
+    * not row counts, so ties and gaps are handled by time, which is what a
+    * rolling metric means. One shuffle on the customer key; the sort-based
+    * window exec spills per partition. Sum kept in integer cents, divided
+    * at the end — double accumulation order differs per engine. */
+  def rollingCustomerSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; cast interprets it in the session TZ
+    // (pinned UTC), matching DuckDB's naive epoch()
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_seconds($"o_orderdate".cast("timestamp")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("spend_30d",
+        round(sum($"cents").over(w).cast("double") / 100 + 1e-9, 2))
+      .select($"o_orderkey", $"o_custkey", $"spend_30d")
+  }
+
   /** Set operation (INTERSECT): customers active in both halves of the
     * order history — plans as a distinct + semi-join-shaped aggregate on
     * the intersect keys, one shuffle each side. */

@@ -47,6 +47,19 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-static enrichment join — the third streaming-join mode next to
+    * stream-stream ([[purchaseClickPairs]]) and the implicit self-derived
+    * forms: a streaming frame joined to a BATCH dimension. No state, no
+    * watermark needed — Structured Streaming re-plans the static side per
+    * micro-batch, and when the dimension is broadcast-sized the join is a
+    * stateless map-side broadcast hash join in every batch (dimension
+    * updates between batches are picked up on re-read, the lakehouse
+    * slowly-changing-dimension pattern).
+    */
+  def enrichEvents(events: DataFrame, dimension: DataFrame,
+      on: String = "event_type"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dimension), on)
+
   /** Watermarked stream-stream interval join: each purchase paired with the
     * same user's clicks in the preceding `windowSpec` (inclusive bounds) —
     * the streaming twin of the bucketed batch range join

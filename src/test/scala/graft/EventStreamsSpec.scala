@@ -173,6 +173,25 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    val dim = Seq(("click", 1.0), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStreams.enrichEvents(
+      ms.toDF().toDF("event_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "click"), (2L, "purchase"), (3L, "error")) // error: no dim row
+      q.processAllAvailable()
+      ms.addData((4L, "click")) // second batch re-joins the static side
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select($"event_id", $"weight").as[(Long, Double)].collect().toSet
+      assert(out == Set((1L, 1.0), (2L, 10.0), (4L, 1.0))) // inner: 3 dropped
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks") {
     val clicks = MemoryStream[(Long, Long, Timestamp)]
     val purchases = MemoryStream[(Long, Long, Timestamp)]
