@@ -45,6 +45,13 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String], timeAlias: String = "asof_time"): DataFrame = {
     val leftCols = left.columns
+    // fail fast on name collisions — a duplicate output column would be
+    // silently ambiguous for every downstream select
+    val clashes = (payload :+ timeAlias).filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"as-of payload/timeAlias collide with left columns: ${clashes.mkString(", ")}")
+    require(!leftCols.exists(_.startsWith("__")),
+      "left columns may not start with __ (reserved for join internals)")
     val payloadStruct = struct(
       (col(time).as(timeAlias) +: payload.map(col)): _*)
     val lTagged = left

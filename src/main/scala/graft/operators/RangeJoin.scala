@@ -36,6 +36,12 @@ object RangeJoin {
   def joinRange(left: DataFrame, right: DataFrame, key: String, time: String,
       start: String, end: String, payload: Seq[String],
       bucketWidthSec: Long = 3600L): DataFrame = {
+    require(bucketWidthSec > 0, s"bucketWidthSec must be positive: $bucketWidthSec")
+    // fail fast on name collisions: the containment filter references the
+    // right side's start/end by bare name, which must stay unambiguous
+    val clashes = (Seq(start, end) ++ payload).filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"range-join right columns collide with left columns: ${clashes.mkString(", ")}")
     val wUs = bucketWidthSec * 1000000L
     def bucketOf(c: Column): Column = floor(unix_micros(c) / wUs)
     val l = left.withColumn("__bucket", bucketOf(col(time)))

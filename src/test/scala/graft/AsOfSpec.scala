@@ -39,6 +39,15 @@ class AsOfSpec extends SparkTestBase {
       ("d", Some(300L), Some(ts("2024-01-01 11:00:00")))))
   }
 
+  test("joinAsOf rejects payload names that collide with left columns") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "v")
+    val right = Seq((1L, ts("2023-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("joinAsOf keeps every left row and all left columns") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "x", 3.5))
       .toDF("k", "t", "s", "extra")
