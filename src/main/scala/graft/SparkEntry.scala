@@ -305,7 +305,8 @@ object SparkEntry {
     // window formulation of the same bottom-k-by-hash sample (the Spark
     // side computes it as a mergeable partial aggregate instead)
     "sampled_users_per_type" ->
-      ("WITH d AS (SELECT DISTINCT event_type, user_id FROM events), " +
+      ("WITH d AS (SELECT DISTINCT event_type, user_id FROM events " +
+        "WHERE user_id IS NOT NULL), " +
         "r AS (SELECT event_type, user_id, row_number() OVER (" +
         "PARTITION BY event_type " +
         "ORDER BY md5(CAST(user_id AS VARCHAR)), CAST(user_id AS VARCHAR)) AS rk " +

@@ -59,6 +59,10 @@ object AsOf {
       .withColumn("__p", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
     val rTagged = right
+      // a NULL right timestamp would sort before everything in the window
+      // and be carried as "earlier than any left row" — DuckDB's ASOF
+      // strict bound matches it to nothing, which is the sane semantics
+      .filter(col(time).isNotNull)
       .select(col(key), col(time), lit(1).as("__side"),
         payloadStruct.as("__p"))
     // left columns absent on the right ride as nulls through the union

@@ -94,8 +94,13 @@ object Dedup {
     * n·(n−1)/2 candidate pairs — one 1M-doc exact-dup family would emit
     * 5·10¹¹ pairs and pin the join; such families are tier-1 (exact dedup)
     * work, not near-dup work. Hot keys are aggregated to a (tiny) frame and
-    * removed with a broadcast anti-join: the banded frame itself is not
-    * re-shuffled, so the guard's cost is one map-side pass + a small agg.
+    * removed with a broadcast anti-join, so the banded frame is never
+    * re-SHUFFLED for the guard — but it IS re-COMPUTED: without caching,
+    * the hot-key aggregate is a third evaluation of the shingle/minhash
+    * subtree (the self-join's two sides are the other two; only the
+    * spread exchange below it is reused). At production scale persist or
+    * checkpoint the banded frame before the join; for one-shot runs the
+    * extra narrow pass is the price of not pinning executor memory.
     */
   private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
       cap: Int): DataFrame = {

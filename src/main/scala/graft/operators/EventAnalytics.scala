@@ -53,13 +53,18 @@ object EventAnalytics {
   def userSessions(spark: SparkSession, sfDir: String): DataFrame =
     userSessionsOf(Tables.events(spark, sfDir))
 
-  /** Core of [[userSessions]] over any (user_id, ts) frame. */
-  def userSessionsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** Shared session-id assignment: (user_id, ts, sid) with sid counting
+    * gap-boundary crossings per user. The ONE definition of "session" —
+    * [[userSessionsOf]], [[sessionIntervalsOf]], and (through them) the
+    * range-join attribution all derive from it, so the gap semantics can
+    * never desynchronize between the rollup and the intervals.
+    *
+    * Microsecond gap comparison: unix_timestamp truncates to whole
+    * seconds, which mis-classifies sub-second gaps straddling the boundary
+    * (the DuckDB oracle uses epoch_us — both floor ns→µs identically). */
+  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy($"user_id").orderBy($"ts")
     val prev = lag($"ts", 1).over(w)
-    // microsecond gap comparison: unix_timestamp truncates to whole seconds,
-    // which mis-classifies sub-second gaps straddling the boundary (the
-    // DuckDB oracle uses epoch_us — both floor ns→µs identically)
     val flag = when(prev.isNull ||
       unix_micros($"ts") - unix_micros(prev) > gapMinutes * 60000000L, 1L)
       .otherwise(0L)
@@ -68,6 +73,12 @@ object EventAnalytics {
       .withColumn("flag", flag)
       .withColumn("sid", sum($"flag").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("flag")
+  }
+
+  /** Core of [[userSessions]] over any (user_id, ts) frame. */
+  def userSessionsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    withSessionIds(events, gapMinutes)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
         max($"sid").as("n_sessions"),
@@ -84,22 +95,13 @@ object EventAnalytics {
     * user_id — plus a (user_id, sid) hash-agg that reuses the window's
     * partitioning. Feeds the range join ([[RangeJoin]]): events → their
     * containing session. */
-  def sessionIntervalsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val w = Window.partitionBy($"user_id").orderBy($"ts")
-    val prev = lag($"ts", 1).over(w)
-    val flag = when(prev.isNull ||
-      unix_micros($"ts") - unix_micros(prev) > gapMinutes * 60000000L, 1L)
-      .otherwise(0L)
-    events
-      .select($"user_id", $"ts")
-      .withColumn("flag", flag)
-      .withColumn("session_id", sum($"flag").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionIntervalsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .withColumnRenamed("sid", "session_id")
       .groupBy($"user_id", $"session_id")
       .agg(min($"ts").as("session_start"),
         max($"ts").as("session_end"),
         count(lit(1)).as("n_events"))
-  }
 
   /** Exact value quartiles per event type (linear interpolation — the same
     * definition DuckDB's quantile_cont uses, so the oracle compares

@@ -42,6 +42,8 @@ object RangeJoin {
     val clashes = (Seq(start, end) ++ payload).filter(left.columns.contains)
     require(clashes.isEmpty,
       s"range-join right columns collide with left columns: ${clashes.mkString(", ")}")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "columns may not start with __ (reserved for join internals)")
     val wUs = bucketWidthSec * 1000000L
     def bucketOf(c: Column): Column = floor(unix_micros(c) / wUs)
     val l = left.withColumn("__bucket", bucketOf(col(time)))

@@ -59,6 +59,11 @@ object Sampling {
     val sampler = udaf(new graft.functions.Aggregators.BottomKByHash(k))
     Tables.events(spark, sfDir)
       .select($"event_type", $"user_id")
+      // explicit NULL gate: the aggregator skips nulls, so without this a
+      // NULL user_id would appear in the oracle's window form (ranked
+      // NULLS LAST) but never in the Spark output — aligned by excluding
+      // it on BOTH sides (the oracle filters identically)
+      .filter($"user_id".isNotNull)
       .distinct()
       .groupBy($"event_type")
       .agg(sampler($"user_id".cast("string")).as("sample"))

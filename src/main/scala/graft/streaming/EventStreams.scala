@@ -101,7 +101,13 @@ object EventStreams {
   /** Per-user state between micro-batches: the still-open session.
     * Times in epoch MICROseconds — same precision as the batch twin's
     * unix_micros gap comparison (ms would mis-classify sub-ms gaps at the
-    * boundary the same way whole-second truncation did, ADVICE r3). */
+    * boundary the same way whole-second truncation did, ADVICE r3).
+    *
+    * STATE COMPAT: the unit changed from ms to µs with an identical
+    * Long/Long/Long shape, so Spark's checkpoint state-schema check cannot
+    * catch a restart from a pre-change checkpoint — stored ms values would
+    * be silently reread as µs. Restarting an old checkpoint on this build
+    * is invalid; start the query fresh. */
   case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
   /** Gap-based sessionization, streaming form (SURVEY.md §2.6 T3 extension;
@@ -123,14 +129,14 @@ object EventStreams {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
 
+    // Spark's own converters: exact for sub-second values on BOTH sides of
+    // the 1970 epoch (hand-rolled /1000 arithmetic truncates toward zero,
+    // which mis-converts pre-1970 times and can feed setNanos a negative)
     def toMicros(ts: Timestamp): Long =
-      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L % 1000000L
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
 
-    def fromMicros(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000)
-      t.setNanos((us % 1000000L).toInt * 1000)
-      t
-    }
+    def fromMicros(us: Long): Timestamp =
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
 
     def close(s: OpenSession, userId: Long): Session =
       Session(userId, fromMicros(s.startUs), fromMicros(s.lastUs), s.n)

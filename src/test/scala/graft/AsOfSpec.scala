@@ -39,6 +39,17 @@ class AsOfSpec extends SparkTestBase {
       ("d", Some(300L), Some(ts("2024-01-01 11:00:00")))))
   }
 
+  test("joinAsOf: a NULL right timestamp matches nothing (not everything)") {
+    // nulls sort first in the carry-forward window, so an unfiltered NULL
+    // right row would be treated as earlier-than-any-left — DuckDB's ASOF
+    // strict bound gives it no matches, the semantics pinned here
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, null.asInstanceOf[Timestamp], 7L)).toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "t", Seq("v"))
+      .select($"tag", $"v").collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(out.toSeq == Seq(("x", None)))
+  }
+
   test("joinAsOf rejects payload names that collide with left columns") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "v")
     val right = Seq((1L, ts("2023-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
