@@ -31,9 +31,16 @@ object Aggregators {
     * Feed it pre-distinct input: duplicate values would occupy multiple of
     * the k slots (entries dedupe exactly, so exact dups collapse, but that
     * is a guarantee about ties, not a distinct-ness guarantee).
+    *
+    * The buffer is kept sorted, distinct, and ≤ k at all times, so `reduce`
+    * is a bounded O(k) insertion (usually an O(1) reject once the group has
+    * seen k small hashes) and `merge` is a single merge-take-k pass — no
+    * per-row re-sort or `distinct` allocation.
     */
   final class BottomKByHash(k: Int) extends Aggregator[String, Seq[HashEntry], Seq[String]] {
     require(k > 0, s"k must be positive, got $k")
+
+    private val ord: Ordering[HashEntry] = Ordering.by((e: HashEntry) => (e.h, e.v))
 
     private def md5hex(s: String): String = {
       val d = MessageDigest.getInstance("MD5")
@@ -46,14 +53,40 @@ object Aggregators {
       sb.toString
     }
 
-    private def trim(entries: Seq[HashEntry]): Seq[HashEntry] =
-      entries.distinct.sortBy(e => (e.h, e.v)).take(k)
-
     override def zero: Seq[HashEntry] = Nil
-    override def reduce(b: Seq[HashEntry], v: String): Seq[HashEntry] =
-      if (v == null) b else trim(b :+ HashEntry(md5hex(v), v))
-    override def merge(a: Seq[HashEntry], b: Seq[HashEntry]): Seq[HashEntry] =
-      trim(a ++ b)
+
+    override def reduce(b: Seq[HashEntry], v: String): Seq[HashEntry] = {
+      if (v == null) return b
+      val e = HashEntry(md5hex(v), v)
+      // Full buffer and e doesn't beat the current worst: reject without
+      // touching the buffer (equality with the worst is an exact dup).
+      if (b.length == k && ord.gteq(e, b.last)) return b
+      val i = b.indexWhere(x => ord.gteq(x, e))
+      if (i >= 0 && b(i) == e) b // exact dup collapses
+      else {
+        val pos = if (i < 0) b.length else i
+        val grown = (b.take(pos) :+ e) ++ b.drop(pos)
+        if (grown.length > k) grown.take(k) else grown
+      }
+    }
+
+    override def merge(a: Seq[HashEntry], b: Seq[HashEntry]): Seq[HashEntry] = {
+      // Both sides satisfy the sorted-distinct-≤k invariant; one merge pass.
+      val out = scala.collection.mutable.ArrayBuffer.empty[HashEntry]
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length) { out += a(i); i += 1 }
+        else if (i >= a.length) { out += b(j); j += 1 }
+        else {
+          val c = ord.compare(a(i), b(j))
+          if (c < 0) { out += a(i); i += 1 }
+          else if (c > 0) { out += b(j); j += 1 }
+          else { out += a(i); i += 1; j += 1 } // same entry on both sides
+        }
+      }
+      out.toSeq
+    }
     override def finish(b: Seq[HashEntry]): Seq[String] = b.map(_.v)
     override def bufferEncoder: Encoder[Seq[HashEntry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashEntry]]()

@@ -38,6 +38,26 @@ class SamplingSpec extends SparkTestBase {
     assert(a.view.mapValues(_.toSet).toMap == windowed)
   }
 
+  test("bottom-k buffer: bounded insert/merge equals brute-force trim") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val agg = new graft.functions.Aggregators.BottomKByHash(4)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val vals = Seq.fill(rnd.nextInt(30))(rnd.nextInt(12).toString)
+      val (l, r) = vals.splitAt(if (vals.isEmpty) 0 else rnd.nextInt(vals.length + 1))
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      assert(bufL.length <= 4 && bufR.length <= 4)
+      val merged = agg.merge(bufL, bufR)
+      assert(merged.length <= 4)
+      val expect = vals.distinct.sortBy(v => (md5hex(v), v)).take(4)
+      assert(agg.finish(merged) == expect, s"vals=$vals split=${l.length}")
+    }
+  }
+
   test("membership is key-pure: identical across runs and partitionings") {
     val ids = (0L until 2000L).toDF("id")
     val a = ids.filter(Sampling.hashGate($"id", 0.3))
