@@ -59,6 +59,10 @@ object SparkEntry {
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
     "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // rows-only (xxhash64 not in DuckDB)
     "embedding_near_dup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // rows-only: production LSH geometry (threshold .95, r=8/b=32) reported
+    // as volume stats — the near-exhaustive test geometry above is what the
+    // brute-force oracle can check; this is what runs at 100 TB
+    "embedding_near_dup_scale" -> ((s, d) => Dedup.embeddingNearDupScale(s, d)),
     // —— LLM-pipeline: similarity search ——
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only (approximate by design)

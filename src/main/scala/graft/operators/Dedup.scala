@@ -199,13 +199,13 @@ object Dedup {
     embeddingNearDupOf(Tables.embeddings(spark, sfDir), threshold, numBands,
       rowsPerBand, dim, seed)
 
-  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame.
-    * `dim` must equal the embedding column's length — the band expression
-    * fails fast on a mismatch (a truncated dot product would silently
-    * degrade candidate recall while the exact verify uses full vectors). */
-  def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
-      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
-      seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
+  /** Sign-LSH candidate pairs over a (vec_id, embedding) frame — the banded
+    * stage of [[embeddingNearDupOf]], exposed so callers can score the
+    * candidate VOLUME itself (the quantity the scale argument is about).
+    * Null embeddings are dropped before banding. */
+  def embeddingCandidates(embeddings: DataFrame, numBands: Int,
+      rowsPerBand: Int, dim: Int, seed: Long,
+      maxBucketSize: Int): DataFrame = {
     // sign-LSH band keys as a native expression (bit r of band b = sign of
     // the dot with plane b·rows+r, P[bit agrees] = 1 − θ/π); the plane
     // matrix (bands×rows×dim doubles) rides along as a codegen reference
@@ -216,18 +216,79 @@ object Dedup {
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucketSize)
-    val candidates = banded.as("l")
+    banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a_vec_id"), col("r.vec_id").as("b_vec_id"))
       .distinct()
+  }
+
+  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame.
+    * `dim` must equal the embedding column's length — the band expression
+    * fails fast on a mismatch (a truncated dot product would silently
+    * degrade candidate recall while the exact verify uses full vectors). */
+  def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
+    val emb = spread(embeddings).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val candidates = embeddingCandidates(embeddings, numBands, rowsPerBand,
+      dim, seed, maxBucketSize)
     candidates
       .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("a_emb")), "a_vec_id")
       .join(emb.select($"vec_id".as("b_vec_id"), $"embedding".as("b_emb")), "b_vec_id")
       .withColumn("cosine", round(Similarity.cosine($"a_emb", $"b_emb"), 6))
       .filter($"cosine" >= threshold)
       .select($"a_vec_id", $"b_vec_id", $"cosine")
+  }
+
+  /** Production-geometry embedding dedup, reported as volume stats: one row
+    * with the corpus size, the all-pairs count a naive plan would score, the
+    * sign-LSH candidate count actually scored, and the surviving pair count.
+    *
+    * The registered [[embeddingNearDup]] entry deliberately runs a
+    * near-exhaustive test geometry (threshold 0.4, r=2/b=64) so the DuckDB
+    * brute-force oracle can match it exactly. THIS entry runs the geometry
+    * the 100 TB argument is about — threshold 0.95, r=8/b=32: a qualifying
+    * pair (θ ≈ 18.2°, per-bit agreement ≈ 0.90) is missed with
+    * p = (1 − 0.9⁸)³² ≈ 2e-8, while background pairs collide at the rate
+    * `candidate_frac` makes visible. DedupSpec pins candidate_frac ≪ 1;
+    * at 100 TB the same geometry holds because both the miss bound and the
+    * background collision rate are per-PAIR properties, independent of n.
+    */
+  def embeddingNearDupScale(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95, numBands: Int = 32, rowsPerBand: Int = 8,
+      dim: Int = 64, seed: Long = 7L): DataFrame =
+    embeddingNearDupScaleOf(Tables.embeddings(spark, sfDir), threshold,
+      numBands, rowsPerBand, dim, seed)
+
+  /** Core of [[embeddingNearDupScale]] over any (vec_id, embedding) frame. */
+  def embeddingNearDupScaleOf(embeddings: DataFrame, threshold: Double = 0.95,
+      numBands: Int = 32, rowsPerBand: Int = 8, dim: Int = 64,
+      seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
+    val emb = spread(embeddings).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val candidates = embeddingCandidates(embeddings, numBands, rowsPerBand,
+      dim, seed, maxBucketSize)
+    // one pass over the candidates scores AND counts them (no second job)
+    val candStats = candidates
+      .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("a_emb")), "a_vec_id")
+      .join(emb.select($"vec_id".as("b_vec_id"), $"embedding".as("b_emb")), "b_vec_id")
+      .withColumn("cosine", Similarity.cosine($"a_emb", $"b_emb"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"cosine" >= threshold, 1L).otherwise(0L)).as("n_pairs"))
+      .select($"n_candidates",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+    val corpusStats = emb.agg(count(lit(1)).as("n_vectors"))
+    // both sides are single-row aggregates — the cross join is trivial
+    corpusStats.crossJoin(candStats)
+      .withColumn("all_pairs", expr("n_vectors * (n_vectors - 1) DIV 2"))
+      .withColumn("candidate_frac",
+        round($"n_candidates".cast("double") /
+          greatest($"all_pairs", lit(1L)).cast("double"), 6))
+      .select($"n_vectors", $"all_pairs", $"n_candidates", $"n_pairs",
+        $"candidate_frac")
   }
 
   /** 64-bit SimHash of the text's distinct shingle set. The bit-majority

@@ -107,6 +107,28 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.size == 40 * 39 / 2 + 1) // cap off → family pairs appear
   }
 
+  test("embeddingNearDupScale: candidate volume well below all-pairs, exact pair count") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val r = Dedup.embeddingNearDupScaleOf(emb).collect().head
+    val nVectors = r.getAs[Long]("n_vectors")
+    val allPairs = r.getAs[Long]("all_pairs")
+    val nCand = r.getAs[Long]("n_candidates")
+    val nPairs = r.getAs[Long]("n_pairs")
+    assert(nVectors > 0)
+    assert(allPairs == nVectors * (nVectors - 1) / 2)
+    // the whole point of the production geometry: the banded join scores a
+    // small fraction of the pairs a naive all-pairs plan would (background
+    // cosine on the fixture is near 0 → per-pair collision ≈ 1−(1−2⁻⁸)³² ≈ 12%)
+    assert(nCand < allPairs / 4, s"candidates $nCand vs all-pairs $allPairs")
+    assert(r.getAs[Double]("candidate_frac") < 0.25)
+    // pair COUNT agrees with brute force at the same threshold (recall of the
+    // geometry is pinned by the planted-vector test above; miss p ≈ 2e-8)
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.95)
+      .count()
+    assert(nPairs == brute)
+  }
+
   test("embeddingNearDup fails fast on a plane/embedding dim mismatch") {
     // silent min-length truncation would degrade LSH recall invisibly while
     // the exact-cosine verify uses full vectors (ADVICE r3)
