@@ -66,6 +66,9 @@ object SparkEntry {
     // —— LLM-pipeline: similarity search ——
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only (approximate by design)
+    // rows-only: build-once/query-many path — persist partitioned by cell,
+    // re-load, probe with partition pruning (PlanShapeSpec pins the pruning)
+    "ivf_topk_persisted" -> ((s, d) => Similarity.ivfTopKPersisted(s, d)),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),

@@ -56,6 +56,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("persisted IVF probe prunes the scan to the probed cell directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 8), dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val queries = emb.limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // AQE off so the executed plan is inspectable without stage indirection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.queryIvfIndex(loaded, queries, k = 5, nprobe = 2)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(dir)) => f
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(1500))
+      val scan = scans.head
+      // the probe predicate must be a PARTITION filter (directory pruning),
+      // not a post-scan data filter
+      assert(scan.partitionFilters.mkString(",").contains("cell"),
+        scan.partitionFilters.mkString(","))
+      // one query × nprobe=2 → exactly 2 of the 8 cell directories read
+      val scanned = scan.metrics.get("numPartitions").map(_.value)
+      assert(scanned.contains(2L), s"partitions read: $scanned")
+      // and the persisted probe returns the same rows as the in-memory index
+      val mem = Similarity.queryIvfIndex(
+        Similarity.buildIvfIndex(emb, nlist = 8), queries, k = 5, nprobe = 2)
+      assert(rows.map(_.toSeq).toSet == mem.collect().map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dimension joins stay broadcast at fixture scale (q5 fact never shuffles for dims)") {
     val plan = planOf(Relational.q5NationRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
