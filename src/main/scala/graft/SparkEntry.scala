@@ -57,7 +57,11 @@ object SparkEntry {
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
-    "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // rows-only (xxhash64 not in DuckDB)
+    // oracle: DuckDB brute-forces Hamming pairs over the Spark-dumped
+    // signatures below ({OUT} placeholder) — the xxhash64-based hash itself
+    // has no DuckDB twin, the pair derivation does
+    "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)), // rows-only (it IS the oracle input)
     "embedding_near_dup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // rows-only: production LSH geometry (threshold .95, r=8/b=32) reported
     // as volume stats — the near-exhaustive test geometry above is what the
@@ -270,6 +274,15 @@ object SparkEntry {
         "(epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS secs_since_purchase " +
         "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"),
     "exact_dedup" -> exactDedupSql,
+    // brute-force Hamming pairs over the SPARK-computed signatures (dumped
+    // by the simhash_signatures entry; {OUT} → Verify's output dir): an
+    // independent twin of the pigeonhole-chunk candidate join + verify
+    "simhash_near_dup" ->
+      ("WITH s AS (SELECT doc_id, sh FROM read_parquet('{OUT}/simhash_signatures/*.parquet')) " +
+        "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"),
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,

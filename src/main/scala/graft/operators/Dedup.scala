@@ -301,6 +301,18 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Registered companion of [[simhashNearDup]]: the per-doc 64-bit SimHash
+    * signatures themselves. Rows-only on its own (xxhash64 has no DuckDB
+    * twin), it exists so the simhash_near_dup ORACLE can brute-force the
+    * Hamming pairs in DuckDB over these Spark-computed signatures — an
+    * independent check of the pigeonhole candidate generation + verify
+    * stages (DedupSpec pins the hash's locality property separately).
+    */
+  def simhashSignatures(spark: SparkSession, sfDir: String,
+      shingleLen: Int = 5): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", simhash($"text", shingleLen).as("sh"))
+
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * key chunks (pigeonhole: any pair with Hamming distance ≤ 3 must agree
     * on a whole chunk), verified with an exact `bit_count(xor)` filter.
