@@ -95,12 +95,23 @@ object Dedup {
     * 5·10¹¹ pairs and pin the join; such families are tier-1 (exact dedup)
     * work, not near-dup work. Hot keys are aggregated to a (tiny) frame and
     * removed with a broadcast anti-join, so the banded frame is never
-    * re-SHUFFLED for the guard — but it IS re-COMPUTED: without caching,
-    * the hot-key aggregate is a third evaluation of the shingle/minhash
-    * subtree (the self-join's two sides are the other two; only the
-    * spread exchange below it is reused). At production scale persist or
-    * checkpoint the banded frame before the join; for one-shot runs the
-    * extra narrow pass is the price of not pinning executor memory.
+    * re-SHUFFLED for the guard — but it IS re-COMPUTED: the hot-key
+    * aggregate is a third evaluation of the shingle/minhash subtree (the
+    * self-join's two sides are the other two; only the spread exchange
+    * below it is reused).
+    *
+    * MEASURED dead end (round 6): ending the guard with an explicit
+    * `repartition(keys)` — so both self-join sides ReusedExchange one map
+    * pass and the signature is evaluated once — regressed the sub-cap-skew
+    * tiers up to 8× (embedding_near_dup 1.8 s → 14.0 s at sf0.1). A
+    * user-specified repartition's shuffle carries the REPARTITION_BY_COL
+    * origin, which AQE's OptimizeSkewedJoin refuses to split (it only
+    * rewrites ENSURE_REQUIREMENTS exchanges), so the quadratic candidate
+    * buckets BELOW the cap (sign-LSH at r=2 has only 4 keys per band) stop
+    * being skew-split at the join and serialize onto single tasks. The
+    * recompute is the cheaper side of that trade; at production scale
+    * checkpoint the banded frame instead — a scan has no skew-split
+    * constraint.
     */
   private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
       cap: Int): DataFrame = {
