@@ -57,6 +57,9 @@ object SparkEntry {
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    // connected components over the pair graph (dup FAMILIES); oracle is a
+    // DuckDB recursive CTE over the same brute-force pair set
+    "near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // oracle: DuckDB brute-forces Hamming pairs over the Spark-dumped
     // signatures below ({OUT} placeholder) — the xxhash64-based hash itself
     // has no DuckDB twin, the pair derivation does
@@ -286,6 +289,18 @@ object SparkEntry {
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,
+    // min-reachable-label per node over the symmetrized pair graph — an
+    // independent (recursive-CTE) implementation of the same connected
+    // components the Spark side computes by iterative label propagation
+    "near_dup_clusters" ->
+      (s"WITH RECURSIVE nd AS ($nearDupPairsSql), " +
+        "sym AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM nd " +
+        "UNION ALL SELECT b_doc_id, a_doc_id FROM nd), " +
+        "reach(node, label) AS (" +
+        "SELECT DISTINCT src, src FROM sym " +
+        "UNION " +
+        "SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node) " +
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"),
     "near_dedup_corpus" ->
       (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql) " +
         "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +

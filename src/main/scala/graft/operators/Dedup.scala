@@ -185,6 +185,56 @@ object Dedup {
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
   }
 
+  /** Near-duplicate FAMILIES: connected components over the near-dup pair
+    * graph, labeling every member doc with its cluster's minimum doc_id.
+    * The step a production dedup pipeline needs after [[nearDupPairs]] —
+    * pairwise output alone can't answer "keep one doc per family" when
+    * similarity is not transitive (a~b, b~c, a≁c must still collapse to one
+    * family), which is exactly what LSH chains produce.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors, lineage cut
+    * per round (localCheckpoint here; use reliable `checkpoint` on a
+    * cluster). Each round is one shuffle join + hash-agg over the EDGE
+    * list, so cost is O(rounds × |E|) — never quadratic, and |E| is the
+    * (already skew-capped) LSH pair list. Rounds needed = graph diameter:
+    * dup families from banded LSH are near-cliques, so 2-3 in practice,
+    * with a defensive cap (the classic alternating small-star/large-star
+    * halves worst-case path graphs; unnecessary at clique-like diameters).
+    * The driver-side loop is iterate-until-fixpoint over counts, not a
+    * data collect — the same legitimate driver pattern as Lloyd iterations.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = pairs
+      .select($"a_doc_id".as("src"), $"b_doc_id".as("dst"))
+      .union(pairs.select($"b_doc_id".as("src"), $"a_doc_id".as("dst")))
+    var labels = sym.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy($"src").agg(min($"label").as("nbr_label"))
+      // every node keeps min(own, neighbors') — materialized once per round
+      val step = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select($"node", $"label",
+          least($"label", coalesce($"nbr_label", $"label")).as("new_label"))
+        .localCheckpoint()
+      changed = step.filter($"new_label" =!= $"label").count()
+      labels = step.select($"node", $"new_label".as("label"))
+      iter += 1
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** Registered form of [[dupClusters]] over [[nearDupPairs]]' output:
+    * (doc_id, cluster_id) for every doc in some near-dup family. Oracle =
+    * a DuckDB recursive CTE computing min-reachable-label over the same
+    * brute-force pair set. */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(nearDupPairs(spark, sfDir))
+
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

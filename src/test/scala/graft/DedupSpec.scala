@@ -107,6 +107,48 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.size == 40 * 39 / 2 + 1) // cap off → family pairs appear
   }
 
+  test("dupClusters equals union-find on random graphs and multi-hop chains") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = min id
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+    // decreasing chain: the min label must propagate one hop per round —
+    // exercises the fixpoint loop, not just one propagation step
+    val chain = (1L to 9L).map(i => (i - 1, i)).map { case (a, b) => (b, a) }
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    for (edges <- Seq(chain, random)) {
+      val got = Dedup.dupClusters(edges.toDF("a_doc_id", "b_doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
+  test("nearDupClusters labels every paired doc with its family minimum") {
+    val pairs = Dedup.nearDupPairs(spark, sf)
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect()
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // each pair's two docs share a cluster, and the label is a member ≤ all
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b))
+      assert(clusters(a) <= math.min(a, b))
+    }
+    assert(clusters.values.toSet.subsetOf(clusters.keySet)) // labels are real docs
+  }
+
   test("embeddingNearDupScale: candidate volume well below all-pairs, exact pair count") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val r = Dedup.embeddingNearDupScaleOf(emb).collect().head
