@@ -205,9 +205,17 @@ object Dedup {
     * data collect — the same legitimate driver pattern as Lloyd iterations.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val sym = pairs
+    // Cut lineage ONCE before the loop: `pairs` is the entire MinHash-LSH
+    // pipeline, and without this cut every propagation round (and both
+    // union branches below) re-executes shingling → minhash → banding →
+    // self-join → exact verify from the parquet scan up — measured 33.4 s
+    // vs ~3 s at sf0.1, and the difference between O(rounds × |E|) and
+    // O(rounds × full-pipeline) at 100×. localCheckpoint here; use
+    // reliable `checkpoint` on a cluster.
+    val p = pairs.select($"a_doc_id", $"b_doc_id").localCheckpoint()
+    val sym = p
       .select($"a_doc_id".as("src"), $"b_doc_id".as("dst"))
-      .union(pairs.select($"b_doc_id".as("src"), $"a_doc_id".as("dst")))
+      .union(p.select($"b_doc_id".as("src"), $"a_doc_id".as("dst")))
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
       .localCheckpoint()
@@ -225,6 +233,12 @@ object Dedup {
       labels = step.select($"node", $"new_label".as("label"))
       iter += 1
     }
+    // A diameter-> maxIters graph (long LSH chains) must fail loudly, not
+    // return partially-propagated labels that silently mislabel clusters.
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters: $changed labels still changing after $maxIters rounds " +
+        "— pair-graph diameter exceeds the cap; raise maxIters (or switch " +
+        "to alternating small-star/large-star, which halves path graphs)")
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
   }
 
@@ -266,13 +280,27 @@ object Dedup {
     * Null embeddings are dropped before banding. */
   def embeddingCandidates(embeddings: DataFrame, numBands: Int,
       rowsPerBand: Int, dim: Int, seed: Long,
+      maxBucketSize: Int): DataFrame =
+    embeddingCandidatesOf(prepareEmbeddings(embeddings), numBands,
+      rowsPerBand, dim, seed, maxBucketSize)
+
+  /** Spread + null-drop an embeddings frame once, so the near-dup family can
+    * share ONE prepared frame between candidate generation and exact verify
+    * (each spread is a scan + exchange of the embeddings table). */
+  private def prepareEmbeddings(embeddings: DataFrame): DataFrame =
+    spread(embeddings).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+
+  /** Core of [[embeddingCandidates]] over an already-[[prepareEmbeddings]]'d
+    * frame — callers that also need the vectors for exact verification pass
+    * the same prepared frame here instead of re-spreading the raw table. */
+  private def embeddingCandidatesOf(emb: DataFrame, numBands: Int,
+      rowsPerBand: Int, dim: Int, seed: Long,
       maxBucketSize: Int): DataFrame = {
     // sign-LSH band keys as a native expression (bit r of band b = sign of
     // the dot with plane b·rows+r, P[bit agrees] = 1 − θ/π); the plane
     // matrix (bands×rows×dim doubles) rides along as a codegen reference
     val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
-    val emb = spread(embeddings).select($"vec_id", $"embedding")
-      .filter($"embedding".isNotNull)
     val banded = dropHotBuckets(emb
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
@@ -292,9 +320,8 @@ object Dedup {
   def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
       seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
-    val emb = spread(embeddings).select($"vec_id", $"embedding")
-      .filter($"embedding".isNotNull)
-    val candidates = embeddingCandidates(embeddings, numBands, rowsPerBand,
+    val emb = prepareEmbeddings(embeddings)
+    val candidates = embeddingCandidatesOf(emb, numBands, rowsPerBand,
       dim, seed, maxBucketSize)
     candidates
       .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("a_emb")), "a_vec_id")
@@ -328,9 +355,8 @@ object Dedup {
   def embeddingNearDupScaleOf(embeddings: DataFrame, threshold: Double = 0.95,
       numBands: Int = 32, rowsPerBand: Int = 8, dim: Int = 64,
       seed: Long = 7L, maxBucketSize: Int = 1000): DataFrame = {
-    val emb = spread(embeddings).select($"vec_id", $"embedding")
-      .filter($"embedding".isNotNull)
-    val candidates = embeddingCandidates(embeddings, numBands, rowsPerBand,
+    val emb = prepareEmbeddings(embeddings)
+    val candidates = embeddingCandidatesOf(emb, numBands, rowsPerBand,
       dim, seed, maxBucketSize)
     // one pass over the candidates scores AND counts them (no second job)
     val candStats = candidates

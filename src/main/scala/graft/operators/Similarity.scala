@@ -176,21 +176,56 @@ object Similarity {
     queryIvfIndex(index, queries, k, nprobe)
   }
 
+  /** tmpdir slot for a persisted index: keyed by the SANITIZED sf-dir path
+    * (the previous `hashCode` key could collide across distinct dirs) under
+    * a per-PROCESS root, so concurrent runs over the same sf dir (e.g. a
+    * bench and a verify) never race one's overwrite against the other's
+    * read. In production this is an explicit warehouse path, not a tmpdir.
+    */
+  private def ivfIndexPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_p${ProcessHandle.current().pid()}/$key"
+  }
+
   /** Registered query: the build-once / query-many production path — build,
     * PERSIST partitioned by cell, re-load, probe. Returns the same rows as a
     * probe of the in-memory index; what it demonstrates is the on-disk
     * layout: the probe's scan prunes to the probed cell directories
-    * (PlanShapeSpec asserts scanned partitions == probed cells). The index
-    * lands under java.io.tmpdir keyed by the sf dir, overwritten per run.
+    * (PlanShapeSpec asserts scanned partitions == probed cells). This entry
+    * deliberately TIMES the whole build+persist+load+probe cycle; the
+    * amortized standing-index number is [[ivfProbeOnly]].
     */
   def ivfTopKPersisted(spark: SparkSession, sfDir: String,
       numQueries: Int = 5, k: Int = 10, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(sfDir.hashCode.toLong)}"
+    val path = ivfIndexPath(sfDir)
     writeIvfIndex(buildIvfIndex(emb, nlist), path)
     val queries = emb.filter($"vec_id" < numQueries).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     queryIvfIndex(loadIvfIndex(spark, path), queries, k, nprobe)
+  }
+
+  /** Registered query: AMORTIZED probe latency against a standing index —
+    * the number a build-once/query-many user actually pays per query batch.
+    * Builds and persists the index only if this process hasn't yet (the
+    * bench's untimed warmup pass therefore absorbs the build; the timed
+    * passes measure load + pruned probe only). Same rows as [[ivfTopK]] on
+    * the same parameters.
+    */
+  def ivfProbeOnly(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val path = ivfIndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centers"))) {
+      val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
+      writeIvfIndex(buildIvfIndex(emb, nlist), path)
+    }
+    val index = loadIvfIndex(spark, path)
+    // the query batch comes from the raw table (pushed-down vec_id filter),
+    // standing in for the user-supplied driver-small batch
+    val queries = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding").filter($"vec_id" < numQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    queryIvfIndex(index, queries, k, nprobe)
   }
 }

@@ -66,6 +66,9 @@ class PlanShapeSpec extends SparkTestBase {
     val queries = emb.limit(1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     // AQE off so the executed plan is inspectable without stage indirection
+    // (restore the SAVED value, not a literal — the shared session's base
+    // config must survive this suite unchanged)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = Similarity.queryIvfIndex(loaded, queries, k = 5, nprobe = 2)
@@ -88,7 +91,7 @@ class PlanShapeSpec extends SparkTestBase {
       val mem = Similarity.queryIvfIndex(
         Similarity.buildIvfIndex(emb, nlist = 8), queries, k = 5, nprobe = 2)
       assert(rows.map(_.toSeq).toSet == mem.collect().map(_.toSeq).toSet)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("dimension joins stay broadcast at fixture scale (q5 fact never shuffles for dims)") {

@@ -29,8 +29,12 @@ class StreamingSoakSpec extends SparkTestBase {
     * excluded) and batch latency. */
   private def soak(q: StreamingQuery, soakMs: Long): Soak = {
     Thread.sleep(soakMs)
-    val progress = q.recentProgress.toSeq
+    // stop FIRST, then snapshot: a micro-batch completing between a
+    // progress snapshot and stop() would be sunk but unreported, breaking
+    // any rows-accounting against the sink
     q.stop()
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
     val busy = progress.filter(_.numInputRows > 0)
     val durs = busy.map(_.durationMs.get("triggerExecution").toLong)
     val rows = busy.map(_.numInputRows).sum
@@ -72,7 +76,10 @@ class StreamingSoakSpec extends SparkTestBase {
 
     assert(cSoak.batches >= 2 && cSoak.totalRows > 20000, cSoak)
     assert(cSoak.rowsPerSec > 5000, s"collector throughput degenerate: $cSoak")
-    assert(collector.collected == cSoak.totalRows) // every soaked row was sunk
+    // >= not ==: recentProgress is a BOUNDED buffer (default 100 entries),
+    // so on a fast machine early batches silently age out of totalRows;
+    // every reported row must still have reached the sink
+    assert(collector.collected >= cSoak.totalRows, (collector.collected, cSoak))
     assert(hSoak.batches >= 2 && hSoak.totalRows > 50000, hSoak)
     assert(hSoak.rowsPerSec > 20000, s"agg throughput degenerate: $hSoak")
   }
