@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.Soak
+
+/** Streaming throughput artifact main: runs the soak harness at BOTH the
+  * CI test geometry (local[4]) and the bench-box geometry (local[32]),
+  * rates scaled with the cores, and writes one STREAMBENCH.json covering
+  * both — so the recorded rows/sec reflect the machine the batch bench
+  * uses, not only the conservative test session. One JVM suffices: a
+  * stopped SparkContext can be replaced by the next geometry's builder.
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val geoms = Seq(4, 32).map { cores =>
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val out = Files.createTempDirectory(s"graft-soak-$cores")
+      out.toFile.deleteOnExit()
+      val scale = cores / 4
+      val (collectorRate, eventsRate) = (50000 * scale, 200000 * scale)
+      val (c, sunk, h) = Soak.run(spark, collectorRate, eventsRate, out.toString)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      require(sunk >= c.totalRows, s"collector sank $sunk < reported ${c.totalRows}")
+      s""""local_$cores":{"collector":${Soak.json(c)},""" +
+        s""""hourly_type_counts":${Soak.json(h)},"cores":$cores,""" +
+        s""""collector_rate":$collectorRate,"events_rate":$eventsRate}"""
+    }
+    val line = geoms.mkString("{", ",", "}\n")
+    Files.writeString(Paths.get("STREAMBENCH.json"), line)
+    println(line)
+  }
+}

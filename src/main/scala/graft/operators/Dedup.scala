@@ -222,13 +222,8 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy($"src").agg(min($"label").as("nbr_label"))
       // every node keeps min(own, neighbors') — materialized once per round
-      val step = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select($"node", $"label",
-          least($"label", coalesce($"nbr_label", $"label")).as("new_label"))
-        .localCheckpoint()
+      val step = propagateMinLabel(sym, labels).localCheckpoint()
       changed = step.filter($"new_label" =!= $"label").count()
       labels = step.select($"node", $"new_label".as("label"))
       iter += 1
@@ -240,6 +235,19 @@ object Dedup {
         "— pair-graph diameter exceeds the cap; raise maxIters (or switch " +
         "to alternating small-star/large-star, which halves path graphs)")
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** One min-label propagation round — the loop body of [[dupClusters]],
+    * exposed so [[graft.Explain]] can dump the PER-ROUND physical plan (an
+    * iterative query has no single plan; the executed per-round cost is
+    * exactly this: one shuffle join + hash-agg over the materialized edge
+    * list, never a re-derivation of the pairs). */
+  def propagateMinLabel(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+      .groupBy($"src").agg(min($"label").as("nbr_label"))
+    labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+      .select($"node", $"label",
+        least($"label", coalesce($"nbr_label", $"label")).as("new_label"))
   }
 
   /** Registered form of [[dupClusters]] over [[nearDupPairs]]' output:
