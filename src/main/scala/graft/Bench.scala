@@ -34,6 +34,36 @@ import org.apache.spark.sql.SparkSession
   *    build.sbt now also sets StdoutOutput so the stdout line is raw).
   */
 object Bench {
+
+  /** Best-known time per query across every committed `BENCH_r*.json`
+    * artifact in `dir`. The artifacts carry the per-query map twice — a raw
+    * escaped "tail" string and a pretty-printed "parsed" object (`"name":
+    * 1.23`, whitespace after the colon) — so the pattern allows whitespace
+    * and only the parsed copy can match (the tail's names end in `\"`, which
+    * breaks the closing-quote match). Matching only exact current query
+    * names keeps the regex parse safe, and taking the MIN across rounds
+    * means one contaminated prior round can't mask a stall in this one.
+    * Only artifacts recorded at the SAME sf dir count — a dev run at a
+    * smaller scale factor must not be judged against sf0.1 baselines.
+    */
+  def bestPriorTimes(dir: java.io.File, names: Seq[String],
+      sfDir: String): Map[String, Double] = {
+    val sfPat = ("\"sf\"\\s*:\\s*\"" +
+      java.util.regex.Pattern.quote(sfDir) + "\"").r
+    val perFile = for {
+      f <- Option(dir.listFiles()).getOrElse(Array()).toSeq
+      if f.getName.matches("BENCH_r\\d+\\.json")
+      txt = scala.util.Try(Files.readString(f.toPath)).getOrElse("")
+      if sfPat.findFirstIn(txt).isDefined
+      n <- names
+      m <- ("\"" + java.util.regex.Pattern.quote(n) + "\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)").r
+        .findFirstMatchIn(txt)
+      v = m.group(1).toDouble
+      if v > 0
+    } yield n -> v
+    perFile.groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -74,25 +104,7 @@ object Bench {
       }
     }
 
-    // Best-known time per query across every prior round's committed
-    // artifact. The artifacts contain the per-query map twice (raw tail +
-    // parsed); matching only exact current query names keeps the regex
-    // parse safe, and taking the MIN across rounds means one contaminated
-    // prior round can't mask a stall in this one.
-    val prevBest: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      val perFile = for {
-        f <- files.toSeq
-        txt = scala.util.Try(Files.readString(f.toPath)).getOrElse("")
-        n <- names
-        m <- ("\"" + java.util.regex.Pattern.quote(n) + "\":(-?[0-9][0-9.eE+-]*)").r
-          .findFirstMatchIn(txt)
-        v = m.group(1).toDouble
-        if v > 0
-      } yield n -> v
-      perFile.groupMapReduce(_._1)(_._2)(math.min)
-    }
+    val prevBest = bestPriorTimes(new java.io.File("."), names, sfDir)
     val suspects = inRunTimes.collect {
       case (n, t) if t > 0 && prevBest.get(n).exists(p => t > 2 * p) => n
     }

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the stall-detection input parse in [[Bench.bestPriorTimes]] against
+  * the driver's actual BENCH_r{N}.json shape: a raw escaped "tail" string
+  * (whose times must NOT match — they may be a different run) followed by a
+  * pretty-printed "parsed" object with whitespace after the colon. A silent
+  * parse-to-empty here disables stall detection without any visible failure,
+  * which is exactly how the round-7 regex bug shipped in the first draft.
+  */
+class BenchParseSpec extends AnyFunSuite {
+
+  private val artifact =
+    """{
+      |  "n": 6,
+      |  "tail": "{\"metric\":\"total\",\"queries\":{\"q_alpha\":9.99,\"q_beta\":9.99},\"sf\":\"/data/sf0.1\"}",
+      |  "parsed": {
+      |    "metric": "total",
+      |    "value": 3.5,
+      |    "queries": {
+      |      "q_alpha": 1.25,
+      |      "q_beta": 2.25,
+      |      "q_failed": -1.0
+      |    },
+      |    "sf": "/data/sf0.1"
+      |  }
+      |}""".stripMargin
+
+  test("bestPriorTimes reads the parsed section, skips the tail and failures") {
+    val dir = Files.createTempDirectory("graft-benchparse")
+    dir.toFile.deleteOnExit()
+    Files.writeString(dir.resolve("BENCH_r06.json"), artifact)
+    // a second round with a worse alpha and a better beta: min must win per query
+    Files.writeString(dir.resolve("BENCH_r05.json"),
+      artifact.replace("1.25", "5.0").replace("2.25", "0.5"))
+    // non-matching files must be ignored
+    Files.writeString(dir.resolve("bench_last.json"), artifact.replace("1.25", "0.01"))
+
+    val names = Seq("q_alpha", "q_beta", "q_failed", "q_absent")
+    val best = Bench.bestPriorTimes(dir.toFile, names, "/data/sf0.1")
+    assert(best("q_alpha") == 1.25) // min across rounds, NOT the tail's 9.99
+    assert(best("q_beta") == 0.5)
+    assert(!best.contains("q_failed")) // -1 failure markers are not baselines
+    assert(!best.contains("q_absent"))
+    // a run at a DIFFERENT sf must see no baselines at all — a dev run at
+    // sf0.01 is not judged against sf0.1 numbers
+    assert(Bench.bestPriorTimes(dir.toFile, names, "/data/sf0.01").isEmpty)
+  }
+
+  test("empty dir yields no baselines (detection disabled, not crashed)") {
+    val dir = Files.createTempDirectory("graft-benchparse-empty")
+    dir.toFile.deleteOnExit()
+    assert(Bench.bestPriorTimes(dir.toFile, Seq("q_alpha"), "/data/sf0.1").isEmpty)
+  }
+}
