@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: the bench set now includes KMeans fits and LSH joins at
   // sf0.1 with up to 32 executor threads in one JVM; 8g GC-thrashed
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Thousands of generated classes across a 50-query run overflow the JVM's
+  // default 240 MB code cache, degrading the whole JVM to recompile churn;
+  // paired with spark.sql.codegen.cache.maxEntries=10000 in the session
+  // builders (the 100-entry default was the real cause of the "host stall"
+  // bench noise — BENCH_NOTES.md round-7 postmortem: 61.4s → 29.5s).
+  "-XX:ReservedCodeCacheSize=1g",
 )

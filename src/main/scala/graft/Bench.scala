@@ -74,6 +74,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (see Tables.events)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache holds only 100 entries by default; 50
+      // queries × several WholeStageCodegen units each far exceed it, so
+      // every re-execution Janino-recompiled its stages from scratch —
+      // the real cause of the 2-10× per-query inflation rounds 3-6
+      // misdiagnosed as host stalls (BENCH_NOTES.md round-7 postmortem).
+      // Static conf: must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -21,6 +21,8 @@ object StreamSoak {
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // see Bench.scala: 100-entry codegen cache thrashes across many plans
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val out = Files.createTempDirectory(s"graft-soak-$cores")

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (see Tables.events)
       .config("spark.ui.enabled", "false")
+      // 100-entry default thrashes across 50 queries → per-query Janino
+      // recompilation (see Bench.scala / BENCH_NOTES.md round-7 postmortem)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

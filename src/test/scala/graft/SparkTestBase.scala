@@ -16,6 +16,8 @@ object SparkTestBase {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
+    // see Bench.scala: 100-entry codegen cache thrashes across 149 tests
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     .getOrCreate()
 }
 
