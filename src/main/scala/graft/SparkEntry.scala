@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,12 @@ object SparkEntry {
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    // batch-vs-standing-corpus LSH (the daily-ingestion path: batch bands
+    // join a pre-capped corpus band index; corpus×corpus never pairs)
+    "incremental_near_dup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    // benchmark decontamination: corpus docs sharing token 8-grams with a
+    // held-out slice; benchmark grams broadcast, corpus never shuffled
+    "ngram_contamination" -> ((s, d) => Decontamination.ngramContamination(s, d)),
     // connected components over the pair graph (dup FAMILIES); oracle is a
     // DuckDB recursive CTE over the same brute-force pair set
     "near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -292,6 +298,30 @@ object SparkEntry {
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,
+    // brute-force batch×corpus twin of the incremental (batch-vs-standing)
+    // LSH join — same shingle sets, same threshold, same miss bound
+    "incremental_near_dup" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
+        "FROM documents) " +
+        "SELECT new_doc_id, dup_of_doc_id, jaccard FROM (" +
+        "SELECT a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, " +
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 " +
+        "WHERE len(a.s) > 0 AND len(b.s) > 0) " +
+        "WHERE jaccard >= 0.8"),
+    // brute-force distinct-token-8-gram intersection twin of the broadcast
+    // decontamination sweep (same whitespace tokenization as text_stats)
+    "ngram_contamination" ->
+      ("WITH tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM tok), " +
+        "b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0) " +
+        "SELECT c.doc_id, b.bench_id, count(*) AS n_shared " +
+        "FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2"),
     // min-reachable-label per node over the symmetrized pair graph — an
     // independent (recursive-CTE) implementation of the same connected
     // components the Spark side computes by iterative label propagation

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Benchmark decontamination: find training-corpus documents that share
+  * token n-grams with an evaluation/benchmark set (builder-brief north star;
+  * no reference-repo analogue). This is the standard pre-training hygiene
+  * sweep — published pipelines flag a training doc as contaminated when it
+  * shares one or more runs of ~8-13 consecutive tokens with any benchmark
+  * item, then drop or audit it.
+  *
+  * Scale design (what must survive 100 TB):
+  *  - Topology: the benchmark side is SMALL by definition (eval suites are
+  *    thousands-to-millions of items, not billions), so its exploded distinct
+  *    n-gram set is [[broadcast]] — the corpus side, whose exploded grams are
+  *    O(total tokens), is never shuffled: each partition probes the broadcast
+  *    hash relation in place and only the (rare) matches flow into the
+  *    group-by. A shuffle join here would move the entire tokenized corpus.
+  *  - Gram-frequency skew (stop-word-heavy grams shared by millions of docs)
+  *    therefore never concentrates on one task: matches stay on the corpus
+  *    partition that produced them, and the final (doc, bench) group-by is
+  *    keyed by doc pairs, not by gram.
+  *  - Grams are matched as exact strings so every hit is auditable (the
+  *    shared run is the join key itself). If broadcast size ever binds,
+  *    hash each gram to 64 bits first (`xxhash64`) — same plan shape, 8
+  *    bytes per gram, at a ~5e-20 per-pair false-positive rate.
+  */
+object Decontamination {
+
+  /** Distinct token n-gram set: whitespace tokenization (same rule as
+    * [[TextAnalysis]]'s token counts), rolling n-token windows re-joined
+    * with single spaces, de-duplicated. Null/blank-safe (→ empty set);
+    * texts shorter than n tokens yield the empty set — the `size < n`
+    * guard also keeps `sequence` ascending (Spark's `sequence(1, 0)`
+    * counts DOWN rather than returning empty).
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val t = trim(coalesce(text, lit("")))
+    val toks = when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Contamination pairs between a (doc_id, text) corpus and a
+    * (doc_id, text) benchmark frame: one row per (corpus doc, benchmark doc)
+    * pair sharing at least `minOverlap` distinct token n-grams, with the
+    * shared-gram count. Output: (doc_id, bench_id, n_shared).
+    */
+  def contaminationPairsOf(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    // spread the corpus side: tokenize+explode is the dominant per-row cost
+    val c = spread(corpus).select($"doc_id",
+      explode(tokenNgrams($"text", n)).as("gram"))
+    val b = benchmark.select($"doc_id".as("bench_id"),
+      explode(tokenNgrams($"text", n)).as("gram"))
+    // each side's grams are distinct per doc, so count(*) after the join is
+    // exactly |grams(doc) ∩ grams(bench)|
+    c.join(broadcast(b), "gram")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minOverlap)
+      .select($"doc_id", $"bench_id", $"n_shared")
+  }
+
+  /** Registered query: sweep the fixture corpus against a held-out
+    * "benchmark" slice of itself (every 10th doc), n=8 tokens. The oracle
+    * brute-forces the same distinct-gram intersection in DuckDB. */
+  def ngramContamination(spark: SparkSession, sfDir: String,
+      n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    contaminationPairsOf(
+      docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0), n)
+  }
+}

@@ -185,6 +185,73 @@ object Dedup {
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
   }
 
+  /** Incremental near-dup: MinHash-LSH candidates between a NEW batch and a
+    * STANDING corpus only — the daily-ingestion path of a production dedup
+    * pipeline. [[nearDupPairs]] answers "dedup this corpus against itself";
+    * this answers "which of today's documents duplicate anything already
+    * ingested" WITHOUT re-pairing the corpus against itself.
+    *
+    * Scale design: the join is batch-bands × corpus-bands on (band, bsig) —
+    * cost O(|batch| × bands) exchanged batch rows; corpus × corpus pairs are
+    * never generated. In production the corpus side of this join is a
+    * PERSISTED band-index table (computed once per doc at ingest, stored
+    * bucketed by (band, bsig) so the per-batch join is co-located — the same
+    * build-once/query-many layout as [[graft.operators.Similarity]]'s IVF
+    * index and `Tables.writeBucketed`), and each verified batch appends its
+    * own bands to it; here both sides are derived in-plan because the
+    * fixture has no standing warehouse. The hot-bucket cap applies to the
+    * corpus side only: a standing index is capped once at build time, and
+    * an incoming batch is small by definition.
+    *
+    * Output: (new_doc_id, dup_of_doc_id, jaccard) — one row per batch doc ×
+    * matched corpus doc at `threshold`, exact-Jaccard verified like
+    * [[nearDupPairsOf]] (same b=128/r=8 geometry, miss p ≈ 7e-11 at 0.8, so
+    * the brute-force oracle matches exactly). Corpus and batch doc_ids are
+    * independent namespaces — no cross-frame id constraint is applied.
+    */
+  def incrementalNearDupOf(corpus: DataFrame, batch: DataFrame,
+      shingleLen: Int = 5, numBands: Int = 128, rowsPerBand: Int = 8,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val corpusBase = spread(corpus)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    val batchBase = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    def bandsOf(base: DataFrame) = base.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig")))
+    val corpusBanded =
+      dropHotBuckets(bandsOf(corpusBase), Seq("band", "bsig"), maxBucketSize)
+    val candidates = bandsOf(batchBase).as("l")
+      .join(corpusBanded.as("r"),
+        col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
+      .select(col("l.doc_id").as("new_doc_id"),
+        col("r.doc_id").as("dup_of_doc_id"))
+      .distinct()
+    val shingleSets = (base: DataFrame, idAs: String, setAs: String) =>
+      base.select($"doc_id".as(idAs),
+        graft.functions.TextExpressions.charShingles($"t", shingleLen).as(setAs))
+    candidates
+      .join(shingleSets(batchBase, "new_doc_id", "a_sh"), "new_doc_id")
+      .join(shingleSets(corpusBase, "dup_of_doc_id", "b_sh"), "dup_of_doc_id")
+      .withColumn("inter",
+        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
+      .withColumn("jaccard", round($"inter".cast("double") /
+        (size($"a_sh") + size($"b_sh") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"new_doc_id", $"dup_of_doc_id", $"jaccard")
+  }
+
+  /** Registered form of [[incrementalNearDupOf]]: every 10th fixture doc
+    * plays the incoming batch, the rest the standing corpus. */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalNearDupOf(
+      docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0))
+  }
+
   /** Near-duplicate FAMILIES: connected components over the near-dup pair
     * graph, labeling every member doc with its cluster's minimum doc_id.
     * The step a production dedup pipeline needs after [[nearDupPairs]] —

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontamination
+
+/** Benchmark decontamination (builder-brief north star): token n-gram
+  * windowing edge cases and the corpus×benchmark shared-gram sweep.
+  */
+class DecontaminationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenNgrams: rolling windows, dedup, short/blank/null safety") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b a b a b"), // repeated windows deduplicate
+      (3L, "a b"),         // shorter than n — no descending-sequence trap
+      (4L, "   "),
+      (5L, null.asInstanceOf[String]),
+      (6L, "a  b\tc   d")) // runs of whitespace are one separator
+      .toDF("doc_id", "text")
+      .select($"doc_id", Decontamination.tokenNgrams($"text", 3).as("g"))
+    val m = df.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L) == Seq("a b a", "b a b"))
+    assert(m(3L) == Seq.empty)
+    assert(m(4L) == Seq.empty)
+    assert(m(5L) == Seq.empty)
+    assert(m(6L) == Seq("a b c", "b c d"))
+  }
+
+  test("contaminationPairs: n-token run hit, (n-1)-token near-miss, counts") {
+    val bench = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full 4-token benchmark run AND its two 3-suffix windows
+      (1L, "x alpha beta gamma delta y"),
+      // shares only a 3-token run — invisible at n=4
+      (2L, "alpha beta gamma OTHER tail words"),
+      (3L, "nothing in common at all")).toDF("doc_id", "text")
+    val at4 = Decontamination.contaminationPairsOf(corpus, bench, n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(at4 == Set((1L, 900L, 1L))) // exactly the 4-gram "alpha beta gamma delta"
+    val at3 = Decontamination.contaminationPairsOf(corpus, bench, n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares both benchmark 3-grams, doc 2 the first one only
+    assert(at3 == Set((1L, 900L, 2L), (2L, 900L, 1L)))
+    // minOverlap raises the evidence bar
+    val strict = Decontamination.contaminationPairsOf(corpus, bench, n = 3,
+      minOverlap = 2).as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((1L, 900L, 2L)))
+  }
+
+  test("ngramContamination sweeps the fixture and equals brute force") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Decontamination.ngramContamination(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val grams = docs.select($"doc_id",
+      Decontamination.tokenNgrams($"text", 8).as("g"))
+    val brute = grams.filter($"doc_id" % 10 =!= 0).as("c")
+      .join(grams.filter($"doc_id" % 10 === 0).as("b"),
+        size(array_intersect(col("c.g"), col("b.g"))) >= 1)
+      .select(col("c.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("c.g"), col("b.g"))).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the fixture's dup families do leak 8-token runs
+  }
+}

@@ -208,4 +208,33 @@ class DedupSpec extends SparkTestBase {
     val overlap = r.map(p => (p._1, p._2)).count(jaccardPairs.contains)
     assert(overlap.toDouble / r.length > 0.8)
   }
+
+  test("incrementalNearDup: batch-vs-corpus matches only, brute-force equal") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely unrelated corpus content here")).toDF("doc_id", "text")
+    val batch = Seq((101L, "the quick brown fox jumps over the lazy dog"), // dup of 1+2
+      (102L, "brand new never seen before document")).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDupOf(corpus, batch)
+      .as[(Long, Long, Double)].collect()
+    // every output row pairs a batch doc with a corpus doc at >= threshold
+    assert(r.forall { case (n, d, j) => n >= 101L && d <= 3L && j >= 0.8 })
+    // the exact-dup is found against BOTH corpus members of its family;
+    // the novel doc matches nothing; corpus-internal pair (1,2) never emitted
+    assert(r.map(p => (p._1, p._2)).toSet == Set((101L, 1L), (101L, 2L)))
+    // and on the fixture it equals brute-force batch×corpus Jaccard
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Dedup.incrementalNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = docs.select($"doc_id", Dedup.charShingles($"text", 5).as("s"))
+      .filter(size($"s") > 0)
+    val brute = sh.as("b").join(sh.as("a"),
+        col("b.doc_id") % 10 === 0 && col("a.doc_id") % 10 =!= 0)
+      .select(col("b.doc_id"), col("a.doc_id"),
+        round(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))), 4).as("j"))
+      .filter($"j" >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
 }

@@ -51,11 +51,40 @@ PAIRS_FAST = (
   "SELECT a_doc_id, b_doc_id, round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard "
   "FROM cm JOIN sz sa ON sa.doc_id = cm.a_doc_id JOIN sz sb ON sb.doc_id = cm.b_doc_id "
   "WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.8")
-REWRITABLE = {"near_dup_pairs", "near_dedup_corpus", "near_dup_clusters"}
+# Same rewrite for the incremental (batch-vs-standing-corpus) twin: identical
+# shingle sets, the pair space restricted to batch×corpus instead of a<b.
+INCR_LITERAL = (
+  "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, "
+  "greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s "
+  "FROM documents) SELECT new_doc_id, dup_of_doc_id, jaccard FROM (SELECT "
+  "a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, "
+  "round(len(list_intersect(a.s, b.s))::DOUBLE "
+  "/ len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard FROM sh a JOIN "
+  "sh b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 "
+  "WHERE len(a.s) > 0 AND len(b.s) > 0) "
+  "WHERE jaccard >= 0.8")
+INCR_FAST = (
+  "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, "
+  "greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s "
+  "FROM documents), sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0), "
+  "ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0), "
+  "cm AS (SELECT a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, count(*) AS c "
+  "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2) "
+  "SELECT new_doc_id, dup_of_doc_id, round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard "
+  "FROM cm JOIN sz sa ON sa.doc_id = cm.dup_of_doc_id JOIN sz sb ON sb.doc_id = cm.new_doc_id "
+  "WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.8")
+REWRITES = {
+  "near_dup_pairs": (PAIRS_LITERAL, PAIRS_FAST),
+  "near_dedup_corpus": (PAIRS_LITERAL, PAIRS_FAST),
+  "near_dup_clusters": (PAIRS_LITERAL, PAIRS_FAST),
+  "incremental_near_dup": (INCR_LITERAL, INCR_FAST),
+}
+REWRITABLE = set(REWRITES)
 
-def rewrite(sql):
-    assert PAIRS_LITERAL in sql, "registered oracle SQL drifted from PAIRS_LITERAL"
-    return sql.replace(PAIRS_LITERAL, PAIRS_FAST)
+def rewrite(sql, name):
+    literal, fast = REWRITES[name]
+    assert literal in sql, f"registered oracle SQL for {name} drifted from its literal form"
+    return sql.replace(literal, fast)
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -86,7 +115,8 @@ def table_digest(cols, rows):
 
 # cheap-first ordering: quadratic document/embedding oracles go last
 expensive = ["simhash_near_dup","embedding_near_dup","cosine_topk",
-             "near_dup_pairs","near_dedup_corpus","near_dup_clusters"]
+             "near_dup_pairs","near_dedup_corpus","near_dup_clusters",
+             "incremental_near_dup"]
 names = [n for n in sorted(oracle) if n not in expensive] + \
         [n for n in expensive if n in oracle]
 
@@ -102,7 +132,7 @@ if VALIDATE:
         t0 = time.time()
         _, lrows, ldig = run_digest(oracle[name])
         tl = time.time() - t0; t0 = time.time()
-        _, frows, fdig = run_digest(rewrite(oracle[name]))
+        _, frows, fdig = run_digest(rewrite(oracle[name], name))
         tf = time.time() - t0
         same = ldig == fdig
         ok &= same
@@ -118,7 +148,7 @@ for name in names:
     sql = oracle[name]
     variant = "literal"
     if FAST and name in REWRITABLE:
-        sql = rewrite(sql); variant = "inverted_index_rewrite"
+        sql = rewrite(sql, name); variant = "inverted_index_rewrite"
     entry = {"rows_match": None, "schema_match": None, "hash_match": None,
              "spark_rows": None, "oracle_rows": None, "err": None,
              "oracle_sec": None, "oracle_variant": variant}
