@@ -60,6 +60,10 @@ object SparkEntry {
     // batch-vs-standing-corpus LSH (the daily-ingestion path: batch bands
     // join a pre-capped corpus band index; corpus×corpus never pairs)
     "incremental_near_dup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    // same semantics against a PERSISTED bucketed band index (build absorbed
+    // by warmup; probes read the corpus side co-located, zero exchange —
+    // BucketingSpec pins the plan shape)
+    "incremental_near_dup_indexed" -> (Dedup.incrementalNearDupIndexedEntry _),
     // benchmark decontamination: corpus docs sharing token 8-grams with a
     // held-out slice; benchmark grams broadcast, corpus never shuffled
     "ngram_contamination" -> ((s, d) => Decontamination.ngramContamination(s, d)),
@@ -124,6 +128,18 @@ object SparkEntry {
       "+ 300 * n_stopwords * greatest(len_chars, 1) " +
       "+ 200 * (greatest(len_chars, 1) - n_punct) * greatest(n_tokens, 1))::DOUBLE " +
       "/ (1000::BIGINT * greatest(n_tokens, 1) * greatest(len_chars, 1)) + 1e-9, 4) AS quality_score FROM m"
+  // shared by the in-plan and persisted-index incremental entries: the index
+  // changes execution layout, not semantics, so one brute-force twin serves both
+  private val incrementalNearDupSql =
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
+      "FROM documents) " +
+      "SELECT new_doc_id, dup_of_doc_id, jaccard FROM (" +
+      "SELECT a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, " +
+      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 " +
+      "WHERE len(a.s) > 0 AND len(b.s) > 0) " +
+      "WHERE jaccard >= 0.8"
   private val nearDupPairsSql =
     "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
       "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
@@ -300,16 +316,8 @@ object SparkEntry {
     "near_dup_pairs" -> nearDupPairsSql,
     // brute-force batch×corpus twin of the incremental (batch-vs-standing)
     // LSH join — same shingle sets, same threshold, same miss bound
-    "incremental_near_dup" ->
-      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
-        "FROM documents) " +
-        "SELECT new_doc_id, dup_of_doc_id, jaccard FROM (" +
-        "SELECT a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, " +
-        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
-        "FROM sh a JOIN sh b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 " +
-        "WHERE len(a.s) > 0 AND len(b.s) > 0) " +
-        "WHERE jaccard >= 0.8"),
+    "incremental_near_dup" -> incrementalNearDupSql,
+    "incremental_near_dup_indexed" -> incrementalNearDupSql,
     // brute-force distinct-token-8-gram intersection twin of the broadcast
     // decontamination sweep (same whitespace tokenization as text_stats)
     "ngram_contamination" ->

@@ -252,6 +252,97 @@ object Dedup {
       docs.filter($"doc_id" % 10 === 0))
   }
 
+  /** Materialize the standing corpus's band index as a BUCKETED table: one
+    * row per (doc_id, band, bsig), bucketed+sorted by the band key — the
+    * build-once half of the incremental-dedup contract
+    * ([[incrementalNearDupIndexed]] is the query-many half). Because the
+    * table's bucketing matches the candidate join's keys, every subsequent
+    * batch join reads the corpus side CO-LOCATED: only the (small) batch
+    * side shuffles, the index is never re-banded and never re-exchanged
+    * (BucketingSpec pins zero Exchange above the index scan). Hot buckets
+    * are capped HERE, once at build time — the same pre-capped-index
+    * property [[incrementalNearDupOf]]'s docstring assumes. At 100 TB this
+    * table is the per-doc ingest artifact each verified batch appends to.
+    */
+  def writeBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
+      maxBucketSize: Int = 1000, location: Option[String] = None): Unit = {
+    val base = spread(docs)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    val banded = dropHotBuckets(base.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig"))), Seq("band", "bsig"), maxBucketSize)
+    // `location` makes the table EXTERNAL at an explicit path — harness
+    // entries use a per-process tmp path because the default warehouse DIR
+    // outlives the in-memory CATALOG: a fresh process would see
+    // tableExists=false yet hit LOCATION_ALREADY_EXISTS on the stale
+    // managed dir. In production this is an explicit warehouse path anyway.
+    val writer = banded.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+    location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+  }
+
+  /** Incremental near-dup against a PERSISTED band index (query-many half
+    * of [[writeBandIndex]]): candidates come from batch-bands × the bucketed
+    * index table — the corpus is never re-banded — then exact-Jaccard verify
+    * fetches text only for candidate corpus docs from `corpus`. Same rows as
+    * [[incrementalNearDupOf]] on the same geometry (the index was built with
+    * the same cap). */
+  def incrementalNearDupIndexed(corpus: DataFrame, indexTable: String,
+      batch: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val batchBase = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    val batchBanded = batchBase.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig")))
+    val candidates = batchBanded.as("l")
+      .join(spark.table(indexTable).as("r"),
+        col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
+      .select(col("l.doc_id").as("new_doc_id"),
+        col("r.doc_id").as("dup_of_doc_id"))
+      .distinct()
+    val corpusSets = spread(corpus)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+      .select($"doc_id".as("dup_of_doc_id"),
+        graft.functions.TextExpressions.charShingles($"t", shingleLen).as("b_sh"))
+    val batchSets = batchBase.select($"doc_id".as("new_doc_id"),
+      graft.functions.TextExpressions.charShingles($"t", shingleLen).as("a_sh"))
+    candidates
+      .join(batchSets, "new_doc_id")
+      .join(corpusSets, "dup_of_doc_id")
+      .withColumn("inter",
+        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
+      .withColumn("jaccard", round($"inter".cast("double") /
+        (size($"a_sh") + size($"b_sh") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"new_doc_id", $"dup_of_doc_id", $"jaccard")
+  }
+
+  /** Registered query: the build-once/probe-many incremental path — band
+    * index persisted bucketed (once per process; the bench's untimed warmup
+    * absorbs the build, mirroring `ivf_probe_only`), then the batch probed
+    * against it. Same oracle SQL as `incremental_near_dup`: the index is an
+    * execution-layout change, not a semantic one. */
+  def incrementalNearDupIndexedEntry(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_band_index_$key"
+    if (!spark.catalog.tableExists(table))
+      // per-process external location (same scheme as Similarity's IVF
+      // index path): concurrent runs never race, stale dirs never collide
+      writeBandIndex(docs.filter($"doc_id" % 10 =!= 0), table,
+        location = Some(s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_bandidx_p${ProcessHandle.current().pid()}/$key"))
+    incrementalNearDupIndexed(docs.filter($"doc_id" % 10 =!= 0), table,
+      docs.filter($"doc_id" % 10 === 0))
+  }
+
   /** Near-duplicate FAMILIES: connected components over the near-dup pair
     * graph, labeling every member doc with its cluster's minimum doc_id.
     * The step a production dedup pipeline needs after [[nearDupPairs]] —

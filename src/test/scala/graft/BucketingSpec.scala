@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Bucketed co-located joins: persisting both sides bucketed on the join key
@@ -51,6 +52,47 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("incremental dedup probe: persisted band index side never shuffles") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    Dedup.writeBandIndex(corpus, "band_idx_test", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.incrementalNearDupIndexed(corpus, "band_idx_test", batch)
+      // the build-once contract: the index side of the CANDIDATE join reads
+      // in place — no Exchange between the index scan and the join (the
+      // batch side and the downstream verify joins shuffle freely; those
+      // move batch/candidate rows, not the index). Find the innermost join
+      // whose subtree reads the index (pre-order collect → last = innermost)
+      // and assert its index-side child is exchange-free.
+      val bandJoin = probe.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.left.toString.contains("band_idx_test") ||
+              j.right.toString.contains("band_idx_test") => j
+      }.last
+      val idxSide = if (bandJoin.left.toString.contains("band_idx_test"))
+        bandJoin.left else bandJoin.right
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"band index was re-exchanged before the candidate join: $shuffled")
+      // and the layout change is semantics-free: same rows as the in-plan path
+      val got = probe.as[(Long, Long, Double)].collect().toSet
+      val expected = Dedup.incrementalNearDupOf(corpus, batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS band_idx_test")
     }
   }
 }
