@@ -102,6 +102,9 @@ object SparkEntry {
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
+    // the full hygiene chain: exact+near dedup, restricted to trainable
+    // (non-benchmark) docs, minus the decontamination sweep's hits
+    "decontaminated_corpus" -> ((s, d) => Pipelines.decontaminatedCorpus(s, d)),
   )
 
   // oracle bodies shared between their own entry and the clean_corpus
@@ -128,6 +131,17 @@ object SparkEntry {
       "+ 300 * n_stopwords * greatest(len_chars, 1) " +
       "+ 200 * (greatest(len_chars, 1) - n_punct) * greatest(n_tokens, 1))::DOUBLE " +
       "/ (1000::BIGINT * greatest(n_tokens, 1) * greatest(len_chars, 1)) + 1e-9, 4) AS quality_score FROM m"
+  // shared by its own entry and the decontaminated_corpus composition
+  private val ngramContaminationSql =
+    "WITH tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+      "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+      "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM tok), " +
+      "b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0), " +
+      "c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0) " +
+      "SELECT c.doc_id, b.bench_id, count(*) AS n_shared " +
+      "FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2"
   // shared by the in-plan and persisted-index incremental entries: the index
   // changes execution layout, not semantics, so one brute-force twin serves both
   private val incrementalNearDupSql =
@@ -320,16 +334,7 @@ object SparkEntry {
     "incremental_near_dup_indexed" -> incrementalNearDupSql,
     // brute-force distinct-token-8-gram intersection twin of the broadcast
     // decontamination sweep (same whitespace tokenization as text_stats)
-    "ngram_contamination" ->
-      ("WITH tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
-        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
-        "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
-        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
-        "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM tok), " +
-        "b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0), " +
-        "c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0) " +
-        "SELECT c.doc_id, b.bench_id, count(*) AS n_shared " +
-        "FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2"),
+    "ngram_contamination" -> ngramContaminationSql,
     // min-reachable-label per node over the symmetrized pair graph — an
     // independent (recursive-CTE) implementation of the same connected
     // components the Spark side computes by iterative label propagation
@@ -347,6 +352,16 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
         "JOIN k ON d.doc_id = k.keep_doc_id " +
         "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd)"),
+    // dedup chain ∖ benchmark slice ∖ decontamination hits — the composed
+    // corpus build, from the same shared subquery twins
+    "decontaminated_corpus" ->
+      (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql), " +
+        s"ct AS ($ngramContaminationSql) " +
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+        "JOIN k ON d.doc_id = k.keep_doc_id " +
+        "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd) " +
+        "AND d.doc_id % 10 <> 0 " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM ct)"),
     // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
     // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
     "embedding_near_dup" ->

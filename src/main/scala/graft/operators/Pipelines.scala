@@ -59,4 +59,25 @@ object Pipelines {
       .join(keep, "doc_id")
       .join(drops, Seq("doc_id"), "left_anti")
   }
+
+  /** The full pre-training corpus build: [[nearDedupCorpus]]'s exact+near
+    * dedup chain, restricted to trainable (non-benchmark) documents, minus
+    * everything the decontamination sweep flags against the benchmark slice
+    * — dedup, then decontaminate, emit the training slice. This is the
+    * end-to-end hygiene chain a real corpus build runs before tokenization.
+    *
+    * Plan shape: the dedup chain as in [[nearDedupCorpus]]; the
+    * decontamination branch adds one broadcast probe over the corpus
+    * (benchmark grams broadcast, corpus never shuffled) whose (small) hit
+    * set lands in a second left-anti join on doc_id — co-partitioned with
+    * the first. Still nothing quadratic in the corpus at 100 TB.
+    */
+  def decontaminatedCorpus(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 8): DataFrame = {
+    val contaminated = Decontamination.ngramContamination(spark, sfDir, n)
+      .select($"doc_id").distinct()
+    nearDedupCorpus(spark, sfDir, threshold)
+      .filter($"doc_id" % 10 =!= 0) // the benchmark slice is not trainable
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

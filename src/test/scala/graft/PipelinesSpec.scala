@@ -33,4 +33,23 @@ class PipelinesSpec extends SparkTestBase {
       .select($"keep_doc_id").as[Long].collect().toSet
     assert(rows.map(_._1).toSet.subsetOf(keeps))
   }
+
+  test("decontaminatedCorpus: dedup slice minus benchmark and contamination") {
+    val ids = Pipelines.decontaminatedCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // subset of the dedup chain, with the benchmark slice gone
+    val deduped = Pipelines.nearDedupCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(deduped))
+    assert(ids.forall(_ % 10 != 0))
+    // and no contaminated doc survives
+    val contaminated = graft.operators.Decontamination
+      .ngramContamination(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // the sweep actually removed something beyond the benchmark slice,
+    // otherwise the composition proves nothing on this fixture
+    assert(ids.size < deduped.count(_ % 10 != 0))
+  }
 }

@@ -77,6 +77,7 @@ REWRITES = {
   "near_dup_pairs": (PAIRS_LITERAL, PAIRS_FAST),
   "near_dedup_corpus": (PAIRS_LITERAL, PAIRS_FAST),
   "near_dup_clusters": (PAIRS_LITERAL, PAIRS_FAST),
+  "decontaminated_corpus": (PAIRS_LITERAL, PAIRS_FAST),
   "incremental_near_dup": (INCR_LITERAL, INCR_FAST),
   "incremental_near_dup_indexed": (INCR_LITERAL, INCR_FAST),
 }
@@ -117,7 +118,8 @@ def table_digest(cols, rows):
 # cheap-first ordering: quadratic document/embedding oracles go last
 expensive = ["simhash_near_dup","embedding_near_dup","cosine_topk",
              "near_dup_pairs","near_dedup_corpus","near_dup_clusters",
-             "incremental_near_dup","incremental_near_dup_indexed"]
+             "incremental_near_dup","incremental_near_dup_indexed",
+             "decontaminated_corpus"]
 names = [n for n in sorted(oracle) if n not in expensive] + \
         [n for n in expensive if n in oracle]
 
