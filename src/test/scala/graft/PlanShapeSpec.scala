@@ -99,4 +99,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("decontamination sweep broadcasts the benchmark grams, never the corpus") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // AQE off: collect() does not traverse into AdaptiveSparkPlanExec's
+    // inner plan (restore the SAVED value, as elsewhere in this suite)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = graft.operators.Decontamination.ngramContamination(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    // the gram join must be broadcast (BuildRight = the benchmark side) —
+    // a shuffle join here would move the entire tokenized corpus
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(1000))
+    // only the benchmark slice's subtree is broadcast: its exchange subtree
+    // must carry the % 10 = 0 filter, not the corpus-side complement
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty)
+    // benchmark filter prints as `(doc_id % 10) = 0`; the corpus complement
+    // as `NOT ((doc_id % 10) = 0)` — the broadcast subtree must be the former
+    assert(bcasts.forall { b =>
+      val s = b.toString
+      s.contains("= 0") && !s.contains("NOT ")
+    }, bcasts.map(_.toString.take(300)))
+    // the corpus side reaches the join with no shuffle: the only Exchanges
+    // are the spread repartition and the final (doc, bench) group-by
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }

@@ -84,6 +84,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("tokenNgrams: n tokens per gram, count bound, distinct, reconstructible") {
+    val rows = sample(nastyString, 300)
+    val out = rows.toDF("t")
+      .select($"t", graft.operators.Decontamination.tokenNgrams($"t", 3).as("g"))
+      .as[(String, Seq[String])].collect()
+    out.foreach { case (t, grams) =>
+      // replicate the operator's tokenization exactly: Spark's trim strips
+      // SPACES only (tab/CR-led strings keep a leading empty token after
+      // the regex split — same on the DuckDB oracle side)
+      // (and Spark's split keeps TRAILING empty tokens — Java limit -1)
+      val trimmed = t.replaceAll("^ +", "").replaceAll(" +$", "")
+      val toks: Seq[String] =
+        if (trimmed.isEmpty) Seq.empty else trimmed.split("\\s+", -1).toSeq
+      grams.foreach { g =>
+        assert(g.split(" ", -1).length == 3, s"'$g' is not 3 tokens")
+        // every gram is a consecutive token window of the source
+        assert(toks.sliding(3).exists(_.mkString(" ") == g),
+          s"'$g' is not a window of $toks")
+      }
+      assert(grams.length <= math.max(0, toks.length - 2))
+      assert(grams.distinct.length == grams.length)
+      // completeness: every window appears (dedup aside)
+      if (toks.length >= 3)
+        assert(toks.sliding(3).map(_.mkString(" ")).toSet == grams.toSet)
+    }
+  }
+
   test("as-of join equals the brute-force maximum-earlier-right on random data") {
     // random (key, time) points both sides; Spark result must equal the
     // reference semantics computed in plain Scala: for each left row, the
