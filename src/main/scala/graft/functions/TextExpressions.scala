@@ -125,6 +125,62 @@ object TextHashImpl {
     sim
   }
 
+  /** Whitespace chars recognized by the tokenizer: the RE2 `\s` class
+    * (`[ \t\n\r\f]`), shared with the DuckDB oracle's `string_split_regex`.
+    * Java's `\s` additionally matches vertical tab \u000B; RE2/DuckDB's does
+    * not, so the Java class would silently diverge from the oracle on texts
+    * containing \u000B — the explicit class keeps both engines identical
+    * (\u000B is an ordinary token character on both sides). */
+  private def isTokenWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** Distinct token n-grams in first-occurrence order — the fused form of
+    * `array_distinct(transform(sequence(...), i => array_join(slice(split(
+    * trim(t), ws), i, n), " ")))`. Tokenization semantics are pinned to the
+    * column chain this replaces: SQL `trim` strips SPACES only, and the
+    * split keeps Java-`split(-1)` empty-token behavior (a leading separator
+    * run yields a leading "" token, a trailing run a trailing "" token) —
+    * the DuckDB twin's `string_split_regex` shares both quirks. Texts with
+    * fewer than n tokens yield the empty set. */
+  def tokenNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return new GenericArrayData(Array.empty[Any])
+    val toks = new java.util.ArrayList[String]
+    val tok = new java.lang.StringBuilder
+    var i = b
+    while (i < e) {
+      if (isTokenWs(str.charAt(i))) {
+        toks.add(tok.toString); tok.setLength(0)
+        while (i < e && isTokenWs(str.charAt(i))) i += 1
+      } else { tok.append(str.charAt(i)); i += 1 }
+    }
+    toks.add(tok.toString)
+    val nToks = toks.size()
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var j = 0
+    while (j <= nToks - n) {
+      val g = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) g.append(' ')
+        g.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(UTF8String.fromString(g.toString))
+      j += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Minimum MD5 (lowercase hex) over the shingle multiset — the winnowing
     * fingerprint. Digest byte arrays are compared unsigned-lexicographically,
     * which equals comparing their hex renderings, so only the winner is
@@ -239,6 +295,22 @@ case class SimHash64Expr(child: Expression, shingleLen: Int)
     copy(child = c)
 }
 
+/** Fused tokenize→window→join→distinct for token n-grams — the
+  * decontamination sweep's corpus side is O(total corpus tokens), and the
+  * equivalent `transform`/`slice`/`array_join`/`array_distinct` chain is a
+  * higher-order function that evaluates interpreted (CodegenFallback);
+  * this stays inside whole-stage codegen like [[CharShinglesExpr]]. */
+case class TokenNgramsExpr(child: Expression, n: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.tokenNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.tokenNgrams(%s, $n)"
+  override protected def withNewChildInternal(c: Expression): TokenNgramsExpr =
+    copy(child = c)
+}
+
 case class MinMd5ShinglesExpr(child: Expression, shingleLen: Int)
     extends TextHashExpression {
   override def dataType: DataType = StringType
@@ -341,6 +413,11 @@ object TextExpressions {
   /** 64-bit SimHash of a string column over distinct shingles (codegen'd). */
   def simhash(text: Column, shingleLen: Int): Column =
     wrap(SimHash64Expr(expr(text), shingleLen))
+
+  /** Distinct token n-grams of a string column, fused
+    * tokenize→window→distinct (codegen'd). */
+  def tokenNgrams(text: Column, n: Int): Column =
+    wrap(TokenNgramsExpr(expr(text), n))
 
   /** Minimum-MD5 shingle fingerprint of a string column (codegen'd). */
   def minMd5Shingles(text: Column, shingleLen: Int): Column =

@@ -31,22 +31,22 @@ import graft.util.Cols._
   */
 object Decontamination {
 
-  /** Distinct token n-gram set: whitespace tokenization (same rule as
-    * [[TextAnalysis]]'s token counts), rolling n-token windows re-joined
-    * with single spaces, de-duplicated. Null/blank-safe (→ empty set);
-    * texts shorter than n tokens yield the empty set — the `size < n`
-    * guard also keeps `sequence` ascending (Spark's `sequence(1, 0)`
-    * counts DOWN rather than returning empty).
+  /** Distinct token n-gram set: whitespace tokenization (trim + split on
+    * the RE2 `\s` class `[ \t\n\r\f]` — the explicit class shared with the
+    * DuckDB twin's `string_split_regex`, deliberately excluding the
+    * vertical tab that Java's `\s` would add), rolling n-token windows
+    * re-joined with single spaces, de-duplicated. Null/blank-safe (→ empty
+    * set); texts shorter than n tokens yield the empty set.
+    *
+    * Backed by the native codegen [[graft.functions.TokenNgramsExpr]] — the
+    * equivalent `transform`/`slice`/`array_join`/`array_distinct` chain is
+    * a higher-order function that Spark evaluates INTERPRETED, and the
+    * corpus side of a decontamination sweep explodes O(total corpus tokens)
+    * grams: the hottest per-row path of the whole sweep.
     */
   def tokenNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val t = trim(coalesce(text, lit("")))
-    val toks = when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
+    graft.functions.TextExpressions.tokenNgrams(coalesce(text, lit("")), n)
   }
 
   /** Contamination pairs between a (doc_id, text) corpus and a

@@ -23,7 +23,7 @@ class PropertySpec extends SparkTestBase {
   // brackets, commas, unicode, control chars
   private val nastyString: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('|', '"', '\t', '\r',
-      '\n', '[', ']', ',', '', 'é', '☺', ' '))).map(_.mkString)
+      '\n', '\f', '\u000B', '[', ']', ',', '', 'é', '☺', ' '))).map(_.mkString)
 
   // the pipe-delimited interchange format cannot carry '|' inside a field
   // (the reference shares this limitation — its sanitizer never strips the
@@ -93,10 +93,15 @@ class PropertySpec extends SparkTestBase {
       // replicate the operator's tokenization exactly: Spark's trim strips
       // SPACES only (tab/CR-led strings keep a leading empty token after
       // the regex split — same on the DuckDB oracle side)
-      // (and Spark's split keeps TRAILING empty tokens — Java limit -1)
+      // (and Spark's split keeps TRAILING empty tokens — Java limit -1).
+      // The separator class is the explicit RE2-compatible [ \t\n\r\f] —
+      // NOT Java's \s, which also matches \u000B (the generator includes
+      // \u000B precisely to pin that it stays a token character, matching
+      // DuckDB's string_split_regex semantics)
       val trimmed = t.replaceAll("^ +", "").replaceAll(" +$", "")
       val toks: Seq[String] =
-        if (trimmed.isEmpty) Seq.empty else trimmed.split("\\s+", -1).toSeq
+        if (trimmed.isEmpty) Seq.empty
+        else trimmed.split("[ \t\n\r\f]+", -1).toSeq
       grams.foreach { g =>
         assert(g.split(" ", -1).length == 3, s"'$g' is not 3 tokens")
         // every gram is a consecutive token window of the source
