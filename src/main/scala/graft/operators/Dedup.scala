@@ -198,7 +198,8 @@ object Dedup {
     * bucketed by (band, bsig) so the per-batch join is co-located — the same
     * build-once/query-many layout as [[graft.operators.Similarity]]'s IVF
     * index and `Tables.writeBucketed`), and each verified batch appends its
-    * own bands to it; here both sides are derived in-plan because the
+    * own bands to it ([[appendToBandIndex]]); here both sides are derived
+    * in-plan because the
     * fixture has no standing warehouse. The hot-bucket cap applies to the
     * corpus side only: a standing index is capped once at build time, and
     * an incoming batch is small by definition.
@@ -262,7 +263,8 @@ object Dedup {
     * (BucketingSpec pins zero Exchange above the index scan). Hot buckets
     * are capped HERE, once at build time — the same pre-capped-index
     * property [[incrementalNearDupOf]]'s docstring assumes. At 100 TB this
-    * table is the per-doc ingest artifact each verified batch appends to.
+    * table is the per-doc ingest artifact each verified batch appends to
+    * via [[appendToBandIndex]] (which re-applies the cap across the union).
     */
   def writeBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
@@ -281,6 +283,62 @@ object Dedup {
     val writer = banded.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+  }
+
+  /** Append a verified batch's bands to an existing bucketed band index —
+    * the append-many half of the [[writeBandIndex]] ingest contract (build
+    * once, then each day's verified batch lands here after its
+    * [[incrementalNearDupIndexed]] probe). The append writes with the SAME
+    * bucket spec, so the table stays co-located for every subsequent probe:
+    * Spark groups all of a bucket's files (across appends) into one bucket
+    * read, the join key hashing is unchanged, and the index side still
+    * reaches the candidate join with zero Exchange (BucketingSpec pins this
+    * post-append; per-FILE sort order is kept per append, so a sort-merge
+    * probe adds a local Sort over the bucket's files — no shuffle).
+    *
+    * The hot-bucket cap is re-applied ACROSS THE UNION at append time:
+    * standing rows for the incoming keys are counted via the same
+    * co-located join topology as a probe (only the small per-key count
+    * frame shuffles; the index never does), and an incoming key whose
+    * standing + incoming total would exceed `cap` is dropped FROM THE
+    * APPEND. Invariant: after any append sequence every bucket holds at
+    * most `cap` rows — same quadratic-fan-out bound as a fresh build. The
+    * one drift from a full rebuild is conservative: a key that becomes hot
+    * over time keeps its standing (≤ cap) rows where a rebuild would drop
+    * the whole bucket, so probes may return candidates a rebuild would
+    * skip — extra recall, never extra fan-out beyond the cap.
+    */
+  def appendToBandIndex(batch: DataFrame, table: String, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    val base = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    val banded = base.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig")))
+    val kept =
+      if (maxBucketSize <= 0) banded
+      else {
+        val newCounts = banded.groupBy($"band", $"bsig")
+          .agg(count(lit(1)).as("n_new"))
+        // standing counts for the INCOMING keys only: the index side of this
+        // join reads co-located (bucketed on the key), the per-key count
+        // frame is what shuffles — the probe's exact topology, never a full
+        // re-aggregation of the standing index
+        val oldCounts = spark.table(table)
+          .join(newCounts.select($"band", $"bsig"), Seq("band", "bsig"))
+          .groupBy($"band", $"bsig").agg(count(lit(1)).as("n_old"))
+        val hot = newCounts
+          .join(oldCounts, Seq("band", "bsig"), "left")
+          .filter($"n_new" + coalesce($"n_old", lit(0L)) > maxBucketSize)
+          .select($"band", $"bsig")
+        banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
+      }
+    kept.write.mode("append").format("parquet")
+      .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+      .saveAsTable(table)
   }
 
   /** Incremental near-dup against a PERSISTED band index (query-many half
@@ -335,10 +393,11 @@ object Dedup {
     val table = s"graft_band_index_$key"
     if (!spark.catalog.tableExists(table))
       // per-process external location (same scheme as Similarity's IVF
-      // index path): concurrent runs never race, stale dirs never collide
+      // index path): concurrent runs never race, stale dirs never collide,
+      // and the shutdown hook removes the dir at JVM exit
       writeBandIndex(docs.filter($"doc_id" % 10 =!= 0), table,
-        location = Some(s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_bandidx_p${ProcessHandle.current().pid()}/$key"))
+        location = Some(
+          s"${graft.util.TmpDirs.perProcessDir("graft_bandidx")}/$key"))
     incrementalNearDupIndexed(docs.filter($"doc_id" % 10 =!= 0), table,
       docs.filter($"doc_id" % 10 === 0))
   }

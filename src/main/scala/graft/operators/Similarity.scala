@@ -180,11 +180,12 @@ object Similarity {
     * (the previous `hashCode` key could collide across distinct dirs) under
     * a per-PROCESS root, so concurrent runs over the same sf dir (e.g. a
     * bench and a verify) never race one's overwrite against the other's
-    * read. In production this is an explicit warehouse path, not a tmpdir.
+    * read; the per-process root is removed by a shutdown hook. In
+    * production this is an explicit warehouse path, not a tmpdir.
     */
   private def ivfIndexPath(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_p${ProcessHandle.current().pid()}/$key"
+    s"${graft.util.TmpDirs.perProcessDir("graft_ivf")}/$key"
   }
 
   /** Registered query: the build-once / query-many production path — build,

@@ -55,6 +55,81 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("band index append: union semantics, index side still exchange-free") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val corpusAll = docs.filter($"doc_id" % 10 =!= 0)
+    val corpusA = corpusAll.filter($"doc_id" % 2 === 1)
+    val corpusB = corpusAll.filter($"doc_id" % 2 === 0)
+    Dedup.writeBandIndex(corpusA, "band_idx_append", buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // day one: probe against the initial index
+      val probe1 = Dedup
+        .incrementalNearDupIndexed(corpusA, "band_idx_append", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(probe1 == Dedup.incrementalNearDupOf(corpusA, batch)
+        .as[(Long, Long, Double)].collect().toSet)
+      // day two: append the next verified batch's bands, probe again —
+      // union semantics (same rows as an in-plan run over the full corpus;
+      // the cap never binds on the fixture, so no cap-drift here)
+      Dedup.appendToBandIndex(corpusB, "band_idx_append", buckets = 4)
+      val probe2 = Dedup
+        .incrementalNearDupIndexed(corpusAll, "band_idx_append", batch)
+      val got = probe2.as[(Long, Long, Double)].collect().toSet
+      val expected = Dedup.incrementalNearDupOf(corpusAll, batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+      // and the appended table still reads co-located: no Exchange between
+      // the (multi-file-per-bucket) index scan and the candidate join
+      val bandJoin = probe2.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.left.toString.contains("band_idx_append") ||
+              j.right.toString.contains("band_idx_append") => j
+      }.last
+      val idxSide = if (bandJoin.left.toString.contains("band_idx_append"))
+        bandJoin.left else bandJoin.right
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"appended band index was re-exchanged before the candidate join: $shuffled")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS band_idx_append")
+    }
+  }
+
+  test("band index append: union cap drops a key that crosses maxBucketSize") {
+    import spark.implicits._
+    // 6 standing docs + 6 incoming docs share one long common text, so every
+    // band key of that text holds 6 standing rows; with cap=8 the union
+    // (12) crosses the cap and the incoming rows must be dropped, while a
+    // distinct low-traffic key (the probe doc pair) stays appendable
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = (1L to 6L).map(i => (i, common)).toDF("doc_id", "text")
+    val incoming = (11L to 16L).map(i => (i, common)).toDF("doc_id", "text")
+    val probeDoc = Seq((100L, common)).toDF("doc_id", "text")
+    Dedup.writeBandIndex(standing, "band_idx_cap", buckets = 2,
+      maxBucketSize = 8)
+    try {
+      Dedup.appendToBandIndex(incoming, "band_idx_cap", buckets = 2,
+        maxBucketSize = 8)
+      // the standing rows survive (<= cap at their own write); the incoming
+      // rows were dropped by the union cap, so a probe matches only 1..6
+      val matched = Dedup
+        .incrementalNearDupIndexed(standing.union(incoming), "band_idx_cap",
+          probeDoc)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(matched.map(_._2) == (1L to 6L).toSet,
+        s"expected only standing docs to match, got $matched")
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx_cap")
+  }
+
   test("incremental dedup probe: persisted band index side never shuffles") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
