@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Dedup
+
+/** Streaming twin of the incremental dedup family: micro-batches of new
+  * documents probe the PERSISTED band index ([[Dedup.writeBandIndex]] /
+  * [[Dedup.appendToBandIndex]]) exactly like the batch
+  * [[Dedup.incrementalNearDupIndexed]] — this is the `foreachBatch` shape
+  * ([[EventStreams.purchaseClickPairs]] is the stateful-join sibling), and
+  * it completes the ingest story the incremental family exists for: a
+  * firehose of new documents continuously deduped against the standing
+  * corpus.
+  *
+  * Why `foreachBatch` and not a stateful streaming join: the standing side
+  * is a 100 TB on-disk index, not stream state — per micro-batch the probe
+  * is a BATCH join against the bucketed table (index side co-located, zero
+  * exchange; only the micro-batch shuffles), which is both the scale-correct
+  * topology and restart-safe (foreachBatch re-runs the batch id on recovery;
+  * the probe is deterministic over (batch, index)).
+  */
+object DedupStream {
+
+  /** Configure (not start) a streaming query over `stream` — micro-batches
+    * of (doc_id, text) — that probes `indexTable` per batch and hands the
+    * resulting (new_doc_id, dup_of_doc_id, jaccard) pairs to `sink`.
+    *
+    * `corpus` supplies the TEXT of standing documents for the exact-Jaccard
+    * verify and must cover every doc in the index; it is re-planned per
+    * micro-batch (the stream-static property), so passing a catalog table
+    * that grows with the index keeps the verify side consistent.
+    *
+    * With `appendAfterProbe`, each batch's own bands are appended to the
+    * index after its probe ([[Dedup.appendToBandIndex]], union-capped), so
+    * later batches dedup against earlier ones too — probe-then-ingest, the
+    * daily pipeline's inner loop. Exactly-once caveat: a batch replayed
+    * after a crash between probe and append would append its bands twice;
+    * production sinks should append under the batch id (idempotent overwrite
+    * of a per-batch partition) or dedup the index by (doc_id, band).
+    */
+  def incrementalDedupQuery(stream: DataFrame, corpus: DataFrame,
+      indexTable: String, shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8, threshold: Double = 0.8,
+      appendAfterProbe: Boolean = false, buckets: Int = 32,
+      maxBucketSize: Int = 1000)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.incrementalNearDupIndexed(corpus, indexTable,
+          batch, shingleLen, numBands, rowsPerBand, threshold)
+        sink(pairs, batchId)
+        if (appendAfterProbe)
+          Dedup.appendToBandIndex(batch, indexTable, shingleLen, numBands,
+            rowsPerBand, buckets, maxBucketSize)
+      }
+}

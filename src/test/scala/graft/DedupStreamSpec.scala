@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.streaming.DedupStream
+
+/** Streaming twin of incremental dedup: micro-batches probing the persisted
+  * band index must agree with the batch [[Dedup.incrementalNearDupIndexed]]
+  * on the same data, and the probe-then-append loop must surface
+  * cross-batch duplicates.
+  */
+class DedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("micro-batch probes equal the batch probe on the same data") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batchDocs = docs.filter($"doc_id" % 10 === 0)
+    Dedup.writeBandIndex(corpus, "band_idx_ds", buckets = 4)
+    val results = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalDedupQuery(
+      ms.toDF().toDF("doc_id", "text"), corpus, "band_idx_ds") { (pairs, _) =>
+      results ++= pairs.as[(Long, Long, Double)].collect()
+    }.start()
+    try {
+      // the same incoming docs the batch entry probes, split across two
+      // micro-batches — per-batch probes must union to the batch result
+      val rows = batchDocs.select($"doc_id", $"text")
+        .as[(Long, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_ds")
+    }
+    val expected = Dedup.incrementalNearDupOf(corpus, batchDocs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
+  test("probe-then-append finds a duplicate of an earlier micro-batch") {
+    val text1 = "an entirely novel document about streaming ingest loops"
+    val text2 = "an entirely novel document about streaming ingest loops!"
+    val standing = Seq((1L, "the standing corpus has nothing like this"))
+      .toDF("doc_id", "text")
+    // the verify side must cover every doc the index can hold — standing
+    // plus both incoming batches (in production: the growing docs table)
+    val allDocs = standing.union(
+      Seq((10L, text1), (20L, text2)).toDF("doc_id", "text"))
+    Dedup.writeBandIndex(standing, "band_idx_ds2", buckets = 2)
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalDedupQuery(
+      ms.toDF().toDF("doc_id", "text"), allDocs, "band_idx_ds2",
+      appendAfterProbe = true, buckets = 2) { (pairs, id) =>
+      perBatch(id) = pairs.as[(Long, Long, Double)].collect().toSet
+    }.start()
+    try {
+      ms.addData((10L, text1)) // batch 0: no dup of the standing corpus
+      q.processAllAvailable()
+      ms.addData((20L, text2)) // batch 1: near-dup of batch 0's doc
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_ds2")
+    }
+    assert(perBatch(0L).isEmpty, s"batch 0 matched: ${perBatch(0L)}")
+    val hits = perBatch(1L).map { case (n, d, _) => (n, d) }
+    assert(hits == Set((20L, 10L)),
+      s"batch 1 should dup batch 0's doc only, got ${perBatch(1L)}")
+  }
+}
