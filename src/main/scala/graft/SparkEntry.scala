@@ -97,8 +97,12 @@ object SparkEntry {
     "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
     "stratified_sample" -> (Sampling.stratifiedSample _),
     "sampled_users_per_type" -> ((s, d) => Sampling.sampledUsersPerType(s, d)),
-    // —— LLM-pipeline: multimodal (rows-only: seeded fake codec, no SQL twin) ——
+    // —— LLM-pipeline: multimodal ——
+    // oracle: DuckDB re-aggregates the Spark-dumped per-image features
+    // below ({OUT} mechanism) — the seeded fake codec itself has no DuckDB
+    // twin, the rollup over its output does
     "media_image_features" -> (graft.multimodal.Media.imageFeatureRollup _),
+    "media_image_features_dump" -> (graft.multimodal.Media.imageFeatureDump _), // rows-only (it IS the oracle input)
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
@@ -325,6 +329,17 @@ object SparkEntry {
         "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sh, b.sh)) <= 3"),
+    // DuckDB re-aggregates the Spark-dumped per-image features (the decode
+    // is the seeded fake codec; the rollup semantics are what's checked).
+    // avg over doubles is safe here: every mean_luma is an exact multiple
+    // of 1/(w·h), partial sums stay far below 2^53/256 — summation is
+    // exact in any order on both engines
+    "media_image_features" ->
+      ("WITH f AS (SELECT * FROM read_parquet('{OUT}/media_image_features_dump/*.parquet')) " +
+        "SELECT width, height, count(*) AS n_images, " +
+        "round(avg(mean_luma) + 1e-9, 4) AS avg_luma, " +
+        "CAST(sum(luma_histogram[1]) AS BIGINT) AS bucket0_total " +
+        "FROM f GROUP BY width, height ORDER BY width, height"),
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,

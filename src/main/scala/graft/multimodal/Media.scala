@@ -154,12 +154,24 @@ object Media {
     }
   }
 
-  /** Registered query (rows-only: the seeded fake codec is Scala-side, so
-    * no DuckDB twin exists): synthesize a deterministic media table, run
-    * the batched decode + feature extraction, and roll the features up per
+  /** Registered companion of [[imageFeatureRollup]]: the per-image decoded
+    * features themselves. Rows-only on its own (the seeded fake codec has
+    * no DuckDB twin), it exists so the media_image_features ORACLE can
+    * re-aggregate these Spark-computed features in DuckDB (the `{OUT}`
+    * mechanism, same shape as `simhash_signatures`) — an independent check
+    * of the rollup stage over the decode output. The avg is engine-safe
+    * without integer tricks: each mean_luma is an exact multiple of
+    * 1/(width·height) with a partial-sum magnitude far below 2^53/256, so
+    * double summation is exact in ANY order on both engines. */
+  def imageFeatureDump(spark: SparkSession, sfDir: String): DataFrame =
+    imageFeatures(synthesize(spark, n = 2000)).toDF()
+
+  /** Registered query: synthesize a deterministic media table, run the
+    * batched decode + feature extraction, and roll the features up per
     * (width, height) — pins the full multimodal dataflow (binary payloads →
     * mapPartitions batches → typed features → relational agg) under the
-    * correctness dump and the bench. */
+    * correctness dump and the bench. Oracle: DuckDB aggregates the
+    * Spark-dumped per-image features ([[imageFeatureDump]]). */
   def imageFeatureRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val feats = imageFeatures(synthesize(spark, n = 2000))

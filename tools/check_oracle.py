@@ -20,6 +20,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-valued cells (e.g. a dumped histogram column) arrive as numpy
+    # arrays, which are unhashable/unsortable — normalize to tuples so the
+    # row sort and the elementwise compare both work
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
