@@ -36,31 +36,33 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Best-known time per query across every committed `BENCH_r*.json`
-    * artifact in `dir`. The artifacts carry the per-query map twice — a raw
-    * escaped "tail" string and a pretty-printed "parsed" object (`"name":
-    * 1.23`, whitespace after the colon) — so the pattern allows whitespace
-    * and only the parsed copy can match (the tail's names end in `\"`, which
-    * breaks the closing-quote match). Matching only exact current query
-    * names keeps the regex parse safe, and taking the MIN across rounds
-    * means one contaminated prior round can't mask a stall in this one.
-    * Only artifacts recorded at the SAME sf dir count — a dev run at a
-    * smaller scale factor must not be judged against sf0.1 baselines.
+    * artifact in `dir`, read as actual JSON ([[graft.util.MiniJson]]) from
+    * the artifact's `parsed` object — the raw escaped `tail` copy of the
+    * same map is never consulted (its times may be a different run's). A
+    * regex parse here silently broke once already on the writer's
+    * pretty-printing; real parsing makes the extraction shape-stable, and a
+    * malformed artifact skips THAT FILE only (Try per file) instead of
+    * disabling detection wholesale. Taking the MIN across rounds means one
+    * contaminated prior round can't mask a stall in this one. Only
+    * artifacts recorded at the SAME sf dir count — a dev run at a smaller
+    * scale factor must not be judged against sf0.1 baselines.
     */
   def bestPriorTimes(dir: java.io.File, names: Seq[String],
       sfDir: String): Map[String, Double] = {
-    val sfPat = ("\"sf\"\\s*:\\s*\"" +
-      java.util.regex.Pattern.quote(sfDir) + "\"").r
+    val nameSet = names.toSet
     val perFile = for {
-      f <- Option(dir.listFiles()).getOrElse(Array()).toSeq
+      f <- Option(dir.listFiles()).getOrElse(Array[java.io.File]()).toSeq
       if f.getName.matches("BENCH_r\\d+\\.json")
-      txt = scala.util.Try(Files.readString(f.toPath)).getOrElse("")
-      if sfPat.findFirstIn(txt).isDefined
-      n <- names
-      m <- ("\"" + java.util.regex.Pattern.quote(n) + "\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)").r
-        .findFirstMatchIn(txt)
-      v = m.group(1).toDouble
-      if v > 0
-    } yield n -> v
+      root <- scala.util.Try(
+        graft.util.MiniJson.parse(Files.readString(f.toPath))).toOption.toSeq
+      if graft.util.MiniJson.at(root, "parsed", "sf").contains(sfDir)
+      qs <- graft.util.MiniJson.at(root, "parsed", "queries").toSeq
+        .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+      (n, v) <- qs.toSeq
+      if nameSet(n)
+      t <- Some(v).collect { case d: Double => d }
+      if t > 0
+    } yield n -> t
     perFile.groupMapReduce(_._1)(_._2)(math.min)
   }
 

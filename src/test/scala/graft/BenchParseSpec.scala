@@ -55,4 +55,32 @@ class BenchParseSpec extends AnyFunSuite {
     dir.toFile.deleteOnExit()
     assert(Bench.bestPriorTimes(dir.toFile, Seq("q_alpha"), "/data/sf0.1").isEmpty)
   }
+
+  test("a malformed artifact is skipped; intact rounds still count") {
+    val dir = Files.createTempDirectory("graft-benchparse-bad")
+    dir.toFile.deleteOnExit()
+    Files.writeString(dir.resolve("BENCH_r06.json"), artifact)
+    Files.writeString(dir.resolve("BENCH_r05.json"),
+      artifact.substring(0, artifact.length / 2)) // truncated mid-object
+    Files.writeString(dir.resolve("BENCH_r04.json"), "not json at all")
+    val best = Bench.bestPriorTimes(dir.toFile,
+      Seq("q_alpha", "q_beta"), "/data/sf0.1")
+    assert(best == Map("q_alpha" -> 1.25, "q_beta" -> 2.25))
+  }
+
+  test("pretty-print changes do not break the parse (it is not a regex)") {
+    val dir = Files.createTempDirectory("graft-benchparse-fmt")
+    dir.toFile.deleteOnExit()
+    // same document, hostile formatting: no space after colons, newlines
+    // inside the queries object, reordered keys
+    val reformatted =
+      """{"parsed":{"sf":"/data/sf0.1","queries":{
+        |"q_alpha":1.25,
+        |  "q_beta"  :  2.25},"metric":"total"},
+        |"tail": "{\"queries\":{\"q_alpha\":9.99}}"}""".stripMargin
+    Files.writeString(dir.resolve("BENCH_r03.json"), reformatted)
+    val best = Bench.bestPriorTimes(dir.toFile,
+      Seq("q_alpha", "q_beta"), "/data/sf0.1")
+    assert(best == Map("q_alpha" -> 1.25, "q_beta" -> 2.25))
+  }
 }
