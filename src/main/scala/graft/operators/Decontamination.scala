@@ -25,9 +25,11 @@ import graft.util.Cols._
   *    partition that produced them, and the final (doc, bench) group-by is
   *    keyed by doc pairs, not by gram.
   *  - Grams are matched as exact strings so every hit is auditable (the
-  *    shared run is the join key itself). If broadcast size ever binds,
-  *    hash each gram to 64 bits first (`xxhash64`) — same plan shape, 8
-  *    bytes per gram, at a ~5e-20 per-pair false-positive rate.
+  *    shared run is the join key itself) — UNLESS the benchmark side's gram
+  *    count exceeds `maxBroadcastGrams`, in which case both sides join on
+  *    `xxhash64(gram)` instead: same plan topology, 8 bytes per broadcast
+  *    gram, at a ~5e-20 per-pair false-positive rate. The guard costs one
+  *    cheap count over the (small by definition) benchmark side.
   */
 object Decontamination {
 
@@ -53,17 +55,33 @@ object Decontamination {
     * (doc_id, text) benchmark frame: one row per (corpus doc, benchmark doc)
     * pair sharing at least `minOverlap` distinct token n-grams, with the
     * shared-gram count. Output: (doc_id, bench_id, n_shared).
+    *
+    * `maxBroadcastGrams` guards the broadcast: if the benchmark side
+    * explodes to more grams than this (a cheap count — the benchmark is
+    * small by definition, and evals its grams once more before the join),
+    * both sides switch to joining on `xxhash64(gram)` — the broadcast
+    * relation shrinks to 8 bytes per gram and the plan topology is
+    * unchanged (benchmark broadcast, corpus probes in place). The hashed
+    * form trades the auditable string key for a ~5e-20 per-(corpus-gram ×
+    * bench-gram) false-positive rate; at the default threshold the exact
+    * strings are kept.
     */
   def contaminationPairsOf(corpus: DataFrame, benchmark: DataFrame,
-      n: Int = 8, minOverlap: Int = 1): DataFrame = {
+      n: Int = 8, minOverlap: Int = 1,
+      maxBroadcastGrams: Long = 50L * 1000 * 1000): DataFrame = {
     // spread the corpus side: tokenize+explode is the dominant per-row cost
     val c = spread(corpus).select($"doc_id",
       explode(tokenNgrams($"text", n)).as("gram"))
     val b = benchmark.select($"doc_id".as("bench_id"),
       explode(tokenNgrams($"text", n)).as("gram"))
+    val benchGrams = b.agg(count(lit(1))).head.getLong(0)
+    val (cKeyed, bKeyed) =
+      if (benchGrams <= maxBroadcastGrams) (c, b)
+      else (c.withColumn("gram", xxhash64($"gram")),
+        b.withColumn("gram", xxhash64($"gram")))
     // each side's grams are distinct per doc, so count(*) after the join is
     // exactly |grams(doc) ∩ grams(bench)|
-    c.join(broadcast(b), "gram")
+    cKeyed.join(broadcast(bKeyed), "gram")
       .groupBy($"doc_id", $"bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minOverlap)

@@ -50,6 +50,27 @@ class DecontaminationSpec extends SparkTestBase {
     assert(strict == Set((1L, 900L, 2L)))
   }
 
+  test("oversized benchmark side switches to the hashed-gram path, same hits") {
+    // a benchmark slice big enough to cross a tiny threshold: the fixture's
+    // benchmark docs explode to well over 10 grams
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val hashed = Decontamination.contaminationPairsOf(corpus, bench,
+      maxBroadcastGrams = 10)
+    val exact = Decontamination.contaminationPairsOf(corpus, bench)
+    assert(hashed.as[(Long, Long, Long)].collect().toSet ==
+      exact.as[(Long, Long, Long)].collect().toSet)
+    assert(exact.count() > 0)
+    // the guard changes the KEY, not the topology: the benchmark side is
+    // still the broadcast build side
+    assert(hashed.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // and the hashed plan joins on the 64-bit hash, not the strings
+    assert(hashed.queryExecution.optimizedPlan.toString.contains("xxhash64"))
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("xxhash64"))
+  }
+
   test("ngramContamination sweeps the fixture and equals brute force") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val got = Decontamination.ngramContamination(spark, sf)

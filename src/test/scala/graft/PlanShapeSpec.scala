@@ -116,12 +116,26 @@ class PlanShapeSpec extends SparkTestBase {
     // must carry the % 10 = 0 filter, not the corpus-side complement
     val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
     assert(bcasts.nonEmpty)
-    // benchmark filter prints as `(doc_id % 10) = 0`; the corpus complement
-    // as `NOT ((doc_id % 10) = 0)` — the broadcast subtree must be the former
+    // benchmark filter is EqualTo(doc_id % 10, 0); the corpus complement
+    // wraps it in Not. Walk the ACTUAL predicate expressions (FilterExec
+    // conditions + scan data filters) rather than string-matching the plan
+    // rendering, which churns across Spark versions.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal, Not, Remainder}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    def predsOf(b: BroadcastExchangeExec): Seq[Expression] = b.collect {
+      case f: FilterExec => Seq(f.condition)
+      case s: FileSourceScanExec => s.dataFilters
+    }.flatten
+    def isModEqZero(e: Expression): Boolean = e.exists {
+      case EqualTo(r: Remainder, Literal(z, _)) =>
+        z == 0 && r.right.isInstanceOf[Literal]
+      case _ => false
+    }
     assert(bcasts.forall { b =>
-      val s = b.toString
-      s.contains("= 0") && !s.contains("NOT ")
-    }, bcasts.map(_.toString.take(300)))
+      val preds = predsOf(b)
+      preds.exists(isModEqZero) &&
+        !preds.exists(_.exists(_.isInstanceOf[Not]))
+    }, bcasts.map(predsOf(_).mkString("; ").take(300)))
     // the corpus side reaches the join with no shuffle: the only Exchanges
     // are the spread repartition and the final (doc, bench) group-by
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }

@@ -147,7 +147,12 @@ results = {}
 if os.path.exists(artifact):
     results = json.load(open(artifact))
 for name in names:
-    if name in results and results[name].get("err") is None: continue
+    # resume skips only entries that PASSED: a recorded hash mismatch (err
+    # None, hash_match False) must be re-checked after a fix, or the final
+    # count reports stale failures as permanent
+    prev = results.get(name)
+    if prev and prev.get("err") is None and prev.get("hash_match") is True:
+        continue
     sql = oracle[name]
     variant = "literal"
     if FAST and name in REWRITABLE:
