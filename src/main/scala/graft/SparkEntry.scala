@@ -109,6 +109,10 @@ object SparkEntry {
     // the full hygiene chain: exact+near dedup, restricted to trainable
     // (non-benchmark) docs, minus the decontamination sweep's hits
     "decontaminated_corpus" -> ((s, d) => Pipelines.decontaminatedCorpus(s, d)),
+    // the ingest-day chain: today's batch deduped within itself (exact +
+    // near), against the STANDING corpus via the persisted band index, and
+    // decontaminated against the benchmark slice
+    "ingested_corpus" -> ((s, d) => Pipelines.ingestedCorpus(s, d)),
   )
 
   // oracle bodies shared between their own entry and the clean_corpus
@@ -167,6 +171,42 @@ object SparkEntry {
       "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
       "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE len(a.s) > 0 AND len(b.s) > 0) " +
       "WHERE jaccard >= 0.8"
+  // the ingest-day composition: batch = doc_id % 10 = 1, benchmark = % 10
+  // = 0, standing corpus = the rest. Same brute-force shingle/gram CTEs as
+  // the component twins, with the pair spaces restricted to batch×batch
+  // (ndb) and standing×batch (nds); the persisted band index on the Spark
+  // side is an execution layout, not a semantic, so one SQL serves it.
+  private val ingestedCorpusSql =
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(coalesce(text,''))-4, 0)), i -> coalesce(text,'')[i:i+4])) AS s " +
+      "FROM documents), " +
+      "kb AS (SELECT sha256(coalesce(text, '')) AS text_hash, min(doc_id) AS keep_doc_id " +
+      "FROM documents WHERE doc_id % 10 = 1 GROUP BY 1), " +
+      "ndb AS (SELECT a_doc_id, b_doc_id, jaccard FROM (" +
+      "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
+      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id % 10 = 1 AND b.doc_id % 10 = 1 " +
+      "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), " +
+      "nds AS (SELECT new_doc_id, dup_of_doc_id, jaccard FROM (" +
+      "SELECT a.doc_id AS dup_of_doc_id, b.doc_id AS new_doc_id, " +
+      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id % 10 NOT IN (0, 1) AND b.doc_id % 10 = 1 " +
+      "WHERE len(a.s) > 0 AND len(b.s) > 0) WHERE jaccard >= 0.8), " +
+      "tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+      "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+      "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM tok), " +
+      "bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0), " +
+      "cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 1), " +
+      "ctb AS (SELECT cg.doc_id, bg.bench_id, count(*) AS n_shared " +
+      "FROM cg JOIN bg ON cg.gram = bg.gram GROUP BY 1, 2) " +
+      "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+      "JOIN kb ON d.doc_id = kb.keep_doc_id " +
+      "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM ndb) " +
+      "AND d.doc_id NOT IN (SELECT new_doc_id FROM nds) " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM ctb)"
+
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
@@ -377,6 +417,9 @@ object SparkEntry {
         "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd) " +
         "AND d.doc_id % 10 <> 0 " +
         "AND d.doc_id NOT IN (SELECT doc_id FROM ct)"),
+    // the ingest-day chain, from the same brute-force component twins with
+    // the pair spaces restricted to today's batch
+    "ingested_corpus" -> ingestedCorpusSql,
     // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
     // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
     "embedding_near_dup" ->

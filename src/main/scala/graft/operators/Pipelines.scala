@@ -80,4 +80,51 @@ object Pipelines {
       .filter($"doc_id" % 10 =!= 0) // the benchmark slice is not trainable
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** The INGEST-day corpus build: where [[decontaminatedCorpus]] dedups a
+    * corpus against itself, this is the shape a production pipeline runs
+    * per incoming batch — dedup today's batch within itself (exact + near),
+    * against the STANDING corpus via the persisted band index
+    * ([[Dedup.writeBandIndex]] / [[Dedup.incrementalNearDupIndexed]]), and
+    * decontaminate against the benchmark slice; emit the trainable batch
+    * docs. Fixture roles: doc_id % 10 == 1 is today's batch, % 10 == 0 the
+    * benchmark slice, everything else the standing corpus.
+    *
+    * Plan shape: one hash-agg (exact) + two banded-LSH candidate joins —
+    * in-batch self-join and batch×index, the index side co-located and
+    * never re-banded — + one broadcast contamination probe, with all four
+    * drop sets landing in co-partitioned left-anti joins on doc_id. Every
+    * stage is linear in the BATCH (plus one co-located index probe), never
+    * in the standing corpus — the property that makes daily ingestion
+    * affordable when the standing corpus is 100 TB and the batch is not.
+    */
+  def ingestedCorpus(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter($"doc_id" % 10 === 1)
+    val standing = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 1)
+    val benchmark = docs.filter($"doc_id" % 10 === 0)
+    // standing-corpus band index: built once per process (the bench's
+    // untimed warmup absorbs the build, mirroring the other index entries)
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_ingest_band_index_$key"
+    if (!spark.catalog.tableExists(table))
+      Dedup.writeBandIndex(standing, table, location = Some(
+        s"${graft.util.TmpDirs.perProcessDir("graft_ingest_bandidx")}/$key"))
+    val keep = Dedup.exactDedupOf(batch)
+      .select($"keep_doc_id".as("doc_id"))
+    val inBatchDrops = Dedup.nearDupPairsOf(batch, threshold = threshold)
+      .select($"b_doc_id".as("doc_id")).distinct()
+    val corpusDrops = Dedup
+      .incrementalNearDupIndexed(standing, table, batch, threshold = threshold)
+      .select($"new_doc_id".as("doc_id")).distinct()
+    val contaminated = Decontamination
+      .contaminationPairsOf(batch, benchmark, n)
+      .select($"doc_id").distinct()
+    batch.select($"doc_id", $"lang", $"n_chars")
+      .join(keep, "doc_id")
+      .join(inBatchDrops, Seq("doc_id"), "left_anti")
+      .join(corpusDrops, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

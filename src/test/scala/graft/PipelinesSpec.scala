@@ -34,6 +34,37 @@ class PipelinesSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(keeps))
   }
 
+  test("ingestedCorpus: batch slice gated by every drop set it composes") {
+    val ids = Pipelines.ingestedCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    assert(ids.forall(_ % 10 == 1), "only batch docs are emitted")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 1)
+    val standing = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 1)
+    val benchmark = docs.filter($"doc_id" % 10 === 0)
+    // exact-dedup canonical keeps within the batch
+    val keeps = Dedup.exactDedupOf(batch)
+      .select($"keep_doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keeps))
+    // no surviving doc near-dups the standing corpus (index = in-plan here)
+    val corpusDrops = Dedup.incrementalNearDupOf(standing, batch)
+      .select($"new_doc_id").as[Long].collect().toSet
+    assert(ids.intersect(corpusDrops).isEmpty)
+    // ... nor another batch doc, nor the benchmark slice's 8-gram runs
+    val inBatchDrops = Dedup.nearDupPairsOf(batch)
+      .select($"b_doc_id").as[Long].collect().toSet
+    assert(ids.intersect(inBatchDrops).isEmpty)
+    val contaminated = graft.operators.Decontamination
+      .contaminationPairsOf(batch, benchmark)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // the standing-corpus gate actually bites on this fixture — otherwise
+    // the composition's distinctive stage proves nothing
+    assert(corpusDrops.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_ingest_band_index__root_testdata_sf0_001")
+  }
+
   test("decontaminatedCorpus: dedup slice minus benchmark and contamination") {
     val ids = Pipelines.decontaminatedCorpus(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
