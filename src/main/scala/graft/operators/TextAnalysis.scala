@@ -17,19 +17,26 @@ import graft.util.Cols._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty-safe (split of "" would yield [""]). */
+  /** Whitespace tokens, empty-safe (split of "" would yield [""]). The
+    * separator class is the explicit RE2-compatible `[ \t\n\r\f]` shared
+    * with the DuckDB twins' `string_split_regex` — Java's `\s` would also
+    * split on vertical tab (\u000B), which RE2 treats as a token character
+    * (same convergence rule as `Decontamination.tokenNgrams`). */
   def tokens(text: Column): Column = {
     val t = trim(coalesce(text, lit("")))
     when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
+      .otherwise(split(t, "[ \\t\\n\\r\\f]+"))
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single non-space
     * symbols — the pre-merge word pieces a byte-pair tokenizer starts from.
+    * The negated class spells out RE2's `\s` for the same cross-engine
+    * convergence as [[tokens]] (under Java's `\s`, \u000B would be excluded
+    * from the symbol class that the DuckDB twin includes it in).
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(coalesce(text, lit("")),
-      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"), lit(0)))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
