@@ -29,14 +29,24 @@ object StreamSoak {
       out.toFile.deleteOnExit()
       val scale = cores / 4
       val (collectorRate, eventsRate) = (50000 * scale, 200000 * scale)
+      // the dedup probe is a multi-join micro-batch (seconds per batch, not
+      // ms), so its rate/corpus scale is capped and its soak lengthened —
+      // enough steady-state batches to report a sustained number instead of
+      // one warmup-dominated batch
+      val dedupScale = math.min(scale, 4)
+      val docsRate = 5000 * dedupScale
       val (c, sunk, h) = Soak.run(spark, collectorRate, eventsRate, out.toString)
+      val d = Soak.dedupRun(spark, corpusDocs = 20000 * dedupScale, docsRate,
+        tag = s"c$cores", soakMs = 30000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       require(sunk >= c.totalRows, s"collector sank $sunk < reported ${c.totalRows}")
       s""""local_$cores":{"collector":${Soak.json(c)},""" +
-        s""""hourly_type_counts":${Soak.json(h)},"cores":$cores,""" +
-        s""""collector_rate":$collectorRate,"events_rate":$eventsRate}"""
+        s""""hourly_type_counts":${Soak.json(h)},""" +
+        s""""dedup_probe":${Soak.json(d)},"cores":$cores,""" +
+        s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
+        s""""docs_rate":$docsRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

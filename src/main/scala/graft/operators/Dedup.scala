@@ -347,25 +347,53 @@ object Dedup {
     * fetches text only for candidate corpus docs from `corpus`. Same rows as
     * [[incrementalNearDupOf]] on the same geometry (the index was built with
     * the same cap). */
-  def incrementalNearDupIndexed(corpus: DataFrame, indexTable: String,
-      batch: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
-      rowsPerBand: Int = 8, threshold: Double = 0.8): DataFrame = {
+  /** Candidate (new_doc_id, dup_of_doc_id) pairs from banding `batch`
+    * against the persisted index — the probe's dominant stage, exposed so
+    * BucketingSpec can pin its plan (zero Exchange above the index scan)
+    * even though [[incrementalNearDupIndexed]] materializes it eagerly. */
+  def bandIndexCandidates(indexTable: String, batch: DataFrame,
+      shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8): DataFrame = {
     val spark = batch.sparkSession
-    val batchBase = spread(batch)
+    val batchBanded = spread(batch)
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen)
-    val batchBanded = batchBase.select($"doc_id",
-      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
-        .as(Seq("band", "bsig")))
-    val candidates = batchBanded.as("l")
+      .select($"doc_id",
+        posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+          .as(Seq("band", "bsig")))
+    batchBanded.as("l")
       .join(spark.table(indexTable).as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
       .select(col("l.doc_id").as("new_doc_id"),
         col("r.doc_id").as("dup_of_doc_id"))
       .distinct()
+  }
+
+  def incrementalNearDupIndexed(corpus: DataFrame, indexTable: String,
+      batch: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val batchBase = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    // The candidate set feeds BOTH the verify spine and the corpus-side
+    // semi filter below; materialize it once (localCheckpoint — reliable
+    // `checkpoint` on a cluster, same note as dupClusters) so the banded
+    // index join, the probe's dominant stage, runs once per probe instead
+    // of once per use.
+    val candidates =
+      bandIndexCandidates(indexTable, batch, shingleLen, numBands, rowsPerBand)
+        .localCheckpoint()
+    // Fetch text for CANDIDATE corpus docs only: the standing corpus is
+    // orders of magnitude larger than one batch's candidate set, so the
+    // verify side semi-filters the corpus scan with the (batch-bounded)
+    // candidate ids broadcast — the corpus is never shingled or shuffled
+    // wholesale per probe, which is what makes the PER-MICRO-BATCH probe
+    // of DedupStream affordable against a standing warehouse.
+    val candIds = candidates.select($"dup_of_doc_id")
     val corpusSets = spread(corpus)
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen)
+      .join(broadcast(candIds), $"doc_id" === $"dup_of_doc_id", "left_semi")
       .select($"doc_id".as("dup_of_doc_id"),
         graft.functions.TextExpressions.charShingles($"t", shingleLen).as("b_sh"))
     val batchSets = batchBase.select($"doc_id".as("new_doc_id"),
@@ -398,8 +426,12 @@ object Dedup {
       writeBandIndex(docs.filter($"doc_id" % 10 =!= 0), table,
         location = Some(
           s"${graft.util.TmpDirs.perProcessDir("graft_bandidx")}/$key"))
+    // ordered output: the probe's candidate stage is an eagerly
+    // materialized checkpoint, which makes raw row order run-dependent —
+    // the registered entry pins it (trivial sort; the result is pair-scale)
     incrementalNearDupIndexed(docs.filter($"doc_id" % 10 =!= 0), table,
       docs.filter($"doc_id" % 10 === 0))
+      .orderBy($"new_doc_id", $"dup_of_doc_id")
   }
 
   /** Near-duplicate FAMILIES: connected components over the near-dup pair

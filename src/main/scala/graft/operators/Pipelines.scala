@@ -126,5 +126,8 @@ object Pipelines {
       .join(inBatchDrops, Seq("doc_id"), "left_anti")
       .join(corpusDrops, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      // ordered output: the index probe's candidate stage is an eagerly
+      // materialized checkpoint, which makes raw row order run-dependent
+      .orderBy($"doc_id")
   }
 }

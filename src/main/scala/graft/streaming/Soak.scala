@@ -38,6 +38,40 @@ object Soak {
       s""""rows_per_sec":${s.rowsPerSec},"mean_batch_ms":${s.meanBatchMs},""" +
       s""""max_batch_ms":${s.maxBatchMs}}"""
 
+  /** Deterministic pseudo-document text from a numeric seed column: 12
+    * "words" per doc, enough length to shingle — the per-row cost of a real
+    * probe (shingle → 128-slot minhash → banding) without fixture I/O. */
+  private def synthText(seed: org.apache.spark.sql.Column) =
+    concat_ws(" ",
+      (0 until 12).map(i => pmod(seed * (31 + i) + i, lit(9973)).cast("string")): _*)
+
+  /** Streaming incremental dedup against a persisted band index — the
+    * ingest loop's throughput number. Synthesizes a standing corpus,
+    * persists its band index bucketed (build untimed: it's the standing
+    * artifact), then soaks a rate-source document stream whose
+    * micro-batches probe the index via [[DedupStream]]; the sink counts
+    * the emitted pairs so every batch pays the full probe + verify. */
+  def dedupRun(spark: SparkSession, corpusDocs: Int, docsRate: Int,
+      tag: String, soakMs: Long = 20000): Result = {
+    // longer soak than the row-shaped pipelines: a probe micro-batch is a
+    // multi-join query (banding + index join + verify), so the first batch
+    // alone costs seconds of plan/codegen warmup before steady state
+    val corpus = spark.range(corpusDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    val table = s"graft_soak_band_index_$tag"
+    graft.operators.Dedup.writeBandIndex(corpus, table, location = Some(
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_bandidx")}/$tag"))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", docsRate.toString).load()
+      .select((col("value") + corpusDocs).as("doc_id"),
+        synthText(col("value") * 7 + 3).as("text"))
+    val q = DedupStream.incrementalDedupQuery(docs, corpus, table) {
+      (pairs, _) => val _ = pairs.count()
+    }.start()
+    try soak(q, soakMs)
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

@@ -78,20 +78,21 @@ class BucketingSpec extends SparkTestBase {
       // union semantics (same rows as an in-plan run over the full corpus;
       // the cap never binds on the fixture, so no cap-drift here)
       Dedup.appendToBandIndex(corpusB, "band_idx_append", buckets = 4)
-      val probe2 = Dedup
+      val got = Dedup
         .incrementalNearDupIndexed(corpusAll, "band_idx_append", batch)
-      val got = probe2.as[(Long, Long, Double)].collect().toSet
+        .as[(Long, Long, Double)].collect().toSet
       val expected = Dedup.incrementalNearDupOf(corpusAll, batch)
         .as[(Long, Long, Double)].collect().toSet
       assert(got == expected)
       assert(got.nonEmpty)
       // and the appended table still reads co-located: no Exchange between
       // the (multi-file-per-bucket) index scan and the candidate join
-      val bandJoin = probe2.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
-            if j.left.toString.contains("band_idx_append") ||
-              j.right.toString.contains("band_idx_append") => j
-      }.last
+      val bandJoin = Dedup.bandIndexCandidates("band_idx_append", batch)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if j.left.toString.contains("band_idx_append") ||
+                j.right.toString.contains("band_idx_append") => j
+        }.last
       val idxSide = if (bandJoin.left.toString.contains("band_idx_append"))
         bandJoin.left else bandJoin.right
       val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
@@ -141,24 +142,25 @@ class BucketingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val probe = Dedup.incrementalNearDupIndexed(corpus, "band_idx_test", batch)
       // the build-once contract: the index side of the CANDIDATE join reads
       // in place — no Exchange between the index scan and the join (the
       // batch side and the downstream verify joins shuffle freely; those
-      // move batch/candidate rows, not the index). Find the innermost join
-      // whose subtree reads the index (pre-order collect → last = innermost)
-      // and assert its index-side child is exchange-free.
-      val bandJoin = probe.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
-            if j.left.toString.contains("band_idx_test") ||
-              j.right.toString.contains("band_idx_test") => j
-      }.last
+      // move batch/candidate rows, not the index). The probe materializes
+      // the candidate stage eagerly (localCheckpoint), so the plan property
+      // is pinned on the exposed candidate frame itself.
+      val bandJoin = Dedup.bandIndexCandidates("band_idx_test", batch)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if j.left.toString.contains("band_idx_test") ||
+                j.right.toString.contains("band_idx_test") => j
+        }.last
       val idxSide = if (bandJoin.left.toString.contains("band_idx_test"))
         bandJoin.left else bandJoin.right
       val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
       assert(shuffled.isEmpty,
         s"band index was re-exchanged before the candidate join: $shuffled")
       // and the layout change is semantics-free: same rows as the in-plan path
+      val probe = Dedup.incrementalNearDupIndexed(corpus, "band_idx_test", batch)
       val got = probe.as[(Long, Long, Double)].collect().toSet
       val expected = Dedup.incrementalNearDupOf(corpus, batch)
         .as[(Long, Long, Double)].collect().toSet

@@ -33,4 +33,14 @@ class StreamingSoakSpec extends SparkTestBase {
     assert(hSoak.batches >= 2 && hSoak.totalRows > 50000, hSoak)
     assert(hSoak.rowsPerSec > 20000, s"agg throughput degenerate: $hSoak")
   }
+
+  test("rate-source soak: streaming dedup probe sustains the ingest loop") {
+    // every micro-batch pays shingle -> 128-slot minhash -> banded join
+    // against the persisted index -> exact verify; the floor is well below
+    // a healthy 4-core rate so CI noise cannot flake it
+    val d = Soak.dedupRun(spark, corpusDocs = 20000, docsRate = 5000,
+      tag = "spec")
+    assert(d.batches >= 2 && d.totalRows > 5000, d)
+    assert(d.rowsPerSec > 500, s"dedup probe throughput degenerate: $d")
+  }
 }
