@@ -23,6 +23,7 @@ import graft.functions._
   *  - `simhash64(text string, n int) -> bigint`
   *  - `min_md5_shingles(text string, n int) -> string`
   *  - `ngram_jaccard(a string, b string, n int) -> double`
+  *  - `token_ngrams(text string, n int) -> array<string>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(text, n) - 64-bit SimHash over distinct shingles"),
       (args: Seq[Expression]) => SimHash64Expr(args(0),
         intLit(args(1), "simhash64", "n"))))
+    ext.injectFunction((FunctionIdentifier("token_ngrams"),
+      info("token_ngrams", "token_ngrams(text, n) - distinct token n-gram set"),
+      (args: Seq[Expression]) => TokenNgramsExpr(args(0),
+        intLit(args(1), "token_ngrams", "n"))))
     ext.injectFunction((FunctionIdentifier("min_md5_shingles"),
       info("min_md5_shingles", "min_md5_shingles(text, n) - winnowing fingerprint"),
       (args: Seq[Expression]) => MinMd5ShinglesExpr(args(0),

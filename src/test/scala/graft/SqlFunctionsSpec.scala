@@ -30,6 +30,9 @@ class SqlFunctionsSpec extends SparkTestBase {
     val fp = spark.sql("SELECT min_md5_shingles('abcdefghij', 8)").head.getString(0)
     assert(fp.length == 32 && fp.forall(c => c.isDigit || ('a' to 'f').contains(c)))
 
+    val grams = spark.sql("SELECT token_ngrams('a b c d', 3)").head.getSeq[String](0)
+    assert(grams == Seq("a b c", "b c d"))
+
     // SQL and DataFrame paths resolve to the same expression
     val viaDf = Seq("abcd").toDF("t")
       .select(Dedup.charShingles($"t", 3)).head.getSeq[String](0)
