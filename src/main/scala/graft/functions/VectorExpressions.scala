@@ -112,6 +112,32 @@ object VectorHashImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
   }
+
+  /** Index of the nearest center by squared Euclidean distance (first
+    * minimum wins on exact ties — the same rule as MLlib K-Means
+    * assignment, so [[NearestCenterExpr]] reproduces the quantizer's own
+    * cell assignment). */
+  def nearestCenter(emb: ArrayData, centers: Array[Array[Double]]): Int = {
+    if (centers.length > 0 && emb.numElements() != centers(0).length)
+      throw new IllegalArgumentException(
+        s"center dim ${centers(0).length} != embedding dim ${emb.numElements()}")
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centers.length) {
+      val c = centers(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) {
+        val t = emb.getFloat(j) - c(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
 }
 
 /** Random-hyperplane (sign-LSH) band keys of an `array<float>` embedding:
@@ -136,6 +162,26 @@ case class SignLshBandsExpr(child: Expression, planes: Array[Array[Double]],
     copy(child = c)
 }
 
+/** Nearest coarse centroid of an `array<float>` embedding (squared
+  * Euclidean argmin; ties keep the first center, matching MLlib K-Means) —
+  * the add-after-train assignment of [[graft.operators.Similarity]]'s IVF
+  * append path. The centroid matrix rides along as a codegen reference, so
+  * a batch of new vectors assigns inside whole-stage codegen with no per-row
+  * boxing and no K-Means model object needed at append time. */
+case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.nearestCenter(input.asInstanceOf[ArrayData], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.nearestCenter($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCenterExpr =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column wrapper: cosine similarity of two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -147,4 +193,9 @@ object VectorExpressions {
       rowsPerBand: Int): Column =
     GraftSqlBridge.column(
       SignLshBandsExpr(GraftSqlBridge.expression(emb), planes, rowsPerBand))
+
+  /** Column wrapper: nearest-centroid cell id of an `array<float>` column. */
+  def nearestCenter(emb: Column, centers: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCenterExpr(GraftSqlBridge.expression(emb), centers))
 }

@@ -153,15 +153,42 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
   }
 
+  private def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
   /** Load a persisted IVF index. The corpus frame's `cell` is the partition
     * column, so [[queryIvfIndex]]'s static probe-cell filter prunes the
     * on-disk directories (PlanShapeSpec pins scanned partitions == probed
     * cells). */
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val centers = spark.read.parquet(s"$path/centers").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    IvfIndex(spark.read.parquet(s"$path/corpus"), centers)
+    IvfIndex(spark.read.parquet(s"$path/corpus"), loadCenters(spark, path))
+  }
+
+  /** Append new vectors to a persisted IVF index WITHOUT re-fitting: each
+    * vector is assigned to its nearest EXISTING coarse centroid (squared
+    * Euclidean argmin via the codegen [[graft.functions.NearestCenterExpr]]
+    * — the same first-minimum rule as the K-Means assignment that built the
+    * index) and appended into that cell's partition directory. This is the
+    * add-after-train contract every IVF system exposes, and the vector twin
+    * of [[Dedup.appendToBandIndex]]: probes after an append read the union
+    * with the same directory pruning, and only the (batch-sized) new
+    * vectors are ever scanned or shuffled.
+    *
+    * Centroids are frozen, so cell geometry drifts as the ingested
+    * distribution shifts — production re-fits the coarse quantizer when
+    * cell-size imbalance crosses a threshold (cheap to monitor: the cell
+    * histogram is one co-located count per append).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centers = loadCenters(spark, path)
+    spread(newVecs)
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorExpressions.nearestCenter($"embedding", centers)
+          .as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** Registered query: end-to-end IVF build + probe (the bench therefore

@@ -95,6 +95,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(oneShot == r1)
   }
 
+  test("IVF append: add-after-train assignment, union probes, same centers") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val embA = emb.filter($"vec_id" % 2 === 0)
+    val embB = emb.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val idxA = Similarity.buildIvfIndex(embA, nlist = 8)
+    Similarity.writeIvfIndex(idxA, dir)
+    // the codegen nearest-center assignment reproduces the quantizer's own:
+    // NearestCenterExpr over A equals the K-Means transform that built idxA
+    val exprAssign = embA.select($"vec_id",
+      graft.functions.VectorExpressions
+        .nearestCenter($"embedding", idxA.centers).as("cell"))
+      .as[(Long, Int)].collect().toSet
+    val modelAssign = idxA.bucketed.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toSet
+    assert(exprAssign == modelAssign)
+
+    Similarity.appendToIvfIndex(embB, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.bucketed.count() == emb.count(), "append must be a union")
+    // probing the appended index equals probing an in-memory index holding
+    // both halves under the SAME (frozen) centers — add-after-train
+    val bAssigned = embB.select($"vec_id", $"embedding",
+      graft.functions.VectorExpressions
+        .nearestCenter($"embedding", idxA.centers).as("cell"))
+    val memIndex = Similarity.IvfIndex(
+      idxA.bucketed.select($"vec_id", $"embedding", $"cell").union(bAssigned),
+      idxA.centers)
+    val queries = emb.filter($"vec_id" < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = Similarity.queryIvfIndex(loaded, queries, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val want = Similarity.queryIvfIndex(memIndex, queries, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // appended vectors are genuinely reachable: a full-width probe must
+    // surface odd (appended) vec_ids among the neighbors
+    val full = Similarity.queryIvfIndex(loaded, queries, k = 10, nprobe = 8)
+      .filter($"vec_id" % 2 === 1).count()
+    assert(full > 0, "no appended vector ever surfaced in a full probe")
+  }
+
   test("IVF top-k recalls a usable fraction of the exact top-k") {
     val exact = Similarity.cosineTopK(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
