@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.Dedup
+import graft.operators.{Decontamination, Dedup}
+import graft.util.Cols._
 
 /** Streaming twin of the incremental dedup family: micro-batches of new
   * documents probe the PERSISTED band index ([[Dedup.writeBandIndex]] /
@@ -54,6 +56,58 @@ object DedupStream {
         sink(pairs, batchId)
         if (appendAfterProbe)
           Dedup.appendToBandIndex(batch, indexTable, shingleLen, numBands,
+            rowsPerBand, buckets, maxBucketSize)
+      }
+
+  /** The full streaming ingest pipeline — the per-micro-batch form of
+    * [[graft.operators.Pipelines.ingestedCorpus]]: each batch of documents
+    * is exact-deduped within itself, near-deduped within itself and against
+    * the standing corpus (persisted band index probe), decontaminated
+    * against the benchmark frame, and the SURVIVING rows (all input
+    * columns) handed to `sink`; with `appendAfterProbe` the survivors'
+    * bands then join the index, so later batches dedup against them too.
+    *
+    * Cross-batch semantics with the append enabled: an exact or near dup
+    * of an EARLIER batch's surviving doc is caught by the index probe
+    * (exact dups have Jaccard 1 ≥ any threshold), so "first arrival wins"
+    * replaces the batch chain's "minimum doc_id wins" — identical when
+    * ingestion order follows doc_id. Only survivors are appended: a doc
+    * dropped as contaminated never becomes dedup precedent, which batch
+    * [[graft.operators.Pipelines.ingestedCorpus]] — which drops the higher
+    * side of EVERY in-slice pair regardless of the lower side's fate —
+    * does not exactly share; the streaming rule is the one a day-over-day
+    * pipeline actually wants (nothing in the corpus ever references a
+    * dropped doc).
+    */
+  def ingestQuery(stream: DataFrame, corpus: DataFrame, indexTable: String,
+      benchmark: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8, threshold: Double = 0.8, n: Int = 8,
+      appendAfterProbe: Boolean = true, buckets: Int = 32,
+      maxBucketSize: Int = 1000)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep = Dedup.exactDedupOf(batch)
+          .select($"keep_doc_id".as("doc_id"))
+        val inBatchDrops = Dedup
+          .nearDupPairsOf(batch, shingleLen, numBands, rowsPerBand, threshold)
+          .select($"b_doc_id".as("doc_id")).distinct()
+        val corpusDrops = Dedup
+          .incrementalNearDupIndexed(corpus, indexTable, batch, shingleLen,
+            numBands, rowsPerBand, threshold)
+          .select($"new_doc_id".as("doc_id")).distinct()
+        val contaminated = Decontamination
+          .contaminationPairsOf(batch, benchmark, n)
+          .select($"doc_id").distinct()
+        val clean = batch
+          .join(keep, "doc_id")
+          .join(inBatchDrops, Seq("doc_id"), "left_anti")
+          .join(corpusDrops, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        sink(clean, batchId)
+        if (appendAfterProbe)
+          Dedup.appendToBandIndex(clean, indexTable, shingleLen, numBands,
             rowsPerBand, buckets, maxBucketSize)
       }
 }

@@ -46,6 +46,41 @@ class DedupStreamSpec extends SparkTestBase {
     assert(results.nonEmpty)
   }
 
+  test("streaming ingest pipeline matches the batch ingest chain") {
+    val docs = Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 1)
+    val benchmark = docs.filter($"doc_id" % 10 === 0)
+    Dedup.writeBandIndex(standing, "band_idx_ingest", buckets = 4)
+    val survivors = scala.collection.mutable.Set[(Long, String)]()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = DedupStream.ingestQuery(
+      ms.toDF().toDF("doc_id", "text", "lang"),
+      docs, // verify-side text lookup must cover standing + appended docs
+      "band_idx_ingest", benchmark, buckets = 4) { (clean, _) =>
+      survivors ++= clean.select($"doc_id", $"lang").as[(Long, String)].collect()
+    }.start()
+    try {
+      // today's docs arrive in doc_id order over two micro-batches — the
+      // order under which streaming first-arrival-wins coincides with the
+      // batch chain's minimum-doc_id-wins
+      val rows = docs.filter($"doc_id" % 10 === 1)
+        .select($"doc_id", $"text", $"lang")
+        .orderBy($"doc_id").as[(Long, String, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_ingest")
+    }
+    val expected = graft.operators.Pipelines.ingestedCorpus(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(survivors.toSet == expected)
+    assert(survivors.nonEmpty)
+  }
+
   test("probe-then-append finds a duplicate of an earlier micro-batch") {
     val text1 = "an entirely novel document about streaming ingest loops"
     val text2 = "an entirely novel document about streaming ingest loops!"
