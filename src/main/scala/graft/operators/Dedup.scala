@@ -307,11 +307,28 @@ object Dedup {
     * over time keeps its standing (≤ cap) rows where a rebuild would drop
     * the whole bucket, so probes may return candidates a rebuild would
     * skip — extra recall, never extra fan-out beyond the cap.
+    *
+    * `buckets` defaults to 0 = inherit the existing table's bucket count
+    * (a mismatched spec is an AnalysisException; the build's choice is the
+    * source of truth after day one).
     */
   def appendToBandIndex(batch: DataFrame, table: String, shingleLen: Int = 5,
-      numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
+      numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 0,
       maxBucketSize: Int = 1000): Unit = {
     val spark = batch.sparkSession
+    // `buckets` <= 0 (the default) inherits the EXISTING table's bucket
+    // count — an append with a mismatched spec is an AnalysisException, and
+    // the build's choice is the one source of truth after day one
+    val numBuckets =
+      if (buckets > 0) buckets
+      else spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+        .map(_.numBuckets)
+        .getOrElse(throw new IllegalArgumentException(
+          s"appendToBandIndex: table $table has no bucket spec — was it " +
+            "written by writeBandIndex?"))
     val base = spread(batch)
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen)
@@ -337,7 +354,7 @@ object Dedup {
         banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
       }
     kept.write.mode("append").format("parquet")
-      .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+      .bucketBy(numBuckets, "band", "bsig").sortBy("band", "bsig")
       .saveAsTable(table)
   }
 

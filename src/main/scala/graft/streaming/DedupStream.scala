@@ -45,7 +45,7 @@ object DedupStream {
   def incrementalDedupQuery(stream: DataFrame, corpus: DataFrame,
       indexTable: String, shingleLen: Int = 5, numBands: Int = 128,
       rowsPerBand: Int = 8, threshold: Double = 0.8,
-      appendAfterProbe: Boolean = false, buckets: Int = 32,
+      appendAfterProbe: Boolean = false, buckets: Int = 0,
       maxBucketSize: Int = 1000)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
@@ -82,7 +82,7 @@ object DedupStream {
   def ingestQuery(stream: DataFrame, corpus: DataFrame, indexTable: String,
       benchmark: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
       rowsPerBand: Int = 8, threshold: Double = 0.8, n: Int = 8,
-      appendAfterProbe: Boolean = true, buckets: Int = 32,
+      appendAfterProbe: Boolean = true, buckets: Int = 0,
       maxBucketSize: Int = 1000)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream

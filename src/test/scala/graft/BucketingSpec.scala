@@ -77,7 +77,8 @@ class BucketingSpec extends SparkTestBase {
       // day two: append the next verified batch's bands, probe again —
       // union semantics (same rows as an in-plan run over the full corpus;
       // the cap never binds on the fixture, so no cap-drift here)
-      Dedup.appendToBandIndex(corpusB, "band_idx_append", buckets = 4)
+      // no explicit buckets: the append inherits the table's spec (4)
+      Dedup.appendToBandIndex(corpusB, "band_idx_append")
       val got = Dedup
         .incrementalNearDupIndexed(corpusAll, "band_idx_append", batch)
         .as[(Long, Long, Double)].collect().toSet

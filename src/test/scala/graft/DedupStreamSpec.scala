@@ -56,7 +56,7 @@ class DedupStreamSpec extends SparkTestBase {
     val q = DedupStream.ingestQuery(
       ms.toDF().toDF("doc_id", "text", "lang"),
       docs, // verify-side text lookup must cover standing + appended docs
-      "band_idx_ingest", benchmark, buckets = 4) { (clean, _) =>
+      "band_idx_ingest", benchmark) { (clean, _) => // buckets inherit from the table
       survivors ++= clean.select($"doc_id", $"lang").as[(Long, String)].collect()
     }.start()
     try {
