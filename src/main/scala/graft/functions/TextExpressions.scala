@@ -181,6 +181,91 @@ object TextHashImpl {
     new GenericArrayData(arr)
   }
 
+  /** Repetition-quality signals (the Gopher/C4 pre-training filters) in
+    * ONE pass per document, no shuffle: returns
+    * `[dup_line_frac, dup_line_char_frac, top_ngram_frac]` PRE-rounding.
+    *
+    *  - `dup_line_frac` — (lines − distinct lines) / lines, splitting on
+    *    every `\n` (empty lines count; both engines' split keeps them);
+    *  - `dup_line_char_frac` — characters in repeated line occurrences
+    *    (beyond each line's first) / total line characters;
+    *  - `top_ngram_frac` — occurrences of the most frequent word n-gram /
+    *    total n-grams (multiset, not distinct; same tokenizer as
+    *    [[tokenNgrams]]). 0 when the document has no lines/chars/grams.
+    *
+    * Every value is a single division of exact integers, so the pre-round
+    * double is bit-identical to the DuckDB twin's.
+    */
+  def repetitionStats(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // line counts: split on EVERY '\n' (single-char separator, no run
+    // collapsing — n separators give n+1 lines)
+    val lineCounts = new java.util.HashMap[String, Int]
+    var totalLines = 0L
+    var start = 0
+    var i = 0
+    while (i <= str.length) {
+      if (i == str.length || str.charAt(i) == '\n') {
+        lineCounts.merge(str.substring(start, i), 1, Integer.sum _)
+        totalLines += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var totalChars = 0L
+    var dupChars = 0L
+    var distinctLines = 0L
+    val it = lineCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val len = e.getKey.length.toLong
+      val c = e.getValue.toLong
+      totalChars += len * c
+      dupChars += len * (c - 1)
+      distinctLines += 1
+    }
+    // token n-gram counts (multiset): same trim + explicit-ws-class
+    // tokenization as tokenNgrams
+    var b = 0
+    var e2 = str.length
+    while (b < e2 && str.charAt(b) == ' ') b += 1
+    while (e2 > b && str.charAt(e2 - 1) == ' ') e2 -= 1
+    val toks = new java.util.ArrayList[String]
+    if (b < e2) {
+      val tok = new java.lang.StringBuilder
+      i = b
+      while (i < e2) {
+        if (isTokenWs(str.charAt(i))) {
+          toks.add(tok.toString); tok.setLength(0)
+          while (i < e2 && isTokenWs(str.charAt(i))) i += 1
+        } else { tok.append(str.charAt(i)); i += 1 }
+      }
+      toks.add(tok.toString)
+    }
+    val gramCounts = new java.util.HashMap[String, Int]
+    var totalGrams = 0L
+    var j = 0
+    while (j <= toks.size() - n) {
+      val g = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) g.append(' ')
+        g.append(toks.get(j + k))
+        k += 1
+      }
+      gramCounts.merge(g.toString, 1, Integer.sum _)
+      totalGrams += 1
+      j += 1
+    }
+    var topGram = 0L
+    val git = gramCounts.values().iterator()
+    while (git.hasNext) { val c = git.next().toLong; if (c > topGram) topGram = c }
+    new GenericArrayData(Array[Any](
+      (totalLines - distinctLines).toDouble / math.max(totalLines, 1L),
+      dupChars.toDouble / math.max(totalChars, 1L),
+      topGram.toDouble / math.max(totalGrams, 1L)))
+  }
+
   /** Minimum MD5 (lowercase hex) over the shingle multiset — the winnowing
     * fingerprint. Digest byte arrays are compared unsigned-lexicographically,
     * which equals comparing their hex renderings, so only the winner is
@@ -311,6 +396,23 @@ case class TokenNgramsExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Fused repetition-quality signals (Gopher/C4 filters) — line counting and
+  * n-gram multiset counting in one pass per document; the column-form
+  * equivalent is an explode + two shuffled group-bys PER SIGNAL, where this
+  * is shuffle-free and embarrassingly parallel. Returns
+  * `array<double>` `[dup_line_frac, dup_line_char_frac, top_ngram_frac]`. */
+case class RepetitionStatsExpr(child: Expression, n: Int)
+    extends TextHashExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.repetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.repetitionStats(%s, $n)"
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
 case class MinMd5ShinglesExpr(child: Expression, shingleLen: Int)
     extends TextHashExpression {
   override def dataType: DataType = StringType
@@ -418,6 +520,11 @@ object TextExpressions {
     * tokenize→window→distinct (codegen'd). */
   def tokenNgrams(text: Column, n: Int): Column =
     wrap(TokenNgramsExpr(expr(text), n))
+
+  /** Repetition-quality signals of a string column:
+    * `[dup_line_frac, dup_line_char_frac, top_ngram_frac]` (codegen'd). */
+  def repetitionStats(text: Column, n: Int): Column =
+    wrap(RepetitionStatsExpr(expr(text), n))
 
   /** Minimum-MD5 shingle fingerprint of a string column (codegen'd). */
   def minMd5Shingles(text: Column, shingleLen: Int): Column =

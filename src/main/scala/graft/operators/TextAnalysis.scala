@@ -114,6 +114,36 @@ object TextAnalysis {
           .when($"n_fr" >= $"n_es", "fr").otherwise("es").as("lang_guess"))
   }
 
+  /** Per-document repetition-quality signals — the Gopher/C4 pre-training
+    * filters: duplicate-line fraction, fraction of characters inside
+    * repeated line occurrences, and the most-frequent word-bigram's share
+    * of all bigrams. A high value on any of them marks boilerplate-heavy or
+    * machine-generated text that quality-gated corpus builds drop.
+    *
+    * One fused codegen expression per row
+    * ([[graft.functions.RepetitionStatsExpr]]), no shuffle — the column
+    * form would explode lines AND bigrams and run two shuffled group-bys
+    * per signal, turning a per-row property into corpus-sized exchanges.
+    * Every emitted fraction is one division of exact integers (+1e-9 nudge
+    * before the 4-dp round, see textStats) so the DuckDB twin matches
+    * bit-for-bit.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String,
+      n: Int = 2): DataFrame = {
+    // two-step select: the stats array is referenced three times, and
+    // CollapseProject keeps multi-referenced non-trivial expressions
+    // un-inlined (see textStats note)
+    val base = spread(Tables.documents(spark, sfDir)).select(
+      $"doc_id",
+      graft.functions.TextExpressions
+        .repetitionStats(coalesce($"text", lit("")), n).as("rs"))
+    base.select(
+      $"doc_id",
+      round(element_at($"rs", 1) + 1e-9, 4).as("dup_line_frac"),
+      round(element_at($"rs", 2) + 1e-9, 4).as("dup_line_char_frac"),
+      round(element_at($"rs", 3) + 1e-9, 4).as("top_bigram_frac"))
+  }
+
   /** Winnowing-style document fingerprint: minimum MD5 over the document's
     * character shingles — one stable 128-bit id per content neighborhood,
     * computable without any shuffle. MD5 (not xxhash64) so the DuckDB

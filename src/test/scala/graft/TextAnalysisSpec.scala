@@ -83,4 +83,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(4L).isEmpty) // shorter than shingle length
     assert(m(5L).isEmpty)
   }
+
+  test("repetitionStats: crafted documents hit exact known fractions") {
+    val docs = Seq(
+      // 4 lines, "dup dup" twice: dup_line_frac = (4-3)/4 = 0.25;
+      // chars: "dup dup"(7)*2 + "a b c"(5) + "x y"(3) = 22, repeated
+      // occurrences contribute 7 → 7/22; bigrams of the WHOLE text
+      // (newlines are token separators): "dup dup" appears twice among
+      // "dup dup","dup a","a b","b c","c dup","dup dup","dup x","x y" →
+      // top 2 of 8
+      (1L, "dup dup\na b c\ndup dup\nx y"),
+      // no repetition anywhere: all fractions 0 (one line, distinct bigrams)
+      (2L, "all distinct words here"),
+      // blank/null: all fractions 0
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = docs.select($"doc_id",
+      graft.functions.TextExpressions
+        .repetitionStats(org.apache.spark.sql.functions.coalesce($"text",
+          org.apache.spark.sql.functions.lit("")), 2).as("rs"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(m(1L) == Seq(0.25, 7.0 / 22, 2.0 / 8))
+    assert(m(2L) == Seq(0.0, 0.0, 1.0 / 3)) // 3 distinct bigrams, top = 1
+    assert(m(3L) == Seq(0.0, 0.0, 0.0))
+    assert(m(4L) == Seq(0.0, 0.0, 0.0))
+    // and the registered entry emits bounded, rounded columns per doc
+    val rows = TextAnalysis.repetitionStats(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      Seq("dup_line_frac", "dup_line_char_frac", "top_bigram_frac").foreach {
+        c => val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
 }
