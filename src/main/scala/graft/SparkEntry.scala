@@ -98,6 +98,9 @@ object SparkEntry {
     // Gopher/C4 repetition-quality signals, one shuffle-free fused
     // expression per row; oracle re-derives them via explode + group-by
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    // quality score + repetition gates composed — the published recipes
+    // layer exactly these two filter families
+    "quality_gated_corpus" -> ((s, d) => Pipelines.qualityGatedCorpus(s, d)),
     "stratified_sample" -> (Sampling.stratifiedSample _),
     "sampled_users_per_type" -> ((s, d) => Sampling.sampledUsersPerType(s, d)),
     // —— LLM-pipeline: multimodal ——
@@ -209,6 +212,28 @@ object SparkEntry {
       "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM ndb) " +
       "AND d.doc_id NOT IN (SELECT new_doc_id FROM nds) " +
       "AND d.doc_id NOT IN (SELECT doc_id FROM ctb)"
+
+  // explode + group-by twin of the fused per-row repetition signals: line
+  // and bigram multiplicities re-derived relationally, every fraction one
+  // exact-integer division (+1e-9 nudge, 4-dp round). Shared by its own
+  // entry and the quality_gated_corpus composition.
+  private val repetitionStatsSql =
+    "WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text,''), chr(10))) AS line FROM documents), " +
+      "lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2), " +
+      "ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct, " +
+      "sum(len(line)*c) AS n_chars, sum(len(line)*(c-1)) AS dup_chars FROM lc GROUP BY 1), " +
+      "tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+      "bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [] " +
+      "ELSE list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM tok), " +
+      "bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "bgs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM bgc GROUP BY 1) " +
+      "SELECT d.doc_id, " +
+      "round((ls.n_lines - ls.n_distinct)::DOUBLE / greatest(ls.n_lines, 1) + 1e-9, 4) AS dup_line_frac, " +
+      "round(ls.dup_chars::DOUBLE / greatest(ls.n_chars, 1) + 1e-9, 4) AS dup_line_char_frac, " +
+      "round(coalesce(bgs.top_c, 0)::DOUBLE / greatest(coalesce(bgs.n_grams, 0), 1) + 1e-9, 4) AS top_bigram_frac " +
+      "FROM documents d JOIN ls ON d.doc_id = ls.doc_id " +
+      "LEFT JOIN bgs ON d.doc_id = bgs.doc_id"
 
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
@@ -473,23 +498,14 @@ object SparkEntry {
     // explode + group-by twin of the fused per-row repetition signals:
     // line multiplicities and bigram multiplicities re-derived relationally,
     // every fraction one exact-integer division (+1e-9 nudge, 4-dp round)
-    "repetition_stats" ->
-      ("WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text,''), chr(10))) AS line FROM documents), " +
-        "lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2), " +
-        "ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct, " +
-        "sum(len(line)*c) AS n_chars, sum(len(line)*(c-1)) AS dup_chars FROM lc GROUP BY 1), " +
-        "tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
-        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
-        "bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [] " +
-        "ELSE list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM tok), " +
-        "bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2), " +
-        "bgs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM bgc GROUP BY 1) " +
-        "SELECT d.doc_id, " +
-        "round((ls.n_lines - ls.n_distinct)::DOUBLE / greatest(ls.n_lines, 1) + 1e-9, 4) AS dup_line_frac, " +
-        "round(ls.dup_chars::DOUBLE / greatest(ls.n_chars, 1) + 1e-9, 4) AS dup_line_char_frac, " +
-        "round(coalesce(bgs.top_c, 0)::DOUBLE / greatest(coalesce(bgs.n_grams, 0), 1) + 1e-9, 4) AS top_bigram_frac " +
-        "FROM documents d JOIN ls ON d.doc_id = ls.doc_id " +
-        "LEFT JOIN bgs ON d.doc_id = bgs.doc_id"),
+    "repetition_stats" -> repetitionStatsSql,
+    // quality score + repetition gates composed (shared subquery twins)
+    "quality_gated_corpus" ->
+      (s"WITH s AS ($textStatsSql), r AS ($repetitionStatsSql) " +
+        "SELECT s.doc_id, s.quality_score, r.dup_line_frac, r.top_bigram_frac " +
+        "FROM s JOIN r ON s.doc_id = r.doc_id " +
+        "WHERE s.quality_score >= 0.45 AND r.dup_line_frac <= 0.3 " +
+        "AND r.top_bigram_frac <= 0.2"),
     "lang_profile" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "round(avg(len(coalesce(text,''))), 2) AS avg_len, " +

@@ -81,6 +81,33 @@ object Pipelines {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Gopher-style quality-gated corpus: documents passing BOTH the
+    * score-based gate ([[TextAnalysis.textStats]] quality_score) and the
+    * repetition gates ([[TextAnalysis.repetitionStats]] — duplicate-line
+    * fraction and top-bigram share below their thresholds). The published
+    * pre-training recipes layer exactly these two families: a composite
+    * quality score plus hard repetition cutoffs for boilerplate and
+    * machine-generated text.
+    *
+    * Plan shape: both branches are shuffle-free per-row expression scans
+    * keyed on doc_id, so the join is co-partitioned after one exchange —
+    * linear in the corpus, nothing pairwise.
+    */
+  def qualityGatedCorpus(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.45, maxDupLineFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2): DataFrame = {
+    val quality = TextAnalysis.textStats(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    val repetition = TextAnalysis.repetitionStats(spark, sfDir)
+    quality
+      .join(repetition, "doc_id")
+      .filter($"quality_score" >= minQuality &&
+        $"dup_line_frac" <= maxDupLineFrac &&
+        $"top_bigram_frac" <= maxTopBigramFrac)
+      .select($"doc_id", $"quality_score", $"dup_line_frac",
+        $"top_bigram_frac")
+  }
+
   /** The INGEST-day corpus build: where [[decontaminatedCorpus]] dedups a
     * corpus against itself, this is the shape a production pipeline runs
     * per incoming batch — dedup today's batch within itself (exact + near),

@@ -34,6 +34,28 @@ class PipelinesSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(keeps))
   }
 
+  test("qualityGatedCorpus rows satisfy both gate families") {
+    val rows = Pipelines.qualityGatedCorpus(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, q, dl, tb) =>
+      assert(q >= 0.45 && dl <= 0.3 && tb <= 0.2)
+    }
+    // never more rows than the score gate alone admits
+    val qualityOnly = graft.operators.TextAnalysis.textStats(spark, sf)
+      .filter($"quality_score" >= 0.45).count()
+    assert(rows.length <= qualityOnly)
+    // the fixture's synthetic docs are repetition-free, so demonstrate the
+    // repetition gates' bite on crafted boilerplate: both signals must land
+    // beyond their default thresholds
+    val boiler = Array.fill(10)("click here to subscribe now").mkString("\n")
+    val sig = Seq(boiler).toDF("text")
+      .select(graft.functions.TextExpressions.repetitionStats($"text", 2))
+      .as[Seq[Double]].head()
+    assert(sig(0) > 0.3, s"dup_line_frac ${sig(0)} must exceed the gate")
+    assert(sig(2) > 0.2, s"top_bigram_frac ${sig(2)} must exceed the gate")
+  }
+
   test("ingestedCorpus: batch slice gated by every drop set it composes") {
     val ids = Pipelines.ingestedCorpus(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
