@@ -76,6 +76,11 @@ object SparkEntry {
     "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)), // rows-only (it IS the oracle input)
     "embedding_near_dup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // semantic dedup's daily-ingestion path: batch sign-LSH bands probe a
+    // PERSISTED bucketed embedding band index (build absorbed by warmup;
+    // index side co-located, candidate-bounded exact-cosine verify)
+    "incremental_embedding_near_dup" ->
+      (Dedup.incrementalEmbeddingNearDupEntry _),
     // rows-only: production LSH geometry (threshold .95, r=8/b=32) reported
     // as volume stats — the near-exhaustive test geometry above is what the
     // brute-force oracle can check; this is what runs at 100 TB
@@ -454,6 +459,15 @@ object SparkEntry {
       ("SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"),
+    // brute-force batch×corpus twin of the persisted-index probe — the
+    // index is an execution layout, not a semantic (miss p ≈ 7e-15 at the
+    // r=2/b=64 test geometry, so exact match holds)
+    "incremental_embedding_near_dup" ->
+      ("SELECT b.vec_id AS new_vec_id, a.vec_id AS dup_of_vec_id, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0 " +
         "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"),
     "cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

@@ -652,6 +652,89 @@ object Dedup {
         $"candidate_frac")
   }
 
+  /** Persist an embedding corpus's sign-LSH band index as a BUCKETED table:
+    * one row per (vec_id, band, key), bucketed+sorted by the band key — the
+    * embedding-space twin of [[writeBandIndex]], giving the semantic-dedup
+    * tier the same build-once/probe-many standing artifact: every
+    * subsequent batch probe reads the index co-located (only the batch side
+    * shuffles), and the hot-bucket cap is applied once at build. Plane
+    * geometry (numBands, rowsPerBand, dim, seed) must match between build
+    * and probe — the seed makes the hyperplanes reproducible. */
+  def writeEmbeddingBandIndex(embeddings: DataFrame, table: String,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L, buckets: Int = 32, maxBucketSize: Int = 1000,
+      location: Option[String] = None): Unit = {
+    val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
+    val banded = dropHotBuckets(prepareEmbeddings(embeddings)
+      .select($"vec_id", posexplode(graft.functions.VectorExpressions
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucketSize)
+    val writer = banded.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+    location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+  }
+
+  /** Incremental embedding near-dup against a PERSISTED sign-LSH band
+    * index: which of a batch's vectors are near-duplicates (cosine ≥
+    * `threshold`) of anything in the standing corpus — the daily-ingestion
+    * path of semantic dedup, mirroring [[incrementalNearDupIndexed]]'s
+    * topology exactly: batch bands × bucketed index (index co-located,
+    * never re-banded), candidate set materialized once, exact-cosine verify
+    * fetching ONLY candidate corpus vectors (broadcast semi-filter — the
+    * corpus is never scored or shuffled wholesale per probe).
+    * Output: (new_vec_id, dup_of_vec_id, cosine).
+    */
+  def incrementalEmbeddingNearDupIndexed(corpus: DataFrame,
+      indexTable: String, batch: DataFrame, threshold: Double = 0.4,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val spark = batch.sparkSession
+    val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
+    val batchBanded = prepareEmbeddings(batch)
+      .select($"vec_id", posexplode(graft.functions.VectorExpressions
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
+    val candidates = batchBanded.as("l")
+      .join(spark.table(indexTable).as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.vec_id").as("new_vec_id"),
+        col("r.vec_id").as("dup_of_vec_id"))
+      .distinct()
+      .localCheckpoint() // one banded-index join per probe (see text twin)
+    val candIds = candidates.select($"dup_of_vec_id")
+    val corpusVecs = prepareEmbeddings(corpus)
+      .join(broadcast(candIds), $"vec_id" === $"dup_of_vec_id", "left_semi")
+      .select($"vec_id".as("dup_of_vec_id"), $"embedding".as("b_emb"))
+    val batchVecs = prepareEmbeddings(batch)
+      .select($"vec_id".as("new_vec_id"), $"embedding".as("a_emb"))
+    candidates
+      .join(batchVecs, "new_vec_id")
+      .join(corpusVecs, "dup_of_vec_id")
+      .withColumn("cosine", round(Similarity.cosine($"a_emb", $"b_emb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"new_vec_id", $"dup_of_vec_id", $"cosine")
+  }
+
+  /** Registered query: every 10th vector plays the incoming batch against a
+    * band index persisted from the rest (built once per process, the bench's
+    * warmup absorbing it — same scheme as the text twin). Test geometry
+    * r=2/b=64 at threshold 0.4 (miss p ≈ 7e-15), so the brute-force DuckDB
+    * batch×corpus twin matches exactly; production runs 0.95 with r=8/b=32
+    * (see [[embeddingNearDupScale]]). Ordered output: the probe's candidate
+    * stage is an eagerly materialized checkpoint. */
+  def incrementalEmbeddingNearDupEntry(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_emb_band_index_$key"
+    if (!spark.catalog.tableExists(table))
+      writeEmbeddingBandIndex(emb.filter($"vec_id" % 10 =!= 0), table,
+        location = Some(
+          s"${graft.util.TmpDirs.perProcessDir("graft_embidx")}/$key"))
+    incrementalEmbeddingNearDupIndexed(emb.filter($"vec_id" % 10 =!= 0),
+      table, emb.filter($"vec_id" % 10 === 0))
+      .orderBy($"new_vec_id", $"dup_of_vec_id")
+  }
+
   /** 64-bit SimHash of the text's distinct shingle set. The bit-majority
     * vote over per-shingle hashes is inexpressible as efficient built-ins
     * (64 aggregates per row), so it is the native codegen

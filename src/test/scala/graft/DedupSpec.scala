@@ -237,4 +237,28 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == brute)
   }
+
+  test("incremental embedding near-dup via persisted index equals brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    Dedup.writeEmbeddingBandIndex(corpus, "emb_band_idx_spec", buckets = 4)
+    try {
+      val got = Dedup
+        .incrementalEmbeddingNearDupIndexed(corpus, "emb_band_idx_spec", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute-force batch×corpus cosine at the same threshold — at the
+      // r=2/b=64 test geometry the LSH miss probability is ~7e-15
+      val brute = batch.as("b").join(corpus.as("a"), lit(true))
+        .select(col("b.vec_id"), col("a.vec_id"),
+          round(graft.operators.Similarity
+            .cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+        .filter($"c" >= 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute)
+      assert(got.nonEmpty)
+      // batch×corpus only: no corpus-internal or batch-internal pairs
+      assert(got.forall { case (n, d, _) => n % 10 == 0 && d % 10 != 0 })
+    } finally spark.sql("DROP TABLE IF EXISTS emb_band_idx_spec")
+  }
 }
