@@ -76,6 +76,9 @@ object SparkEntry {
     "simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)), // rows-only (it IS the oracle input)
     "embedding_near_dup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // semantic dup FAMILIES: the same label propagation as
+    // near_dup_clusters over the cosine pair graph
+    "embedding_dup_clusters" -> (Dedup.embeddingDupClusters _),
     // semantic dedup's daily-ingestion path: batch sign-LSH bands probe a
     // PERSISTED bucketed embedding band index (build absorbed by warmup;
     // index side co-located, candidate-bounded exact-cosine verify)
@@ -239,6 +242,13 @@ object SparkEntry {
       "round(coalesce(bgs.top_c, 0)::DOUBLE / greatest(coalesce(bgs.n_grams, 0), 1) + 1e-9, 4) AS top_bigram_frac " +
       "FROM documents d JOIN ls ON d.doc_id = ls.doc_id " +
       "LEFT JOIN bgs ON d.doc_id = bgs.doc_id"
+
+  // shared by its own entry and the embedding-clusters recursive CTE
+  private val embeddingNearDupSql =
+    "SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, " +
+      "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"
 
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
@@ -455,11 +465,18 @@ object SparkEntry {
     "ingested_corpus" -> ingestedCorpusSql,
     // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
     // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
-    "embedding_near_dup" ->
-      ("SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, " +
-        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"),
+    "embedding_near_dup" -> embeddingNearDupSql,
+    // min-reachable-label over the symmetrized cosine pair graph — same
+    // recursive-CTE construction as near_dup_clusters, embedding tier
+    "embedding_dup_clusters" ->
+      (s"WITH RECURSIVE nd AS ($embeddingNearDupSql), " +
+        "sym AS (SELECT a_vec_id AS src, b_vec_id AS dst FROM nd " +
+        "UNION ALL SELECT b_vec_id, a_vec_id FROM nd), " +
+        "reach(node, label) AS (" +
+        "SELECT DISTINCT src, src FROM sym " +
+        "UNION " +
+        "SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node) " +
+        "SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node"),
     // brute-force batch×corpus twin of the persisted-index probe — the
     // index is an execution layout, not a semantic (miss p ≈ 7e-15 at the
     // r=2/b=64 test geometry, so exact match holds)

@@ -523,6 +523,17 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClusters(nearDupPairs(spark, sfDir))
 
+  /** Embedding-space dup FAMILIES: [[dupClusters]] is pair-source-agnostic,
+    * so the same label propagation runs over [[embeddingNearDup]]'s cosine
+    * pair graph — "keep one vector per semantic family", the step after
+    * pairwise semantic dedup exactly as [[nearDupClusters]] is for text.
+    * Output: (vec_id, cluster_id); oracle = recursive CTE over the
+    * brute-force cosine pair set. */
+  def embeddingDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(embeddingNearDup(spark, sfDir)
+      .select($"a_vec_id".as("a_doc_id"), $"b_vec_id".as("b_doc_id")))
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

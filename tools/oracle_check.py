@@ -154,7 +154,8 @@ def table_digest(cols, rows):
     return h.hexdigest()
 
 # cheap-first ordering: quadratic document/embedding oracles go last
-expensive = ["simhash_near_dup","embedding_near_dup","cosine_topk",
+expensive = ["simhash_near_dup","embedding_near_dup","embedding_dup_clusters",
+             "incremental_embedding_near_dup","cosine_topk",
              "near_dup_pairs","near_dedup_corpus","near_dup_clusters",
              "incremental_near_dup","incremental_near_dup_indexed",
              "decontaminated_corpus","ingested_corpus"]
