@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pipelines, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pipelines, Pq, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,19 @@ object SparkEntry {
     // rows-only: AMORTIZED standing-index probe — build absorbed by the
     // bench's untimed warmup; timed passes pay load + pruned probe only
     "ivf_probe_only" -> ((s, d) => Similarity.ivfProbeOnly(s, d)),
+    // product quantization: codes + per-query ADC tables dumped (they ARE
+    // the oracle inputs), the ranking oracle-checked — DuckDB recomputes
+    // the ADC top-k from the dumps alone
+    "pq_codes" -> (Pq.pqCodesEntry _), // rows-only (it IS the oracle input)
+    "pq_query_dtabs" -> ((s, d) => Pq.pqQueryDtabs(s, d)), // rows-only (it IS the oracle input)
+    "pq_adc_topk" -> ((s, d) => Pq.pqAdcTopK(s, d)),
+    // PQ shortlist + exact rerank — the production retrieval shape; both
+    // stages replayed by the oracle (shortlist from the dumps, rerank from
+    // the raw embeddings table)
+    "pq_rerank_topk" -> ((s, d) => Pq.pqRerankTopK(s, d)),
+    // rows-only (+ spec:PqSpec recall floor): IVF cells × PQ codes — the
+    // billion-scale ANN composition: prune cells, scan 8-byte codes
+    "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -242,6 +255,16 @@ object SparkEntry {
       "round(coalesce(bgs.top_c, 0)::DOUBLE / greatest(coalesce(bgs.n_grams, 0), 1) + 1e-9, 4) AS top_bigram_frac " +
       "FROM documents d JOIN ls ON d.doc_id = ls.doc_id " +
       "LEFT JOIN bgs ON d.doc_id = bgs.doc_id"
+
+  // shared by pq_adc_topk and pq_rerank_topk: per-(corpus vector, query)
+  // ADC distance from the Spark-dumped codes + distance tables
+  private val pqAdcCtes =
+    "c AS (SELECT vec_id, codes FROM read_parquet('{OUT}/pq_codes/*.parquet')), " +
+      "q AS (SELECT query_id, dtab FROM read_parquet('{OUT}/pq_query_dtabs/*.parquet')), " +
+      "s AS (SELECT q.query_id, c.vec_id, " +
+      "round(list_sum(list_transform(generate_series(1, 8), " +
+      "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+      "FROM c, q WHERE c.vec_id <> q.query_id)"
 
   // shared by its own entry and the embedding-clusters recursive CTE
   private val embeddingNearDupSql =
@@ -494,6 +517,36 @@ object SparkEntry {
         "SELECT query_id, vec_id, cosine, rk FROM (" +
         "SELECT query_id, vec_id, cosine, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // ADC ranking recomputed from the Spark-dumped PQ codes + per-query
+    // distance tables ({OUT} mechanism): adc = sum over subspaces m of
+    // dtab[m*64 + codes[m]] in subspace order (list order = Spark's sum
+    // order), rounded 6 dp, vec_id tiebreak — geometry 8 subspaces × 64
+    // codewords, matching Pq.NumSubspaces/CodebookSize
+    "pq_adc_topk" ->
+      (s"WITH $pqAdcCtes " +
+        "SELECT query_id, vec_id, adc, rk FROM (" +
+        "SELECT query_id, vec_id, adc, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // shortlist (rounded-ADC rank <= 50 from the dumps) then EXACT rerank:
+    // squared L2 recomputed from the raw embeddings table, left-to-right
+    // double sum = Spark's fused loop, rounded 6 dp, vec_id tiebreak
+    "pq_rerank_topk" ->
+      (s"WITH $pqAdcCtes, " +
+        "sl AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS ark FROM s) " +
+        "WHERE ark <= 50), " +
+        "r AS (SELECT sl.query_id, sl.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 64), " +
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) * " +
+        "(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))), 6) AS l2sq " +
+        "FROM sl JOIN embeddings a ON a.vec_id = sl.vec_id " +
+        "JOIN embeddings b ON b.vec_id = sl.query_id) " +
+        "SELECT query_id, vec_id, l2sq, rk FROM (" +
+        "SELECT query_id, vec_id, l2sq, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY l2sq, vec_id) AS rk FROM r) " +
         "WHERE rk <= 10"),
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -113,6 +113,58 @@ object VectorHashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
   }
 
+  /** Product-quantization codes: subspace m of the embedding (a contiguous
+    * `dsub`-dim slice) is assigned to its nearest codeword in
+    * `codebooks(m)` by squared Euclidean distance, first minimum wins —
+    * the same argmin rule as [[nearestCenter]], applied per subspace in one
+    * fused pass over the vector. Output: one code per subspace. */
+  def pqCodes(emb: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = if (m > 0) codebooks(0)(0).length else 0
+    if (emb.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ geometry $m×$dsub != embedding dim ${emb.numElements()}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = emb.getFloat(off + j) - w(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance lookup: approximate squared L2 distance of a
+    * PQ-coded vector to a query whose per-subspace distance table is
+    * `dtab` (flattened `numSubspaces × k`, row-major). Sum order is
+    * subspace 0..M-1, matching the DuckDB oracle's list order. */
+  def adcDistance(codes: ArrayData, dtab: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      d += dtab.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    d
+  }
+
   /** Index of the nearest center by squared Euclidean distance (first
     * minimum wins on exact ties — the same rule as MLlib K-Means
     * assignment, so [[NearestCenterExpr]] reproduces the quantizer's own
@@ -182,6 +234,89 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Squared Euclidean distance of two `array<float>` columns in double
+  * precision, left-to-right summation — the exact-rerank metric of
+  * [[graft.operators.Pq]] (same fused-loop rationale as
+  * [[CosineSimilarity]]; the rerank frame is shortlist-sized, but the
+  * expression also serves full-corpus exact scans). */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      d += t * t
+      i += 1
+    }
+    d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $d += $t * $t;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistanceSq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization encode of an `array<float>` embedding: one nearest-
+  * codeword index per contiguous subspace (see [[VectorHashImpl.pqCodes]]).
+  * The codebook tensor rides along as a codegen reference object, so a
+  * 100 TB corpus encodes inside whole-stage codegen with no per-row boxing —
+  * the output is `numSubspaces` small ints per vector (byte-packable at the
+  * storage layer) versus `dim` floats, the ~32× scan-byte reduction that
+  * makes an exhaustive ADC sweep of a petabyte-scale embedding store
+  * feasible. */
+case class PqCodesExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.pqCodes(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.pqCodes($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr =
+    copy(child = c)
+}
+
+/** Asymmetric-distance (ADC) scoring of PQ codes against a query's
+  * flattened per-subspace distance table: M table lookups replace a
+  * dim-length float loop per comparison — the probe-side win that pairs
+  * with [[PqCodesExpr]]'s scan-side compression. */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, dtab: Any): Any =
+    VectorHashImpl.adcDistance(
+      codes.asInstanceOf[ArrayData], dtab.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) =>
+      s"${ev.value} = graft.functions.VectorHashImpl.adcDistance($c, $d, $k);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: cosine similarity of two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -198,4 +333,21 @@ object VectorExpressions {
   def nearestCenter(emb: Column, centers: Array[Array[Double]]): Column =
     GraftSqlBridge.column(
       NearestCenterExpr(GraftSqlBridge.expression(emb), centers))
+
+  /** Column wrapper: squared L2 distance of two `array<float>` columns. */
+  def l2Sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      L2DistanceSq(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper: PQ codes of an `array<float>` column. */
+  def pqCodes(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(
+      PqCodesExpr(GraftSqlBridge.expression(emb), codebooks))
+
+  /** Column wrapper: ADC distance of a codes column against a per-query
+    * distance-table column (flattened M×k). */
+  def pqAdc(codes: Column, dtab: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      PqAdcExpr(GraftSqlBridge.expression(codes),
+        GraftSqlBridge.expression(dtab), k))
 }

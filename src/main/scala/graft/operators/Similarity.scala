@@ -58,17 +58,25 @@ object Similarity {
 
   /** Two-phase exact top-k: local rank within (query, salt) prunes to k,
     * then the global rank sees ≤ salts×k rows per query. */
-  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame =
+    topKPerQuery(scored, k, salts, "cosine", asc = false)
+
+  /** Shared ranking core: best-first by `scoreCol` (descending for
+    * similarities, ascending for distances — [[graft.operators.Pq]]'s ADC
+    * path), vec_id tiebreak, same salted two-phase shape. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int, salts: Int,
+      scoreCol: String, asc: Boolean): DataFrame = {
+    val best = if (asc) col(scoreCol).asc else col(scoreCol).desc
     val localW = Window.partitionBy($"query_id", pmod($"vec_id", lit(salts)))
-      .orderBy($"cosine".desc, $"vec_id")
+      .orderBy(best, $"vec_id")
     val globalW = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"vec_id")
+      .orderBy(best, $"vec_id")
     scored
       .withColumn("lrk", row_number().over(localW))
       .filter($"lrk" <= k)
       .withColumn("rk", row_number().over(globalW).cast("long"))
       .filter($"rk" <= k)
-      .select($"query_id", $"vec_id", $"cosine", $"rk")
+      .select($"query_id", $"vec_id", col(scoreCol), $"rk")
   }
 
   /** A built IVF index: the corpus bucketed by nearest coarse centroid plus

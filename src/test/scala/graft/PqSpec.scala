@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Pq, Similarity}
+
+
+/** Product quantization (builder-brief north star): encode correctness
+  * against a driver-side re-derivation, ADC expression vs naive lookup,
+  * determinism, and recall floors for both flat-ADC and IVF×PQ against the
+  * exact L2 baseline. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+  private lazy val model = Pq.train(emb)
+  private lazy val raw: Map[Long, Array[Double]] = emb.collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("geometry + determinism: 8 codes in [0,64), retrain is identical") {
+    assert(model.numSubspaces == 8 && model.k == 64 && model.dsub == 8)
+    val codes = Pq.encode(emb, model).as[(Long, Seq[Int])].collect()
+    assert(codes.length == raw.size)
+    assert(codes.forall { case (_, c) =>
+      c.length == 8 && c.forall(x => x >= 0 && x < 64) })
+    val again = Pq.train(emb)
+    assert(model.codebooks.flatten.flatten.toSeq ==
+      again.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("codegen encode matches a driver-side argmin re-derivation") {
+    val got = Pq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+    raw.foreach { case (id, v) =>
+      val want = (0 until model.numSubspaces).map { m =>
+        val off = m * model.dsub
+        (0 until model.k).minBy { c =>
+          val w = model.codebooks(m)(c)
+          var d = 0.0
+          var j = 0
+          while (j < model.dsub) { val t = v(off + j) - w(j); d += t * t; j += 1 }
+          d // minBy keeps the first minimum, same rule as the expression
+        }
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("ADC expression equals the naive table lookup, and lower-bounds quality") {
+    val q = raw(0L).map(_.toFloat).toSeq
+    val dtab = model.distanceTable(q)
+    val codes = Pq.encode(emb, model).as[(Long, Seq[Int])].collect()
+    val spark2 = spark
+    import spark2.implicits._
+    val viaExpr = codes.toSeq.toDF("vec_id", "codes")
+      .select($"vec_id", graft.functions.VectorExpressions.pqAdc(
+        $"codes", org.apache.spark.sql.functions.typedLit(dtab.toSeq), model.k)
+        .as("adc"))
+      .as[(Long, Double)].collect().toMap
+    codes.foreach { case (id, c) =>
+      val want = (0 until model.numSubspaces)
+        .map(m => dtab(m * model.k + c(m))).sum
+      assert(viaExpr(id) == want, s"vec $id")
+    }
+  }
+
+  /** Exact squared-L2 top-k on the driver (fixture-scale), self excluded. */
+  private def exactTopK(qid: Long, k: Int): Set[Long] = {
+    val q = raw(qid)
+    raw.toSeq.filter(_._1 != qid)
+      .map { case (id, v) =>
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - q(j); d += t * t; j += 1 }
+        (id, d)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+  }
+
+  private def recallOf(result: Array[(Long, Long, Double, Long)], k: Int): Double = {
+    val byQ = result.groupBy(_._1)
+    byQ.map { case (qid, rows) =>
+      val exact = exactTopK(qid, k)
+      rows.count(r => exact(r._2)).toDouble / k
+    }.sum / byQ.size
+  }
+
+  test("flat ADC top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
+    val rows = Pq.pqAdcTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall { case (q, v, _, _) => q != v })
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to 10L))
+    }
+    val rec = recallOf(rows, 10)
+    assert(rec >= 0.25, s"flat ADC recall@10 $rec < 0.25")
+  }
+
+  test("shortlist + exact rerank recovers recall: >= 0.65, and > flat ADC") {
+    val rerank = Pq.pqRerankTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
+    assert(rerank.forall { case (q, v, _, _) => q != v })
+    val rr = recallOf(rerank, 10)
+    val flat = recallOf(
+      Pq.pqAdcTopK(spark, sf).as[(Long, Long, Double, Long)].collect(), 10)
+    assert(rr >= 0.65, s"rerank recall@10 $rr < 0.65")
+    assert(rr > flat, s"rerank $rr did not improve on flat ADC $flat")
+  }
+
+  test("IVF×PQ top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
+    val rows = Pq.ivfPqTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
+    assert(rows.forall { case (q, v, _, _) => q != v })
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to 10L))
+    }
+    val rec = recallOf(rows, 10)
+    assert(rec >= 0.25, s"IVF×PQ recall@10 $rec < 0.25")
+  }
+}
