@@ -247,9 +247,11 @@ object Pq {
       .select($"query_id", $"vec_id")
     val qEmb = spark.createDataFrame(queries.map { case (qid, q) => (qid, q) })
       .toDF("query_id", "q_emb")
-    val rescored = short
-      .join(broadcast(qEmb), "query_id")
-      .join(emb, "vec_id") // shortlist-sized probe side; broadcast-hash at scale
+    // the probe side is bounded at |queries|·shortlist rows by construction
+    // — broadcast it explicitly (it hangs off window ranks, so the static
+    // planner has no size estimate), keeping the corpus side shuffle-free
+    val rescored = emb
+      .join(broadcast(short.join(broadcast(qEmb), "query_id")), "vec_id")
       .withColumn("l2sq", round(
         graft.functions.VectorExpressions.l2Sq($"embedding", $"q_emb"), 6))
       .select($"query_id", $"vec_id", $"l2sq")

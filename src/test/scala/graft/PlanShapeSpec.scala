@@ -142,4 +142,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
+
+  test("PQ scoring broadcasts the query tables; the coded corpus never shuffles for the join") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec}
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Pq.pqAdcTopK(spark, sf).queryExecution.executedPlan
+      // the only join condition is the self-exclusion inequality, so the
+      // right shape is a nested loop over the BROADCAST query table (a few
+      // rows) with the coded corpus streaming — not a hash join, and
+      // never a shuffle of the corpus
+      assert(plan.toString.contains("BroadcastNestedLoopJoin BuildRight"),
+        plan.toString.take(1000))
+      // what's broadcast is the driver-built (query_id, dtab) table — a
+      // LocalTableScan — never the parquet-backed coded corpus
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty)
+      assert(bcasts.forall { b =>
+        b.exists(_.isInstanceOf[LocalTableScanExec]) &&
+          !b.exists(_.isInstanceOf[FileSourceScanExec])
+      }, bcasts.map(_.toString.take(300)))
+      // corpus-side exchanges: the spread repartition plus the two top-k
+      // rank phases (local salted, global) — nothing else
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 3, s"unexpected exchanges: ${shuffles.size}")
+      // rerank composition stays broadcast-joined end to end too
+      val rplan = planOf(graft.operators.Pq.pqRerankTopK(spark, sf))
+      assert(rplan.contains("BroadcastHashJoin"))
+      assert(!rplan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }
