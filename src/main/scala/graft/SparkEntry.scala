@@ -107,6 +107,10 @@ object SparkEntry {
     // stages replayed by the oracle (shortlist from the dumps, rerank from
     // the raw embeddings table)
     "pq_rerank_topk" -> ((s, d) => Pq.pqRerankTopK(s, d)),
+    // the AMORTIZED standing-index probe: persisted codes + frozen
+    // codebooks (build absorbed by warmup); same oracle as pq_adc_topk —
+    // the index is an execution layout, not a semantic
+    "pq_adc_topk_indexed" -> ((s, d) => Pq.pqAdcTopKIndexed(s, d)),
     // rows-only (+ spec:PqSpec recall floor): IVF cells × PQ codes — the
     // billion-scale ANN composition: prune cells, scan 8-byte codes
     "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
@@ -524,6 +528,14 @@ object SparkEntry {
     // order), rounded 6 dp, vec_id tiebreak — geometry 8 subspaces × 64
     // codewords, matching Pq.NumSubspaces/CodebookSize
     "pq_adc_topk" ->
+      (s"WITH $pqAdcCtes " +
+        "SELECT query_id, vec_id, adc, rk FROM (" +
+        "SELECT query_id, vec_id, adc, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // layout change, not semantic: the persisted-index probe returns the
+    // same rows as the in-memory ADC ranking
+    "pq_adc_topk_indexed" ->
       (s"WITH $pqAdcCtes " +
         "SELECT query_id, vec_id, adc, rk FROM (" +
         "SELECT query_id, vec_id, adc, " +

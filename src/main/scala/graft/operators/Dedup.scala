@@ -315,7 +315,22 @@ object Dedup {
   def appendToBandIndex(batch: DataFrame, table: String, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 0,
       maxBucketSize: Int = 1000): Unit = {
-    val spark = batch.sparkSession
+    val base = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+    val banded = base.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig")))
+    appendBandedRows(banded, table, Seq("band", "bsig"), buckets, maxBucketSize)
+  }
+
+  /** Shared append-many core for the bucketed band indexes (text keys
+    * (band, bsig), embedding keys (band, key)): inherit the existing bucket
+    * spec, re-apply the hot-bucket cap across the union, append co-located.
+    * See [[appendToBandIndex]] for the cap-drift bound. */
+  private def appendBandedRows(banded: DataFrame, table: String,
+      keyCols: Seq[String], buckets: Int, maxBucketSize: Int): Unit = {
+    val spark = banded.sparkSession
     // `buckets` <= 0 (the default) inherits the EXISTING table's bucket
     // count — an append with a mismatched spec is an AnalysisException, and
     // the build's choice is the one source of truth after day one
@@ -327,35 +342,46 @@ object Dedup {
         .bucketSpec
         .map(_.numBuckets)
         .getOrElse(throw new IllegalArgumentException(
-          s"appendToBandIndex: table $table has no bucket spec — was it " +
-            "written by writeBandIndex?"))
-    val base = spread(batch)
-      .select($"doc_id", coalesce($"text", lit("")).as("t"))
-      .filter(length($"t") >= shingleLen)
-    val banded = base.select($"doc_id",
-      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
-        .as(Seq("band", "bsig")))
+          s"appendBandedRows: table $table has no bucket spec — was it " +
+            "written by writeBandIndex/writeEmbeddingBandIndex?"))
+    val keys = keyCols.map(col)
     val kept =
       if (maxBucketSize <= 0) banded
       else {
-        val newCounts = banded.groupBy($"band", $"bsig")
+        val newCounts = banded.groupBy(keys: _*)
           .agg(count(lit(1)).as("n_new"))
         // standing counts for the INCOMING keys only: the index side of this
         // join reads co-located (bucketed on the key), the per-key count
         // frame is what shuffles — the probe's exact topology, never a full
         // re-aggregation of the standing index
         val oldCounts = spark.table(table)
-          .join(newCounts.select($"band", $"bsig"), Seq("band", "bsig"))
-          .groupBy($"band", $"bsig").agg(count(lit(1)).as("n_old"))
+          .join(newCounts.select(keys: _*), keyCols)
+          .groupBy(keys: _*).agg(count(lit(1)).as("n_old"))
         val hot = newCounts
-          .join(oldCounts, Seq("band", "bsig"), "left")
+          .join(oldCounts, keyCols, "left")
           .filter($"n_new" + coalesce($"n_old", lit(0L)) > maxBucketSize)
-          .select($"band", $"bsig")
-        banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
+          .select(keys: _*)
+        banded.join(broadcast(hot), keyCols, "left_anti")
       }
     kept.write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "band", "bsig").sortBy("band", "bsig")
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Append a batch's sign-LSH bands to a persisted EMBEDDING band index —
+    * the append-many half of [[writeEmbeddingBandIndex]]'s contract, same
+    * union-wide hot-bucket cap and co-location guarantees as the text
+    * [[appendToBandIndex]]. Plane geometry must match the build (the seed
+    * reproduces the hyperplanes). */
+  def appendToEmbeddingBandIndex(batch: DataFrame, table: String,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L, buckets: Int = 0, maxBucketSize: Int = 1000): Unit = {
+    val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
+    val banded = prepareEmbeddings(batch)
+      .select($"vec_id", posexplode(graft.functions.VectorExpressions
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
+    appendBandedRows(banded, table, Seq("band", "key"), buckets, maxBucketSize)
   }
 
   /** Incremental near-dup against a PERSISTED band index (query-many half

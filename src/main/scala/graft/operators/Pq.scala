@@ -258,6 +258,71 @@ object Pq {
     Similarity.topKPerQuery(rescored, k, salts, "l2sq", asc = true)
   }
 
+  /** Persist a PQ index for build-once / query-many use: the coded corpus
+    * (narrow — `numSubspaces` ints per vector) plus the codebook tensor as
+    * one small parquet. The codes dir is the standing artifact a 100 TB
+    * deployment scans per query batch; the raw vectors are only ever
+    * touched again by a rerank fetch. */
+  def writePqIndex(emb: DataFrame, model: PqModel, path: String): Unit = {
+    val spark = emb.sparkSession
+    encode(emb, model).write.mode("overwrite").parquet(s"$path/codes")
+    val flat = for {
+      m <- model.codebooks.indices
+      c <- model.codebooks(m).indices
+    } yield (m, c, model.codebooks(m)(c).toSeq)
+    spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load the frozen codebooks of a persisted PQ index. */
+  def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, c, w) => cb(s)(c) = w }
+    PqModel(cb.map(_.toArray))
+  }
+
+  /** Append new vectors to a persisted PQ index WITHOUT retraining: encode
+    * with the FROZEN codebooks and append into the codes dir — the
+    * add-after-train contract, twin of [[Similarity.appendToIvfIndex]] and
+    * [[Dedup.appendToBandIndex]]. Codebooks drift from the ingested
+    * distribution over time; production monitors quantization error (cheap:
+    * mean ADC of each batch against its own exact distances) and retrains
+    * when it crosses a threshold. */
+  def appendToPqIndex(newVecs: DataFrame, path: String): Unit = {
+    val model = loadPqModel(newVecs.sparkSession, path)
+    encode(spread(newVecs), model).write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** tmpdir slot for the registered standing-index entry (same scheme as
+    * [[Similarity.ivfIndexPath]]: sanitized sf-dir key under a per-process
+    * root removed on exit; production uses a warehouse path). */
+  private def pqIndexPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_pq")}/$key"
+  }
+
+  /** Registered query: the AMORTIZED standing-index probe — ADC top-k over
+    * the PERSISTED codes, codebooks loaded not trained (build absorbed by
+    * the bench's untimed warmup). Same rows as [[pqAdcTopK]] on the same
+    * parameters — the index is an execution layout, not a semantic — so it
+    * shares pq_adc_topk's oracle. */
+  def pqAdcTopKIndexed(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val path = pqIndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "codebooks"))) {
+      val (emb, model) = fixtureModel(spark, sfDir)
+      writePqIndex(emb, model, path)
+    }
+    val model = loadPqModel(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
+    adcTopK(codes, model, fixtureQueries(emb, numQueries), k)
+  }
+
   /** Registered query: PQ shortlist + exact rerank end-to-end. Oracle:
     * DuckDB replays shortlist (from the dumps) and rerank (from the raw
     * embeddings table). */

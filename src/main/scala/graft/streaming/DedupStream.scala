@@ -59,6 +59,37 @@ object DedupStream {
             rowsPerBand, buckets, maxBucketSize)
       }
 
+  /** Streaming twin of SEMANTIC (embedding) incremental dedup — the
+    * [[incrementalDedupQuery]] shape over the sign-LSH embedding band index
+    * ([[Dedup.writeEmbeddingBandIndex]] / [[Dedup.appendToEmbeddingBandIndex]]):
+    * micro-batches of (vec_id, embedding) probe the persisted index
+    * ([[Dedup.incrementalEmbeddingNearDupIndexed]] — index side co-located,
+    * only the batch shuffles, exact-cosine verify candidate-bounded) and
+    * hand (new_vec_id, dup_of_vec_id, cosine) to `sink`. With
+    * `appendAfterProbe` each batch's bands join the index after its probe,
+    * so later batches dedup against earlier ones — the embedding firehose's
+    * probe-then-ingest loop (same exactly-once caveat as the text twin).
+    *
+    * `corpus` supplies standing vectors for the verify and must cover every
+    * vec in the index; stream-static, re-planned per micro-batch.
+    */
+  def incrementalEmbeddingDedupQuery(stream: DataFrame, corpus: DataFrame,
+      indexTable: String, threshold: Double = 0.4, numBands: Int = 64,
+      rowsPerBand: Int = 2, dim: Int = 64, seed: Long = 7L,
+      appendAfterProbe: Boolean = false, buckets: Int = 0,
+      maxBucketSize: Int = 1000)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.incrementalEmbeddingNearDupIndexed(corpus,
+          indexTable, batch, threshold, numBands, rowsPerBand, dim, seed)
+        sink(pairs, batchId)
+        if (appendAfterProbe)
+          Dedup.appendToEmbeddingBandIndex(batch, indexTable, numBands,
+            rowsPerBand, dim, seed, buckets, maxBucketSize)
+      }
+
   /** The full streaming ingest pipeline — the per-micro-batch form of
     * [[graft.operators.Pipelines.ingestedCorpus]]: each batch of documents
     * is exact-deduped within itself, near-deduped within itself and against

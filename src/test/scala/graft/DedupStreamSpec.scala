@@ -112,4 +112,69 @@ class DedupStreamSpec extends SparkTestBase {
     assert(hits == Set((20L, 10L)),
       s"batch 1 should dup batch 0's doc only, got ${perBatch(1L)}")
   }
+
+  test("embedding micro-batch probes equal the batch probe on the same data") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batchVecs = emb.filter($"vec_id" % 10 === 0)
+    Dedup.writeEmbeddingBandIndex(corpus, "emb_idx_ds", buckets = 4)
+    val expected = Dedup
+      .incrementalEmbeddingNearDupIndexed(corpus, "emb_idx_ds", batchVecs)
+      .as[(Long, Long, Double)].collect().toSet
+    val results = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = DedupStream.incrementalEmbeddingDedupQuery(
+      ms.toDF().toDF("vec_id", "embedding"), corpus, "emb_idx_ds") { (pairs, _) =>
+      results ++= pairs.as[(Long, Long, Double)].collect()
+    }.start()
+    try {
+      val rows = batchVecs.select($"vec_id", $"embedding")
+        .as[(Long, Seq[Float])].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS emb_idx_ds")
+    }
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
+  test("embedding probe-then-append finds a semantic dup of an earlier micro-batch") {
+    val dim = 64
+    def vec(axis: Int, noiseAxis: Int = -1): Seq[Float] = {
+      val v = Array.fill(dim)(0.0f)
+      v(axis) = 1.0f
+      if (noiseAxis >= 0) v(noiseAxis) = 0.01f
+      v.toSeq
+    }
+    val standing = Seq((1L, vec(0))).toDF("vec_id", "embedding")
+    // verify side must cover standing + both incoming batches
+    val allVecs = standing.union(
+      Seq((10L, vec(1)), (20L, vec(1, noiseAxis = 2))).toDF("vec_id", "embedding"))
+    Dedup.writeEmbeddingBandIndex(standing, "emb_idx_ds2", buckets = 2)
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = DedupStream.incrementalEmbeddingDedupQuery(
+      ms.toDF().toDF("vec_id", "embedding"), allVecs, "emb_idx_ds2",
+      appendAfterProbe = true, buckets = 2) { (pairs, id) =>
+      perBatch(id) = pairs.as[(Long, Long, Double)].collect().toSet
+    }.start()
+    try {
+      ms.addData((10L, vec(1))) // batch 0: orthogonal to the standing vector
+      q.processAllAvailable()
+      ms.addData((20L, vec(1, noiseAxis = 2))) // batch 1: near-dup of batch 0
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS emb_idx_ds2")
+    }
+    assert(perBatch(0L).isEmpty, s"batch 0 matched: ${perBatch(0L)}")
+    val hits = perBatch(1L).map { case (n, d, _) => (n, d) }
+    assert(hits == Set((20L, 10L)),
+      s"batch 1 should dup batch 0's vector only, got ${perBatch(1L)}")
+  }
 }

@@ -103,6 +103,32 @@ class PqSpec extends SparkTestBase {
     assert(rr > flat, s"rerank $rr did not improve on flat ADC $flat")
   }
 
+  test("persisted index: append encodes with FROZEN codebooks; probe reads the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 === 1)
+    Pq.writePqIndex(half, model, dir)
+    Pq.appendToPqIndex(rest, dir)
+    val loadedModel = Pq.loadPqModel(spark, dir)
+    assert(loadedModel.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq, "codebooks round-trip")
+    val loaded = spark.read.parquet(s"$dir/codes")
+    assert(loaded.count() == emb.count(), "append must be a union")
+    // appended rows carry exactly the codes a fresh encode under the same
+    // (frozen) codebooks produces — append never retrains
+    val got = loaded.as[(Long, Seq[Int])].collect().toMap
+    val fresh = Pq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+    assert(got == fresh)
+    // probing the persisted index equals the in-memory ADC ranking
+    val queries = emb.filter($"vec_id" < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val viaIndex = Pq.adcTopK(loaded, loadedModel, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inMem = Pq.adcTopK(Pq.encode(emb, model), model, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == inMem)
+  }
+
   test("IVF×PQ top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
     val rows = Pq.ivfPqTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
     assert(rows.forall { case (q, v, _, _) => q != v })
