@@ -127,6 +127,10 @@ object SparkEntry {
     // layer exactly these two filter families
     "quality_gated_corpus" -> ((s, d) => Pipelines.qualityGatedCorpus(s, d)),
     "stratified_sample" -> (Sampling.stratifiedSample _),
+    // corpus MIXING: per-language token budgets -> data-derived keep rates
+    // -> deterministic md5 gate; totals, rates, and gate all re-derived by
+    // the oracle
+    "corpus_mixture" -> ((s, d) => Sampling.corpusMixture(s, d)),
     "sampled_users_per_type" -> ((s, d) => Sampling.sampledUsersPerType(s, d)),
     // —— LLM-pipeline: multimodal ——
     // oracle: DuckDB re-aggregates the Spark-dumped per-image features
@@ -586,6 +590,22 @@ object SparkEntry {
         "FROM d) " +
         "SELECT event_type, rk, user_id FROM r WHERE rk <= 8 " +
         "ORDER BY event_type, rk"),
+    // the full mixing derivation replayed: token totals per language,
+    // data-derived rates against the same literal budgets, threshold hex
+    // (round(rate·16^8), 'g' = keep-all sentinel), identical md5 gate
+    "corpus_mixture" ->
+      ("WITH t AS (SELECT doc_id, lang, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "d AS (SELECT doc_id, lang, len(toks) AS n_tokens FROM t), " +
+        "tot AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY lang HAVING sum(n_tokens) > 0), " +
+        "b(lang, budget) AS (VALUES ('en', 5000), ('fr', 2000000000)), " +
+        "r AS (SELECT tot.lang, least(1.0, coalesce(b.budget, tot.lang_tokens)::DOUBLE / tot.lang_tokens::DOUBLE) AS rate " +
+        "FROM tot LEFT JOIN b USING (lang)), " +
+        "g AS (SELECT d.doc_id, d.lang, d.n_tokens, " +
+        "CAST(round(r.rate * 4294967296) AS BIGINT) AS units FROM d JOIN r USING (lang)) " +
+        "SELECT doc_id, lang, n_tokens FROM g " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "CASE WHEN units >= 4294967296 THEN 'g' ELSE lpad(lower(to_hex(units)), 8, '0') END"),
     // identical md5 hash-gate predicate (thresholds = fraction × 16^8 in hex)
     "stratified_sample" ->
       ("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' " +

@@ -37,6 +37,52 @@ object Sampling {
   def hashGate(key: Column, fraction: Double): Column =
     substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(fraction))
 
+  /** [[hashGate]] with a DATA-DERIVED rate column: the threshold is built
+    * in-plan from the rate (round(rate·16^8) as 8 lowercase hex chars;
+    * ≥ 16^8 units → "g", the keep-everything sentinel of [[thresholdHex]]).
+    * Same determinism contract — membership is a pure function of
+    * (key, rate) that any engine reproduces. */
+  def dynamicHashGate(key: Column, rate: Column): Column = {
+    val units = round(rate * lit(4294967296.0)).cast("long")
+    val thr = when(units >= 4294967296L, lit("g"))
+      .otherwise(lpad(lower(hex(units)), 8, "0"))
+    substring(md5(key.cast("string")), 1, 8) < thr
+  }
+
+  /** Corpus MIXING — the sampling step of an LLM data pipeline that the
+    * fixed-rate [[stratifiedSample]] can't express: given per-language
+    * TOKEN budgets, derive each language's keep-rate from the data
+    * (rate = min(1, budget / actual tokens)) and gate documents
+    * deterministically at that rate. Languages without a budget (or whose
+    * budget exceeds their actual tokens) keep everything; oversupplied
+    * languages are downsampled toward their budget in expectation —
+    * quota-mixing a 100-language corpus to a target composition is exactly
+    * this query at 1000× the group count.
+    *
+    * Scale: one hash-agg over (lang) for totals (tiny result), rates
+    * broadcast back, then a per-row gate — the corpus itself never
+    * shuffles. Fully oracle-checked: totals, rates, threshold hex, and the
+    * md5 gate are all re-derived by DuckDB from the same table.
+    */
+  def corpusMixture(spark: SparkSession, sfDir: String,
+      budgets: Map[String, Long] = Map("en" -> 5000L, "fr" -> 2000000000L))
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy($"lang")
+      .agg(sum($"n_tokens").as("lang_tokens"))
+      .filter($"lang_tokens" > 0)
+    val budgetDf = spark.createDataFrame(budgets.toSeq).toDF("lang", "budget")
+    val rates = totals.join(broadcast(budgetDf), Seq("lang"), "left")
+      .select($"lang", least(lit(1.0),
+        coalesce($"budget", $"lang_tokens").cast("double") /
+          $"lang_tokens".cast("double")).as("rate"))
+    docs.join(broadcast(rates), "lang")
+      .filter(dynamicHashGate($"doc_id", $"rate"))
+      .select($"doc_id", $"lang", $"n_tokens")
+  }
+
   /** Registered query: stratified deterministic sample of `documents` —
     * 25% of English, 50% of every other language (quota-balancing a
     * dominant stratum is the typical corpus-mix correction). */

@@ -71,4 +71,34 @@ class SamplingSpec extends SparkTestBase {
     val c = ids.filter(Sampling.hashGate($"id", 0.1)).as[Long].collect().toSet
     assert(c.subsetOf(a))
   }
+
+  test("corpus mixture: budgets derive rates, clamp keeps all, gate lands near rate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        size(graft.operators.TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy($"lang").agg(
+      sum($"n_tokens").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mixed = Sampling.corpusMixture(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val keptByLang = mixed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // fr's budget exceeds its tokens -> rate clamps to 1, everything kept
+    assert(keptByLang.get("fr").contains(totals("fr")._2),
+      s"fr kept ${keptByLang.get("fr")} of ${totals("fr")._2}")
+    // en is over budget -> downsampled near rate = budget / tokens
+    val enRate = 5000.0 / totals("en")._1
+    assert(enRate < 1.0, "fixture must oversupply en for this test")
+    val enKept = keptByLang.getOrElse("en", 0L).toDouble / totals("en")._2
+    assert(math.abs(enKept - enRate) < 0.15,
+      s"en kept fraction $enKept vs rate $enRate")
+    // unbudgeted languages keep everything
+    (totals.keySet - "en" - "fr").foreach { l =>
+      assert(keptByLang.getOrElse(l, 0L) == totals(l)._2, s"lang $l")
+    }
+    // deterministic across runs
+    val again = Sampling.corpusMixture(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(mixed.toSet == again.toSet)
+  }
 }
