@@ -131,6 +131,9 @@ object SparkEntry {
     // -> deterministic md5 gate; totals, rates, and gate all re-derived by
     // the oracle
     "corpus_mixture" -> ((s, d) => Sampling.corpusMixture(s, d)),
+    // mixing with UPSAMPLING: floor(budget/actual) full epochs per doc +
+    // a fractional epoch gated at the remainder rate
+    "corpus_mixture_epochs" -> ((s, d) => Sampling.corpusMixtureEpochs(s, d)),
     "sampled_users_per_type" -> ((s, d) => Sampling.sampledUsersPerType(s, d)),
     // —— LLM-pipeline: multimodal ——
     // oracle: DuckDB re-aggregates the Spark-dumped per-image features
@@ -605,6 +608,24 @@ object SparkEntry {
         "CAST(round(r.rate * 4294967296) AS BIGINT) AS units FROM d JOIN r USING (lang)) " +
         "SELECT doc_id, lang, n_tokens FROM g " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "CASE WHEN units >= 4294967296 THEN 'g' ELSE lpad(lower(to_hex(units)), 8, '0') END"),
+    // the epoch-repeat form: floor(ratio) ungated epochs + one fractional
+    // epoch under the same md5 gate at rate (ratio - floor)
+    "corpus_mixture_epochs" ->
+      ("WITH t AS (SELECT doc_id, lang, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "d AS (SELECT doc_id, lang, len(toks) AS n_tokens FROM t), " +
+        "tot AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY lang HAVING sum(n_tokens) > 0), " +
+        "b(lang, budget) AS (VALUES ('en', 5000), ('de', 8000)), " +
+        "r0 AS (SELECT tot.lang, coalesce(b.budget, tot.lang_tokens)::DOUBLE / tot.lang_tokens::DOUBLE AS ratio " +
+        "FROM tot LEFT JOIN b USING (lang)), " +
+        "r AS (SELECT lang, CAST(floor(ratio) AS BIGINT) AS full_epochs, ratio - floor(ratio) AS frac FROM r0), " +
+        "e AS (SELECT unnest(generate_series(1, (SELECT max(full_epochs) + 1 FROM r))) AS epoch), " +
+        "g AS (SELECT d.doc_id, d.lang, d.n_tokens, r.full_epochs, " +
+        "CAST(round(r.frac * 4294967296) AS BIGINT) AS units, e.epoch " +
+        "FROM d JOIN r USING (lang) CROSS JOIN e WHERE e.epoch <= r.full_epochs + 1) " +
+        "SELECT doc_id, lang, n_tokens, epoch FROM g " +
+        "WHERE epoch <= full_epochs OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
         "CASE WHEN units >= 4294967296 THEN 'g' ELSE lpad(lower(to_hex(units)), 8, '0') END"),
     // identical md5 hash-gate predicate (thresholds = fraction × 16^8 in hex)
     "stratified_sample" ->

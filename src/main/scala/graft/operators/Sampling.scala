@@ -83,6 +83,44 @@ object Sampling {
       .select($"doc_id", $"lang", $"n_tokens")
   }
 
+  /** Corpus mixing with UPSAMPLING — [[corpusMixture]] generalized to
+    * budgets above a language's actual supply: ratio = budget / actual
+    * tokens, each document appears in floor(ratio) full epochs plus one
+    * fractional epoch gated at rate (ratio − floor) — the epoch-repeat
+    * scheme LLM data pipelines use to hit a target composition when a
+    * language is under-represented. A language without a budget gets
+    * exactly one ungated epoch; a downsampled language (ratio < 1) gets
+    * zero full epochs and only the gated one, reducing to
+    * [[corpusMixture]]'s semantics. Output grain: (doc_id, epoch).
+    *
+    * Scale: the explode multiplies only by each language's epoch count
+    * (that IS the requested output), rates broadcast, corpus unshuffled —
+    * and the whole derivation (totals, ratio, floor/frac split, gate) is
+    * replayed by the DuckDB oracle.
+    */
+  def corpusMixtureEpochs(spark: SparkSession, sfDir: String,
+      budgets: Map[String, Long] = Map("en" -> 5000L, "de" -> 8000L))
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy($"lang")
+      .agg(sum($"n_tokens").as("lang_tokens"))
+      .filter($"lang_tokens" > 0)
+    val budgetDf = spark.createDataFrame(budgets.toSeq).toDF("lang", "budget")
+    val rates = totals.join(broadcast(budgetDf), Seq("lang"), "left")
+      .select($"lang",
+        (coalesce($"budget", $"lang_tokens").cast("double") /
+          $"lang_tokens".cast("double")).as("ratio"))
+      .select($"lang", floor($"ratio").cast("long").as("full_epochs"),
+        ($"ratio" - floor($"ratio")).as("frac"))
+    docs.join(broadcast(rates), "lang")
+      .select($"doc_id", $"lang", $"n_tokens", $"full_epochs", $"frac",
+        explode(sequence(lit(1L), $"full_epochs" + 1L)).as("epoch"))
+      .filter($"epoch" <= $"full_epochs" || dynamicHashGate($"doc_id", $"frac"))
+      .select($"doc_id", $"lang", $"n_tokens", $"epoch")
+  }
+
   /** Registered query: stratified deterministic sample of `documents` —
     * 25% of English, 50% of every other language (quota-balancing a
     * dominant stratum is the typical corpus-mix correction). */

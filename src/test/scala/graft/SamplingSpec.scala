@@ -101,4 +101,34 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect()
     assert(mixed.toSet == again.toSet)
   }
+
+  test("mixture epochs: upsampling repeats docs, realized tokens land near budget") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        size(graft.operators.TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy($"lang").agg(sum($"n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Map("en" -> 5000L, "de" -> 8000L)
+    val rows = Sampling.corpusMixtureEpochs(spark, sf, budgets)
+      .as[(Long, String, Long, Long)].collect()
+    // (doc, epoch) is the output grain — no accidental duplication
+    assert(rows.map(r => (r._1, r._4)).distinct.length == rows.length)
+    val ratioDe = budgets("de").toDouble / totals("de")
+    assert(ratioDe > 1.0, "fixture must undersupply de for this test")
+    // de is upsampled: full epochs present beyond 1
+    assert(rows.exists(r => r._2 == "de" && r._4 >= 2))
+    // realized token mass approximates each budget (gated remainder is
+    // only near-exact in expectation)
+    Seq("en", "de").foreach { l =>
+      val realized = rows.filter(_._2 == l).map(_._3).sum.toDouble
+      assert(math.abs(realized / budgets(l) - 1.0) < 0.25,
+        s"$l realized $realized vs budget ${budgets(l)}")
+    }
+    // unbudgeted languages: exactly one epoch, everything kept
+    val frRows = rows.filter(_._2 == "fr")
+    assert(frRows.forall(_._4 == 1L))
+    assert(frRows.length.toLong ==
+      docs.filter($"lang" === "fr").count())
+  }
 }
