@@ -141,6 +141,8 @@ object SparkEntry {
     // twin, the rollup over its output does
     "media_image_features" -> (graft.multimodal.Media.imageFeatureRollup _),
     "media_image_features_dump" -> (graft.multimodal.Media.imageFeatureDump _), // rows-only (it IS the oracle input)
+    "media_audio_features" -> (graft.multimodal.Media.audioFeatureRollup _),
+    "media_audio_features_dump" -> (graft.multimodal.Media.audioFeatureDump _), // rows-only (it IS the oracle input)
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
@@ -457,6 +459,15 @@ object SparkEntry {
         "round(avg(mean_luma) + 1e-9, 4) AS avg_luma, " +
         "CAST(sum(luma_histogram[1]) AS BIGINT) AS bucket0_total " +
         "FROM f GROUP BY width, height ORDER BY width, height"),
+    // audio twin of the media oracle: re-aggregate the dumped per-clip
+    // features by amplitude bucket (floor(mean/8) exact in double)
+    "media_audio_features" ->
+      ("WITH f AS (SELECT * FROM read_parquet('{OUT}/media_audio_features_dump/*.parquet')) " +
+        "SELECT amp_bucket, count(*) AS n_clips, " +
+        "round(avg(mean_amplitude) + 1e-9, 4) AS avg_amplitude, " +
+        "CAST(sum(zero_crossings) AS BIGINT) AS total_crossings " +
+        "FROM (SELECT *, CAST(floor(mean_amplitude / 8) AS BIGINT) AS amp_bucket FROM f) " +
+        "GROUP BY amp_bucket ORDER BY amp_bucket"),
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,

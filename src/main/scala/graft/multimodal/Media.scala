@@ -50,6 +50,13 @@ object Media {
       mean_luma: Double,
       luma_histogram: Array[Long]) // 8 buckets
 
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate_hz: Int,
+      n_samples: Int,
+      mean_amplitude: Double, // of |signed 8-bit PCM|, exact multiple of 1/n
+      zero_crossings: Long)
+
   /** DETERMINISTIC FAKE codec — stands in for libjpeg/ffmpeg/etc., which are
     * not in this container. Every function is a pure, seeded transform of
     * the payload bytes so specs can assert exact values; the signatures are
@@ -82,6 +89,9 @@ object Media {
       out
     }
 
+    /** "Decode" a payload to signed 8-bit PCM samples. */
+    def decodePcm(payload: Array[Byte]): Array[Byte] = payload
+
     /** "Extract" the bytes of one video frame from the payload. */
     def frameAt(payload: Array[Byte], frameIdx: Int, frameBytes: Int): Array[Byte] = {
       val out = new Array[Byte](frameBytes)
@@ -105,7 +115,8 @@ object Media {
       val payload = new Array[Byte](payloadBytes)
       rnd.nextBytes(payload)
       MediaRow(id, id % 100,
-        MediaMeta(mediaType, width = 16, height = 16, sampleRateHz = 0,
+        MediaMeta(mediaType, width = 16, height = 16,
+          sampleRateHz = if (mediaType == "audio") 16000 else 0,
           durationMs = if (mediaType == "video") 4000L else 0L,
           codec = "fake"),
         payload)
@@ -136,6 +147,53 @@ object Media {
         }
       }
     }
+  }
+
+  /** Audio decode + feature-extract, same batched per-partition shape as
+    * [[imageFeatures]] (one codec init per batch): signed 8-bit PCM →
+    * mean |amplitude| and zero-crossing count per clip. */
+  def audioFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val pcm = FakeCodec.decodePcm(r.payload)
+          var absSum = 0L
+          var crossings = 0L
+          var i = 0
+          while (i < pcm.length) {
+            absSum += math.abs(pcm(i).toInt)
+            if (i > 0 && pcm(i - 1) * pcm(i) < 0) crossings += 1
+            i += 1
+          }
+          AudioFeatures(r.media_id, r.meta.sampleRateHz, pcm.length,
+            absSum.toDouble / pcm.length, crossings)
+        }
+      }
+    }
+  }
+
+  /** Registered companion of [[audioFeatureRollup]] ({OUT}-oracle input):
+    * per-clip decoded audio features. The mean is engine-safe double: each
+    * value is an exact multiple of 1/n_samples with magnitude ≤ 128. */
+  def audioFeatureDump(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeatures(synthesize(spark, n = 2000, mediaType = "audio")).toDF()
+
+  /** Registered query: the audio twin of [[imageFeatureRollup]] — decode +
+    * per-clip features + a relational rollup by amplitude bucket
+    * (floor(mean/8): exact in double, both engines). Oracle: DuckDB
+    * re-aggregates the Spark-dumped per-clip features. */
+  def audioFeatureRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioFeatures(synthesize(spark, n = 2000, mediaType = "audio")).toDF()
+      .withColumn("amp_bucket", floor($"mean_amplitude" / 8).cast("long"))
+      .groupBy($"amp_bucket")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        round(avg($"mean_amplitude") + 1e-9, 4).as("avg_amplitude"),
+        sum($"zero_crossings").as("total_crossings"))
+      .orderBy($"amp_bucket")
   }
 
   /** Resize as a standalone stage: emits resized luma payloads with updated

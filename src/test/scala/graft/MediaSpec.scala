@@ -62,4 +62,24 @@ class MediaSpec extends SparkTestBase {
     // images produce no frames
     assert(Media.sampleFrames(Media.synthesize(spark, 5), 1000).count() == 0)
   }
+
+  test("audioFeatures: crafted PCM gives exact amplitude and crossings; deterministic") {
+    val crafted = Seq(Media.MediaRow(0L, 0L,
+      Media.MediaMeta("audio", 0, 0, 16000, 0L, "fake"),
+      Array[Byte](4, -4, 4, -4, 0, 2, 2, -2))).toDS()
+    val f = Media.audioFeatures(crafted).collect().head
+    assert(f.n_samples == 8)
+    // |4|·4 + 0 + |2|·3 = 22 over 8 samples
+    assert(f.mean_amplitude == 22.0 / 8)
+    // sign products < 0 at (4,-4) ×3 and (2,-2); the 0 sample kills its pairs
+    assert(f.zero_crossings == 4L)
+    val a = Media.audioFeatures(Media.synthesize(spark, 100, mediaType = "audio"))
+      .collect().map(r => r.media_id -> (r.mean_amplitude, r.zero_crossings)).toMap
+    val b = Media.audioFeatures(
+      Media.synthesize(spark, 100, mediaType = "audio").repartition(7))
+      .collect().map(r => r.media_id -> (r.mean_amplitude, r.zero_crossings)).toMap
+    assert(a == b)
+    assert(a.size == 100)
+    a.values.foreach { case (amp, _) => assert(amp >= 0 && amp <= 128) }
+  }
 }
