@@ -90,6 +90,9 @@ object SparkEntry {
     "embedding_near_dup_scale" -> ((s, d) => Dedup.embeddingNearDupScale(s, d)),
     // —— LLM-pipeline: similarity search ——
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    // retrieval-quality eval: label precision@10 over the exact top-k —
+    // ranking, label joins, and arithmetic all replayed by the oracle
+    "retrieval_label_precision" -> ((s, d) => Similarity.retrievalLabelPrecision(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)), // rows-only (approximate by design)
     // rows-only: build-once/query-many path — persist partitioned by cell,
     // re-load, probe with partition pruning (PlanShapeSpec pins the pruning)
@@ -540,6 +543,23 @@ object SparkEntry {
         "SELECT query_id, vec_id, cosine, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // label precision@10 over the same exact ranking: joins + arithmetic
+    // on top of the cosine_topk construction
+    "retrieval_label_precision" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id), " +
+        "topk AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10), " +
+        "p AS (SELECT t.query_id, " +
+        "CAST(sum(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label " +
+        "FROM topk t JOIN embeddings e1 ON e1.vec_id = t.query_id " +
+        "JOIN embeddings e2 ON e2.vec_id = t.vec_id GROUP BY t.query_id) " +
+        "SELECT query_id, n_same_label, round(n_same_label::DOUBLE / 10, 4) AS precision " +
+        "FROM p ORDER BY query_id"),
     // ADC ranking recomputed from the Spark-dumped PQ codes + per-query
     // distance tables ({OUT} mechanism): adc = sum over subspaces m of
     // dtab[m*64 + codes[m]] in subspace order (list order = Spark's sum

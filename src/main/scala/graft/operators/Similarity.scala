@@ -79,6 +79,29 @@ object Similarity {
       .select($"query_id", $"vec_id", col(scoreCol), $"rk")
   }
 
+  /** Retrieval-quality eval — label precision@k of the exact cosine top-k:
+    * for each query, the share of its k neighbors carrying the query's own
+    * label (the standard proxy eval when an embedding table ships labels).
+    * Composes [[cosineTopK]] with two broadcast label lookups and one tiny
+    * per-query agg — the corpus-side cost IS the top-k's. Fully
+    * oracle-checked: DuckDB replays ranking, label joins, and the
+    * precision arithmetic. */
+  def retrievalLabelPrecision(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir).select($"vec_id", $"label")
+    val qLabels = broadcast(labels
+      .select($"vec_id".as("query_id"), $"label".as("q_label")))
+    cosineTopK(spark, sfDir, numQueries, k)
+      .join(qLabels, "query_id")
+      .join(broadcast(labels), "vec_id")
+      .groupBy($"query_id")
+      .agg(sum(when($"label" === $"q_label", 1).otherwise(0)).cast("long")
+        .as("n_same_label"))
+      .select($"query_id", $"n_same_label",
+        round($"n_same_label".cast("double") / k, 4).as("precision"))
+      .orderBy($"query_id")
+  }
+
   /** A built IVF index: the corpus bucketed by nearest coarse centroid plus
     * the (small, driver-side) centroid matrix. Build ONCE, query many — in
     * production the bucketed frame is written out partitioned by `cell`
