@@ -130,6 +130,9 @@ object SparkEntry {
     // layer exactly these two filter families
     "quality_gated_corpus" -> ((s, d) => Pipelines.qualityGatedCorpus(s, d)),
     "stratified_sample" -> (Sampling.stratifiedSample _),
+    // deterministic train/val/test bands over md5(doc_id): disjoint and
+    // exhaustive by construction, docs never migrate as the corpus grows
+    "corpus_splits" -> ((s, d) => Sampling.corpusSplits(s, d)),
     // corpus MIXING: per-language token budgets -> data-derived keep rates
     // -> deterministic md5 gate; totals, rates, and gate all re-derived by
     // the oracle
@@ -624,6 +627,14 @@ object SparkEntry {
         "FROM d) " +
         "SELECT event_type, rk, user_id FROM r WHERE rk <= 8 " +
         "ORDER BY event_type, rk"),
+    // split bands over the identical md5 prefix: train < 0.90·16^8
+    // (e6666666) <= val < 0.95·16^8 (f3333333) <= test
+    "corpus_splits" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents) " +
+        "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' " +
+        "ELSE 'test' END AS split, len(toks) AS n_tokens FROM t"),
     // the full mixing derivation replayed: token totals per language,
     // data-derived rates against the same literal budgets, threshold hex
     // (round(rate·16^8), 'g' = keep-all sentinel), identical md5 gate

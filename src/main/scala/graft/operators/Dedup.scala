@@ -737,8 +737,11 @@ object Dedup {
     * corpus is never scored or shuffled wholesale per probe).
     * Output: (new_vec_id, dup_of_vec_id, cosine).
     */
-  def incrementalEmbeddingNearDupIndexed(corpus: DataFrame,
-      indexTable: String, batch: DataFrame, threshold: Double = 0.4,
+  /** Candidate (new_vec_id, dup_of_vec_id) pairs from sign-LSH-banding
+    * `batch` against the persisted embedding index — exposed (like the text
+    * [[bandIndexCandidates]]) so BucketingSpec can pin zero Exchange above
+    * the index scan even though the probe materializes it eagerly. */
+  def embeddingBandIndexCandidates(indexTable: String, batch: DataFrame,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
       seed: Long = 7L): DataFrame = {
     val spark = batch.sparkSession
@@ -746,12 +749,20 @@ object Dedup {
     val batchBanded = prepareEmbeddings(batch)
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
-    val candidates = batchBanded.as("l")
+    batchBanded.as("l")
       .join(spark.table(indexTable).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .select(col("l.vec_id").as("new_vec_id"),
         col("r.vec_id").as("dup_of_vec_id"))
       .distinct()
+  }
+
+  def incrementalEmbeddingNearDupIndexed(corpus: DataFrame,
+      indexTable: String, batch: DataFrame, threshold: Double = 0.4,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val candidates = embeddingBandIndexCandidates(indexTable, batch,
+      numBands, rowsPerBand, dim, seed)
       .localCheckpoint() // one banded-index join per probe (see text twin)
     val candIds = candidates.select($"dup_of_vec_id")
     val corpusVecs = prepareEmbeddings(corpus)

@@ -37,6 +37,31 @@ object Sampling {
   def hashGate(key: Column, fraction: Double): Column =
     substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(fraction))
 
+  /** Deterministic train/val/test assignment — the holdout-split staple:
+    * the first 8 hex chars of md5(key) place every document in exactly one
+    * band (train < valThr ≤ val < testThr ≤ test), so splits are DISJOINT
+    * and EXHAUSTIVE by construction, stable under repartition/re-runs, and
+    * a document never migrates between splits as the corpus grows (the
+    * property that keeps eval sets uncontaminated across releases).
+    * Fractions are (1−valFrac−testFrac, valFrac, testFrac). */
+  def holdoutSplit(key: Column, valFrac: Double = 0.01,
+      testFrac: Double = 0.01): Column = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0)
+    val h = substring(md5(key.cast("string")), 1, 8)
+    when(h < lit(thresholdHex(1.0 - valFrac - testFrac)), "train")
+      .when(h < lit(thresholdHex(1.0 - testFrac)), "val")
+      .otherwise("test")
+  }
+
+  /** Registered query: per-document split assignment plus the per-split
+    * size/token audit a release pipeline reports. */
+  def corpusSplits(spark: SparkSession, sfDir: String, valFrac: Double = 0.05,
+      testFrac: Double = 0.05): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        holdoutSplit($"doc_id", valFrac, testFrac).as("split"),
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+
   /** [[hashGate]] with a DATA-DERIVED rate column: the threshold is built
     * in-plan from the rate (round(rate·16^8) as 8 lowercase hex chars;
     * ≥ 16^8 units → "g", the keep-everything sentinel of [[thresholdHex]]).

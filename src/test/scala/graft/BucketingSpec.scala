@@ -173,4 +173,50 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS band_idx_test")
     }
   }
+
+  test("embedding band index: post-append probe exchange-free with union semantics") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val corpusA = emb.filter($"vec_id" % 10 =!= 0 && $"vec_id" % 10 =!= 1)
+    val corpusB = emb.filter($"vec_id" % 10 === 1)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    Dedup.writeEmbeddingBandIndex(corpusA, "emb_idx_bspec", buckets = 4)
+    Dedup.appendToEmbeddingBandIndex(corpusB, "emb_idx_bspec")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the appended index still reads co-located: no Exchange between the
+      // index scan and the candidate join
+      val bandJoin = Dedup.embeddingBandIndexCandidates("emb_idx_bspec", batch)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if j.left.toString.contains("emb_idx_bspec") ||
+                j.right.toString.contains("emb_idx_bspec") => j
+        }.last
+      val idxSide = if (bandJoin.left.toString.contains("emb_idx_bspec"))
+        bandJoin.left else bandJoin.right
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"embedding index re-exchanged after append: $shuffled")
+      // union semantics: the post-append probe equals a fresh build over
+      // the union corpus
+      val union = corpusA.union(corpusB)
+      val got = Dedup.incrementalEmbeddingNearDupIndexed(
+        union, "emb_idx_bspec", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      Dedup.writeEmbeddingBandIndex(union, "emb_idx_bspec_fresh", buckets = 4)
+      val expected = Dedup.incrementalEmbeddingNearDupIndexed(
+        union, "emb_idx_bspec_fresh", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS emb_idx_bspec")
+      spark.sql("DROP TABLE IF EXISTS emb_idx_bspec_fresh")
+    }
+  }
 }

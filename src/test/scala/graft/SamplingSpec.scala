@@ -102,6 +102,24 @@ class SamplingSpec extends SparkTestBase {
     assert(mixed.toSet == again.toSet)
   }
 
+  test("holdout split: disjoint, exhaustive, stable, near-nominal fractions") {
+    val ids = (0L until 4000L).toDF("id")
+    val split = ids.select($"id",
+      Sampling.holdoutSplit($"id", valFrac = 0.1, testFrac = 0.1).as("s"))
+      .as[(Long, String)].collect()
+    assert(split.length == 4000) // exhaustive: every key lands in one band
+    val byS = split.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(math.abs(byS("train") / 4000.0 - 0.8) < 0.05)
+    assert(math.abs(byS("val") / 4000.0 - 0.1) < 0.03)
+    assert(math.abs(byS("test") / 4000.0 - 0.1) < 0.03)
+    // growing the corpus never migrates an existing key between splits
+    val grown = (0L until 8000L).toDF("id").select($"id",
+      Sampling.holdoutSplit($"id", valFrac = 0.1, testFrac = 0.1).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(split.forall { case (id, s) => grown(id) == s })
+  }
+
   test("mixture epochs: upsampling repeats docs, realized tokens land near budget") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
