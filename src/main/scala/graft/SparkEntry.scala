@@ -57,6 +57,10 @@ object SparkEntry {
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    // EXACT token-n-gram Jaccard join via prefix filtering (AllPairs/PPJoin
+    // family): deterministic counterpart of the MinHash tier — candidates
+    // from each doc's globally-RAREST grams only, size filter in the join
+    "token_jaccard_pairs" -> ((s, d) => Dedup.tokenJaccardPairs(s, d)),
     // batch-vs-standing-corpus LSH (the daily-ingestion path: batch bands
     // join a pre-capped corpus band index; corpus×corpus never pairs)
     "incremental_near_dup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
@@ -477,6 +481,26 @@ object SparkEntry {
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,
+    // inverted-index brute-force twin of the prefix-filtered exact join:
+    // intersections from grouping the shared-gram join (only co-occurring
+    // grams matter — J >= 0.5 needs at least one), sizes from the gram sets;
+    // same trim/split tokenization + distinct space-joined 3-grams as the
+    // Spark TokenNgramsExpr
+    "token_jaccard_pairs" ->
+      ("WITH tok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM tok), " +
+        "ex AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i " +
+        "FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sz AS (SELECT doc_id, len(grams) AS ng FROM g WHERE len(grams) > 0) " +
+        "SELECT a_doc_id, b_doc_id, jaccard FROM (" +
+        "SELECT a_id AS a_doc_id, b_id AS b_doc_id, " +
+        "round(i::DOUBLE / (sa.ng + sb.ng - i), 4) AS jaccard " +
+        "FROM inter JOIN sz sa ON inter.a_id = sa.doc_id " +
+        "JOIN sz sb ON inter.b_id = sb.doc_id) WHERE jaccard >= 0.5"),
     // brute-force batch×corpus twin of the incremental (batch-vs-standing)
     // LSH join — same shingle sets, same threshold, same miss bound
     "incremental_near_dup" -> incrementalNearDupSql,

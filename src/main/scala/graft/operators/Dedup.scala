@@ -185,6 +185,88 @@ object Dedup {
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
   }
 
+  /** Exact token-n-gram Jaccard similarity self-join via PREFIX FILTERING
+    * (AllPairs/PPJoin family) — the deterministic counterpart of
+    * [[nearDupPairs]]: same output contract (all pairs with Jaccard ≥
+    * `threshold`), but EXACT by construction rather than exhaustive-with-
+    * probability-7e-11. The tier to reach for when a miss bound, however
+    * small, is not acceptable (legal-hold dedup, eval-set integrity).
+    *
+    * Algorithm: each doc's distinct token n-gram set (the fused codegen
+    * [[graft.functions.TokenNgramsExpr]]) is ordered by GLOBAL document
+    * frequency (rarest first; ties by gram). For Jaccard ≥ t, two docs must
+    * share at least one gram within their first `|g| − ⌈t·|g|⌉ + 1` ordered
+    * grams (prefix-filtering principle: the required overlap
+    * α = ⌈t/(1+t)·(|x|+|y|)⌉ is ≥ ⌈t·|x|⌉ for any qualifying pair, and two
+    * sets overlapping α times must collide inside their (size − α + 1)-
+    * prefixes). So the candidate join runs on PREFIX grams only — each
+    * doc's globally rarest — which is what bounds fan-out: a gram appears
+    * in a prefix only when a doc has nothing rarer, so hot grams
+    * self-select OUT of candidate generation. A size filter
+    * (t·|x| ≤ |y| ≤ |x|/t, necessary for J ≥ t) prunes inside the join
+    * condition before the pair ever materializes.
+    *
+    * Scale shape: one explode + hash-agg for the df table (map-side
+    * combine), one shuffle join gram⨝df + one hash-agg to order each doc's
+    * set (at 100 TB the df table is corpus-vocabulary-sized — a broadcast
+    * would not hold; the shuffle join is the honest topology and AQE
+    * downgrades it to broadcast when small), then the prefix self-join.
+    * Worst case is a corpus of exact duplicates (every prefix identical) —
+    * quadratic for ANY exact algorithm; run [[exactDedup]] first, as the
+    * composed pipelines do. Both ceil/size comparisons carry a −1e-9 guard
+    * so float slop can only LENGTHEN a prefix or ADMIT a boundary pair
+    * (more candidates, never a miss); the exact verify settles membership.
+    */
+  def tokenJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    tokenJaccardPairsOf(Tables.documents(spark, sfDir), n, threshold)
+
+  /** Core of [[tokenJaccardPairs]] over any (doc_id, text) frame. */
+  def tokenJaccardPairsOf(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val t = threshold
+    val grams = spread(documents)
+      .select($"doc_id", graft.functions.TextExpressions
+        .tokenNgrams(coalesce($"text", lit("")), n).as("grams"))
+      .filter(size($"grams") > 0)
+    val ex = grams.select($"doc_id", size($"grams").as("sz"),
+      explode($"grams").as("gram"))
+    // document frequency per gram: per-doc sets are distinct, so a plain
+    // count IS the df; partial aggregation combines map-side
+    val dfreq = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
+    // each doc's grams in (df asc, gram asc) order — array_sort on the
+    // (df, gram) struct sorts lexicographically by field order, and the
+    // field extraction `sg.gram` is codegen'd GetArrayStructFields, not an
+    // interpreted transform() lambda
+    val ordered = ex.join(dfreq, "gram")
+      .groupBy($"doc_id", $"sz")
+      .agg(array_sort(collect_list(struct($"df", $"gram"))).as("sg"))
+    val prefixLen =
+      ($"sz" - ceil(lit(t) * $"sz" - lit(1e-9)) + lit(1)).cast("int")
+    val prefix = ordered
+      .select($"doc_id", $"sz",
+        explode(slice($"sg.gram", lit(1), prefixLen)).as("gram"))
+    val candidates = prefix.as("l")
+      .join(prefix.as("r"),
+        col("l.gram") === col("r.gram") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          // J >= t forces t·|x| <= |y| and t·|y| <= |x|: prune size-
+          // incompatible pairs inside the join condition, pre-materialization
+          col("r.sz") >= lit(t) * col("l.sz") - lit(1e-9) &&
+          col("l.sz") >= lit(t) * col("r.sz") - lit(1e-9))
+      .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"))
+      .distinct()
+    candidates
+      .join(grams.select($"doc_id".as("a_doc_id"), $"grams".as("a_g")), "a_doc_id")
+      .join(grams.select($"doc_id".as("b_doc_id"), $"grams".as("b_g")), "b_doc_id")
+      .withColumn("inter",
+        graft.functions.TextExpressions.setIntersectSize($"a_g", $"b_g"))
+      .withColumn("jaccard", round($"inter".cast("double") /
+        (size($"a_g") + size($"b_g") - $"inter"), 4))
+      .filter($"jaccard" >= t)
+      .select($"a_doc_id", $"b_doc_id", $"jaccard")
+  }
+
   /** Incremental near-dup: MinHash-LSH candidates between a NEW batch and a
     * STANDING corpus only — the daily-ingestion path of a production dedup
     * pipeline. [[nearDupPairs]] answers "dedup this corpus against itself";

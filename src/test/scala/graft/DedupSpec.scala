@@ -60,6 +60,34 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.forall(_._3 >= 0.8))
   }
 
+  test("tokenJaccardPairs equals brute-force token-3-gram Jaccard on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = Dedup.tokenJaccardPairsOf(docs, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val g = docs.select($"doc_id", graft.functions.TextExpressions
+      .tokenNgrams(coalesce($"text", lit("")), 3).as("g"))
+      .filter(size($"g") > 0)
+    val brute = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+          size(array_union(col("a.g"), col("b.g"))), 4).as("j"))
+      .filter($"j" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == brute)
+    assert(exact.nonEmpty) // the fixture does contain duplicate families
+  }
+
+  test("tokenJaccardPairs: threshold-boundary pair kept, short docs excluded") {
+    // J(1,2) = |{a b c}| / |{a b c, b c d}| = 0.5 — EXACTLY the threshold,
+    // and doc 2's set size sits exactly on the t·|x| size-filter boundary:
+    // float slop in either guard would drop it. Doc 4 has < n tokens.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y z w"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val r = Dedup.tokenJaccardPairsOf(docs, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r == Set((1L, 2L, 0.5)))
+  }
+
   test("embeddingNearDup equals brute-force cosine pairs on the fixture") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val lsh = Dedup.embeddingNearDupOf(emb)
