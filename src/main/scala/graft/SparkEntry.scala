@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pipelines, Pq, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pii, Pipelines, Pq, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -130,6 +130,24 @@ object SparkEntry {
     // Gopher/C4 repetition-quality signals, one shuffle-free fused
     // expression per row; oracle re-derives them via explode + group-by
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    // corpus vocabulary: top-100 tokens by occurrence count with document
+    // frequency — classic wordcount (partial-agg + one shuffle + TakeOrdered)
+    "vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(s, d)),
+    // token 8-grams shared by >= 2 docs (exact-substring duplication
+    // signal); grams from the native TokenNgramsExpr, one partial-agg shuffle
+    "ngram_doc_freq" -> ((s, d) => TextAnalysis.ngramDocFreq(s, d)),
+    // per-doc top-3 characteristic terms by tf/df (linear idf keeps the
+    // oracle exact); vocabulary-sized df broadcast onto the tf side
+    "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    // fixed 64-token training chunks per doc (ragged tail), shuffle-free
+    "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    // concat-and-pack: chunks laid end-to-end per SHARD, cut into 256-token
+    // packs by integer running-total arithmetic (shard-parallel windows,
+    // no global funnel); per-pack fill audit
+    "packed_sequences" -> ((s, d) => TextAnalysis.packedSequences(s, d)),
+    // PII sweep over deterministically-planted synthetic PII: per-doc
+    // email/phone/IP counts + redacted text, identical regexes both engines
+    "pii_redaction" -> (Pii.piiRedaction _),
     // quality score + repetition gates composed — the published recipes
     // layer exactly these two filter families
     "quality_gated_corpus" -> ((s, d) => Pipelines.qualityGatedCorpus(s, d)),
@@ -137,6 +155,9 @@ object SparkEntry {
     // deterministic train/val/test bands over md5(doc_id): disjoint and
     // exhaustive by construction, docs never migrate as the corpus grows
     "corpus_splits" -> ((s, d) => Sampling.corpusSplits(s, d)),
+    // per-shard audit of the 16-way md5-mod training-shard layout (the
+    // write path is Sampling.writeTrainingShards; SamplingSpec pins both)
+    "corpus_shards" -> ((s, d) => Sampling.corpusShards(s, d)),
     // corpus MIXING: per-language token budgets -> data-derived keep rates
     // -> deterministic md5 gate; totals, rates, and gate all re-derived by
     // the oracle
@@ -295,6 +316,21 @@ object SparkEntry {
       "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"
+
+  // shared tokenization CTE (trim + RE2 \s split, empty-safe) for the
+  // corpus-frequency twins below
+  private val toksCte =
+    "t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents)"
+
+  // chunk CTEs shared by doc_chunks and packed_sequences: stride-64 slices
+  // over the shared tokenization, ragged tail truncating like Spark's slice
+  private val chunksCtes =
+    s"$toksCte, nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0), " +
+      "c AS (SELECT doc_id, unnest(generate_series(0, (len(toks)-1)//64)) AS chunk_id, toks FROM nz), " +
+      "ch AS (SELECT doc_id, chunk_id, " +
+      "len(toks[chunk_id*64+1 : chunk_id*64+64]) AS n_chunk_tokens, " +
+      "md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5 FROM c)"
 
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
@@ -702,6 +738,73 @@ object SparkEntry {
     // line multiplicities and bigram multiplicities re-derived relationally,
     // every fraction one exact-integer division (+1e-9 nudge, 4-dp round)
     "repetition_stats" -> repetitionStatsSql,
+    // unnest + group-by twin of the wordcount; same (count desc, token)
+    // deterministic top-100 cut
+    "vocab_stats" ->
+      (s"WITH $toksCte, ex AS (SELECT doc_id, unnest(toks) AS token FROM t) " +
+        "SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq " +
+        "FROM ex GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100"),
+    // same distinct-8-grams derivation as the contamination twin, rolled up
+    // to document frequency (grams are distinct per doc, so count(*) = df)
+    "ngram_doc_freq" ->
+      (s"WITH $toksCte, g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM t), " +
+        "ex AS (SELECT doc_id, unnest(grams) AS gram FROM g) " +
+        "SELECT gram, count(*) AS doc_freq FROM ex GROUP BY gram " +
+        "HAVING count(*) >= 2"),
+    // tf and df re-derived relationally; score = one IEEE division of exact
+    // integers (+1e-9 nudge, 6-dp round — 1/128 is a real 7-digit boundary)
+    "tfidf_top_terms" ->
+      (s"WITH $toksCte, ex AS (SELECT doc_id, unnest(toks) AS token FROM t), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "s AS (SELECT tf.doc_id, tf.token, " +
+        "round(tf.tf::DOUBLE / df.df + 1e-9, 6) AS score " +
+        "FROM tf JOIN df USING (token)) " +
+        "SELECT doc_id, token, score, rk FROM (" +
+        "SELECT doc_id, token, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM s) " +
+        "WHERE rk <= 3"),
+    // stride-64 list slices: generate_series chunk ids, inclusive 1-based
+    // slice bounds truncate at the ragged tail exactly like Spark's slice
+    "doc_chunks" ->
+      (s"WITH $chunksCtes SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5 FROM ch"),
+    // same chunk derivation + md5-mod shard + integer running-total cut:
+    // (cumsum-before // 256) replayed with the identical window order
+    "packed_sequences" ->
+      (s"WITH $chunksCtes, sh AS (SELECT doc_id, chunk_id, n_chunk_tokens, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard FROM ch), " +
+        "p AS (SELECT shard, doc_id, n_chunk_tokens, " +
+        "CAST((sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) // 256 AS BIGINT) AS pack_id FROM sh) " +
+        "SELECT shard, pack_id, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, " +
+        "CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens " +
+        "FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id"),
+    // identical planted-PII construction (doc_id arithmetic) and IDENTICAL
+    // regex pattern strings (interpolated from Pii's constants — the shared
+    // Java/RE2 subset), counts on the original text, email→phone→IP
+    // redaction order
+    "pii_redaction" ->
+      (s"WITH p AS (SELECT doc_id, coalesce(text,'') || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS txt " +
+        "FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(txt, '${Pii.EmailRe}')) AS n_emails, " +
+        s"len(regexp_extract_all(txt, '${Pii.PhoneRe}')) AS n_phones, " +
+        s"len(regexp_extract_all(txt, '${Pii.IpRe}')) AS n_ips, " +
+        s"regexp_replace(regexp_replace(regexp_replace(txt, '${Pii.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${Pii.PhoneRe}', '<PHONE>', 'g'), '${Pii.IpRe}', '<IP>', 'g') AS text_redacted " +
+        "FROM p"),
+    // identical md5-prefix shard arithmetic (hex parse via 0x-cast), HUGEINT
+    // sum cast back to BIGINT to match Spark's long
+    "corpus_shards" ->
+      (s"WITH $toksCte, s AS (SELECT " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard, " +
+        "len(toks) AS n_tokens FROM t) " +
+        "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
+        "FROM s GROUP BY shard ORDER BY shard"),
     // quality score + repetition gates composed (shared subquery twins)
     "quality_gated_corpus" ->
       (s"WITH s AS ($textStatsSql), r AS ($repetitionStatsSql) " +

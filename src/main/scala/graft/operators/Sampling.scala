@@ -146,6 +146,47 @@ object Sampling {
       .select($"doc_id", $"lang", $"n_tokens", $"epoch")
   }
 
+  /** Deterministic shard assignment: the first 8 hex chars of md5(key)
+    * parsed as an integer, mod `nShards` — the same hash family as
+    * [[hashGate]]/[[holdoutSplit]], so shard membership is a pure function
+    * of the key: stable under repartition, re-runs, engine ports (DuckDB
+    * evaluates the identical arithmetic), and incremental appends (a
+    * document's shard never changes as the corpus grows — the property
+    * that lets a training job address shard k of N without a manifest).
+    */
+  def shardOf(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 0xFFFF,
+      s"nShards must be in [1, 65535], got $nShards") // 2^32/65535 keeps mod-bias < 0.002%
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % nShards
+  }
+
+  /** Registered query: the per-shard audit of a 16-way training-shard
+    * layout — document count and token volume per shard (what a release
+    * pipeline checks for balance before handing shards to trainers). One
+    * per-row hash + one small hash-agg; the corpus never shuffles. */
+  def corpusShards(spark: SparkSession, sfDir: String,
+      nShards: Int = 16): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(shardOf($"doc_id", nShards).as("shard"),
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"shard")
+
+  /** The write path of the shard layout: co-locate each shard's documents
+    * with `repartition(nShards, shard)` — ONE hash exchange, after which
+    * every task holds complete shards — and write
+    * `partitionBy("shard")` parquet. Because the exchange key equals the
+    * directory key, each task writes at most its own shards' directories
+    * (no small-file explosion: file count stays O(nShards), not
+    * O(nShards × tasks)). Readers address `shard=k/` by partition pruning.
+    */
+  def writeTrainingShards(docs: DataFrame, path: String,
+      nShards: Int = 16): Unit =
+    docs.withColumn("shard", shardOf($"doc_id", nShards))
+      .repartition(nShards, $"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Registered query: stratified deterministic sample of `documents` —
     * 25% of English, 50% of every other language (quota-balancing a
     * dominant stratum is the typical corpus-mix correction). */

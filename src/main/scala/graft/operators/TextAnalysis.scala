@@ -158,6 +158,144 @@ object TextAnalysis {
       graft.functions.TextExpressions.minMd5Shingles(
         coalesce($"text", lit("")), shingleLen).as("fingerprint"))
 
+  /** Corpus vocabulary statistics: the `topK` most frequent whitespace
+    * tokens with occurrence and document frequency — the first artifact of
+    * tokenizer training and stop-word derivation over a new corpus.
+    *
+    * Scale shape: classic word-count. The explode is map-side; the
+    * occurrence count partial-aggregates before the single shuffle on
+    * `token`; the distinct doc count is planned as a two-level aggregate
+    * whose first level keys (token, doc_id) — it compresses by the
+    * per-document token multiplicity before anything moves. The top-K is a
+    * `TakeOrderedAndProject` (per-partition heaps + driver merge of K rows),
+    * never a global sort.
+    */
+  def vocabStats(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame =
+    spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct($"doc_id").as("doc_freq"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(topK)
+
+  /** Token 8-grams appearing in more than one document, with their document
+    * frequency — the exact-substring duplication signal (the span-level
+    * complement of document-level near-dup): any gram here is a candidate
+    * boilerplate/template run shared across the corpus.
+    *
+    * Grams come from the native codegen [[graft.functions.TokenNgramsExpr]]
+    * (already distinct per doc, so `count(*)` IS the doc frequency — no
+    * distinct aggregate needed). One shuffle, partial-aggregated map-side;
+    * the `df >= minDocs` filter runs inside the final aggregate so only
+    * genuinely shared grams survive. At 100 TB the audit-friendly string
+    * gram key would be swapped for `xxhash64(gram)` (8 bytes through the
+    * shuffle); strings are kept here so every hit is directly readable and
+    * the DuckDB twin can replay it.
+    */
+  def ngramDocFreq(spark: SparkSession, sfDir: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    spread(Tables.documents(spark, sfDir))
+      .select(explode(Decontamination.tokenNgrams($"text", n)).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter($"doc_freq" >= minDocs)
+
+  /** Per-document top-`k` characteristic terms by tf·idf with a LINEAR
+    * inverse-document-frequency (score = tf / df): rational arithmetic
+    * keeps the oracle comparison exact — a logarithmic idf is a one-line
+    * swap (`log(N / df)`) that changes only this scoring expression, not
+    * the plan. Rounded at 6 dp with the standard +1e-9 half-way nudge
+    * (1/128 = 0.0078125 is a genuine 7-digit boundary).
+    *
+    * Scale shape: tf is one shuffle on (doc_id, token), partial-aggregated
+    * map-side. df derives FROM tf (vocabulary-sized — millions of rows, not
+    * corpus-sized) and is [[broadcast]] back onto it, so the corpus-scale
+    * side never moves for the join. The per-document rank windows on
+    * doc_id — billions of small partitions, no funnel key.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "token")
+      .select($"doc_id", $"token",
+        round($"tf".cast("double") / $"df" + 1e-9, 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    scored.select($"doc_id", $"token", $"score",
+        row_number().over(w).cast("long").as("rk"))
+      .filter($"rk" <= k)
+  }
+
+  /** Fixed-size token chunking: each document split into consecutive
+    * `chunkSize`-token training chunks (last chunk ragged), emitted as
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_md5) — the
+    * sequence-preparation step between corpus hygiene and tokenizer/packer.
+    * The md5 is over the space-rejoined chunk text: a stable content id a
+    * downstream packer can dedup or shuffle on without carrying the text.
+    *
+    * Shuffle-free: `sequence` + `explode` + `slice` are all per-row; output
+    * rows stay on the partition that read the document. Empty documents
+    * yield no chunks.
+    */
+  def docChunks(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 64): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val base = spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+    val lastChunk = floor((size($"toks") - 1).cast("double") / chunkSize).cast("int")
+    base
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        slice($"toks", $"chunk_id" * chunkSize + 1, lit(chunkSize)).as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_chunk_tokens"),
+        md5(array_join($"chunk", " ")).as("chunk_md5"))
+  }
+
+  /** Sequence PACKING — the step between chunking and the trainer: chunks
+    * are laid end-to-end in a deterministic order and cut into
+    * `contextLen`-token packs, so short ragged tails from many documents
+    * share a context window instead of each wasting one (the standard
+    * concat-and-pack scheme). Assignment is by running token total:
+    * pack_id = floor(tokens-before-this-chunk / contextLen) — integer
+    * arithmetic end-to-end, so the DuckDB twin replays it exactly.
+    * Output: one row per pack with chunk/token counts and the fill ratio
+    * against the pack's capacity.
+    *
+    * Scale: a GLOBAL running sum would be one window partition — a funnel.
+    * Packing is therefore per-SHARD ([[Sampling.shardOf]], the same 16-way
+    * layout [[Sampling.corpusShards]] audits): each shard packs its own
+    * chunks independently (shard_id, pack_id) — embarrassingly parallel
+    * across shards, which is how a 100 TB corpus packs on 1000 executors
+    * (with tens of thousands of shards, not 16). Within a shard the order
+    * (doc_id, chunk_id) is total, so the cumsum is deterministic.
+    */
+  def packedSequences(spark: SparkSession, sfDir: String,
+      contextLen: Int = 256, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen >= 1)
+    val chunks = docChunks(spark, sfDir)
+      .withColumn("shard", Sampling.shardOf($"doc_id", nShards))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = chunks.select($"shard", $"doc_id", $"chunk_id", $"n_chunk_tokens",
+        (sum($"n_chunk_tokens").over(w) - $"n_chunk_tokens").as("cum_before"))
+      // `div`: exact integer division on both engines (a double `/` could
+      // land a half-ulp above an integer boundary and truncate differently)
+      .withColumn("pack_id", expr(s"cum_before div $contextLen"))
+    packed.groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct($"doc_id").as("n_docs"),
+        sum($"n_chunk_tokens").as("n_tokens"))
+      .orderBy($"shard", $"pack_id")
+  }
+
   /** Roll-up: per-language volume and quality profile (one hash-agg). */
   def langProfile(spark: SparkSession, sfDir: String): DataFrame =
     spread(Tables.documents(spark, sfDir))

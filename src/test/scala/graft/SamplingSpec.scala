@@ -149,4 +149,52 @@ class SamplingSpec extends SparkTestBase {
     assert(frRows.length.toLong ==
       docs.filter($"lang" === "fr").count())
   }
+
+  test("shardOf: in-range, deterministic, roughly balanced at 16 shards") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val assigned = docs.select($"doc_id", Sampling.shardOf($"doc_id", 16).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(assigned.size == docs.count())
+    assert(assigned.values.forall(s => s >= 0 && s < 16))
+    // repartitioning the input does not move any document (pure key function)
+    val again = docs.repartition(7)
+      .select($"doc_id", Sampling.shardOf($"doc_id", 16).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(assigned == again)
+    // md5 balance: no shard holds more than 4x its fair share at n=500
+    val sizes = assigned.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.max <= 4 * 500 / 16)
+  }
+
+  test("writeTrainingShards: co-located layout, one file per shard, readable by pruning") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars")
+    Sampling.writeTrainingShards(docs, dir, nShards = 16)
+    // exactly one data file per shard directory: the exchange key equals
+    // the directory key, so each shard is written by a single task
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty && shardDirs.length <= 16)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+    }
+    // membership round-trips: reading back reproduces the direct assignment
+    val back = spark.read.parquet(dir)
+      .select($"doc_id", $"shard".cast("long").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    val direct = docs.select($"doc_id", Sampling.shardOf($"doc_id", 16).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(back == direct)
+    // a single-shard read prunes to one directory (partition filter, not scan)
+    val one = spark.read.parquet(dir).filter($"shard" === 3)
+    val scanned = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
+  }
 }

@@ -117,4 +117,101 @@ class TextAnalysisSpec extends SparkTestBase {
       }
     }
   }
+
+  test("vocabStats: descending top-K, doc_freq <= n_occurrences <= total") {
+    val rows = TextAnalysis.vocabStats(spark, sf, topK = 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(counts == counts.sorted.reverse, "not descending by count")
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val df_ = r.getAs[Long]("doc_freq")
+      assert(df_ >= 1 && df_ <= r.getAs[Long]("n_occurrences"))
+      assert(df_ <= nDocs)
+    }
+    // partition-invariance: the top-K cut is deterministic, so a different
+    // input split yields the identical result set
+    val again = TextAnalysis.vocabStats(spark, sf, topK = 20).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ngramDocFreq: reported grams genuinely occur in >= minDocs documents") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.ngramDocFreq(spark, sf).collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("doc_freq")).toMap
+    assert(got.nonEmpty, "fixture plants exact dups; shared 8-grams must exist")
+    assert(got.values.forall(_ >= 2))
+    // independent recount through the un-aggregated explode
+    val recount = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        explode(graft.operators.Decontamination.tokenNgrams($"text", 8)).as("gram"))
+      .groupBy($"gram").count()
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("count")).toMap
+    got.foreach { case (g, df_) => assert(recount(g) == df_, s"gram $g") }
+  }
+
+  test("tfidfTopTerms: per-doc rank contract and terms drawn from the doc") {
+    val rows = TextAnalysis.tfidfTopTerms(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_._4)
+      assert(byRk.map(_._4).toSeq == (1L to byRk.length).toSeq, s"doc $doc ranks")
+      assert(byRk.length <= 3)
+      // scores non-increasing in rank
+      assert(byRk.map(_._3).toSeq == byRk.map(_._3).sortBy(-_).toSeq, s"doc $doc order")
+    }
+    // every reported term actually tokenizes out of its document
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { case (doc, term, _, _) =>
+      assert(toks(doc).contains(term), s"doc $doc term $term")
+    }
+  }
+
+  test("docChunks: chunks tile the token stream exactly") {
+    val chunks = TextAnalysis.docChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_md5")))
+    val nTok = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.length.toLong).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val byId = cs.sortBy(_._2)
+      assert(byId.map(_._2).toSeq == (0L until byId.length).toSeq, s"doc $doc ids")
+      assert(byId.map(_._3).sum == nTok(doc), s"doc $doc token sum")
+      // all chunks full except possibly the last, which is non-empty
+      byId.init.foreach(c => assert(c._3 == 64L, s"doc $doc chunk ${c._2}"))
+      assert(byId.last._3 >= 1 && byId.last._3 <= 64)
+      assert(byId.forall(_._4.length == 32)) // md5 hex
+    }
+    // empty docs contribute nothing
+    val empties = nTok.filter(_._2 == 0L).keySet
+    assert(chunks.forall(c => !empties.contains(c._1)))
+  }
+
+  test("packedSequences: token-conserving, contiguous per-shard packs, bounded fill") {
+    val packs = TextAnalysis.packedSequences(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(packs.nonEmpty)
+    // conservation: pack tokens sum to the corpus token total
+    val totalTok = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(TextAnalysis.tokens($"text"))))
+      .as[Long].head()
+    assert(packs.map(_._5).sum == totalTok)
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      val ids = ps.map(_._2).sorted.toSeq
+      assert(ids == (0L until ps.length).toSeq, s"shard $shard pack ids $ids")
+      ps.foreach { p =>
+        assert(p._3 >= 1 && p._4 >= 1 && p._4 <= p._3)
+        // a chunk (<= 64 tokens) that crosses a 256 boundary stays whole in
+        // its pack, so a pack never exceeds contextLen + chunkSize - 1
+        assert(p._5 <= 256L + 63L, s"shard $shard pack ${p._2}: ${p._5} tokens")
+      }
+    }
+  }
 }
