@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, LessThan, Literal, Md5, RegExpReplace, Remainder, Substring}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions._
 
@@ -24,6 +24,12 @@ import graft.functions._
   *  - `min_md5_shingles(text string, n int) -> string`
   *  - `ngram_jaccard(a string, b string, n int) -> double`
   *  - `token_ngrams(text string, n int) -> array<string>`
+  *
+  * Also registered (compositions of BUILT-IN expressions, exposed so the
+  * SQL surface matches the Scala operator API exactly):
+  *  - `redact_pii(text string) -> string` — [[graft.operators.Pii.redactPii]]
+  *  - `shard_of(key any, n int) -> bigint` — [[graft.operators.Sampling.shardOf]]
+  *  - `hash_gate(key any, fraction double) -> boolean` — [[graft.operators.Sampling.hashGate]]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -66,5 +72,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_jaccard", "ngram_jaccard(a, b, n) - exact character n-gram Jaccard"),
       (args: Seq[Expression]) => NgramJaccardExpr(args(0), args(1),
         intLit(args(2), "ngram_jaccard", "n"))))
+    // —— built-in compositions mirroring the Scala operator API ——
+    ext.injectFunction((FunctionIdentifier("redact_pii"),
+      info("redact_pii", "redact_pii(text) - replace emails, phones, IPv4 with placeholders"),
+      (args: Seq[Expression]) => {
+        def rep(child: Expression, re: String, by: String): Expression =
+          RegExpReplace(child, Literal(re), Literal(by))
+        import graft.operators.Pii
+        rep(rep(rep(args(0), Pii.EmailRe, "<EMAIL>"),
+          Pii.PhoneRe, "<PHONE>"), Pii.IpRe, "<IP>")
+      }))
+    // md5-prefix arithmetic shared with Sampling.shardOf / hashGate: the
+    // same key-pure determinism contract from SQL
+    def md5Prefix8(key: Expression): Expression =
+      Substring(Md5(Cast(key, StringType)), Literal(1), Literal(8))
+    ext.injectFunction((FunctionIdentifier("shard_of"),
+      info("shard_of", "shard_of(key, n) - deterministic md5-mod shard in [0, n)"),
+      (args: Seq[Expression]) => Remainder(
+        Cast(Conv(md5Prefix8(args(0)), Literal(16), Literal(10)), LongType),
+        Cast(args(1), LongType))))
+    ext.injectFunction((FunctionIdentifier("hash_gate"),
+      info("hash_gate", "hash_gate(key, fraction) - keep key iff md5 prefix under fraction"),
+      (args: Seq[Expression]) => {
+        // SQL numeric literals arrive as Decimal (0.25), Double, or Int
+        val frac = args(1) match {
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: Int, IntegerType) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"hash_gate: fraction must be a numeric literal, got $other")
+        }
+        LessThan(md5Prefix8(args(0)),
+          Literal(graft.operators.Sampling.thresholdHex(frac)))
+      }))
   }
 }

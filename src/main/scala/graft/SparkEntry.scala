@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pii, Pipelines, Pq, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,13 @@ object SparkEntry {
     "user_sessions" -> (EventAnalytics.userSessions _),
     "value_quantiles" -> (EventAnalytics.valueQuantiles _),
     "value_quantiles_approx" -> ((s, d) => EventAnalytics.valueQuantilesApprox(s, d)), // rows-only (sketch)
+    // per-type 3-sigma outliers in EXACT integer-cents arithmetic
+    // ((n·c−S)² > k²(nQ−S²), decimal128) — no float boundary flips; the
+    // 5-row moment table broadcast, events never shuffle
+    "value_outliers" -> ((s, d) => EventAnalytics.valueOutliers(s, d)),
+    // one-scan per-column data-quality profile (nulls/distinct/min/max),
+    // stacked to long form
+    "documents_profile" -> (Profile.documentsProfile _),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
@@ -136,6 +143,12 @@ object SparkEntry {
     // token 8-grams shared by >= 2 docs (exact-substring duplication
     // signal); grams from the native TokenNgramsExpr, one partial-agg shuffle
     "ngram_doc_freq" -> ((s, d) => TextAnalysis.ngramDocFreq(s, d)),
+    // the sketch scale path of vocab_stats: mergeable SpaceSaving counters,
+    // shuffle carries O(tasks x capacity) not O(distinct tokens); exact
+    // (err 0) while tasks see <= capacity distinct items — the fixture's
+    // regime (31 distinct << 256), so the exact oracle applies; the
+    // eviction regime's error bounds are pinned in SamplingSpec instead
+    "vocab_stats_sketch" -> ((s, d) => TextAnalysis.vocabStatsSketch(s, d)),
     // per-doc top-3 characteristic terms by tf/df (linear idf keeps the
     // oracle exact); vocabulary-sized df broadcast onto the tf side
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
@@ -176,6 +189,9 @@ object SparkEntry {
     "media_audio_features_dump" -> (graft.multimodal.Media.audioFeatureDump _), // rows-only (it IS the oracle input)
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
+    // the release shape: clean_corpus survivors carrying PII-scrubbed text
+    // (select first, scrub last)
+    "redacted_corpus" -> ((s, d) => Pipelines.redactedCorpus(s, d)),
     "near_dedup_corpus" -> ((s, d) => Pipelines.nearDedupCorpus(s, d)),
     // the full hygiene chain: exact+near dedup, restricted to trainable
     // (non-benchmark) docs, minus the decontamination sweep's hits
@@ -332,6 +348,22 @@ object SparkEntry {
       "len(toks[chunk_id*64+1 : chunk_id*64+64]) AS n_chunk_tokens, " +
       "md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5 FROM c)"
 
+  // the planted-PII sweep body, shared by its own entry and the
+  // redacted_corpus composition (identical planting arithmetic + identical
+  // regex strings interpolated from Pii's constants)
+  private val piiRedactionSql =
+    s"WITH p AS (SELECT doc_id, coalesce(text,'') || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS txt " +
+      "FROM documents) " +
+      s"SELECT doc_id, len(regexp_extract_all(txt, '${graft.operators.Pii.EmailRe}')) AS n_emails, " +
+      s"len(regexp_extract_all(txt, '${graft.operators.Pii.PhoneRe}')) AS n_phones, " +
+      s"len(regexp_extract_all(txt, '${graft.operators.Pii.IpRe}')) AS n_ips, " +
+      s"regexp_replace(regexp_replace(regexp_replace(txt, '${graft.operators.Pii.EmailRe}', '<EMAIL>', 'g'), " +
+      s"'${graft.operators.Pii.PhoneRe}', '<PHONE>', 'g'), '${graft.operators.Pii.IpRe}', '<IP>', 'g') AS text_redacted " +
+      "FROM p"
+
   private val langIdSql =
     "WITH t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
@@ -484,6 +516,23 @@ object SparkEntry {
         "SELECT e.event_id, e.user_id, e.event_type, p.last_purchase_id, " +
         "(epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS secs_since_purchase " +
         "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"),
+    // identical integer-cents moment test in HUGEINT (DuckDB's decimal128
+    // counterpart of the Spark side's decimal(38,0) products)
+    "value_outliers" ->
+      ("WITH e AS (SELECT event_id, event_type, value, " +
+        "CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+        "st AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(c) AS HUGEINT) AS s, CAST(sum(c*c) AS HUGEINT) AS q " +
+        "FROM e GROUP BY 1) " +
+        "SELECT event_id, event_type, value FROM e JOIN st USING (event_type) " +
+        "WHERE (n::HUGEINT * c - s) * (n::HUGEINT * c - s) > 9 * (n::HUGEINT * q - s * s)"),
+    // per-column null/distinct/range audit, one UNION ALL branch per column
+    "documents_profile" ->
+      (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", count(*) - count($c) AS n_nulls, """ +
+          s"count(DISTINCT $c) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value FROM documents"
+      }.mkString(" UNION ALL ")),
     "exact_dedup" -> exactDedupSql,
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
@@ -744,6 +793,12 @@ object SparkEntry {
       (s"WITH $toksCte, ex AS (SELECT doc_id, unnest(toks) AS token FROM t) " +
         "SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq " +
         "FROM ex GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100"),
+    // the sketch is EXACT in the no-eviction regime (31 distinct fixture
+    // tokens << capacity 256), so the exact-count twin applies verbatim
+    "vocab_stats_sketch" ->
+      (s"WITH $toksCte, ex AS (SELECT unnest(toks) AS token FROM t) " +
+        "SELECT token, count(*) AS n_occurrences " +
+        "FROM ex GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100"),
     // same distinct-8-grams derivation as the contamination twin, rolled up
     // to document frequency (grams are distinct per doc, so count(*) = df)
     "ngram_doc_freq" ->
@@ -785,18 +840,17 @@ object SparkEntry {
     // regex pattern strings (interpolated from Pii's constants — the shared
     // Java/RE2 subset), counts on the original text, email→phone→IP
     // redaction order
-    "pii_redaction" ->
-      (s"WITH p AS (SELECT doc_id, coalesce(text,'') || " +
-        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
-        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
-        "CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS txt " +
-        "FROM documents) " +
-        s"SELECT doc_id, len(regexp_extract_all(txt, '${Pii.EmailRe}')) AS n_emails, " +
-        s"len(regexp_extract_all(txt, '${Pii.PhoneRe}')) AS n_phones, " +
-        s"len(regexp_extract_all(txt, '${Pii.IpRe}')) AS n_ips, " +
-        s"regexp_replace(regexp_replace(regexp_replace(txt, '${Pii.EmailRe}', '<EMAIL>', 'g'), " +
-        s"'${Pii.PhoneRe}', '<PHONE>', 'g'), '${Pii.IpRe}', '<IP>', 'g') AS text_redacted " +
-        "FROM p"),
+    "pii_redaction" -> piiRedactionSql,
+    // select-then-scrub composition: clean_corpus's survivor set joined to
+    // the redaction sweep, from the same shared subquery twins
+    "redacted_corpus" ->
+      (s"WITH k AS ($exactDedupSql), s AS ($textStatsSql), l AS ($langIdSql), " +
+        "surv AS (SELECT s.doc_id FROM k JOIN s ON s.doc_id = k.keep_doc_id " +
+        "JOIN l ON l.doc_id = s.doc_id " +
+        "WHERE s.quality_score >= 0.45 AND l.lang_guess = 'en'), " +
+        s"r AS ($piiRedactionSql) " +
+        "SELECT r.doc_id, r.n_emails, r.n_phones, r.n_ips, r.text_redacted " +
+        "FROM r JOIN surv ON r.doc_id = surv.doc_id"),
     // identical md5-prefix shard arithmetic (hex parse via 0x-cast), HUGEINT
     // sum cast back to BIGINT to match Spark's long
     "corpus_shards" ->

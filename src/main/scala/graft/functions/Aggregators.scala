@@ -93,4 +93,74 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
+
+  /** One SpaceSaving counter: estimated count (an OVERestimate) and the
+    * maximum overestimation error (true count ∈ [count − err, count]). */
+  final case class SSCounter(item: String, count: Long, err: Long)
+
+  /** SpaceSaving heavy-hitter sketch (Metwally et al. 2005) — the
+    * bounded-memory scale path of the exact wordcount: each task tracks at
+    * most `capacity` counters over its partition of the stream; when a new
+    * item arrives at a full buffer it takes over the MINIMUM counter
+    * (count+1, err = that minimum) — the classic guarantee: every item with
+    * true frequency > N/capacity is present, and each tracked count
+    * overestimates by at most its recorded `err`.
+    *
+    * This is a MERGEABLE partial aggregate in the Agarwal et al. 2012
+    * "Mergeable Summaries" sense: `merge` pointwise-sums (count, err) over
+    * the union (overestimates stay overestimates) and truncates back to
+    * `capacity` keeping the largest counts — so the shuffle carries
+    * O(tasks × capacity), never O(distinct items), which is the whole point
+    * at 100 TB vocabulary scale (the exact form must shuffle every distinct
+    * token). Truncation drops only counters whose count is below the
+    * capacity-th largest — items a heavy hitter can't be hiding under once
+    * capacity ≳ 2-4× the wanted top-K.
+    *
+    * Determinism: eviction picks the (count, item)-smallest counter and
+    * truncation keeps the (−count, item)-first `capacity`, so ties never
+    * depend on map iteration order. Results are exactly the true counts
+    * (err 0) whenever a task sees ≤ `capacity` distinct items — in that
+    * regime the sketch is partition-order independent and byte-stable
+    * (the registered entry's fixture regime; the eviction regime is pinned
+    * by spec with error-bound assertions instead).
+    */
+  final class SpaceSavingTopK(capacity: Int)
+      extends Aggregator[String, Map[String, (Long, Long)], Seq[SSCounter]] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    override def reduce(b: Map[String, (Long, Long)], v: String): Map[String, (Long, Long)] = {
+      if (v == null) return b
+      b.get(v) match {
+        case Some((c, e)) => b.updated(v, (c + 1, e))
+        case None if b.size < capacity => b.updated(v, (1L, 0L))
+        case None =>
+          // take over the minimum counter (deterministic tie: smallest item)
+          val (mi, (mc, _)) = b.minBy { case (i, (c, _)) => (c, i) }
+          (b - mi).updated(v, (mc + 1, mc))
+      }
+    }
+
+    override def merge(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      val union = (a.keySet ++ b.keySet).iterator.map { k =>
+        val (c1, e1) = a.getOrElse(k, (0L, 0L))
+        val (c2, e2) = b.getOrElse(k, (0L, 0L))
+        k -> (c1 + c2, e1 + e2)
+      }.toMap
+      if (union.size <= capacity) union
+      else union.toSeq
+        .sortBy { case (i, (c, _)) => (-c, i) }
+        .take(capacity).toMap
+    }
+
+    override def finish(b: Map[String, (Long, Long)]): Seq[SSCounter] =
+      b.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
+        .map { case (i, (c, e)) => SSCounter(i, c, e) }
+
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[SSCounter]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSCounter]]()
+  }
 }

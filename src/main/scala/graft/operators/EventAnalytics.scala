@@ -136,6 +136,33 @@ object EventAnalytics {
         round(expr(s"approx_percentile(value, 0.95, $accuracy)") + 1e-9, 4).as("p95"))
       .orderBy($"event_type")
 
+  /** Per-type k-sigma outlier detection — the metric-cleaning staple — in
+    * EXACT integer arithmetic: values are 2-decimal currency, so with
+    * c = round(value·100) (exact cents), S = Σc, Q = Σc², the test
+    * (x − μ)² > k²σ² is equivalent to (n·c − S)² > k²·(n·Q − S²), every
+    * term an integer. Products run in decimal(38,0) (decimal128 — DuckDB
+    * mirrors them in HUGEINT), so the comparison is exact on both engines:
+    * no float mean, no float variance, no summation-order divergence, no
+    * boundary flips. A float z-score would make borderline rows
+    * engine-dependent; the integer form makes the oracle bit-exact.
+    *
+    * Scale: one hash-agg for the per-type moments (5 rows), broadcast back,
+    * then a per-row filter — the events table never shuffles.
+    */
+  def valueOutliers(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value",
+        round($"value" * 100).cast("long").as("c"))
+    val stats = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    val d = "decimal(20,0)"
+    val dev = $"n".cast(d) * $"c".cast(d) - $"s".cast(d)
+    val varTimesN2 = $"n".cast(d) * $"q".cast(d) - $"s".cast(d) * $"s".cast(d)
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(k.toLong * k) * varTimesN2)
+      .select($"event_id", $"event_type", $"value")
+  }
+
   /** Sessionless per-user rollup: activity span + volume per user. */
   def userActivity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -60,6 +60,25 @@ object Pipelines {
       .join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** The RELEASE shape: [[cleanCorpus]]'s survivors (canonical, quality-
+    * and language-gated) carrying PII-SCRUBBED text — the last mile before
+    * a corpus leaves the pipeline. Published pre-training recipes run
+    * exactly this order: select first, scrub last, so redaction cost is
+    * paid only for documents that ship.
+    *
+    * Plan shape: the redaction branch is a shuffle-free per-row regex pass
+    * ([[Pii.piiRedaction]]); the survivor set joins it on doc_id,
+    * co-partitioned with [[cleanCorpus]]'s own joins. Linear in the corpus.
+    */
+  def redactedCorpus(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.45, lang: String = "en"): DataFrame = {
+    val survivors = cleanCorpus(spark, sfDir, minQuality, lang)
+      .select($"doc_id")
+    Pii.piiRedaction(spark, sfDir)
+      .join(survivors, "doc_id")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips", $"text_redacted")
+  }
+
   /** The full pre-training corpus build: [[nearDedupCorpus]]'s exact+near
     * dedup chain, restricted to trainable (non-benchmark) documents, minus
     * everything the decontamination sweep flags against the benchmark slice

@@ -46,13 +46,19 @@ object TextAnalysis {
     * DuckDB oracle reproduces it bit-for-bit after 4-dp rounding:
     * 0.5·min(len/500,1) + 0.3·stopword_ratio + 0.2·(1−punct_ratio).
     */
-  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    textStatsOf(Tables.documents(spark, sfDir))
+
+  /** [[textStats]] over any (doc_id, text) frame — the form a streaming
+    * micro-batch or a mid-pipeline frame feeds (same plan, same oracle
+    * semantics; the table entry above is this applied to `documents`). */
+  def textStatsOf(docs: DataFrame): DataFrame = {
     // materialize tokens/counts ONCE in a first projection: referencing the
     // tokenizer expression from several output columns would re-run the
     // (interpreted) HOF per column — CollapseProject keeps multi-referenced
     // non-trivial expressions un-inlined, so the two-step shape sticks
     val toks = tokens($"text")
-    val base = spread(Tables.documents(spark, sfDir)).select(
+    val base = spread(docs).select(
       $"doc_id",
       length(coalesce($"text", lit(""))).as("len_i"),
       size(toks).as("n_tok_i"),
@@ -201,6 +207,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .filter($"doc_freq" >= minDocs)
 
+  /** The bounded-memory scale path of [[vocabStats]]: a SpaceSaving
+    * heavy-hitter sketch ([[graft.functions.Aggregators.SpaceSavingTopK]])
+    * instead of the exact wordcount. Each task tracks at most `capacity`
+    * counters over its partition; the shuffle carries O(tasks × capacity)
+    * — never O(distinct tokens), which is what makes top-K over a 100 TB
+    * vocabulary (URLs, n-grams, user ids...) tractable when the exact
+    * form's (token, doc_id)-grained shuffle would dominate the job.
+    *
+    * Exactness regime: whenever every task sees ≤ `capacity` distinct
+    * items the sketch IS the exact count (err 0) — the fixture's regime
+    * (31 distinct tokens ≪ 256), which is why the registered entry shares
+    * [[vocabStats]]'s exact oracle semantics (minus doc_freq, which a
+    * frequency sketch does not track). The eviction regime's error bounds
+    * are pinned by spec instead.
+    */
+  def vocabStatsSketch(spark: SparkSession, sfDir: String,
+      topK: Int = 100, capacity: Int = 256): DataFrame = {
+    val sketch = udaf(new graft.functions.Aggregators.SpaceSavingTopK(capacity))
+    spread(Tables.documents(spark, sfDir))
+      .select(explode(tokens($"text")).as("token"))
+      .agg(sketch($"token").as("counters"))
+      .select(explode($"counters").as("c"))
+      .select($"c.item".as("token"), $"c.count".as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(topK)
+  }
+
   /** Per-document top-`k` characteristic terms by tf·idf with a LINEAR
     * inverse-document-frequency (score = tf / df): rational arithmetic
     * keeps the oracle comparison exact — a logarithmic idf is a one-line
@@ -209,10 +242,16 @@ object TextAnalysis {
     * (1/128 = 0.0078125 is a genuine 7-digit boundary).
     *
     * Scale shape: tf is one shuffle on (doc_id, token), partial-aggregated
-    * map-side. df derives FROM tf (vocabulary-sized — millions of rows, not
+    * map-side, then `localCheckpoint`ed — it feeds BOTH the join side and
+    * the df derivation, and without the cut Catalyst's column pruning
+    * de-canonicalizes the shared subtree so ReuseExchange misses and the
+    * corpus is exploded + shuffled TWICE (observed: 5 exchanges → 2 after
+    * the cut; same materialize-the-fan-out call as `Dedup.dupClusters`).
+    * df derives from tf (vocabulary-sized — millions of rows, not
     * corpus-sized) and is [[broadcast]] back onto it, so the corpus-scale
     * side never moves for the join. The per-document rank windows on
-    * doc_id — billions of small partitions, no funnel key.
+    * doc_id — billions of small partitions, no funnel key — with Spark's
+    * WindowGroupLimit computing the top-k partially before the shuffle.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -220,6 +259,7 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df_), "token")
       .select($"doc_id", $"token",

@@ -97,6 +97,14 @@ object DedupStream {
     * against the benchmark frame, and the SURVIVING rows (all input
     * columns) handed to `sink`; with `appendAfterProbe` the survivors'
     * bands then join the index, so later batches dedup against them too.
+    * `minQuality` adds the Gopher-style score gate
+    * ([[graft.operators.TextAnalysis.textStatsOf]]) after the dedup
+    * stages, and `redactPii` scrubs the sink rows' text
+    * ([[graft.operators.Pii.redactPii]]) in the select-first/scrub-last
+    * release order of [[graft.operators.Pipelines.redactedCorpus]] — the
+    * band index is appended from the PRE-redaction survivors, so the
+    * standing corpus tracks content identity of text as ingested and a
+    * re-arriving raw duplicate still collides.
     *
     * Cross-batch semantics with the append enabled: an exact or near dup
     * of an EARLIER batch's surviving doc is caught by the index probe
@@ -114,7 +122,8 @@ object DedupStream {
       benchmark: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
       rowsPerBand: Int = 8, threshold: Double = 0.8, n: Int = 8,
       appendAfterProbe: Boolean = true, buckets: Int = 0,
-      maxBucketSize: Int = 1000)
+      maxBucketSize: Int = 1000, minQuality: Double = Double.NegativeInfinity,
+      redactPii: Boolean = false)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
@@ -136,9 +145,26 @@ object DedupStream {
           .join(inBatchDrops, Seq("doc_id"), "left_anti")
           .join(corpusDrops, Seq("doc_id"), "left_anti")
           .join(contaminated, Seq("doc_id"), "left_anti")
-        sink(clean, batchId)
+        // optional Gopher-style quality gate (shuffle-free per-row scoring;
+        // the same gate Pipelines.cleanCorpus applies batch-side)
+        val gated =
+          if (minQuality == Double.NegativeInfinity) clean
+          else clean.join(
+            graft.operators.TextAnalysis.textStatsOf(clean)
+              .filter($"quality_score" >= minQuality).select($"doc_id"),
+            "doc_id")
+        // select-first/scrub-last (the redacted_corpus release order): the
+        // sink receives scrubbed text, while the band index is appended
+        // from the PRE-redaction survivors — the standing corpus tracks
+        // content identity of the text as ingested, so a re-arriving raw
+        // duplicate still collides with it
+        val out =
+          if (redactPii)
+            gated.withColumn("text", graft.operators.Pii.redactPii($"text"))
+          else gated
+        sink(out, batchId)
         if (appendAfterProbe)
-          Dedup.appendToBandIndex(clean, indexTable, shingleLen, numBands,
+          Dedup.appendToBandIndex(gated, indexTable, shingleLen, numBands,
             rowsPerBand, buckets, maxBucketSize)
       }
 }

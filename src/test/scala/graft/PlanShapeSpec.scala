@@ -174,4 +174,49 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!rplan.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
+
+  test("vocab top-K is TakeOrdered (partial heaps), never a global sort") {
+    val plan = planOf(graft.operators.TextAnalysis.vocabStats(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
+  }
+
+  test("tfidf broadcasts the vocabulary-sized df table, never shuffles tf for the join") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.TextAnalysis.tfidfTopTerms(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        plan.toString.take(1000))
+      // tf is localCheckpointed (one corpus shuffle, before this plan), so
+      // the visible exchanges are only the vocabulary-sized df agg and the
+      // per-doc rank window — a second corpus-scale explode+shuffle of the
+      // df branch is exactly what the checkpoint exists to prevent
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("outlier detection broadcasts the 5-row moment table; events never shuffle") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.EventAnalytics.valueOutliers(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty)
+      // the only exchange is the moment aggregation itself (under the
+      // broadcast); the probe side streams from the scan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1, s"unexpected exchanges: ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("sequence packing windows on shard: no single-partition funnel anywhere") {
+    val plan = planOf(graft.operators.TextAnalysis.packedSequences(spark, sf))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
+    assert(plan.contains("Window"), plan.take(400))
+  }
 }

@@ -150,6 +150,61 @@ class SamplingSpec extends SparkTestBase {
       docs.filter($"lang" === "fr").count())
   }
 
+  test("SpaceSaving: exact in the no-eviction regime, equals the exact wordcount") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.operators.TextAnalysis.vocabStats(spark, sf, topK = 1000)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("n_occurrences")).toMap
+    val sketched = graft.operators.TextAnalysis.vocabStatsSketch(spark, sf, topK = 1000)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("n_occurrences")).toMap
+    assert(sketched == exact) // 31 distinct tokens << capacity 256: no eviction anywhere
+    // and partition-invariant in this regime
+    val sk = udaf(new graft.functions.Aggregators.SpaceSavingTopK(256))
+    val repart = graft.sources.Tables.documents(spark, sf).repartition(13)
+      .select(explode(graft.operators.TextAnalysis.tokens($"text")).as("token"))
+      .agg(sk($"token").as("c"))
+      .select(explode($"c").as("c"))
+      .select($"c.item", $"c.count")
+      .as[(String, Long)].collect().toMap
+    assert(repart == exact)
+  }
+
+  test("SpaceSaving eviction regime: guaranteed hitters present, error bounds hold") {
+    val agg = new graft.functions.Aggregators.SpaceSavingTopK(16)
+    // zipf-ish stream: 2 heavy hitters + 300 singletons, interleaved
+    val stream = new scala.util.Random(42).shuffle(
+      (Seq.fill(1000)("h1") ++ Seq.fill(500)("h2") ++
+        (0 until 300).map(i => s"tail$i")).toVector)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+
+    // single-summary path: the classic SpaceSaving guarantees
+    var buf = agg.zero
+    stream.foreach(v => buf = agg.reduce(buf, v))
+    val out = agg.finish(buf).map(c => c.item -> c).toMap
+    assert(out.size == 16)
+    truth.filter(_._2 > n / 16).keys.foreach(h => assert(out.contains(h), s"hitter $h evicted"))
+    out.values.foreach { c =>
+      val t = truth(c.item)
+      assert(c.count >= t, s"${c.item}: ${c.count} underestimates $t")
+      assert(c.count - c.err <= t, s"${c.item}: err bound broken")
+      assert(c.err <= n / 16, s"${c.item}: err ${c.err} above N/capacity")
+    }
+
+    // merged-summaries path: partials over 4 chunks, pairwise merge — the
+    // overestimate invariant survives merging and truncation keeps hitters
+    val parts = stream.grouped((stream.size + 3) / 4).toSeq.map { chunk =>
+      var b = agg.zero
+      chunk.foreach(v => b = agg.reduce(b, v))
+      b
+    }
+    val merged = agg.finish(parts.reduce(agg.merge)).map(c => c.item -> c).toMap
+    Seq("h1", "h2").foreach { h =>
+      assert(merged.contains(h), s"hitter $h lost in merge")
+      val c = merged(h)
+      assert(c.count >= truth(h) && c.count - c.err <= truth(h), s"$h merged bounds")
+    }
+  }
+
   test("shardOf: in-range, deterministic, roughly balanced at 16 shards") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -39,6 +39,25 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaDf == sh)
   }
 
+  test("redact_pii / shard_of / hash_gate SQL forms match the operator API") {
+    import graft.operators.Sampling
+    val red = spark.sql(
+      "SELECT redact_pii('mail a@b.co or 555-1234 at 1.2.3.4')").head.getString(0)
+    assert(red == "mail <EMAIL> or <PHONE> at <IP>")
+    val ids = (0L until 200L).toDF("id")
+    ids.createOrReplaceTempView("ids_tmp")
+    val viaSql = spark.sql("SELECT id, shard_of(id, 16) AS s FROM ids_tmp")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = ids.select($"id", Sampling.shardOf($"id", 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaApi)
+    val gateSql = spark.sql("SELECT id FROM ids_tmp WHERE hash_gate(id, 0.25)")
+      .as[Long].collect().toSet
+    val gateApi = ids.filter(Sampling.hashGate($"id", 0.25))
+      .as[Long].collect().toSet
+    assert(gateSql == gateApi)
+  }
+
   test("ngram_jaccard: identity 1.0, disjoint 0.0, short/null → NULL, matches set-op form") {
     assert(spark.sql("SELECT ngram_jaccard('abcdef', 'abcdef', 3)").head.getDouble(0) == 1.0)
     assert(spark.sql("SELECT ngram_jaccard('aaaa', 'bbbb', 3)").head.getDouble(0) == 0.0)
