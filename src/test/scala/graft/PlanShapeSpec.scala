@@ -219,4 +219,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
     assert(plan.contains("Window"), plan.take(400))
   }
+
+  test("no registered query plans a cartesian product; nested-loop joins only where whitelisted") {
+    // BNLJ is legitimate ONLY where the build side is query-sized by
+    // design (a handful of broadcast query vectors scored against the
+    // corpus); everywhere else a nested-loop or cartesian join is a
+    // 100 TB scale-killer this guard exists to catch at review time.
+    // Extending the whitelist is a deliberate act, not a test fix.
+    val bnljByDesign = Set("cosine_topk", "embedding_near_dup_scale",
+      "pq_adc_topk", "pq_adc_topk_indexed", "pq_rerank_topk",
+      "retrieval_label_precision")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!bnljByDesign(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join outside the whitelist")
+    }
+  }
 }
