@@ -56,6 +56,12 @@ object SparkEntry {
     // one-scan per-column data-quality profile (nulls/distinct/min/max),
     // stacked to long form
     "documents_profile" -> (Profile.documentsProfile _),
+    // release-to-release snapshot diff: one co-partitioned full-outer join
+    // classifying added/removed/changed/unchanged by content hash
+    "corpus_diff" -> (Profile.documentsDiff _),
+    // lexical-rarity quality signal: mean corpus frequency of each doc's
+    // tokens — BIGINT sums + ONE final division (engine-order-exact)
+    "token_rarity" -> ((s, d) => TextAnalysis.tokenRarityScore(s, d)),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
@@ -78,6 +84,9 @@ object SparkEntry {
     // benchmark decontamination: corpus docs sharing token 8-grams with a
     // held-out slice; benchmark grams broadcast, corpus never shuffled
     "ngram_contamination" -> ((s, d) => Decontamination.ngramContamination(s, d)),
+    // release-report audit: 8-gram overlap between the md5 train and test
+    // holdout bands (test grams broadcast, train never shuffles)
+    "split_leakage" -> ((s, d) => Decontamination.splitLeakage(s, d)),
     // connected components over the pair graph (dup FAMILIES); oracle is a
     // DuckDB recursive CTE over the same brute-force pair set
     "near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -143,6 +152,9 @@ object SparkEntry {
     // token 8-grams shared by >= 2 docs (exact-substring duplication
     // signal); grams from the native TokenNgramsExpr, one partial-agg shuffle
     "ngram_doc_freq" -> ((s, d) => TextAnalysis.ngramDocFreq(s, d)),
+    // BPE tokenizer training's first step: frequency-weighted adjacent
+    // char-pair counts (within-word multiplicity kept) — wordcount shape
+    "bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
     // the sketch scale path of vocab_stats: mergeable SpaceSaving counters,
     // shuffle carries O(tasks x capacity) not O(distinct tokens); exact
     // (err 0) while tasks see <= capacity distinct items — the fixture's
@@ -348,15 +360,19 @@ object SparkEntry {
       "len(toks[chunk_id*64+1 : chunk_id*64+64]) AS n_chunk_tokens, " +
       "md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5 FROM c)"
 
+  // the deterministic planted-PII text derivation (Pii.plantedDocs's twin),
+  // shared by the sweep, the redacted_corpus composition, and corpus_diff
+  private val plantedTxtSql =
+    "coalesce(text,'') || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END"
+
   // the planted-PII sweep body, shared by its own entry and the
   // redacted_corpus composition (identical planting arithmetic + identical
   // regex strings interpolated from Pii's constants)
   private val piiRedactionSql =
-    s"WITH p AS (SELECT doc_id, coalesce(text,'') || " +
-      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
-      "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
-      "CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS txt " +
-      "FROM documents) " +
+    s"WITH p AS (SELECT doc_id, $plantedTxtSql AS txt FROM documents) " +
       s"SELECT doc_id, len(regexp_extract_all(txt, '${graft.operators.Pii.EmailRe}')) AS n_emails, " +
       s"len(regexp_extract_all(txt, '${graft.operators.Pii.PhoneRe}')) AS n_phones, " +
       s"len(regexp_extract_all(txt, '${graft.operators.Pii.IpRe}')) AS n_ips, " +
@@ -526,6 +542,25 @@ object SparkEntry {
         "FROM e GROUP BY 1) " +
         "SELECT event_id, event_type, value FROM e JOIN st USING (event_type) " +
         "WHERE (n::HUGEINT * c - s) * (n::HUGEINT * c - s) > 9 * (n::HUGEINT * q - s * s)"),
+    // same planted-text derivation as the PII twin; sha256 content
+    // identity; FULL OUTER join replayed natively
+    "corpus_diff" ->
+      (s"WITH o AS (SELECT doc_id, sha256(coalesce(text,'')) AS oh FROM documents), " +
+        s"n AS (SELECT doc_id, sha256($plantedTxtSql) AS nh FROM documents WHERE doc_id % 7 <> 0) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN oh = nh THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+    // BIGINT vocab counts joined back, BIGINT per-doc sums, one final
+    // IEEE division (+1e-9 nudge, 6 dp)
+    "token_rarity" ->
+      (s"WITH $toksCte, ex AS (SELECT doc_id, unnest(toks) AS token FROM t), " +
+        "v AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n FROM ex), " +
+        "d AS (SELECT ex.doc_id, CAST(sum(v.cnt) AS BIGINT) AS sum_cnt, count(*) AS n_tokens " +
+        "FROM ex JOIN v USING (token) GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, " +
+        "round(sum_cnt::DOUBLE / (n_tokens * (SELECT n FROM tot))::DOUBLE + 1e-9, 6) AS mean_token_freq FROM d"),
     // per-column null/distinct/range audit, one UNION ALL branch per column
     "documents_profile" ->
       (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
@@ -793,6 +828,29 @@ object SparkEntry {
       (s"WITH $toksCte, ex AS (SELECT doc_id, unnest(toks) AS token FROM t) " +
         "SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq " +
         "FROM ex GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100"),
+    // same trim/split tokenization; within-word multiplicity via
+    // non-distinct list_transform slices, (count desc, pair) top-50 cut
+    "bpe_pair_counts" ->
+      (s"WITH $toksCte, w AS (SELECT unnest(toks) AS word FROM t), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, len(word)-1), " +
+        "i -> word[i:i+1])) AS pair FROM w WHERE len(word) >= 2) " +
+        "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 50"),
+    // same md5 band thresholds as corpus_splits (train < e6666666 <= val <
+    // f3333333 <= test), same distinct-8-gram intersection as the
+    // contamination twin, rolled up to the release-report numbers
+    "split_leakage" ->
+      (s"WITH $toksCte, g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> array_to_string(toks[i:i+7], ' '))) END AS grams FROM t), " +
+        "sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' ELSE 'test' END AS split FROM t), " +
+        "tr AS (SELECT g.doc_id, unnest(grams) AS gram FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'), " +
+        "te AS (SELECT g.doc_id AS bench_id, unnest(grams) AS gram FROM g JOIN sp USING (doc_id) WHERE sp.split = 'test'), " +
+        "pr AS (SELECT tr.doc_id, te.bench_id, count(*) AS n_shared " +
+        "FROM tr JOIN te ON tr.gram = te.gram GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_leak_pairs, count(DISTINCT doc_id) AS n_train_docs, " +
+        "count(DISTINCT bench_id) AS n_test_docs, CAST(sum(n_shared) AS BIGINT) AS n_shared_grams FROM pr"),
     // the sketch is EXACT in the no-eviction regime (31 distinct fixture
     // tokens << capacity 256), so the exact-count twin applies verbatim
     "vocab_stats_sketch" ->

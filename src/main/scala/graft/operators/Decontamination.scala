@@ -98,4 +98,27 @@ object Decontamination {
       docs.filter($"doc_id" % 10 =!= 0),
       docs.filter($"doc_id" % 10 === 0), n)
   }
+
+  /** Split-leakage audit: before a release, measure n-gram overlap between
+    * the train and test bands of [[Sampling.holdoutSplit]] — the check
+    * that a heldout eval set is not contaminated by its own training
+    * corpus. Same topology as the benchmark sweep ([[contaminationPairsOf]]
+    * with the small test band broadcast, the train side never shuffled),
+    * rolled up to the release-report numbers: leaking (train, test) pairs,
+    * affected docs on each side, and total shared-gram volume.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String, n: Int = 8,
+      valFrac: Double = 0.05, testFrac: Double = 0.05): DataFrame = {
+    val withSplit = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        Sampling.holdoutSplit($"doc_id", valFrac, testFrac).as("split"))
+    val pairs = contaminationPairsOf(
+      withSplit.filter($"split" === "train").select($"doc_id", $"text"),
+      withSplit.filter($"split" === "test").select($"doc_id", $"text"), n)
+    pairs.agg(
+      count(lit(1)).as("n_leak_pairs"),
+      count_distinct($"doc_id").as("n_train_docs"),
+      count_distinct($"bench_id").as("n_test_docs"),
+      sum($"n_shared").as("n_shared_grams"))
+  }
 }

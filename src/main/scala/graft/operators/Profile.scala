@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.util.Cols._
 
 /** Dataset profiling — the data-quality audit a pipeline runs before and
   * after every corpus build: per-column null counts, distinct counts, and
@@ -47,4 +48,41 @@ object Profile {
   def documentsProfile(spark: SparkSession, sfDir: String): DataFrame =
     tableProfile(Tables.documents(spark, sfDir),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Corpus SNAPSHOT DIFF — the release-to-release audit: given two
+    * versions of a (doc_id, text) corpus, classify every document as
+    * `added` (new only), `removed` (old only), `changed` (both, content
+    * hash differs), or `unchanged`. Content identity is sha256(text), so
+    * the diff detects edits, not just membership churn.
+    *
+    * One full-outer join co-partitioned on doc_id — linear in the larger
+    * snapshot, the exact shape a 100 TB version bump runs (in production
+    * both sides would be bucketed on doc_id, making the join
+    * exchange-free).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select($"doc_id",
+      sha2(coalesce($"text", lit("")), 256).as("old_hash"))
+    val n = newDocs.select($"doc_id",
+      sha2(coalesce($"text", lit("")), 256).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"old_hash".isNull, "added")
+          .when($"new_hash".isNull, "removed")
+          .when($"old_hash" === $"new_hash", "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Registered query: diff the raw documents table (old snapshot) against
+    * its planted-PII variant ([[Pii.plantedDocs]], the new snapshot) with
+    * every 7th document dropped — a deterministic fixture exercising all
+    * four statuses (drops → removed, planting appendices → changed,
+    * untouched ids → unchanged; `added` exercised in spec with a synthetic
+    * frame since both snapshots here share the id space).
+    */
+  def documentsDiff(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDiff(
+      Tables.documents(spark, sfDir),
+      Pii.plantedDocs(spark, sfDir).filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id", $"txt".as("text")))
 }

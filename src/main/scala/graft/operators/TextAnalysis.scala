@@ -207,6 +207,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .filter($"doc_freq" >= minDocs)
 
+  /** The first step of byte-pair-encoding tokenizer training: count
+    * adjacent character pairs across all word occurrences — the pair with
+    * the highest count is BPE's first merge. Pairs keep their WITHIN-word
+    * multiplicity ("aaaa" contributes "aa" three times), and words count
+    * once per occurrence, which is exactly the frequency-weighted pair
+    * statistic the merge loop consumes. Emitted: the top `topK` candidate
+    * merges by (count desc, pair).
+    *
+    * The full BPE training loop re-counts after each merge — that loop is
+    * driver-iterative by nature; what a 100 TB corpus needs from the
+    * cluster is THIS query (and its re-runs on re-segmented words), each
+    * one wordcount-shaped: explode is map-side, the count partial-
+    * aggregates before the single shuffle on `pair`, top-K is a
+    * TakeOrderedAndProject.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String,
+      topK: Int = 50): DataFrame = {
+    spread(Tables.documents(spark, sfDir))
+      .select(explode(tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length($"word") - 1),
+        i => $"word".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(topK)
+  }
+
   /** The bounded-memory scale path of [[vocabStats]]: a SpaceSaving
     * heavy-hitter sketch ([[graft.functions.Aggregators.SpaceSavingTopK]])
     * instead of the exact wordcount. Each task tracks at most `capacity`
@@ -296,6 +325,42 @@ object TextAnalysis {
       .select($"doc_id", $"chunk_id",
         size($"chunk").cast("long").as("n_chunk_tokens"),
         md5(array_join($"chunk", " ")).as("chunk_md5"))
+  }
+
+  /** Lexical-rarity quality signal: each document's mean corpus frequency
+    * of its tokens — documents built from rare tokens score low, stopword
+    * soup scores high; real pipelines gate on exactly this family of
+    * lexical statistics (the integer-exact cousin of an LM-perplexity
+    * filter). Score = (Σ_t count(t)) / (n_tokens · N_total): every sum is
+    * over BIGINTs (engine-order-independent), ONE double division at the
+    * end (+1e-9 nudge, 6-dp round) — so the DuckDB twin matches
+    * bit-for-bit where a log-prob formulation could not (transcendentals
+    * and double-sum order both diverge between engines).
+    *
+    * Scale: vocabulary counts are one wordcount (vocab-sized result,
+    * [[broadcast]] back); the per-doc sum is one shuffle on doc_id of
+    * (token, count)-joined rows that never leave their scan partition
+    * before the partial agg. The corpus is tokenized twice (once per
+    * branch): the checkpoint cut is placed on the VOCAB-sized aggregate,
+    * never on the O(total tokens) explode — materializing the small side
+    * and re-running the cheap map-only pass is the right trade at 100 TB
+    * (the opposite of [[tfidfTopTerms]], whose shared subtree carries a
+    * shuffle). N_total folds out of the checkpointed vocab (vocab-sized
+    * sum), not a third corpus pass.
+    */
+  def tokenRarityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    def ex = spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    val vocab = ex.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = lit(vocab.agg(sum($"cnt")).head.getLong(0))
+    ex.join(broadcast(vocab), "token")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("sum_cnt"), count(lit(1)).as("n_tokens"))
+      .select($"doc_id", $"n_tokens",
+        // low = rare-token-heavy (flag for review), high = stopword soup
+        round($"sum_cnt".cast("double") /
+          ($"n_tokens" * total).cast("double") + 1e-9, 6).as("mean_token_freq"))
   }
 
   /** Sequence PACKING — the step between chunking and the trainer: chunks

@@ -86,4 +86,21 @@ class DecontaminationSpec extends SparkTestBase {
     assert(got == brute)
     assert(got.nonEmpty) // the fixture's dup families do leak 8-token runs
   }
+
+  test("splitLeakage: rollup equals the pairwise sweep over the same bands") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text",
+        graft.operators.Sampling.holdoutSplit($"doc_id", 0.05, 0.05).as("split"))
+    val pairs = Decontamination.contaminationPairsOf(
+      docs.filter($"split" === "train").select($"doc_id", $"text"),
+      docs.filter($"split" === "test").select($"doc_id", $"text"))
+      .as[(Long, Long, Long)].collect()
+    val row = Decontamination.splitLeakage(spark, sf).collect().head
+    assert(row.getAs[Long]("n_leak_pairs") == pairs.length.toLong)
+    assert(row.getAs[Long]("n_train_docs") == pairs.map(_._1).distinct.length.toLong)
+    assert(row.getAs[Long]("n_test_docs") == pairs.map(_._2).distinct.length.toLong)
+    assert(row.getAs[Long]("n_shared_grams") == pairs.map(_._3).sum)
+    // the fixture's dup families do cross the split boundary
+    assert(row.getAs[Long]("n_leak_pairs") >= 1)
+  }
 }

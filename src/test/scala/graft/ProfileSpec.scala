@@ -25,6 +25,29 @@ class ProfileSpec extends SparkTestBase {
     assert(rows("n_chars")._3.toLong == docs.map(_.getAs[Long]("n_chars")).min)
   }
 
+  test("corpusDiff classifies all four statuses correctly") {
+    val old_ = Seq((1L, "same"), (2L, "will change"), (3L, "will be removed"))
+      .toDF("doc_id", "text")
+    val new_ = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Profile.corpusDiff(old_, new_).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // the registered fixture diff: removed = %7 ids, changed = planted ids,
+    // everything else unchanged, nothing added (shared id space)
+    val fix = Profile.documentsDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(fix.size == 500)
+    fix.foreach { case (id, st) =>
+      val expected =
+        if (id % 7 == 0) "removed"
+        else if (id % 3 == 0 || id % 5 == 0 || id % 11 == 0) "changed"
+        else "unchanged"
+      assert(st == expected, s"doc $id: $st != $expected")
+    }
+  }
+
   test("valueOutliers equals the driver-side integer z-test, and is 3-sigma-sane") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"event_type", $"value")

@@ -192,6 +192,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(chunks.forall(c => !empties.contains(c._1)))
   }
 
+  test("bpePairCounts: within-word multiplicity, equals driver-side recount") {
+    val got = TextAnalysis.bpePairCounts(spark, sf, topK = 1000).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    assert(got.nonEmpty)
+    // independent recount from the raw tokens, keeping multiplicities
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(TextAnalysis.tokens($"text").as("t"))
+      .as[Seq[String]].collect().flatten
+    val expected = words.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.toMap == expected) // topK=1000 >> distinct pairs of a 31-word vocab
+    // descending, deterministic order
+    val ns = got.map(_._2).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("tokenRarityScore equals the driver-side exact computation") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val vocab = toks.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = toks.values.map(_.size.toLong).sum
+    val got = TextAnalysis.tokenRarityScore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("mean_token_freq"))).toList
+    assert(got.nonEmpty && got.size == toks.count(_._2.nonEmpty))
+    got.foreach { case (id, n, score) =>
+      assert(n == toks(id).size.toLong)
+      val exact = toks(id).map(vocab).sum.toDouble / (n * total) + 1e-9
+      assert(math.abs(score - BigDecimal(exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"doc $id")
+      assert(score > 0.0 && score <= 1.0 + 1e-9)
+    }
+  }
+
   test("packedSequences: token-conserving, contiguous per-shard packs, bounded fill") {
     val packs = TextAnalysis.packedSequences(spark, sf).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
