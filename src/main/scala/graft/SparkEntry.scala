@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Decontamination, Dedup, EventAnalytics, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontamination, Dedup, DupSpans, EventAnalytics, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,14 @@ object SparkEntry {
     // BPE tokenizer training's first step: frequency-weighted adjacent
     // char-pair counts (within-word multiplicity kept) — wordcount shape
     "bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
+    // exact-substring spans (Lee et al. 2022 relationally): positional
+    // 8-grams occurring 2+ times corpus-wide, overlapping windows merged
+    // gap-and-island; dup-gram set broadcast, corpus positions never
+    // shuffle on the gram (count branch ships 8-byte partial aggs only)
+    "dup_spans" -> ((s, d) => DupSpans.dupSpans(s, d)),
+    // the corpus with those spans cut out: per-doc span lists joined back
+    // once by doc_id, HOF trim per row, whitespace-normalized rebuild
+    "span_trimmed_corpus" -> ((s, d) => DupSpans.spanTrimmedCorpus(s, d)),
     // the sketch scale path of vocab_stats: mergeable SpaceSaving counters,
     // shuffle carries O(tasks x capacity) not O(distinct tokens); exact
     // (err 0) while tasks see <= capacity distinct items — the fixture's
@@ -359,6 +367,22 @@ object SparkEntry {
       "ch AS (SELECT doc_id, chunk_id, " +
       "len(toks[chunk_id*64+1 : chunk_id*64+64]) AS n_chunk_tokens, " +
       "md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5 FROM c)"
+
+  // duplicated-span CTE chain shared by dup_spans and span_trimmed_corpus:
+  // positional 0-based 8-gram starts, grams occurring 2+ times corpus-wide,
+  // covered starts merged gap-and-island (starts p1 < p2 touch iff
+  // p2 <= p1 + 8) into maximal [span_start, span_end] token spans
+  private val dupSpansCtes =
+    s"$toksCte, " +
+      "ps AS (SELECT doc_id, unnest(generate_series(0, len(toks)-8)) AS p, toks FROM t WHERE len(toks) >= 8), " +
+      "oc AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM ps), " +
+      "dg AS (SELECT gram FROM oc GROUP BY gram HAVING count(*) >= 2), " +
+      "cv AS (SELECT oc.doc_id, oc.p FROM oc JOIN dg USING (gram)), " +
+      "il AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8 " +
+      "THEN 0 ELSE 1 END AS brk FROM cv), " +
+      "gi AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM il), " +
+      "sp AS (SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end, " +
+      "max(p) + 8 - min(p) AS n_span_tokens FROM gi GROUP BY doc_id, grp)"
 
   // the deterministic planted-PII text derivation (Pii.plantedDocs's twin),
   // shared by the sweep, the redacted_corpus composition, and corpus_diff
@@ -836,6 +860,27 @@ object SparkEntry {
         "i -> word[i:i+1])) AS pair FROM w WHERE len(word) >= 2) " +
         "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
         "ORDER BY n DESC, pair LIMIT 50"),
+    // exact-gram twin of the hashed-gram Spark plan (xxhash64 keys can only
+    // ADD covered positions, at ~B²/2^65 expected colliding pairs); same
+    // island merge via lag/sum windows
+    "dup_spans" ->
+      s"WITH $dupSpansCtes SELECT doc_id, span_start, span_end, n_span_tokens FROM sp",
+    // covered starts expanded to covered token indexes, kept tokens
+    // re-joined in position order; docs re-enter via left joins so
+    // span-free and all-span docs both surface (trimmed to '' not dropped)
+    "span_trimmed_corpus" ->
+      (s"WITH $dupSpansCtes, " +
+        "ct AS (SELECT DISTINCT doc_id, ti FROM " +
+        "(SELECT doc_id, unnest(generate_series(p, p+7)) AS ti FROM cv)), " +
+        "at AS (SELECT doc_id, unnest(generate_series(0, len(toks)-1)) AS ti, toks FROM t WHERE len(toks) > 0), " +
+        "kp AS (SELECT a.doc_id, a.ti, a.toks[a.ti+1] AS tok FROM at a " +
+        "LEFT JOIN ct c ON a.doc_id = c.doc_id AND a.ti = c.ti WHERE c.ti IS NULL), " +
+        "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_trimmed, " +
+        "count(*) AS n_kept FROM kp GROUP BY doc_id) " +
+        "SELECT t.doc_id, len(t.toks) AS n_tokens, " +
+        "len(t.toks) - coalesce(ka.n_kept, 0) AS n_dropped_tokens, " +
+        "coalesce(ka.text_trimmed, '') AS text_trimmed " +
+        "FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id"),
     // same md5 band thresholds as corpus_splits (train < e6666666 <= val <
     // f3333333 <= test), same distinct-8-gram intersection as the
     // contamination twin, rolled up to the release-report numbers

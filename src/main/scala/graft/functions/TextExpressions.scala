@@ -143,13 +143,53 @@ object TextHashImpl {
     * the DuckDB twin's `string_split_regex` shares both quirks. Texts with
     * fewer than n tokens yield the empty set. */
   def tokenNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    val nToks = toks.size()
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var j = 0
+    while (j <= nToks - n) {
+      seen.add(gramAt(toks, j, n))
+      j += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** ALL token n-grams in POSITIONAL order — element i is the gram starting
+    * at token i, NON-distinct: the positional twin of [[tokenNgrams]] (same
+    * tokenizer, same space-joined gram form), for operators that need WHERE
+    * a gram occurs, not just whether it does (duplicated-span detection).
+    * Texts with fewer than n tokens yield the empty array. */
+  def tokenNgramsPos(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    val nToks = toks.size()
+    if (nToks < n) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[Any](nToks - n + 1)
+    var j = 0
+    while (j <= nToks - n) {
+      arr(j) = gramAt(toks, j, n)
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** The pinned tokenizer shared by [[tokenNgrams]]/[[tokenNgramsPos]]: SQL
+    * `trim` (spaces only), then split on [[isTokenWs]] runs with
+    * Java-`split(-1)` empty-token behavior (leading/trailing separator runs
+    * yield ""-tokens) — the exact semantics the DuckDB twin's
+    * `string_split_regex` shares. A blank text yields zero tokens. */
+  private def tokenize(s: UTF8String): java.util.ArrayList[String] = {
     val str = s.toString
+    val toks = new java.util.ArrayList[String]
     var b = 0
     var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
     while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    if (b == e) return new GenericArrayData(Array.empty[Any])
-    val toks = new java.util.ArrayList[String]
+    if (b == e) return toks
     val tok = new java.lang.StringBuilder
     var i = b
     while (i < e) {
@@ -159,26 +199,19 @@ object TextHashImpl {
       } else { tok.append(str.charAt(i)); i += 1 }
     }
     toks.add(tok.toString)
-    val nToks = toks.size()
-    if (nToks < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]
-    var j = 0
-    while (j <= nToks - n) {
-      val g = new java.lang.StringBuilder
-      var k = 0
-      while (k < n) {
-        if (k > 0) g.append(' ')
-        g.append(toks.get(j + k))
-        k += 1
-      }
-      seen.add(UTF8String.fromString(g.toString))
-      j += 1
+    toks
+  }
+
+  private def gramAt(toks: java.util.ArrayList[String], j: Int,
+      n: Int): UTF8String = {
+    val g = new java.lang.StringBuilder
+    var k = 0
+    while (k < n) {
+      if (k > 0) g.append(' ')
+      g.append(toks.get(j + k))
+      k += 1
     }
-    val arr = new Array[Any](seen.size())
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new GenericArrayData(arr)
+    UTF8String.fromString(g.toString)
   }
 
   /** Repetition-quality signals (the Gopher/C4 pre-training filters) in
@@ -396,6 +429,23 @@ case class TokenNgramsExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Positional (non-distinct) token n-grams — element i = the gram starting
+  * at token i. The duplicated-span sweep's per-corpus cost is O(total
+  * tokens), the same argument as [[TokenNgramsExpr]]: the equivalent
+  * `transform(sequence(...), i -> array_join(slice(...)))` chain is an
+  * interpreted higher-order function; this stays inside whole-stage
+  * codegen. */
+case class TokenNgramsPosExpr(child: Expression, n: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.tokenNgramsPos(input.asInstanceOf[UTF8String], n)
+  override protected def implCall: String =
+    s"graft.functions.TextHashImpl.tokenNgramsPos(%s, $n)"
+  override protected def withNewChildInternal(c: Expression): TokenNgramsPosExpr =
+    copy(child = c)
+}
+
 /** Fused repetition-quality signals (Gopher/C4 filters) — line counting and
   * n-gram multiset counting in one pass per document; the column-form
   * equivalent is an explode + two shuffled group-bys PER SIGNAL, where this
@@ -520,6 +570,11 @@ object TextExpressions {
     * tokenize→window→distinct (codegen'd). */
   def tokenNgrams(text: Column, n: Int): Column =
     wrap(TokenNgramsExpr(expr(text), n))
+
+  /** ALL token n-grams of a string column in positional order, non-distinct
+    * (codegen'd) — element i is the gram starting at token i. */
+  def tokenNgramsPos(text: Column, n: Int): Column =
+    wrap(TokenNgramsPosExpr(expr(text), n))
 
   /** Repetition-quality signals of a string column:
     * `[dup_line_frac, dup_line_char_frac, top_ngram_frac]` (codegen'd). */

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+import graft.sources.Tables
+import graft.util.Cols._
+
+/** Cross-document duplicated-span detection and removal — the exact-substring
+  * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  * Models Better") re-expressed relationally (builder-brief north star; no
+  * reference-repo analogue). Where [[Dedup]]'s MinHash tiers decide whether a
+  * whole DOCUMENT is a near-copy, this family finds WHICH token runs are
+  * copied: any run of `n` consecutive tokens occurring `minOccurrences`+
+  * times corpus-wide marks its positions as duplicated, overlapping marks
+  * merge into maximal spans, and the trim entry rebuilds each document with
+  * the spans cut out — boilerplate headers, license blocks, and templated
+  * paragraphs disappear while the unique prose stays.
+  *
+  * The published implementation is a single-machine suffix array over the
+  * concatenated corpus; that is the part that does NOT survive 100 TB. The
+  * relational equivalent: a suffix array's duplicated-substring query is
+  * exactly "group fixed-length windows by content, keep groups of 2+", which
+  * is a positional-n-gram explode + hash-agg + equi-join — all linear-shuffle
+  * operators Spark already parallelizes.
+  *
+  * Scale design (what must survive 100 TB):
+  *  - The explode is O(total corpus tokens) but map-side only, and the gram
+  *    text never shuffles: occurrences carry `xxhash64(gram)` (8 bytes), not
+  *    the ~8-token string. A hash collision can only ADD a spurious covered
+  *    position (two distinct grams colliding both get marked duplicated);
+  *    at B distinct grams the expected number of colliding pairs is
+  *    ~B²/2^65 — ~3e-9 even at B = 10M — the same accept-and-document
+  *    trade [[Dedup.nearDupPairs]] makes for its band signatures.
+  *  - The occurrence stream itself NEVER shuffles on the gram: the
+  *    duplicated-gram set is tiny relative to the corpus (duplication is the
+  *    exception), so the probe is a broadcast hash join — each corpus
+  *    partition filters its own positions in place (PlanShapeSpec pins the
+  *    build side and the absence of a gram-keyed exchange under the probe).
+  *    The count branch shuffles only its map-side partial aggregates
+  *    (8-byte key + count). On a degenerate corpus whose duplicated-gram
+  *    set outgrows the broadcast threshold, AQE falls back to a sort-merge
+  *    join — correctness unchanged, and the shuffle it introduces is the
+  *    one that corpus actually requires.
+  *  - The corpus is deliberately scanned and exploded twice (once per
+  *    branch) rather than materialized: checkpointing O(total tokens)
+  *    exploded rows would write the corpus several-fold to disk, while the
+  *    second pass re-reads compressed parquet and re-runs a codegen'd
+  *    per-row expression — recompute is the cheaper side of that trade at
+  *    every scale the explode itself is feasible.
+  *  - The island merge (lag/sum windows) runs on COVERED positions only —
+  *    the rare output of the probe, not the corpus — partitioned by doc_id.
+  *  - The rebuild joins the corpus once, by doc_id, against the per-doc span
+  *    lists (only docs that contain duplicated spans appear); span lists are
+  *    bounded by tokens/n per doc, so the per-row HOF trim is O(tokens ×
+  *    spans-per-doc) with a tiny constant, never a shuffle.
+  */
+object DupSpans {
+
+  /** Positional token n-gram occurrences: one row per (doc_id, pos, gram)
+    * where `gram` is the space-joined run of `n` tokens starting at 0-based
+    * token index `pos`. Tokenization is the corpus-wide pinned form
+    * ([[TextExpressions.tokenNgramsPos]] — native codegen; the equivalent
+    * `transform(sequence(...), i -> array_join(slice(...), ' '))` chain
+    * would evaluate interpreted on the hottest O(total tokens) path). */
+  def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    docs.select(
+      col("doc_id"),
+      posexplode(TextExpressions.tokenNgramsPos(coalesce(col("text"), lit("")), n))
+        .as(Seq("pos", "gram")))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start, span_end,
+    * n_span_tokens), token indices 0-based inclusive. A position is covered
+    * when the n-gram starting there occurs `minOccurrences`+ times
+    * corpus-wide (across OR within documents — a doc that repeats its own
+    * boilerplate is duplicated text all the same, per Lee et al.); covered
+    * windows [p, p+n-1] that overlap or touch merge into one span. */
+  def dupSpans(spark: SparkSession, sfDir: String, n: Int = 8,
+      minOccurrences: Int = 2): DataFrame =
+    dupSpansOf(spread(Tables.documents(spark, sfDir)), n, minOccurrences)
+
+  /** [[dupSpans]] over an explicit (doc_id, text) frame. */
+  def dupSpansOf(docs: DataFrame, n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    // 8-byte hash key; no explicit repartition — the count branch keeps its
+    // map-side partial agg, and the probe branch never shuffles at all while
+    // the duplicated-gram set stays broadcastable (AQE's SMJ fallback covers
+    // the degenerate corpus where it does not).
+    val occ = positionalGrams(docs, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val dupGrams = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurrences)
+      .select(col("gh"))
+    val covered = occ.join(dupGrams, "gh").select(col("doc_id"), col("pos"))
+    // Gap-and-island: window starts p1 < p2 overlap/touch iff p2 <= p1 + n.
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .select(
+        col("doc_id"),
+        col("first_pos").cast("long").as("span_start"),
+        (col("last_pos") + lit(n - 1)).cast("long").as("span_end"),
+        (col("last_pos") + lit(n) - col("first_pos")).cast("long").as("n_span_tokens"))
+  }
+
+  /** The corpus with every duplicated span cut out: (doc_id, n_tokens,
+    * n_dropped_tokens, text_trimmed). Every document is rebuilt from its
+    * kept tokens joined by single spaces (whitespace-normalized — the same
+    * canonical form the tokenizer defines), so span-free documents pass
+    * through with runs collapsed, and a document that is ALL duplicated
+    * text trims to the empty string rather than being dropped — dropping is
+    * [[Dedup]]'s job; this operator's contract is character-level surgery. */
+  def spanTrimmedCorpus(spark: SparkSession, sfDir: String, n: Int = 8,
+      minOccurrences: Int = 2): DataFrame =
+    spanTrimmedCorpusOf(spread(Tables.documents(spark, sfDir)), n, minOccurrences)
+
+  /** [[spanTrimmedCorpus]] over an explicit (doc_id, text) frame. */
+  def spanTrimmedCorpusOf(docs: DataFrame, n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    val perDoc = dupSpansOf(docs, n, minOccurrences)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      // coalesce(…, false): a span-free doc left-joins a NULL span list, and
+      // a NULL exists() would otherwise drop every token instead of none.
+      .withColumn("kept",
+        filter(col("toks"), (_, i) =>
+          !coalesce(
+            exists(col("spans"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") <= s.getField("span_end")),
+            lit(false))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped_tokens"),
+        array_join(col("kept"), " ").as("text_trimmed"))
+  }
+}

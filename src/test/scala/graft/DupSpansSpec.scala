@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DupSpans
+
+/** Duplicated-span detection/removal (Lee et al. 2022 exact-substring dedup,
+  * relational form): positional grams, island merge, and the trim rebuild.
+  */
+class DupSpansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("positionalGrams: every start position, order kept, non-distinct") {
+    val df = Seq(
+      (1L, "a b a b a b"), // repeated grams stay, one per position
+      (2L, "a b"),         // shorter than n
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = DupSpans.positionalGrams(df, 3)
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "a b a"), (1L, 1, "b a b"), (1L, 2, "a b a"), (1L, 3, "b a b")))
+  }
+
+  test("dupSpans: cross-doc repeat found, merged maximal, unique text clean") {
+    // docs 1 and 2 share the 10-token run "t0 ... t9"; doc 3 is unique.
+    val shared = (0 until 10).map("t" + _).mkString(" ")
+    val df = Seq(
+      (1L, s"one $shared after"),
+      (2L, s"$shared trailing words here"),
+      (3L, "entirely unique words with no repeats at all plus padding tokens"))
+      .toDF("doc_id", "text")
+    val spans = DupSpans.dupSpansOf(df, n = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: shared run at token index 1..10 (3 window starts merge to one
+    // span); doc 2: same run at 0..9
+    assert(spans == Set((1L, 1L, 10L, 10L), (2L, 0L, 9L, 10L)))
+  }
+
+  test("dupSpans: within-doc repetition is duplicated text too") {
+    val run = (0 until 8).map("r" + _).mkString(" ")
+    val df = Seq((1L, s"$run mid $run"), (2L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val spans = DupSpans.dupSpansOf(df, n = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // both copies of the run are spans: tokens 0..7 and 9..16
+    assert(spans == Set((1L, 0L, 7L, 8L), (1L, 9L, 16L, 8L)))
+  }
+
+  test("dupSpans: distinct island groups do not merge across a gap") {
+    val a = (0 until 8).map("a" + _).mkString(" ")
+    val b = (0 until 8).map("b" + _).mkString(" ")
+    val gap = (0 until 9).map("g" + _).mkString(" ") // > n tokens between runs
+    val df = Seq(
+      (1L, s"$a $gap $b"),
+      (2L, a), (3L, b))
+      .toDF("doc_id", "text")
+    val spans = DupSpans.dupSpansOf(df, n = 8)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 7L, 8L), (1L, 17L, 24L, 8L)))
+  }
+
+  test("spanTrimmedCorpus: spans cut, span-free docs normalized, all-dup -> ''") {
+    val run = (0 until 8).map("d" + _).mkString(" ")
+    val df = Seq(
+      (1L, s"keep1 $run keep2"), // span in the middle
+      (2L, run),                 // the whole doc is the duplicated run
+      (3L, "no  dups\there"),    // untouched but whitespace-normalized
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = DupSpans.spanTrimmedCorpusOf(df, n = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((10L, 8L, "keep1 keep2")))
+    assert(got(2L) == ((8L, 8L, "")))
+    assert(got(3L) == ((3L, 0L, "no dups here")))
+    assert(got(4L) == ((0L, 0L, "")))
+    assert(got(5L) == ((0L, 0L, "")))
+  }
+
+  test("fixture-wide: merged spans are disjoint, so dropped == sum of span sizes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = DupSpans.spanTrimmedCorpus(spark, sf)
+    assert(out.count() == docs.count()) // every doc survives (trim, not drop)
+    val perDoc = DupSpans.dupSpans(spark, sf)
+      .groupBy($"doc_id")
+      .agg(sum($"n_span_tokens").as("span_total"), count(lit(1)).as("n_spans"))
+    val joined = out.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("span_total", coalesce($"span_total", lit(0L)))
+    assert(joined.filter($"n_dropped_tokens" =!= $"span_total").count() == 0L)
+    // the fixture actually exercises the operator
+    assert(joined.filter($"n_dropped_tokens" > 0).count() > 0L)
+  }
+}

@@ -220,6 +220,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan.take(400))
   }
 
+  test("dup_spans: positions never shuffle on the gram; map-side partial agg survives") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.DupSpans.dupSpans(spark, sf)
+        .queryExecution.executedPlan
+      // the duplicated-gram probe is broadcast, and the build side is the
+      // aggregated gram-count set (carries a HashAggregate), not the corpus
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(1000))
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty &&
+        bcasts.forall(_.collect { case h: HashAggregateExec => h }.nonEmpty))
+      // hash exchanges: exactly one on the gram hash (the count branch —
+      // fed by a partial aggregate, so only 8-byte key + count shuffles)
+      // and one on doc_id (the island windows). A second gram exchange
+      // would mean the O(total tokens) position stream started shuffling.
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val keyed = shuffles.flatMap(s => s.outputPartitioning match {
+        case h: HashPartitioning =>
+          Some(s -> h.expressions.flatMap(_.collect { case a: Attribute => a.name }))
+        case _ => None
+      })
+      val ghSides = keyed.filter(_._2.contains("gh"))
+      assert(ghSides.size == 1, s"gram-keyed exchanges: ${ghSides.size}")
+      assert(keyed.count(_._2.contains("doc_id")) == 1)
+      val belowGh = ghSides.head._1.collect { case h: HashAggregateExec => h }
+      assert(belowGh.exists(_.aggregateExpressions.exists(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("no registered query plans a cartesian product; nested-loop joins only where whitelisted") {
     // BNLJ is legitimate ONLY where the build side is query-sized by
     // design (a handful of broadcast query vectors scored against the

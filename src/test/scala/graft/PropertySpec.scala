@@ -116,6 +116,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("tokenNgramsPos: positional EXACTLY the sliding windows, distinct form is its dedup") {
+    val rows = sample(nastyString, 300)
+    val out = rows.toDF("t")
+      .select($"t",
+        graft.functions.TextExpressions.tokenNgramsPos($"t", 3).as("p"),
+        graft.operators.Decontamination.tokenNgrams($"t", 3).as("g"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    out.foreach { case (t, pos, distinct) =>
+      val trimmed = t.replaceAll("^ +", "").replaceAll(" +$", "")
+      val toks: Seq[String] =
+        if (trimmed.isEmpty) Seq.empty
+        else trimmed.split("[ \t\n\r\f]+", -1).toSeq
+      // element i IS the window at token i — order, multiplicity, length
+      assert(pos == toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq,
+        s"positional grams of $toks")
+      // and the distinct family is exactly its first-seen dedup
+      assert(pos.distinct == distinct)
+    }
+  }
+
   test("as-of join equals the brute-force maximum-earlier-right on random data") {
     // random (key, time) points both sides; Spark result must equal the
     // reference semantics computed in plain Scala: for each left row, the
