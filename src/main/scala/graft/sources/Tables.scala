@@ -25,18 +25,37 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long (SPARK-40819 legacy
-    * flag, set by every session builder — Verify, Bench, SparkTestBase — not
-    * mutated here: a loader changing session config is a call-order-dependent
-    * side effect) and floor-divide to micros — integer `div`, NOT `/`: a
-    * ns-epoch (~1.7e18) exceeds double's 2^53 exact-integer range, so float
-    * division would corrupt timestamps.
+  /** events.ts has shipped under multiple encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless the SPARK-40819 legacy flag reads it as
+    * raw long — and plain timestamp[us] without timezone, which Spark loads
+    * as TimestampNTZType. Branch on the *loaded* dtype rather than assuming
+    * any one generation:
+    *   - LongType → the legacy-nanos path: floor-divide to micros (integer
+    *     `div`, NOT `/`: a ns-epoch ~1.7e18 exceeds double's 2^53
+    *     exact-integer range and float division would corrupt timestamps);
+    *   - TimestampNTZType → cast to TimestampType; with the session timezone
+    *     pinned to UTC (every session builder — Verify, Bench,
+    *     SparkTestBase — does) this is value-preserving and matches DuckDB's
+    *     naive-timestamp read of the same file;
+    *   - TimestampType → pass through.
+    * Anything else fails with one loud diagnostic instead of 13 scattered
+    * DATATYPE_MISMATCH errors downstream. The legacy flag itself is never
+    * mutated here: a loader changing session config is a
+    * call-order-dependent side effect.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    parquet(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = parquet(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: expected LongType (legacy nanos), TimestampNTZType, or TimestampType, got $other")
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = parquet(spark, sfDir, "embeddings")
 

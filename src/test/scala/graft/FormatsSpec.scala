@@ -44,6 +44,37 @@ class FormatsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("events loader adapts to both ts encodings (legacy nanos-long and timestamp)") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables.events(spark, sf)
+
+    // encoding A: plain timestamp[us] (current fixture generation)
+    val dirTs = tmp("ev-ts")
+    ev.write.mode("overwrite").parquet(s"$dirTs/events.parquet")
+    val backTs = Tables.events(spark, dirTs)
+    assert(backTs.schema("ts").dataType == TimestampType)
+
+    // encoding B: legacy TIMESTAMP(NANOS) read as raw long (SPARK-40819 path)
+    val dirNs = tmp("ev-ns")
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$dirNs/events.parquet")
+    val backNs = Tables.events(spark, dirNs)
+    assert(backNs.schema("ts").dataType == TimestampType)
+
+    // both decode to the same instants as the source
+    val want = ev.orderBy($"event_id").select($"event_id", $"ts").collect().map(_.toString)
+    assert(backTs.orderBy($"event_id").select($"event_id", $"ts").collect().map(_.toString).sameElements(want))
+    assert(backNs.orderBy($"event_id").select($"event_id", $"ts").collect().map(_.toString).sameElements(want))
+
+    // any third encoding is a loud single-line diagnostic, not 13 downstream breaks
+    val dirStr = tmp("ev-str")
+    ev.withColumn("ts", $"ts".cast("string"))
+      .write.mode("overwrite").parquet(s"$dirStr/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dirStr))
+    assert(e.getMessage.contains("events.ts"))
+  }
+
   test("embeddings (float arrays) survive an ORC round-trip bit-exactly") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("orc-emb") + "/emb"
