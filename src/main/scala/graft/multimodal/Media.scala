@@ -223,6 +223,11 @@ object Media {
     * double summation is exact in ANY order on both engines. */
   def imageFeatureDump(spark: SparkSession, sfDir: String): DataFrame =
     imageFeatures(synthesize(spark, n = 2000)).toDF()
+      // comma-joined string, not array<long>: the driver's pandas comparer
+      // cannot sort list columns; the consuming oracle re-splits it
+      .withColumn("luma_histogram",
+        org.apache.spark.sql.functions.expr(
+          "array_join(transform(luma_histogram, x -> cast(x AS string)), ',')"))
 
   /** Registered query: synthesize a deterministic media table, run the
     * batched decode + feature extraction, and roll the features up per

@@ -578,7 +578,15 @@ object Dedup {
     * The driver-side loop is iterate-until-fixpoint over counts, not a
     * data collect — the same legitimate driver pattern as Lloyd iterations.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    dupClustersWithRounds(pairs, maxIters)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds actually run —
+    * exposed so DedupSpec can PIN the pointer-doubling round complexity
+    * (≤ ⌈log₂ diameter⌉ + small constant on a worst-case chain graph)
+    * the way PlanShapeSpec pins exchanges: the O(log diameter) claim is a
+    * measured property, not a comment. */
+  def dupClustersWithRounds(pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
     // Cut lineage ONCE before the loop: `pairs` is the entire MinHash-LSH
     // pipeline, and without this cut every propagation round (and both
     // union branches below) re-executes shingling → minhash → banding →
@@ -624,7 +632,7 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"dupClusters: $changed labels still changing after $maxIters rounds " +
         "— pair-graph diameter exceeds 2^rounds; raise maxIters")
-    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+    (labels.select($"node".as("doc_id"), $"label".as("cluster_id")), iter)
   }
 
   /** One min-label propagation round — the loop body of [[dupClusters]],

@@ -202,14 +202,21 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
   /** Registered rows-only dump (it IS the oracle input): the PQ-coded
-    * corpus. */
+    * corpus. The codes array is dumped as a comma-joined string — the
+    * driver's pandas comparer cannot sort list columns (`unhashable type:
+    * numpy.ndarray`), and a CSV of small ints round-trips exactly; the
+    * DuckDB oracle re-splits it (`string_split` + cast). */
   def pqCodesEntry(spark: SparkSession, sfDir: String): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
     encode(emb, model)
+      .withColumn("codes", expr("array_join(transform(codes, x -> cast(x AS string)), ',')"))
   }
 
   /** Registered rows-only dump (it IS the oracle input): per-query flattened
-    * ADC tables. */
+    * ADC tables. Dumped as a comma-joined string for the same
+    * pandas-comparer reason as [[pqCodesEntry]]; doubles survive the string
+    * round-trip exactly (Java's shortest-round-trip formatting on the Spark
+    * side, nearest-double parse on the DuckDB side). */
   def pqQueryDtabs(spark: SparkSession, sfDir: String,
       numQueries: Int = 5): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
@@ -217,6 +224,7 @@ object Pq {
       fixtureQueries(emb, numQueries)
         .map { case (qid, q) => (qid, model.distanceTable(q).toSeq) })
       .toDF("query_id", "dtab")
+      .withColumn("dtab", expr("array_join(transform(dtab, x -> cast(x AS string)), ',')"))
   }
 
   /** Registered query: end-to-end PQ — train (bounded sample), encode,

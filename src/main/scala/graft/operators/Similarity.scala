@@ -142,18 +142,9 @@ object Similarity {
   def queryIvfIndex(index: IvfIndex, queries: Seq[(Long, Seq[Float])],
       k: Int = 10, nprobe: Int = 4, salts: Int = 8): DataFrame = {
     val spark = index.bucketed.sparkSession
-    val probes = queries.flatMap { case (qid, q) =>
-      val v = q.map(_.toDouble).toArray
-      index.centers.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0
-          var j = 0
-          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-          (i, d)
-        }
-        .sortBy(_._2).take(nprobe)
-        .map { case (cell, _) => (qid, cell, q) }
-    }
+    val byId = queries.toMap
+    val probes = probeCellsFor(index.centers, queries, nprobe)
+      .map { case (qid, cell) => (qid, cell, byId(qid)) }
     val probeCells = probes.map(_._2).distinct
     val queryCells = spark.createDataFrame(probes)
       .toDF("query_id", "cell", "q_emb")
@@ -165,6 +156,26 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cosine")
     topKPerQuery(scored, k, salts)
   }
+
+  /** Driver-side nprobe-cell selection — squared-Euclidean argmin over the
+    * (driver-small) centroid matrix, ties broken by cell index via the
+    * stable sort. Extracted from [[queryIvfIndex]] so the `ivf_probe_cells`
+    * oracle dump and the probe itself share ONE code path: the dump cannot
+    * drift from what the query actually scans. */
+  def probeCellsFor(centers: Array[Array[Double]],
+      queries: Seq[(Long, Seq[Float])], nprobe: Int): Seq[(Long, Int)] =
+    queries.flatMap { case (qid, q) =>
+      val v = q.map(_.toDouble).toArray
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(nprobe)
+        .map { case (cell, _) => (qid, cell) }
+    }
 
   /** Persist a built IVF index for build-once / query-many use: the corpus
     * written partitioned by `cell` (each coarse cell is a parquet directory,
@@ -222,17 +233,36 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
-  /** Registered query: end-to-end IVF build + probe (the bench therefore
-    * times index construction too — honest for a one-shot run; a standing
-    * index amortizes [[buildIvfIndex]] away, see [[IvfIndex]]). */
+  /** The ONE coarse-quantizer fit per (process, sf dir): every fixture IVF
+    * entry — in-memory probe, persisted index, probe-only, and the two
+    * oracle dumps — must see the SAME centers, or boundary vectors could
+    * land in different cells across independent fits (double summation
+    * order in a re-run Lloyd iteration is not guaranteed bit-identical)
+    * and the dump-replay oracle would hash-mismatch for run-to-run reasons
+    * rather than correctness ones. K-Means cost also stops being paid per
+    * entry; `ivf_topk_persisted` keeps a deliberate FRESH build so the
+    * bench still times construction end-to-end.
+    */
+  private val standingIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+
+  private def standingIndex(spark: SparkSession, sfDir: String,
+      nlist: Int = 16): IvfIndex =
+    standingIndexes.getOrElseUpdate(s"$sfDir#$nlist", {
+      val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
+      buildIvfIndex(emb, nlist)
+    })
+
+  /** Registered query: probe of the standing in-memory index. Fully
+    * oracle-checked via the `ivf_assignments` + `ivf_probe_cells` dumps
+    * (the {OUT} mechanism): DuckDB replays the pruned scan — join probed
+    * cells to assignments, exact-rescore, rank — so the ranking arithmetic
+    * is hash-verified while the approximation itself stays captured in the
+    * dumps. Index-build cost is measured by [[ivfTopKPersisted]]. */
   def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
-    val index = buildIvfIndex(emb, nlist)
-    val queries = emb.filter($"vec_id" < numQueries).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    queryIvfIndex(index, queries, k, nprobe)
-  }
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    queryIvfIndex(standingIndex(spark, sfDir, nlist),
+      fixtureQueryBatch(spark, sfDir, numQueries), k, nprobe)
 
   /** tmpdir slot for a persisted index: keyed by the SANITIZED sf-dir path
     * (the previous `hashCode` key could collide across distinct dirs) under
@@ -274,17 +304,55 @@ object Similarity {
     */
   def ivfProbeOnly(spark: SparkSession, sfDir: String, numQueries: Int = 5,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val path = ivfIndexPath(sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centers"))) {
-      val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
-      writeIvfIndex(buildIvfIndex(emb, nlist), path)
-    }
+    val path = ensureFixtureIndex(spark, sfDir, nlist)
     val index = loadIvfIndex(spark, path)
-    // the query batch comes from the raw table (pushed-down vec_id filter),
-    // standing in for the user-supplied driver-small batch
-    val queries = spread(Tables.embeddings(spark, sfDir))
+    queryIvfIndex(index, fixtureQueryBatch(spark, sfDir, numQueries), k, nprobe)
+  }
+
+  /** Persist the standing fixture index once per process (shared by
+    * [[ivfProbeOnly]] and the oracle dumps below); returns its path. The
+    * persisted copy is the STANDING index's fit — never an independent
+    * re-fit — so on-disk assignments and in-memory probes agree exactly. */
+  private def ensureFixtureIndex(spark: SparkSession, sfDir: String,
+      nlist: Int = 16): String = {
+    val path = ivfIndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centers")))
+      writeIvfIndex(standingIndex(spark, sfDir, nlist), path)
+    path
+  }
+
+  /** The fixture query batch — raw-table read with a pushed-down vec_id
+    * filter, standing in for the user-supplied driver-small batch. */
+  private def fixtureQueryBatch(spark: SparkSession, sfDir: String,
+      numQueries: Int): Seq[(Long, Seq[Float])] =
+    spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"embedding").filter($"vec_id" < numQueries).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    queryIvfIndex(index, queries, k, nprobe)
+
+  /** Registered dump (it IS the oracle input): each corpus vector's coarse
+    * cell in the standing fixture index. With [[ivfProbeCellsEntry]] this
+    * lets DuckDB REPLAY the pruned IVF scan — join probed cells to
+    * assignments, exact-rescore just those vectors — turning `ivf_topk`
+    * from rows-only into a fully hash-checked ranking without pretending
+    * the ANN result is exact (the approximation is captured IN the dumps;
+    * what the oracle checks is that the pruned scan + scoring + ranking
+    * are computed correctly from them). Same {OUT} pattern as `pq_codes`.
+    */
+  def ivfAssignmentsEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureFixtureIndex(spark, sfDir)
+    loadIvfIndex(spark, path).bucketed
+      .select($"vec_id", $"cell".cast("int").as("cell"))
+  }
+
+  /** Registered dump (it IS the oracle input): the nprobe cells each fixture
+    * query probes — computed by [[probeCellsFor]], the same code path the
+    * probe itself uses. */
+  def ivfProbeCellsEntry(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, nprobe: Int = 4): DataFrame = {
+    val path = ensureFixtureIndex(spark, sfDir)
+    val centers = loadCenters(spark, path)
+    val probes = probeCellsFor(centers,
+      fixtureQueryBatch(spark, sfDir, numQueries), nprobe)
+    spark.createDataFrame(probes).toDF("query_id", "cell")
   }
 }

@@ -163,6 +163,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dupClusters pointer doubling: ≤ ⌈log₂ diameter⌉+2 rounds on a worst-case chain") {
+    // A path graph 0–1–2–…–63 has diameter 63: plain min-label propagation
+    // needs 63 rounds to drag label 0 to node 63; pointer doubling must do
+    // it in O(log diameter). This pins the claimed complexity as a measured
+    // property — if a refactor silently drops the label[label[x]] hop, this
+    // fails long before the bench notices 11 scheduler-bound rounds.
+    for (n <- Seq(16, 64)) {
+      val chain = (1 until n).map(i => ((i - 1).toLong, i.toLong))
+      val (labels, rounds) =
+        Dedup.dupClustersWithRounds(chain.toDF("a_doc_id", "b_doc_id"))
+      val got = labels.as[(Long, Long)].collect()
+      assert(got.length == n && got.forall(_._2 == 0L)) // one family, min label
+      val diameter = n - 1
+      val bound = math.ceil(math.log(diameter.toDouble) / math.log(2)).toInt + 2
+      assert(rounds <= bound,
+        s"chain n=$n diameter=$diameter: took $rounds rounds, bound $bound")
+    }
+  }
+
   test("nearDupClusters labels every paired doc with its family minimum") {
     val pairs = Dedup.nearDupPairs(spark, sf)
       .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect()
