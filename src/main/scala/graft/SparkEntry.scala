@@ -226,6 +226,9 @@ object SparkEntry {
     // the full hygiene chain: exact+near dedup, restricted to trainable
     // (non-benchmark) docs, minus the decontamination sweep's hits
     "decontaminated_corpus" -> ((s, d) => Pipelines.decontaminatedCorpus(s, d)),
+    // the Lee-et-al release chain with sub-document surgery: dedup → span
+    // trim over the survivors → contamination sweep over the TRIMMED text
+    "trimmed_release_corpus" -> ((s, d) => Pipelines.trimmedReleaseCorpus(s, d)),
     // the ingest-day chain: today's batch deduped within itself (exact +
     // near), against the STANDING corpus via the persisted band index, and
     // decontaminated against the benchmark slice
@@ -398,12 +401,16 @@ object SparkEntry {
       "len(toks[chunk_id*64+1 : chunk_id*64+64]) AS n_chunk_tokens, " +
       "md5(array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5 FROM c)"
 
-  // duplicated-span CTE chain shared by dup_spans and span_trimmed_corpus:
-  // positional 0-based 8-gram starts, grams occurring 2+ times corpus-wide,
-  // covered starts merged gap-and-island (starts p1 < p2 touch iff
-  // p2 <= p1 + 8) into maximal [span_start, span_end] token spans
-  private val dupSpansCtes =
-    s"$toksCte, " +
+  // duplicated-span CTE chain shared by dup_spans, span_trimmed_corpus,
+  // and the trimmed_release_corpus composition: positional 0-based 8-gram
+  // starts, grams occurring 2+ times corpus-wide, covered starts merged
+  // gap-and-island (starts p1 < p2 touch iff p2 <= p1 + 8) into maximal
+  // [span_start, span_end] token spans. Parameterized over the (doc_id,
+  // text) source so the span stage can run over `documents` or over a
+  // composed survivor CTE.
+  private def spanCtesOver(src: String): String =
+    s"t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      s"ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM $src), " +
       "ps AS (SELECT doc_id, unnest(generate_series(0, len(toks)-8)) AS p, toks FROM t WHERE len(toks) >= 8), " +
       "oc AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM ps), " +
       "dg AS (SELECT gram FROM oc GROUP BY gram HAVING count(*) >= 2), " +
@@ -413,6 +420,25 @@ object SparkEntry {
       "gi AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM il), " +
       "sp AS (SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end, " +
       "max(p) + 8 - min(p) AS n_span_tokens FROM gi GROUP BY doc_id, grp)"
+
+  private val dupSpansCtes = spanCtesOver("documents")
+
+  // the trim tail over spanCtesOver's t/cv: covered starts → covered token
+  // indexes → kept tokens re-joined in position order → tr = (doc_id,
+  // n_tokens, n_dropped_tokens, text_trimmed); span-free and all-span docs
+  // both surface via the left joins
+  private val spanTrimTailCtes =
+    "ctk AS (SELECT DISTINCT doc_id, ti FROM " +
+      "(SELECT doc_id, unnest(generate_series(p, p+7)) AS ti FROM cv)), " +
+      "at AS (SELECT doc_id, unnest(generate_series(0, len(toks)-1)) AS ti, toks FROM t WHERE len(toks) > 0), " +
+      "kp AS (SELECT a.doc_id, a.ti, a.toks[a.ti+1] AS tok FROM at a " +
+      "LEFT JOIN ctk c ON a.doc_id = c.doc_id AND a.ti = c.ti WHERE c.ti IS NULL), " +
+      "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_trimmed, " +
+      "count(*) AS n_kept FROM kp GROUP BY doc_id), " +
+      "tr AS (SELECT t.doc_id, len(t.toks) AS n_tokens, " +
+      "len(t.toks) - coalesce(ka.n_kept, 0) AS n_dropped_tokens, " +
+      "coalesce(ka.text_trimmed, '') AS text_trimmed " +
+      "FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id)"
 
   // the deterministic planted-PII text derivation (Pii.plantedDocs's twin),
   // shared by the sweep, the redacted_corpus composition, and corpus_diff
@@ -913,18 +939,32 @@ object SparkEntry {
     // re-joined in position order; docs re-enter via left joins so
     // span-free and all-span docs both surface (trimmed to '' not dropped)
     "span_trimmed_corpus" ->
-      (s"WITH $dupSpansCtes, " +
-        "ct AS (SELECT DISTINCT doc_id, ti FROM " +
-        "(SELECT doc_id, unnest(generate_series(p, p+7)) AS ti FROM cv)), " +
-        "at AS (SELECT doc_id, unnest(generate_series(0, len(toks)-1)) AS ti, toks FROM t WHERE len(toks) > 0), " +
-        "kp AS (SELECT a.doc_id, a.ti, a.toks[a.ti+1] AS tok FROM at a " +
-        "LEFT JOIN ct c ON a.doc_id = c.doc_id AND a.ti = c.ti WHERE c.ti IS NULL), " +
-        "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_trimmed, " +
-        "count(*) AS n_kept FROM kp GROUP BY doc_id) " +
-        "SELECT t.doc_id, len(t.toks) AS n_tokens, " +
-        "len(t.toks) - coalesce(ka.n_kept, 0) AS n_dropped_tokens, " +
-        "coalesce(ka.text_trimmed, '') AS text_trimmed " +
-        "FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id"),
+      (s"WITH $dupSpansCtes, $spanTrimTailCtes " +
+        "SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr"),
+    // the Lee-et-al release chain: exact+near dedup survivors (trainable
+    // slice) → span trim with gram counts over the SURVIVORS → 8-gram
+    // contamination sweep over the TRIMMED text vs the benchmark slice —
+    // every stage the same shared twin the standalone entries use
+    "trimmed_release_corpus" ->
+      (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql), " +
+        "surv AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN k ON d.doc_id = k.keep_doc_id " +
+        "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd) AND d.doc_id % 10 <> 0), " +
+        s"${spanCtesOver("surv")}, $spanTrimTailCtes, " +
+        "trtok AS (SELECT doc_id, CASE WHEN len(trim(text_trimmed)) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(text_trimmed), '\\s+') END AS toks FROM tr), " +
+        "cg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> array_to_string(toks[i:i+7], ' '))) END) AS gram FROM trtok), " +
+        "btok AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "bg AS (SELECT DISTINCT gram FROM (SELECT unnest(CASE WHEN len(toks) < 8 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> array_to_string(toks[i:i+7], ' '))) END) AS gram FROM btok)), " +
+        "hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)) " +
+        "SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"),
     // same md5 band thresholds as corpus_splits (train < e6666666 <= val <
     // f3333333 <= test), same distinct-8-gram intersection as the
     // contamination twin, rolled up to the release-report numbers

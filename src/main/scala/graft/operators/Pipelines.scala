@@ -127,6 +127,41 @@ object Pipelines {
         $"top_bigram_frac")
   }
 
+  /** The Lee-et-al RELEASE chain with sub-document surgery: exact+near
+    * dedup → duplicated-SPAN trim over the surviving trainable documents →
+    * decontamination of the TRIMMED text against the benchmark slice.
+    * Stage order is the published one: doc-level dedup first (span
+    * statistics are then computed over the deduplicated corpus, so a
+    * 1000-copy boilerplate family contributes one vote, not a thousand),
+    * span trim second, and the contamination sweep LAST over the text that
+    * actually ships — a duplicated span that also matched a benchmark item
+    * is gone by the time the sweep runs, so it cannot flag a document whose
+    * offending text was already cut.
+    *
+    * Plan shape: the dedup chain as in [[nearDedupCorpus]]; the span stage
+    * adds one hash-agg over hashed positional grams plus a broadcast-back
+    * of the (small) duplicated-gram set; the sweep is the usual broadcast
+    * probe (benchmark grams broadcast, trimmed corpus probes in place).
+    * Every shuffle keys on doc_id or an 8-byte gram hash — linear in the
+    * corpus at 100 TB.
+    */
+  def trimmedReleaseCorpus(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, spanN: Int = 8, minOccurrences: Int = 2,
+      contamN: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val survivors = nearDedupCorpus(spark, sfDir, threshold)
+      .filter($"doc_id" % 10 =!= 0) // the benchmark slice is not trainable
+      .select($"doc_id")
+    val survivorDocs = docs.select($"doc_id", $"text").join(survivors, "doc_id")
+    val trimmed = DupSpans.spanTrimmedCorpusOf(survivorDocs, spanN, minOccurrences)
+    val benchmark = docs.filter($"doc_id" % 10 === 0).select($"doc_id", $"text")
+    val contaminated = Decontamination.contaminationPairsOf(
+      trimmed.select($"doc_id", $"text_trimmed".as("text")), benchmark, contamN)
+      .select($"doc_id").distinct()
+    trimmed.join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", $"n_dropped_tokens", $"text_trimmed")
+  }
+
   /** The INGEST-day corpus build: where [[decontaminatedCorpus]] dedups a
     * corpus against itself, this is the shape a production pipeline runs
     * per incoming batch — dedup today's batch within itself (exact + near),

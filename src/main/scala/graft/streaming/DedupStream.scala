@@ -123,7 +123,8 @@ object DedupStream {
       rowsPerBand: Int = 8, threshold: Double = 0.8, n: Int = 8,
       appendAfterProbe: Boolean = true, buckets: Int = 0,
       maxBucketSize: Int = 1000, minQuality: Double = Double.NegativeInfinity,
-      redactPii: Boolean = false)
+      redactPii: Boolean = false, trimSpans: Boolean = false,
+      spanN: Int = 8, spanMinOccurrences: Int = 2)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
@@ -137,13 +138,31 @@ object DedupStream {
           .incrementalNearDupIndexed(corpus, indexTable, batch, shingleLen,
             numBands, rowsPerBand, threshold)
           .select($"new_doc_id".as("doc_id")).distinct()
-        val contaminated = Decontamination
-          .contaminationPairsOf(batch, benchmark, n)
-          .select($"doc_id").distinct()
-        val clean = batch
+        val deduped = batch
           .join(keep, "doc_id")
           .join(inBatchDrops, Seq("doc_id"), "left_anti")
           .join(corpusDrops, Seq("doc_id"), "left_anti")
+        // optional Lee-et-al duplicated-span trim, in the batch release
+        // chain's order (Pipelines.trimmedReleaseCorpus): AFTER doc-level
+        // dedup (span statistics see each surviving family once), BEFORE
+        // the contamination sweep, which then runs over the text that
+        // ships. Per micro-batch the gram counts are in-batch — the
+        // streaming analogue of "over the survivors".
+        val trimmed =
+          if (!trimSpans) deduped
+          else deduped.drop("text").join(
+            graft.operators.DupSpans
+              .spanTrimmedCorpusOf(deduped.select($"doc_id", $"text"),
+                spanN, spanMinOccurrences)
+              .select($"doc_id", $"text_trimmed".as("text")),
+            "doc_id")
+        // the sweep probes the CURRENT text (trimmed when enabled) — a
+        // duplicated span that also matched a benchmark item is gone by
+        // the time the sweep runs, so it cannot flag the document
+        val contaminated = Decontamination
+          .contaminationPairsOf(trimmed, benchmark, n)
+          .select($"doc_id").distinct()
+        val clean = trimmed
           .join(contaminated, Seq("doc_id"), "left_anti")
         // optional Gopher-style quality gate (shuffle-free per-row scoring;
         // the same gate Pipelines.cleanCorpus applies batch-side)
@@ -163,8 +182,16 @@ object DedupStream {
             gated.withColumn("text", graft.operators.Pii.redactPii($"text"))
           else gated
         sink(out, batchId)
-        if (appendAfterProbe)
-          Dedup.appendToBandIndex(gated, indexTable, shingleLen, numBands,
-            rowsPerBand, buckets, maxBucketSize)
+        // the index is appended from the survivors' AS-INGESTED text (pre
+        // trim, pre redaction) — the standing corpus tracks content
+        // identity of arriving documents, so a re-arriving raw duplicate
+        // of a trimmed survivor still collides with it
+        if (appendAfterProbe) {
+          val appendRows =
+            if (trimSpans) deduped.join(gated.select($"doc_id"), "doc_id")
+            else gated
+          Dedup.appendToBandIndex(appendRows, indexTable, shingleLen,
+            numBands, rowsPerBand, buckets, maxBucketSize)
+        }
       }
 }

@@ -141,6 +141,60 @@ class DedupStreamSpec extends SparkTestBase {
     assert(got.values.exists(_.contains("<EMAIL>")))
   }
 
+  test("streaming ingest with span trim matches the batch trim chain and de-flags trimmed contamination") {
+    // ten-token boilerplate shared by docs 1 and 3 (2+ in-batch occurrences
+    // → a duplicated span) and ALSO the benchmark item's text: without the
+    // trim both docs would be dropped as contaminated; with the trim the
+    // sweep runs over the text that ships, the offending span is already
+    // gone, and both survive trimmed. Pins the chain ORDER, not just the
+    // stage.
+    val boiler = "subscribe to our newsletter for updates every single day now"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta unique text one two three"),
+      (3L, s"$boiler entirely different content about catalyst optimizer rule batches"),
+      (5L, "no duplicated content here just plain original prose entirely"),
+      (10L, boiler) // the benchmark slice
+    ).toDF("doc_id", "text")
+    val standing = docs.filter($"doc_id" % 10 === 7) // empty standing corpus
+    val benchmark = docs.filter($"doc_id" % 10 === 0)
+    Dedup.writeBandIndex(standing, "band_idx_trim", buckets = 4)
+    val got = scala.collection.mutable.Map[Long, String]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.ingestQuery(
+      ms.toDF().toDF("doc_id", "text"), docs, "band_idx_trim", benchmark,
+      trimSpans = true) { (out, _) =>
+      got ++= out.select($"doc_id", $"text").as[(Long, String)].collect()
+    }.start()
+    try {
+      val rows = docs.filter($"doc_id" % 10 =!= 0)
+        .orderBy($"doc_id").as[(Long, String)].collect()
+      ms.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_trim")
+    }
+    // batch-side replay of the same chain: dedup → span trim → sweep over
+    // the trimmed text (the Pipelines.trimmedReleaseCorpus stage order)
+    val batchSide = {
+      val batch = docs.filter($"doc_id" % 10 =!= 0)
+      val trimmed = graft.operators.DupSpans
+        .spanTrimmedCorpusOf(batch, 8, 2)
+        .select($"doc_id", $"text_trimmed".as("text"))
+      val contaminated = graft.operators.Decontamination
+        .contaminationPairsOf(trimmed, benchmark)
+        .select($"doc_id").distinct()
+      trimmed.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    val expected = batchSide.as[(Long, String)].collect().toMap
+    assert(got.toMap == expected)
+    // the span genuinely trimmed: survivors 1 and 3 shipped WITHOUT the
+    // boilerplate, and survived the sweep BECAUSE it was cut first
+    assert(got.keySet == Set(1L, 3L, 5L))
+    assert(got(1L) == "alpha beta gamma delta unique text one two three")
+    assert(!got(3L).contains("subscribe"))
+  }
+
   test("probe-then-append finds a duplicate of an earlier micro-batch") {
     val text1 = "an entirely novel document about streaming ingest loops"
     val text2 = "an entirely novel document about streaming ingest loops!"
