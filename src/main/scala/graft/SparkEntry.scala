@@ -144,8 +144,10 @@ object SparkEntry {
     // codebooks (build absorbed by warmup); same oracle as pq_adc_topk —
     // the index is an execution layout, not a semantic
     "pq_adc_topk_indexed" -> ((s, d) => Pq.pqAdcTopKIndexed(s, d)),
-    // rows-only (+ spec:PqSpec recall floor): IVF cells × PQ codes — the
-    // billion-scale ANN composition: prune cells, scan 8-byte codes
+    // IVF cells × PQ codes — the billion-scale ANN composition: prune
+    // cells, scan 8-byte codes. Oracle-checked: built on the STANDING
+    // coarse index, so the ivf_* + pq_* dumps replay the whole
+    // composition (+ spec:PqSpec recall floor)
     "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
@@ -369,11 +371,14 @@ object SparkEntry {
 
   // the dumps carry their arrays as comma-joined strings (pandas-comparer
   // safety; see Pq.pqCodesEntry) — re-split and cast them back to lists here
-  private val pqAdcCtes =
+  private val pqDumpCtes =
     "c AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
       "FROM read_parquet('{OUT}/pq_codes/*.parquet')), " +
       "q AS (SELECT query_id, list_transform(string_split(dtab, ','), x -> CAST(x AS DOUBLE)) AS dtab " +
-      "FROM read_parquet('{OUT}/pq_query_dtabs/*.parquet')), " +
+      "FROM read_parquet('{OUT}/pq_query_dtabs/*.parquet'))"
+
+  private val pqAdcCtes =
+    s"$pqDumpCtes, " +
       "s AS (SELECT q.query_id, c.vec_id, " +
       "round(list_sum(list_transform(generate_series(1, 8), " +
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
@@ -775,6 +780,24 @@ object SparkEntry {
     // fit as the in-memory one (Similarity.ensureFixtureIndex persists it),
     // so the amortized probe replays identically
     "ivf_probe_only" -> ivfReplaySql,
+    // the IVF×PQ composition replayed end-to-end from the four dumps:
+    // probed cells → assignments prune the candidate set, ADC from the
+    // codes + distance tables, rank ascending with vec_id tiebreak
+    "ivf_pq_topk" ->
+      (s"WITH $pqDumpCtes, " +
+        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet')), " +
+        "s AS (SELECT p.query_id, c.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+        "FROM p JOIN a ON a.cell = p.cell " +
+        "JOIN c ON c.vec_id = a.vec_id " +
+        "JOIN q ON q.query_id = p.query_id " +
+        "WHERE c.vec_id <> p.query_id) " +
+        "SELECT query_id, vec_id, adc, rk FROM (" +
+        "SELECT query_id, vec_id, adc, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
     "cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
         "s AS (SELECT q.query_id, e.vec_id, " +

@@ -341,31 +341,30 @@ object Pq {
       fixtureQueries(emb, numQueries), k, shortlist)
   }
 
-  /** Registered query (rows-only + spec:PqSpec recall floor): IVF × PQ —
-    * the coarse quantizer prunes to the probed cells, ADC scores only the
-    * survivors' codes. At production geometry (nlist=1024, nprobe=8,
+  /** Registered query (oracle-checked + spec:PqSpec recall floor): IVF ×
+    * PQ — the coarse quantizer prunes to the probed cells, ADC scores only
+    * the survivors' codes. At production geometry (nlist=1024, nprobe=8,
     * 8-byte codes) a query batch reads ~0.8% of the cells at ~3% of the
     * full-vector bytes — the standard billion-scale ANN layout. Codes are
     * attached BEFORE the probe filter so the scored frame is
-    * (cell, codes): narrow, never the raw vectors. */
+    * (cell, codes): narrow, never the raw vectors.
+    *
+    * Uses the STANDING coarse index ([[Similarity.standingIndex]]) and the
+    * shared [[probeCellsFor]] rule, so the `ivf_assignments` /
+    * `ivf_probe_cells` / `pq_codes` / `pq_query_dtabs` dumps describe this
+    * entry exactly and DuckDB can replay the whole composition: prune by
+    * probed cells, ADC from the codes, rank. */
   def ivfPqTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
-    val index = Similarity.buildIvfIndex(emb, nlist)
+    val index = Similarity.standingIndex(spark, sfDir, nlist)
     val coded = index.bucketed.select($"vec_id",
       VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
       $"cell")
     val queries = fixtureQueries(emb, numQueries)
-    val probes = queries.flatMap { case (qid, q) =>
-      val v = q.map(_.toDouble).toArray
-      index.centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map { case (cell, _) =>
-        (qid, cell, model.distanceTable(q).toSeq)
-      }
-    }
+    val byId = queries.toMap
+    val probes = Similarity.probeCellsFor(index.centers, queries, nprobe)
+      .map { case (qid, cell) => (qid, cell, model.distanceTable(byId(qid)).toSeq) }
     val probeCells = probes.map(_._2).distinct
     val queryCells = spark.createDataFrame(probes)
       .toDF("query_id", "cell", "dtab")
