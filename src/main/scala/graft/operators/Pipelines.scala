@@ -152,8 +152,16 @@ object Pipelines {
     val survivors = nearDedupCorpus(spark, sfDir, threshold)
       .filter($"doc_id" % 10 =!= 0) // the benchmark slice is not trainable
       .select($"doc_id")
+    // Cut lineage at the two fan-out points (the dupClusters lesson): the
+    // span stage references its input ~3× (gram count + covered probe +
+    // re-join) and the sweep references the trimmed frame twice — without
+    // the cuts each reference re-executes the whole upstream LSH dedup
+    // chain from the scan up. localCheckpoint here; reliable checkpoint or
+    // a persisted intermediate table on a cluster.
     val survivorDocs = docs.select($"doc_id", $"text").join(survivors, "doc_id")
+      .localCheckpoint()
     val trimmed = DupSpans.spanTrimmedCorpusOf(survivorDocs, spanN, minOccurrences)
+      .localCheckpoint()
     val benchmark = docs.filter($"doc_id" % 10 === 0).select($"doc_id", $"text")
     val contaminated = Decontamination.contaminationPairsOf(
       trimmed.select($"doc_id", $"text_trimmed".as("text")), benchmark, contamN)

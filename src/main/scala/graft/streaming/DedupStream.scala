@@ -148,11 +148,15 @@ object DedupStream {
         // the contamination sweep, which then runs over the text that
         // ships. Per micro-batch the gram counts are in-batch — the
         // streaming analogue of "over the survivors".
+        // lineage cut when trimming: the span stage references its input
+        // ~3× and the index append re-reads it once more — each reference
+        // would otherwise re-run the index probe above
+        val dedupedCut = if (trimSpans) deduped.localCheckpoint() else deduped
         val trimmed =
-          if (!trimSpans) deduped
-          else deduped.drop("text").join(
+          if (!trimSpans) dedupedCut
+          else dedupedCut.drop("text").join(
             graft.operators.DupSpans
-              .spanTrimmedCorpusOf(deduped.select($"doc_id", $"text"),
+              .spanTrimmedCorpusOf(dedupedCut.select($"doc_id", $"text"),
                 spanN, spanMinOccurrences)
               .select($"doc_id", $"text_trimmed".as("text")),
             "doc_id")
@@ -188,7 +192,7 @@ object DedupStream {
         // of a trimmed survivor still collides with it
         if (appendAfterProbe) {
           val appendRows =
-            if (trimSpans) deduped.join(gated.select($"doc_id"), "doc_id")
+            if (trimSpans) dedupedCut.join(gated.select($"doc_id"), "doc_id")
             else gated
           Dedup.appendToBandIndex(appendRows, indexTable, shingleLen,
             numBands, rowsPerBand, buckets, maxBucketSize)
