@@ -414,12 +414,12 @@ object SparkEntry {
   // text) source so the span stage can run over `documents` or over a
   // composed survivor CTE.
   private def spanCtesOver(src: String): String =
-    s"t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+    s"t AS MATERIALIZED (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       s"ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM $src), " +
       "ps AS (SELECT doc_id, unnest(generate_series(0, len(toks)-8)) AS p, toks FROM t WHERE len(toks) >= 8), " +
-      "oc AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM ps), " +
+      "oc AS MATERIALIZED (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM ps), " +
       "dg AS (SELECT gram FROM oc GROUP BY gram HAVING count(*) >= 2), " +
-      "cv AS (SELECT oc.doc_id, oc.p FROM oc JOIN dg USING (gram)), " +
+      "cv AS MATERIALIZED (SELECT oc.doc_id, oc.p FROM oc JOIN dg USING (gram)), " +
       "il AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8 " +
       "THEN 0 ELSE 1 END AS brk FROM cv), " +
       "gi AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM il), " +
@@ -440,7 +440,7 @@ object SparkEntry {
       "LEFT JOIN ctk c ON a.doc_id = c.doc_id AND a.ti = c.ti WHERE c.ti IS NULL), " +
       "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_trimmed, " +
       "count(*) AS n_kept FROM kp GROUP BY doc_id), " +
-      "tr AS (SELECT t.doc_id, len(t.toks) AS n_tokens, " +
+      "tr AS MATERIALIZED (SELECT t.doc_id, len(t.toks) AS n_tokens, " +
       "len(t.toks) - coalesce(ka.n_kept, 0) AS n_dropped_tokens, " +
       "coalesce(ka.text_trimmed, '') AS text_trimmed " +
       "FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id)"
@@ -969,8 +969,8 @@ object SparkEntry {
     // contamination sweep over the TRIMMED text vs the benchmark slice —
     // every stage the same shared twin the standalone entries use
     "trimmed_release_corpus" ->
-      (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql), " +
-        "surv AS (SELECT d.doc_id, d.text FROM documents d " +
+      (s"WITH k AS MATERIALIZED ($exactDedupSql), nd AS MATERIALIZED ($nearDupPairsSql), " +
+        "surv AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d " +
         "JOIN k ON d.doc_id = k.keep_doc_id " +
         "WHERE d.doc_id NOT IN (SELECT b_doc_id FROM nd) AND d.doc_id % 10 <> 0), " +
         s"${spanCtesOver("surv")}, $spanTrimTailCtes, " +
