@@ -113,6 +113,9 @@ REWRITES = {
   "near_dedup_corpus": [(PAIRS_LITERAL, PAIRS_FAST)],
   "near_dup_clusters": [(PAIRS_LITERAL, PAIRS_FAST)],
   "decontaminated_corpus": [(PAIRS_LITERAL, PAIRS_FAST)],
+  # the composed release chain embeds the same literal pair subquery as its
+  # (MATERIALIZED) nd CTE — substring replace reaches inside the wrapper
+  "trimmed_release_corpus": [(PAIRS_LITERAL, PAIRS_FAST)],
   "incremental_near_dup": [(INCR_LITERAL, INCR_FAST)],
   "incremental_near_dup_indexed": [(INCR_LITERAL, INCR_FAST)],
   "ingested_corpus": [(INGEST_NDB_LITERAL, INGEST_NDB_FAST),
