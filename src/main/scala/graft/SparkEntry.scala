@@ -66,6 +66,7 @@ object SparkEntry {
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
+    "kmeans_assignments" -> (TextClustering.assignmentsEntry _), // rows-only (it IS the oracle input)
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
@@ -775,6 +776,12 @@ object SparkEntry {
     // table and ranks (cosine rounded 6 dp, vec_id tiebreak). The ANN
     // approximation lives in the dumps; what's checked is that the pruned
     // scan, scoring, and ranking are computed correctly from them.
+    // K-Means itself has no DuckDB twin; the dumped assignments capture the
+    // model's output and the rollup arithmetic is what's checked (the same
+    // contract as ivf_assignments → ivf_topk)
+    "kmeans_cluster_sizes" ->
+      ("SELECT prediction, count(*) AS n_docs " +
+        "FROM read_parquet('{OUT}/kmeans_assignments/*.parquet') GROUP BY prediction"),
     "ivf_topk" -> ivfReplaySql,
     // same rows by construction: the persisted standing index is the SAME
     // fit as the in-memory one (Similarity.ensureFixtureIndex persists it),

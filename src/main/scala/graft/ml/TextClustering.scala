@@ -59,21 +59,41 @@ object TextClustering {
       .setFeaturesCol("features").setPredictionCol("prediction")
       .fit(features)
 
-  /** End-to-end: documents.text → features → seeded K-Means → per-cluster
-    * sizes. Deterministic under a fixed seed; registered rows-only in
-    * SparkEntry (K-Means is not DuckDB-expressible).
-    */
-  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ONE fixture K-Means fit per (process, sf dir): the assignments
+    * dump and the cluster-sizes rollup must see the SAME model, or two
+    * independent fits could disagree on boundary docs and the dump-replay
+    * oracle would mismatch for run-to-run reasons (the
+    * [[graft.operators.Similarity.standingIndex]] pattern). */
+  private val standingModels =
+    scala.collection.concurrent.TrieMap.empty[String, KMeansModel]
+
+  private def fixtureAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = featurize(
       spread(Tables.documents(spark, sfDir)).select(col("doc_id"), col("text")))
-      .persist() // reference cached its vectors too (README.md:176)
-    try {
-      val model = fitKMeans(feats)
-      model.transform(feats)
-        .groupBy(col("prediction"))
-        .agg(count(lit(1)).as("n_docs"))
-    } finally feats.unpersist()
+    val model = standingModels.getOrElseUpdate(sfDir, {
+      val cached = feats.persist() // reference cached its vectors too (README.md:176)
+      try fitKMeans(cached) finally cached.unpersist()
+    })
+    model.transform(feats).select(col("doc_id"), col("prediction"))
   }
+
+  /** Registered dump (it IS the oracle input): per-document cluster
+    * assignment from the standing seeded fit. K-Means itself is not
+    * DuckDB-expressible, but with this dump the `kmeans_cluster_sizes`
+    * rollup becomes a checked derivation — the model's output is captured
+    * here and the aggregation arithmetic is what the oracle verifies (the
+    * `ivf_assignments` pattern). */
+  def assignmentsEntry(spark: SparkSession, sfDir: String): DataFrame =
+    fixtureAssignments(spark, sfDir)
+
+  /** End-to-end: documents.text → features → seeded K-Means → per-cluster
+    * sizes. Deterministic under a fixed seed; oracle = DuckDB re-counting
+    * the dumped assignments.
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    fixtureAssignments(spark, sfDir)
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Embedding-space clustering over the `embeddings` fixture: the
     * `Array[Float]` column becomes an ml Vector (no UDF — built-in
