@@ -176,6 +176,11 @@ object SparkEntry {
     // the corpus with those spans cut out: per-doc span lists joined back
     // once by doc_id, HOF trim per row, whitespace-normalized rebuild
     "span_trimmed_corpus" -> ((s, d) => DupSpans.spanTrimmedCorpus(s, d)),
+    // WHERE contamination lives (not just which docs): benchmark-overlap
+    // spans, and the surgical alternative to dropping — trim the
+    // overlapping run, keep the unique prose
+    "contamination_spans" -> ((s, d) => DupSpans.contaminationSpans(s, d)),
+    "contamination_trimmed_corpus" -> ((s, d) => DupSpans.contaminationTrimmedCorpus(s, d)),
     // the sketch scale path of vocab_stats: mergeable SpaceSaving counters,
     // shuffle carries O(tasks x capacity) not O(distinct tokens); exact
     // (err 0) while tasks see <= capacity distinct items — the fixture's
@@ -428,6 +433,30 @@ object SparkEntry {
       "max(p) + 8 - min(p) AS n_span_tokens FROM gi GROUP BY doc_id, grp)"
 
   private val dupSpansCtes = spanCtesOver("documents")
+
+  // benchmark-overlap variant of the span chain: same t/ps/oc explode over
+  // the TRAINABLE slice, covered = grams present in the benchmark slice's
+  // distinct gram set (exact strings — the Spark side's xxhash64 probe can
+  // only ADD covered positions at ~B²/2^65 probability), same island merge
+  // and trim tail
+  private val contamSpanCtes =
+    "t AS MATERIALIZED (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks " +
+      "FROM documents WHERE doc_id % 10 <> 0), " +
+      "ps AS (SELECT doc_id, unnest(generate_series(0, len(toks)-8)) AS p, toks FROM t WHERE len(toks) >= 8), " +
+      "oc AS MATERIALIZED (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM ps), " +
+      "bt AS (SELECT CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks " +
+      "FROM documents WHERE doc_id % 10 = 0), " +
+      "bg AS (SELECT DISTINCT gram FROM (SELECT unnest(CASE WHEN len(toks) < 8 THEN [] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), " +
+      "i -> array_to_string(toks[i:i+7], ' '))) END) AS gram FROM bt)), " +
+      "cv AS MATERIALIZED (SELECT oc.doc_id, oc.p FROM oc JOIN bg USING (gram)), " +
+      "il AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8 " +
+      "THEN 0 ELSE 1 END AS brk FROM cv), " +
+      "gi AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM il), " +
+      "sp AS (SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end, " +
+      "max(p) + 8 - min(p) AS n_span_tokens FROM gi GROUP BY doc_id, grp)"
 
   // the trim tail over spanCtesOver's t/cv: covered starts → covered token
   // indexes → kept tokens re-joined in position order → tr = (doc_id,
@@ -970,6 +999,14 @@ object SparkEntry {
     // span-free and all-span docs both surface (trimmed to '' not dropped)
     "span_trimmed_corpus" ->
       (s"WITH $dupSpansCtes, $spanTrimTailCtes " +
+        "SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr"),
+    // exact-gram twin of the hashed benchmark-overlap probe + island merge
+    "contamination_spans" ->
+      (s"WITH $contamSpanCtes SELECT doc_id, span_start, span_end, n_span_tokens FROM sp"),
+    // surgical decontamination: the same trim tail over benchmark-covered
+    // positions — every trainable doc surfaces, overlap runs cut out
+    "contamination_trimmed_corpus" ->
+      (s"WITH $contamSpanCtes, $spanTrimTailCtes " +
         "SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr"),
     // the Lee-et-al release chain: exact+near dedup survivors (trainable
     // slice) → span trim with gram counts over the SURVIVORS → 8-gram

@@ -98,7 +98,16 @@ object DupSpans {
       .filter(col("n_occ") >= minOccurrences)
       .select(col("gh"))
     val covered = occ.join(dupGrams, "gh").select(col("doc_id"), col("pos"))
-    // Gap-and-island: window starts p1 < p2 overlap/touch iff p2 <= p1 + n.
+    mergeCoveredStarts(covered, n)
+  }
+
+  /** Gap-and-island merge of covered window STARTS into maximal token
+    * spans: starts p1 < p2 overlap/touch iff p2 <= p1 + n. Shared by the
+    * corpus-duplication chain ([[dupSpansOf]]) and the benchmark-overlap
+    * chain ([[contaminationSpansOf]]) — the covered-position source is the
+    * only thing that differs between them. Runs on covered positions only
+    * (the rare probe output, never the corpus), partitioned by doc_id. */
+  private[operators] def mergeCoveredStarts(covered: DataFrame, n: Int): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("brk",
@@ -126,8 +135,15 @@ object DupSpans {
 
   /** [[spanTrimmedCorpus]] over an explicit (doc_id, text) frame. */
   def spanTrimmedCorpusOf(docs: DataFrame, n: Int = 8,
-      minOccurrences: Int = 2): DataFrame = {
-    val perDoc = dupSpansOf(docs, n, minOccurrences)
+      minOccurrences: Int = 2): DataFrame =
+    trimWithSpans(docs, dupSpansOf(docs, n, minOccurrences))
+
+  /** Rebuild each document with the given token spans cut out — the trim
+    * core shared by [[spanTrimmedCorpusOf]] (duplicated spans) and
+    * [[contaminationTrimmedCorpusOf]] (benchmark-overlap spans). `spans` =
+    * (doc_id, span_start, span_end) rows, inclusive 0-based token indices. */
+  private[operators] def trimWithSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs
@@ -147,5 +163,66 @@ object DupSpans {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped_tokens"),
         array_join(col("kept"), " ").as("text_trimmed"))
+  }
+
+  /** Benchmark-contaminated token spans: WHERE the contamination lives, not
+    * just which documents carry it ([[Decontamination]]'s sweep answers
+    * that). A corpus position is covered when the n-gram starting there
+    * appears anywhere in the benchmark's distinct gram set; covered windows
+    * merge gap-and-island into maximal spans — the input to SURGICAL
+    * decontamination, which trims the overlapping run and keeps the
+    * document's unique prose instead of dropping the whole document.
+    *
+    * Scale topology is [[Decontamination.contaminationPairsOf]]'s: the
+    * benchmark side is small by definition, its distinct grams travel as
+    * xxhash64 (8 bytes per gram, ~B²/2^65 spurious-cover probability —
+    * the [[dupSpansOf]] trade) and are [[broadcast]]; the corpus's
+    * positional grams probe in place and never shuffle on the gram. The
+    * island merge runs on covered positions only, keyed by doc_id.
+    */
+  def contaminationSpansOf(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val occ = positionalGrams(corpus, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val benchGrams = benchmark
+      .select(explode(Decontamination.tokenNgrams(col("text"), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val covered = occ.join(broadcast(benchGrams), "gh")
+      .select(col("doc_id"), col("pos"))
+    mergeCoveredStarts(covered, n)
+  }
+
+  /** Registered query: contaminated spans of the trainable fixture slice
+    * (doc_id % 10 != 0) against the benchmark slice (% 10 == 0) — the same
+    * fixture roles as `ngram_contamination`. Oracle: exact-gram DuckDB twin
+    * of the hashed probe + island merge. */
+  def contaminationSpans(spark: SparkSession, sfDir: String,
+      n: Int = 8): DataFrame = {
+    val docs = spread(Tables.documents(spark, sfDir))
+    contaminationSpansOf(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), n)
+  }
+
+  /** The trainable corpus with benchmark-overlapping spans cut out —
+    * surgical decontamination: (doc_id, n_tokens, n_dropped_tokens,
+    * text_trimmed), every trainable doc present (span-free docs pass
+    * through whitespace-normalized, an all-contaminated doc trims to "").
+    * Dropping entirely is a policy choice [[Pipelines]] composes from the
+    * sweep; this operator's contract is character-level surgery, exactly
+    * like [[spanTrimmedCorpusOf]]. */
+  def contaminationTrimmedCorpusOf(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame =
+    trimWithSpans(corpus, contaminationSpansOf(corpus, benchmark, n))
+
+  /** Registered query: [[contaminationTrimmedCorpusOf]] on the fixture
+    * slices. Oracle: the span chain's trim tail over the benchmark-covered
+    * positions. */
+  def contaminationTrimmedCorpus(spark: SparkSession, sfDir: String,
+      n: Int = 8): DataFrame = {
+    val docs = spread(Tables.documents(spark, sfDir))
+    contaminationTrimmedCorpusOf(
+      docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 10 === 0), n)
   }
 }

@@ -79,6 +79,31 @@ class DupSpansSpec extends SparkTestBase {
     assert(got(5L) == ((0L, 0L, "")))
   }
 
+  test("contaminationSpans/Trim: benchmark overlap located and surgically cut") {
+    val leak = (0 until 9).map("b" + _).mkString(" ") // 9-token benchmark run
+    val corpus = Seq(
+      (1L, s"intro words here $leak outro words"), // leak in the middle
+      (2L, "completely original prose with no benchmark overlap at all"),
+      (3L, leak)) // all-contaminated → trims to ""
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, s"benchmark item containing $leak verbatim"))
+      .toDF("doc_id", "text")
+    val spans = DupSpans.contaminationSpansOf(corpus, benchmark, n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: leak starts at token 3, 9 tokens → covered starts 3 and 4
+    // merge into one span [3, 11]
+    assert(spans(1L) == ((3L, 11L, 9L)))
+    assert(spans(3L) == ((0L, 8L, 9L)))
+    assert(!spans.contains(2L))
+    val trimmed = DupSpans.contaminationTrimmedCorpusOf(corpus, benchmark, n = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(trimmed(1L) == ((14L, 9L, "intro words here outro words")))
+    assert(trimmed(2L)._2 == 0L) // untouched
+    assert(trimmed(3L) == ((9L, 9L, "")))
+  }
+
   test("fixture-wide: merged spans are disjoint, so dropped == sum of span sizes") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = DupSpans.spanTrimmedCorpus(spark, sf)
