@@ -68,6 +68,11 @@ object SparkEntry {
     // —— ML stage (rows-only: K-Means is not DuckDB-expressible) ——
     "kmeans_assignments" -> (TextClustering.assignmentsEntry _), // rows-only (it IS the oracle input)
     "kmeans_cluster_sizes" -> (TextClustering.clusterSizes _),
+    // distilled quality classifier: heuristic weak labels → seeded logistic
+    // regression; coefs dumped, scoring replayed literal-for-literal
+    "quality_model_coefs" -> (graft.ml.QualityClassifier.coefsEntry _), // rows-only (it IS the oracle input)
+    "quality_classifier_scores" -> (graft.ml.QualityClassifier.scoresEntry _),
+    "quality_classifier_eval" -> (graft.ml.QualityClassifier.evalEntry _),
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
@@ -225,6 +230,8 @@ object SparkEntry {
     "media_image_features_dump" -> (graft.multimodal.Media.imageFeatureDump _), // rows-only (it IS the oracle input)
     "media_audio_features" -> (graft.multimodal.Media.audioFeatureRollup _),
     "media_audio_features_dump" -> (graft.multimodal.Media.audioFeatureDump _), // rows-only (it IS the oracle input)
+    "media_video_features" -> (graft.multimodal.Media.videoFeatureRollup _),
+    "media_video_features_dump" -> (graft.multimodal.Media.videoFeatureDump _), // rows-only (it IS the oracle input)
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     // the release shape: clean_corpus survivors carrying PII-scrubbed text
@@ -715,6 +722,18 @@ object SparkEntry {
         "CAST(sum(zero_crossings) AS BIGINT) AS total_crossings " +
         "FROM (SELECT *, CAST(floor(mean_amplitude / 8) AS BIGINT) AS amp_bucket FROM f) " +
         "GROUP BY amp_bucket ORDER BY amp_bucket"),
+    // video leg: replay the scene-cut window + per-video rollup from the
+    // dumped per-frame features (mean_luma exact multiples of 1/64 — the
+    // difference and >16.0 comparison are double-exact in both engines)
+    "media_video_features" ->
+      ("WITH f AS (SELECT * FROM read_parquet('{OUT}/media_video_features_dump/*.parquet')), " +
+        "d AS (SELECT media_id, frame_idx, mean_luma, " +
+        "lag(mean_luma) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev FROM f) " +
+        "SELECT media_id, count(*) AS n_frames, " +
+        "round(avg(mean_luma) + 1e-9, 4) AS avg_luma, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND abs(mean_luma - prev) > 16.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_cuts " +
+        "FROM d GROUP BY media_id ORDER BY media_id"),
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,
@@ -811,6 +830,33 @@ object SparkEntry {
     "kmeans_cluster_sizes" ->
       ("SELECT prediction, count(*) AS n_docs " +
         "FROM read_parquet('{OUT}/kmeans_assignments/*.parquet') GROUP BY prediction"),
+    // distilled quality classifier: the optimizer's landing spot lives in
+    // the coefs dump; what's checked is the scoring arithmetic — DuckDB
+    // rebuilds the margin from the dumped features and coefficients with
+    // the IDENTICAL left-to-right literal chain (IEEE doubles in the same
+    // order are bit-equal), then the same rounding/threshold
+    "quality_classifier_scores" ->
+      ("WITH c AS (SELECT * FROM read_parquet('{OUT}/quality_model_coefs/*.parquet')), " +
+        "s AS (SELECT doc_id, f_len, f_stop, f_punct, f_digit, f_wordlen, weak_label " +
+        "FROM read_parquet('{OUT}/quality_classifier_scores/*.parquet')), " +
+        "m AS (SELECT s.*, " +
+        "(SELECT coef FROM c WHERE feature = '__intercept') + " +
+        "(SELECT coef FROM c WHERE feature = 'f_len') * f_len + " +
+        "(SELECT coef FROM c WHERE feature = 'f_stop') * f_stop + " +
+        "(SELECT coef FROM c WHERE feature = 'f_punct') * f_punct + " +
+        "(SELECT coef FROM c WHERE feature = 'f_digit') * f_digit + " +
+        "(SELECT coef FROM c WHERE feature = 'f_wordlen') * f_wordlen AS raw_margin " +
+        "FROM s) " +
+        "SELECT doc_id, f_len, f_stop, f_punct, f_digit, f_wordlen, weak_label, " +
+        "round(raw_margin + 1e-9, 6) AS margin, " +
+        "CAST(raw_margin > 0.0 AS INTEGER) AS predicted FROM m"),
+    // confusion rollup re-aggregated from the scores dump; margins travel
+    // as exact integer micros so the sum is order-independent
+    "quality_classifier_eval" ->
+      ("SELECT weak_label, predicted, count(*) AS n_docs, " +
+        "CAST(sum(CAST(round(margin * 1e6) AS BIGINT)) AS BIGINT) AS sum_margin_micros " +
+        "FROM read_parquet('{OUT}/quality_classifier_scores/*.parquet') " +
+        "GROUP BY weak_label, predicted ORDER BY weak_label, predicted"),
     "ivf_topk" -> ivfReplaySql,
     // same rows by construction: the persisted standing index is the SAME
     // fit as the in-memory one (Similarity.ensureFixtureIndex persists it),

@@ -1,0 +1,152 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import graft.util.Cols.spread
+
+/** Trained quality classifier over document text features — the
+  * fasttext-style quality gate modern pre-training corpus builds use
+  * (north-star extension; the reference's only ML stage is K-Means,
+  * README.md:152-208 — this reuses the same seeded spark.ml discipline).
+  *
+  * The realistic bootstrap: weak labels come from the deterministic
+  * heuristic gate ([[TextAnalysis.textStatsOf]]'s quality score — the
+  * C4/Gopher-rule tier), and a logistic regression distills them into a
+  * dense linear scorer whose margin generalizes beyond the rule's exact
+  * form. At 100 TB the heuristic labels a small sample, the model scores
+  * the full corpus with one narrow, shuffle-free projection.
+  *
+  * Determinism & oracle strategy: LBFGS on a fixed dataset is
+  * deterministic per process, but the oracle never depends on the
+  * optimizer landing anywhere in particular — the fitted coefficients are
+  * DUMPED (`quality_model_coefs`), the per-document margin is computed
+  * from those same coefficients as an EXPLICIT left-to-right literal
+  * arithmetic chain (never a vector dot with unspecified order), and the
+  * DuckDB oracle replays the identical chain from the dumped features and
+  * coefficients — IEEE double ops in the same order are bit-identical on
+  * both engines. The rounded margin carries the repo's standard +1e-9
+  * half-way nudge.
+  *
+  * Scale notes: featurization is one narrow codegen projection (no UDF,
+  * no shuffle); each LBFGS iteration broadcasts one 5-coefficient vector
+  * and tree-aggregates gradients — fixed per-iteration communication like
+  * K-Means; scoring the corpus is a pure map. Nothing here shuffles the
+  * corpus at all.
+  */
+object QualityClassifier {
+
+  val featureNames: Seq[String] =
+    Seq("f_len", "f_stop", "f_punct", "f_digit", "f_wordlen")
+
+  /** Per-document features + the heuristic weak label, one codegen
+    * projection over `documents`. Every ratio is a single division of
+    * exact integers (bit-identical in any engine); the weak label is the
+    * textStats gate `quality_score >= 0.5` decided in EXACT integer
+    * arithmetic (scoreNum·2 >= scoreDen), so no float boundary can flip it.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = spread(docs).select(
+      col("doc_id"),
+      length(coalesce(col("text"), lit(""))).as("len_i"),
+      size(toks).as("n_tok_i"),
+      size(filter(toks, w =>
+        w.isin("the", "a", "of", "and", "to", "in", "is"))).as("n_stop_i"),
+      (length(coalesce(col("text"), lit(""))) -
+        length(regexp_replace(coalesce(col("text"), lit("")), "[\\p{Punct}]", "")))
+        .as("n_punct_i"),
+      (length(coalesce(col("text"), lit(""))) -
+        length(regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "")))
+        .as("n_digit_i"))
+    val gLen = greatest(col("len_i"), lit(1))
+    val gTok = greatest(col("n_tok_i"), lit(1))
+    // same integer score as TextAnalysis.textStatsOf (the distilled gate):
+    // 0.5·min(len/500,1) + 0.3·stop_ratio + 0.2·(1−punct_ratio) >= 0.5
+    val scoreNum = least(col("len_i"), lit(500)).cast("long") * gTok.cast("long") * gLen.cast("long") +
+      lit(300L) * col("n_stop_i") * gLen.cast("long") +
+      lit(200L) * (gLen.cast("long") - col("n_punct_i")) * gTok.cast("long")
+    val scoreDen = lit(1000L) * gTok.cast("long") * gLen.cast("long")
+    base.select(
+      col("doc_id"),
+      (least(col("len_i"), lit(500)).cast("double") / 500.0).as("f_len"),
+      (col("n_stop_i").cast("double") / gTok).as("f_stop"),
+      (col("n_punct_i").cast("double") / gLen).as("f_punct"),
+      (col("n_digit_i").cast("double") / gLen).as("f_digit"),
+      (col("len_i").cast("double") / gTok).as("f_wordlen"),
+      (scoreNum * 2 >= scoreDen).cast("int").as("weak_label"))
+  }
+
+  /** Seeded, bounded fit: maxIter 100, tiny L2 so margins stay finite on
+    * the (linearly separable by construction) weak labels. */
+  def fit(feats: DataFrame): LogisticRegressionModel = {
+    val assembled = feats.select(
+      col("weak_label").cast("double").as("label"),
+      array_to_vector(array(featureNames.map(col): _*)).as("features"))
+    new LogisticRegression()
+      .setMaxIter(100).setRegParam(1e-4).setTol(1e-9)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(assembled)
+  }
+
+  /** The ONE fixture fit per (process, sf dir) — the coefs dump, the
+    * scores, and the eval rollup must all see the SAME model (the
+    * standing-model pattern of [[TextClustering]] /
+    * [[graft.operators.Similarity.standingIndex]]). */
+  private val standing =
+    scala.collection.concurrent.TrieMap.empty[String, (Double, Array[Double])]
+
+  private def fittedCoefs(spark: SparkSession, sfDir: String): (Double, Array[Double]) =
+    standing.getOrElseUpdate(sfDir, {
+      val feats = features(Tables.documents(spark, sfDir)).persist()
+      try {
+        val m = fit(feats)
+        (m.intercept, m.coefficients.toArray)
+      } finally feats.unpersist()
+    })
+
+  /** Registered dump (it IS the oracle input): the fitted model —
+    * intercept + one coefficient per feature. Bounded: 6 rows. */
+  def coefsEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (b, w) = fittedCoefs(spark, sfDir)
+    (("__intercept", b) +: featureNames.zip(w.toSeq))
+      .toDF("feature", "coef")
+  }
+
+  /** Registered query: per-document features, margin, and prediction from
+    * the standing fit. The margin is built as literal arithmetic in the
+    * exact left-to-right order the oracle replays:
+    * b + w0·f_len + w1·f_stop + w2·f_punct + w3·f_digit + w4·f_wordlen.
+    */
+  def scoresEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val (b, w) = fittedCoefs(spark, sfDir)
+    val margin = featureNames.zip(w).foldLeft(lit(b): org.apache.spark.sql.Column) {
+      case (acc, (f, c)) => acc + lit(c) * col(f)
+    }
+    features(Tables.documents(spark, sfDir))
+      .withColumn("margin", round(margin + 1e-9, 6))
+      .withColumn("predicted", (margin > 0.0).cast("int"))
+      .select((col("doc_id") +: featureNames.map(col)) ++
+        Seq(col("weak_label"), col("margin"), col("predicted")): _*)
+  }
+
+  /** Registered query: confusion rollup of the distilled classifier
+    * against its weak-label teacher — the acceptance report a corpus
+    * build would gate on. The margin aggregate travels as exact integer
+    * micros (round(margin·1e6) of the 6-dp-rounded margin is an exact
+    * long), so the sum is order-independent — an avg of raw doubles would
+    * be engine-order-dependent and is deliberately avoided. Oracle: DuckDB
+    * re-aggregates the scores dump. */
+  def evalEntry(spark: SparkSession, sfDir: String): DataFrame =
+    scoresEntry(spark, sfDir)
+      .groupBy(col("weak_label"), col("predicted"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("margin") * 1e6).cast("long")).as("sum_margin_micros"))
+      .orderBy(col("weak_label"), col("predicted"))
+}

@@ -57,6 +57,19 @@ object Media {
       mean_amplitude: Double, // of |signed 8-bit PCM|, exact multiple of 1/n
       zero_crossings: Long)
 
+  /** One sampled video frame: typed row the frame-explode stage emits. */
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      offset_ms: Long,
+      frame: Array[Byte])
+
+  final case class VideoFrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      offset_ms: Long,
+      mean_luma: Double) // exact multiple of 1/frameBytes — double-exact
+
   /** DETERMINISTIC FAKE codec — stands in for libjpeg/ffmpeg/etc., which are
     * not in this container. Every function is a pure, seeded transform of
     * the payload bytes so specs can assert exact values; the signatures are
@@ -250,16 +263,74 @@ object Media {
   /** Sample every `everyMs` milliseconds of a video into frame rows —
     * the explode happens BEFORE decode so frames parallelize downstream. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
-      frameBytes: Int = 64): DataFrame = {
+      frameBytes: Int = 64): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.mediaType == "video")
       .flatMap { r =>
         val n = math.max(1L, r.meta.durationMs / everyMs).toInt
         (0 until n).iterator.map { f =>
-          (r.media_id, f, f * everyMs,
+          FrameRow(r.media_id, f, f * everyMs,
             FakeCodec.frameAt(r.payload, f, frameBytes))
         }
       }
-      .toDF("media_id", "frame_idx", "offset_ms", "frame")
+  }
+
+  /** Per-frame decode + feature extraction — same batched per-partition
+    * shape as [[imageFeatures]]. Runs AFTER the frame explode, so a long
+    * video's frames are spread across tasks instead of pinning one. The
+    * mean is an exact multiple of 1/frame.length with magnitude ≤ 255, so
+    * it is bit-identical in any engine and any evaluation order. */
+  def videoFrameFeatures(frames: Dataset[FrameRow],
+      batchSize: Int = 64): Dataset[VideoFrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real adapter would init the native codec here, once per batch
+        batch.iterator.map { r =>
+          var sum = 0L
+          r.frame.foreach(b => sum += (b & 0xff))
+          VideoFrameFeatures(r.media_id, r.frame_idx, r.offset_ms,
+            sum.toDouble / r.frame.length)
+        }
+      }
+    }
+  }
+
+  /** Registered companion of [[videoFeatureRollup]] ({OUT}-oracle input):
+    * per-frame decoded features of the sampled synthetic videos. No array
+    * or binary columns — comparer-safe by construction. */
+  def videoFeatureDump(spark: SparkSession, sfDir: String): DataFrame =
+    videoFrameFeatures(
+      sampleFrames(synthesize(spark, n = 500, mediaType = "video"),
+        everyMs = 250)).toDF()
+
+  /** Registered query: the video leg of the multimodal triad — frame
+    * sampling (explode-before-decode), batched per-frame decode, then a
+    * per-video rollup with a scene-cut count from an event-ordered window
+    * (`lag` over frame_idx). One Exchange on media_id serves both the
+    * window and the final aggregate. Oracle: DuckDB replays the window +
+    * rollup from the per-frame dump.
+    *
+    * Determinism: every mean_luma is an exact multiple of 1/64 with
+    * magnitude ≤ 255 — sums, differences, and the >16.0 comparison are all
+    * exact in double on both engines; avg is rounded with the +1e-9
+    * half-way nudge like every rounded ratio in this repo. */
+  def videoFeatureRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feats = videoFrameFeatures(
+      sampleFrames(synthesize(spark, n = 500, mediaType = "video"),
+        everyMs = 250)).toDF()
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    feats
+      .withColumn("prev_luma", lag($"mean_luma", 1).over(w))
+      .groupBy($"media_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        round(avg($"mean_luma") + 1e-9, 4).as("avg_luma"),
+        sum(when($"prev_luma".isNotNull &&
+          abs($"mean_luma" - $"prev_luma") > 16.0, 1L).otherwise(0L))
+          .as("n_scene_cuts"))
+      .orderBy($"media_id")
   }
 }

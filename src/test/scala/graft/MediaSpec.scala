@@ -63,6 +63,49 @@ class MediaSpec extends SparkTestBase {
     assert(Media.sampleFrames(Media.synthesize(spark, 5), 1000).count() == 0)
   }
 
+  test("videoFrameFeatures + rollup: deterministic, exact means, correct scene cuts") {
+    // crafted 2-frame video: frame 0 all 0x10 (mean 16), frame 1 all 0x40
+    // (mean 64) → one scene cut at |64-16| = 48 > 16
+    val crafted = Seq(Media.MediaRow(0L, 0L,
+      Media.MediaMeta("video", 0, 0, 0, 2000L, "fake"),
+      Array.fill[Byte](8)(0x10) ++ Array.fill[Byte](8)(0x40))).toDS()
+    val frames = Media.sampleFrames(crafted, everyMs = 1000, frameBytes = 8)
+    val feats = Media.videoFrameFeatures(frames).collect().sortBy(_.frame_idx)
+    assert(feats.map(_.mean_luma).toSeq == Seq(16.0, 64.0))
+
+    // synthetic path: one feature row per frame, means exact multiples of
+    // 1/64 in [0,255], invariant to batch size and partitioning
+    val vids = Media.synthesize(spark, 20, mediaType = "video")
+    val f1 = Media.videoFrameFeatures(Media.sampleFrames(vids, 250), batchSize = 7)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.mean_luma).toMap
+    assert(f1.size == 20 * 16)
+    f1.values.foreach { m =>
+      assert(m >= 0 && m <= 255)
+      assert(m * 64 == math.rint(m * 64)) // exact multiple of 1/64
+    }
+    val f2 = Media.videoFrameFeatures(
+      Media.sampleFrames(vids.repartition(5), 250), batchSize = 1000)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.mean_luma).toMap
+    assert(f1 == f2)
+
+    // rollup: registered entry shape — one row per video, n_frames = 16,
+    // scene cuts match a hand-rolled recount from the frame features
+    val roll = graft.multimodal.Media.videoFeatureRollup(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(roll.size == 500)
+    assert(roll.values.forall(_._1 == 16L))
+    val dump = Media.videoFeatureDump(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val recount = dump.groupBy(_._1).map { case (id, fs) =>
+      val byIdx = fs.sortBy(_._2).map(_._3).toSeq
+      id -> byIdx.sliding(2).count {
+        case Seq(a, b) => math.abs(b - a) > 16.0
+        case _         => false
+      }.toLong
+    }
+    assert(roll.map { case (id, (_, cuts)) => id -> cuts } == recount)
+  }
+
   test("audioFeatures: crafted PCM gives exact amplitude and crossings; deterministic") {
     val crafted = Seq(Media.MediaRow(0L, 0L,
       Media.MediaMeta("audio", 0, 0, 16000, 0L, "fake"),
