@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Decontamination, Dedup, DupSpans, EventAnalytics, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, DupSpans, EventAnalytics, LineClean, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -173,6 +173,12 @@ object SparkEntry {
     // BPE tokenizer training's first step: frequency-weighted adjacent
     // char-pair counts (within-word multiplicity kept) — wordcount shape
     "bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
+    // full BPE tokenizer: driver-side learn over the bounded word-count
+    // table, broadcast-rank apply; the iterative learn is a dump, the
+    // usage rollup over it is the oracle-checked derivation
+    "bpe_merges" -> (Bpe.mergesEntry _), // rows-only (iterative learn has no SQL twin)
+    "bpe_tokenized" -> (Bpe.tokenizedEntry _), // rows-only (it IS the oracle input)
+    "bpe_vocab_usage" -> (Bpe.vocabUsageEntry _),
     // exact-substring spans (Lee et al. 2022 relationally): positional
     // 8-grams occurring 2+ times corpus-wide, overlapping windows merged
     // gap-and-island; dup-gram set broadcast, corpus positions never
@@ -207,10 +213,17 @@ object SparkEntry {
     // quality score + repetition gates composed — the published recipes
     // layer exactly these two filter families
     "quality_gated_corpus" -> ((s, d) => Pipelines.qualityGatedCorpus(s, d)),
+    // C4 line-level cleaning (fixture-calibrated rule config; the full
+    // published config is spec-tested on crafted multi-line pages)
+    "line_cleaned_corpus" -> (LineClean.lineCleanedCorpus _),
     "stratified_sample" -> (Sampling.stratifiedSample _),
     // deterministic train/val/test bands over md5(doc_id): disjoint and
     // exhaustive by construction, docs never migrate as the corpus grows
     "corpus_splits" -> ((s, d) => Sampling.corpusSplits(s, d)),
+    // reproducible multi-epoch data order: fixed shard membership,
+    // per-epoch md5 reshuffle within each shard, per-shard row_number —
+    // nothing global-sorts
+    "training_order" -> ((s, d) => Sampling.trainingOrder(s, d)),
     // per-shard audit of the 16-way md5-mod training-shard layout (the
     // write path is Sampling.writeTrainingShards; SamplingSpec pins both)
     "corpus_shards" -> ((s, d) => Sampling.corpusShards(s, d)),
@@ -1035,6 +1048,13 @@ object SparkEntry {
         "i -> word[i:i+1])) AS pair FROM w WHERE len(word) >= 2) " +
         "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
         "ORDER BY n DESC, pair LIMIT 50"),
+    // BPE usage rollup re-exploded from the tokenized dump (the learn loop
+    // lives in the dumps; the aggregation derivation is what's checked)
+    "bpe_vocab_usage" ->
+      ("SELECT token, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/bpe_tokenized/*.parquet')) " +
+        "WHERE token <> '' GROUP BY token"),
     // exact-gram twin of the hashed-gram Spark plan (xxhash64 keys can only
     // ADD covered positions, at ~B²/2^65 expected colliding pairs); same
     // island merge via lag/sum windows
@@ -1159,6 +1179,16 @@ object SparkEntry {
         "len(toks) AS n_tokens FROM t) " +
         "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
         "FROM s GROUP BY shard ORDER BY shard"),
+    // reproducible training order: same md5-shard idiom as corpus_shards,
+    // per-epoch hash reshuffle + per-(epoch,shard) row_number replayed
+    "training_order" ->
+      ("WITH e AS (SELECT doc_id, unnest(generate_series(0, 1)) AS epoch FROM documents), " +
+        "s AS (SELECT doc_id, epoch, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, " +
+        "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h FROM e) " +
+        "SELECT CAST(epoch AS BIGINT) AS epoch, shard, " +
+        "CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos, " +
+        "doc_id FROM s"),
     // quality score + repetition gates composed (shared subquery twins)
     "quality_gated_corpus" ->
       (s"WITH s AS ($textStatsSql), r AS ($repetitionStatsSql) " +
@@ -1166,6 +1196,20 @@ object SparkEntry {
         "FROM s JOIN r ON s.doc_id = r.doc_id " +
         "WHERE s.quality_score >= 0.45 AND r.dup_line_frac <= 0.3 " +
         "AND r.top_bigram_frac <= 0.2"),
+    // C4 line tier, fixture config: split on newline, keep lines with >=30
+    // whitespace tokens and no banned substring, drop docs left empty or
+    // carrying a page-level ban — every rule plain SQL in both engines
+    "line_cleaned_corpus" ->
+      ("WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), " +
+        "s AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d), " +
+        "k AS (SELECT doc_id, t, lines, " +
+        "list_filter(lines, l -> len(string_split_regex(trim(l), '\\s+')) >= 30 " +
+        "AND NOT contains(lower(l), 'javascript')) AS kept FROM s) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_lines_kept, " +
+        "array_to_string(kept, chr(10)) AS cleaned_text FROM k " +
+        "WHERE len(kept) >= 1 AND NOT contains(lower(t), 'lorem ipsum') " +
+        "AND NOT contains(lower(t), '{')"),
     "lang_profile" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "round(avg(len(coalesce(text,''))), 2) AS avg_len, " +

@@ -196,6 +196,36 @@ object Sampling {
         .otherwise(hashGate($"doc_id", 0.5)))
       .select($"doc_id", $"lang")
 
+  /** Registered query: deterministic multi-epoch training order — the
+    * reproducible data-order contract a training run needs (resume from a
+    * checkpoint, re-run a divergence, ablate data order — all demand the
+    * exact same sequence every time, on any engine).
+    *
+    * Layout: shard membership is FIXED across epochs (the
+    * [[writeTrainingShards]] md5 layout — readers keep data locality);
+    * the READ ORDER within each (epoch, shard) reshuffles per epoch by
+    * ordering on md5(epoch:doc_id). The global training order is
+    * (epoch, shard-interleave, pos) — the standard shard-parallel reader.
+    *
+    * Scale: the only sort is `row_number` partitioned by (epoch, shard) —
+    * each task orders one shard's slice; nothing ever global-sorts, and
+    * position assignment parallelizes across epochs × shards. Oracle:
+    * DuckDB replays hash, shard, and window verbatim.
+    */
+  def trainingOrder(spark: SparkSession, sfDir: String,
+      nEpochs: Int = 2, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string")))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(sequence(lit(0), lit(nEpochs - 1))).as("epoch"))
+      .withColumn("shard", shardOf($"doc_id", nShards))
+      .withColumn("__h", h)
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy($"epoch", $"shard").orderBy($"__h", $"doc_id"))
+        .cast("long"))
+      .select($"epoch".cast("long").as("epoch"), $"shard", $"pos", $"doc_id")
+  }
+
   /** Registered query: per-event-type deterministic sample of k distinct
     * users via the [[graft.functions.Aggregators.BottomKByHash]] typed
     * Aggregator — a MERGEABLE partial aggregate (each task holds ≤ k

@@ -252,4 +252,37 @@ class SamplingSpec extends SparkTestBase {
     }.sum
     assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
   }
+
+  test("trainingOrder: complete, shard-stable across epochs, epoch-reshuffled within shards") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min}
+    val order = Sampling.trainingOrder(spark, sf, nEpochs = 2, nShards = 8).persist()
+    try {
+      val nDocs = graft.sources.Tables.documents(spark, sf).count()
+      assert(order.count() == 2 * nDocs) // every doc appears once per epoch
+      // positions within each (epoch, shard) are a contiguous 1..n run
+      val badRuns = order.groupBy($"epoch", $"shard")
+        .agg(min($"pos").as("lo"), max($"pos").as("hi"),
+          count(lit(1)).as("n"))
+        .filter($"lo" =!= 1L || $"hi" =!= $"n").count()
+      assert(badRuns == 0)
+      // shard membership is epoch-independent...
+      val shardsPerDoc = order.groupBy($"doc_id")
+        .agg(countDistinct($"shard").as("s")).filter($"s" =!= 1L).count()
+      assert(shardsPerDoc == 0)
+      // ...but the within-shard order differs between epochs (the reshuffle)
+      val e0 = order.filter($"epoch" === 0L)
+        .select($"shard", $"pos", $"doc_id".as("d0"))
+      val e1 = order.filter($"epoch" === 1L)
+        .select($"shard", $"pos", $"doc_id".as("d1"))
+      val moved = e0.join(e1, Seq("shard", "pos"))
+        .filter($"d0" =!= $"d1").count()
+      assert(moved > 0, "epoch reshuffle had no effect")
+      // deterministic: a repartitioned re-run yields the identical order
+      val again = Sampling.trainingOrder(spark, sf, nEpochs = 2, nShards = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val first = order.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(first == again)
+    } finally order.unpersist()
+  }
 }
