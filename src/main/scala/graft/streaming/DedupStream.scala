@@ -124,11 +124,22 @@ object DedupStream {
       appendAfterProbe: Boolean = true, buckets: Int = 0,
       maxBucketSize: Int = 1000, minQuality: Double = Double.NegativeInfinity,
       redactPii: Boolean = false, trimSpans: Boolean = false,
-      spanN: Int = 8, spanMinOccurrences: Int = 2)
+      spanN: Int = 8, spanMinOccurrences: Int = 2,
+      lineRules: Option[graft.operators.LineClean.Rules] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // optional C4 line tier FIRST, as in the batch composition order
+        // (clean → dedup): page drops and line trims happen before any
+        // hashing, so the content identity the index tracks is the text
+        // that would ship — a re-arriving raw page re-cleans to the same
+        // text and still collides. Shuffle-free per-row stage.
+        val batch = lineRules.map { r =>
+          graft.operators.LineClean
+            .cleanLines(rawBatch.select($"doc_id", $"text"), r)
+            .select($"doc_id", $"cleaned_text".as("text"))
+        }.getOrElse(rawBatch)
         val keep = Dedup.exactDedupOf(batch)
           .select($"keep_doc_id".as("doc_id"))
         val inBatchDrops = Dedup

@@ -195,6 +195,46 @@ class DedupStreamSpec extends SparkTestBase {
     assert(!got(3L).contains("subscribe"))
   }
 
+  test("ingest with the C4 line tier: clean-before-dedup collapses pages that differ only in junk") {
+    import graft.operators.LineClean
+    val good1 = "The first sentence has at least five words."
+    val good2 = "The second sentence also has enough words here."
+    val good3 = "A third full sentence keeps the page alive."
+    val other = Seq("Entirely different opening sentence with many words.",
+      "Another unrelated line that clearly has enough words.",
+      "The closing sentence of the other page stands alone.").mkString("\n")
+    val standing = Seq((900L, "Standing corpus text that matches nothing else here."))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(standing, "band_idx_lineclean", buckets = 2)
+    val benchmark = Seq((990L, "benchmark text far away from everything"))
+      .toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, String]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.ingestQuery(
+      ms.toDF().toDF("doc_id", "text"), standing, "band_idx_lineclean",
+      benchmark, lineRules = Some(LineClean.c4)) { (clean, _) =>
+      got ++= clean.select($"doc_id", $"text").as[(Long, String)].collect()
+    }.start()
+    try {
+      ms.addData(
+        // page 1 and page 2: same three good lines, different junk → after
+        // cleaning they are byte-identical; exact dedup keeps doc 1
+        (1L, Seq(good1, "tiny", good2, good3).mkString("\n")),
+        (2L, Seq(good1, good2, "Enable JavaScript to continue reading.", good3).mkString("\n")),
+        // page 3: nothing survives the line tier → page dropped
+        (3L, Seq("short", "no punctuation line here at all", "x").mkString("\n")),
+        // page 4: distinct clean content → survives
+        (4L, other))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_lineclean")
+    }
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L) == Seq(good1, good2, good3).mkString("\n")) // junk line gone
+    assert(got(4L) == other)
+  }
+
   test("probe-then-append finds a duplicate of an earlier micro-batch") {
     val text1 = "an entirely novel document about streaming ingest loops"
     val text2 = "an entirely novel document about streaming ingest loops!"
