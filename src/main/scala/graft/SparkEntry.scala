@@ -119,6 +119,9 @@ object SparkEntry {
     // retrieval-quality eval: label precision@10 over the exact top-k —
     // ranking, label joins, and arithmetic all replayed by the oracle
     "retrieval_label_precision" -> ((s, d) => Similarity.retrievalLabelPrecision(s, d)),
+    // retrieval returning documents (the RAG fetch shape): ranking side
+    // broadcasts, the corpus never shuffles
+    "semantic_search_docs" -> ((s, d) => Similarity.semanticSearchDocs(s, d)),
     // IVF: assignments + probed cells dumped (they ARE the oracle inputs),
     // the ranking oracle-checked — DuckDB replays the pruned scan + exact
     // rescoring from the dumps, so the approximation is captured in the
@@ -902,6 +905,21 @@ object SparkEntry {
         "SELECT query_id, vec_id, cosine, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // document-fetch retrieval: the cosine_topk construction joined to the
+    // documents payload (1-based substr agrees between engines)
+    "semantic_search_docs" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id), " +
+        "topk AS (SELECT query_id, vec_id, cosine, rk FROM (" +
+        "SELECT query_id, vec_id, cosine, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10) " +
+        "SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, d.doc_id, t.cosine, " +
+        "d.lang, substr(d.text, 1, 40) AS snippet " +
+        "FROM topk t JOIN documents d ON d.doc_id = t.vec_id " +
+        "ORDER BY t.query_id, t.rk"),
     // label precision@10 over the same exact ranking: joins + arithmetic
     // on top of the cosine_topk construction
     "retrieval_label_precision" ->

@@ -102,6 +102,23 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** Registered query: semantic search returning DOCUMENTS, not ids — the
+    * retrieval shape a RAG/inspection workflow actually consumes. The exact
+    * cosine top-k ([[cosineTopK]]) joins the `documents` table for payload
+    * (language + a snippet). Join topology: the RANKING side is tiny
+    * (queries × k rows) and broadcasts; the corpus side never shuffles —
+    * at 100 TB the fetch is a broadcast-hash probe into the document scan.
+    * Fully oracle-checked: DuckDB replays ranking, join, and snippet. */
+  def semanticSearchDocs(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val topk = cosineTopK(spark, sfDir, numQueries, k)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", substring($"text", 1, 40).as("snippet"))
+      .join(broadcast(topk), $"doc_id" === $"vec_id")
+      .select($"query_id", $"rk", $"doc_id", $"cosine", $"lang", $"snippet")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** A built IVF index: the corpus bucketed by nearest coarse centroid plus
     * the (small, driver-side) centroid matrix. Build ONCE, query many — in
     * production the bucketed frame is written out partitioned by `cell`

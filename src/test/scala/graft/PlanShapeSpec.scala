@@ -263,7 +263,10 @@ class PlanShapeSpec extends SparkTestBase {
     // Extending the whitelist is a deliberate act, not a test fix.
     val bnljByDesign = Set("cosine_topk", "embedding_near_dup_scale",
       "pq_adc_topk", "pq_adc_topk_indexed", "pq_rerank_topk",
-      "retrieval_label_precision")
+      "retrieval_label_precision",
+      // the document-fetch composition embeds cosine_topk's query-sized
+      // broadcast scorer; the fetch itself is a broadcast-hash equi-join
+      "semantic_search_docs")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

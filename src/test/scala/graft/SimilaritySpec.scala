@@ -138,6 +138,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(full > 0, "no appended vector ever surfaced in a full probe")
   }
 
+  test("semanticSearchDocs: ranking preserved, payload joined faithfully") {
+    val topk = Similarity.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val got = Similarity.semanticSearchDocs(spark, sf).collect()
+    assert(got.length == topk.size) // every ranked id resolved to a document
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    got.foreach { r =>
+      val (qid, rk, did) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(topk((qid, rk)) == did) // same ranking as the pure top-k
+      val (lang, text) = docs(did)
+      assert(r.getString(4) == lang)
+      assert(r.getString(5) == Option(text).map(_.take(40)).orNull)
+    }
+  }
+
   test("IVF top-k recalls a usable fraction of the exact top-k") {
     val exact = Similarity.cosineTopK(spark, sf)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
