@@ -56,6 +56,9 @@ object SparkEntry {
     // one-scan per-column data-quality profile (nulls/distinct/min/max),
     // stacked to long form
     "documents_profile" -> (Profile.documentsProfile _),
+    // embedding-table audit gate: dims, zero/NaN vectors, norm mass —
+    // double-cast squares, 6-dp norms, integer-micros aggregate
+    "embedding_profile" -> (Profile.embeddingProfile _),
     // release-to-release snapshot diff: one co-partitioned full-outer join
     // classifying added/removed/changed/unchanged by content hash
     "corpus_diff" -> (Profile.documentsDiff _),
@@ -699,6 +702,20 @@ object SparkEntry {
         "FROM ex JOIN v USING (token) GROUP BY 1) " +
         "SELECT doc_id, n_tokens, " +
         "round(sum_cnt::DOUBLE / (n_tokens * (SELECT n FROM tot))::DOUBLE + 1e-9, 6) AS mean_token_freq FROM d"),
+    // embedding audit twin: double-cast squares (a float×float square
+    // rounds differently), IEEE-exact sqrt rounded at 6 dp, norm mass as
+    // exact integer micros so the per-label sum is order-independent
+    "embedding_profile" ->
+      ("WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL " +
+        "ELSE round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) + 1e-9, 6) END AS norm, " +
+        "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan FROM embeddings) " +
+        "SELECT label, count(*) AS n_vecs, min(dim) AS min_dim, max(dim) AS max_dim, " +
+        "CAST(sum(CASE WHEN norm < 0.0001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+        "CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan, " +
+        "CAST(sum(CAST(round(norm * 1e6) AS BIGINT)) AS BIGINT) AS sum_norm_micros, " +
+        "min(norm) AS min_norm, max(norm) AS max_norm " +
+        "FROM v GROUP BY label ORDER BY label"),
     // per-column null/distinct/range audit, one UNION ALL branch per column
     "documents_profile" ->
       (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

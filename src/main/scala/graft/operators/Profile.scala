@@ -85,4 +85,50 @@ object Profile {
       Tables.documents(spark, sfDir),
       Pii.plantedDocs(spark, sfDir).filter($"doc_id" % 7 =!= 0)
         .select($"doc_id", $"txt".as("text")))
+
+  /** Registered query: the embedding-table twin of [[documentsProfile]] —
+    * the per-label audit an embedding pipeline gates on before indexing:
+    * row counts, dimension bounds (a ragged dim is a broken encoder
+    * export), zero-norm and NaN counts (dead or poisoned vectors), and
+    * L2-norm mass/extremes (an un-normalized batch shifts these).
+    *
+    * One hash-agg over a narrow projection; nothing shuffles but the
+    * per-label partials. Determinism: squares are computed in DOUBLE on
+    * both engines (the float element is cast before multiplying — a
+    * float×float square rounds differently), per-row norms are rounded at
+    * 6 dp (IEEE sqrt is correctly rounded, so the engines agree to the
+    * ulp), and the norm aggregate travels as exact integer micros — the
+    * min/max of identical rounded sets are order-safe, a raw double sum
+    * would not be. */
+  def embeddingProfile(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingProfileOf(Tables.embeddings(spark, sfDir))
+
+  /** [[embeddingProfile]] over any (label, embedding) frame — the form an
+    * ingest micro-batch feeds before touching the index. */
+  def embeddingProfileOf(embs: DataFrame): DataFrame = {
+    val sq = aggregate(
+      transform($"embedding", x => x.cast("double")),
+      lit(0d), (acc, x) => acc + x * x)
+    // a NaN element poisons the norm: report it via n_nan and carry the
+    // norm as NULL so every norm aggregate (min/max/micros-sum) skips it
+    // identically in both engines — an ANSI cast of NaN to long would
+    // throw, and NaN min/max ordering differs between engines
+    val hasNan = exists($"embedding", x => isnan(x))
+    embs
+      .select($"label",
+        size($"embedding").cast("long").as("dim"),
+        when(!hasNan, round(sqrt(sq) + 1e-9, 6)).as("norm"),
+        hasNan.as("has_nan"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min($"dim").as("min_dim"),
+        max($"dim").as("max_dim"),
+        sum(when($"norm" < 1e-4, 1L).otherwise(0L)).as("n_zero"),
+        sum(when($"has_nan", 1L).otherwise(0L)).as("n_nan"),
+        sum(round($"norm" * 1e6).cast("long")).as("sum_norm_micros"),
+        min($"norm").as("min_norm"),
+        max($"norm").as("max_norm"))
+      .orderBy($"label")
+  }
 }

@@ -48,6 +48,40 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingProfile: exact norms, zero/NaN/ragged-dim detection") {
+    import graft.operators.Profile
+    val crafted = Seq(
+      (0, Array(3f, 4f)),                    // norm 5
+      (0, Array(0f, 0f)),                    // zero vector
+      (1, Array(1f, 0f, 0f)),                // ragged dim within label 1
+      (1, Array(Float.NaN, 1f)),             // NaN vector, norm NaN-ish
+      (1, Array(6f, 8f))                     // norm 10
+    ).toDF("label", "embedding")
+    val out = Profile.embeddingProfileOf(crafted)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_vecs") == 2)
+    assert(l0.getAs[Long]("min_dim") == 2 && l0.getAs[Long]("max_dim") == 2)
+    assert(l0.getAs[Long]("n_zero") == 1)
+    assert(l0.getAs[Long]("n_nan") == 0)
+    assert(l0.getAs[Double]("max_norm") == 5.0)
+    val l1 = out(1)
+    assert(l1.getAs[Long]("n_vecs") == 3)
+    assert(l1.getAs[Long]("min_dim") == 2 && l1.getAs[Long]("max_dim") == 3)
+    assert(l1.getAs[Long]("n_nan") == 1)
+    // the NaN vector's norm is NULL by contract → max sees only finite norms
+    assert(l1.getAs[Double]("max_norm") == 10.0)
+    // fixture entry: every vector is 64-dim, clean, norms positive
+    val fix = Profile.embeddingProfile(spark, sf).collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      assert(r.getAs[Long]("min_dim") == 64L && r.getAs[Long]("max_dim") == 64L)
+      assert(r.getAs[Long]("n_zero") == 0 && r.getAs[Long]("n_nan") == 0)
+      assert(r.getAs[Double]("min_norm") > 0)
+      assert(r.getAs[Long]("sum_norm_micros") > 0)
+    }
+  }
+
   test("valueOutliers equals the driver-side integer z-test, and is 3-sigma-sane") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"event_type", $"value")
