@@ -197,4 +197,52 @@ class PropertySpec extends SparkTestBase {
         s"exact dup pair ${2 * i}/${2 * i + 1} missed")
     }
   }
+
+  test("line cleaning is idempotent: clean(clean(x)) == clean(x)") {
+    import graft.operators.LineClean
+    // random multi-line pages: each line a random word sequence, sometimes
+    // punctuated, sometimes carrying a banned substring
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "javascript", "lorem", "ipsum", "{brace}")
+    val line = for {
+      ws <- Gen.listOf(word)
+      end <- Gen.oneOf(".", "!", "?", "", " ", "...")
+    } yield ws.mkString(" ") + end
+    val page = Gen.listOf(line).map(_.mkString("\n"))
+    val docs = sample(page, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = LineClean.cleanLines(docs, LineClean.c4)
+      .select($"doc_id", $"cleaned_text").persist()
+    try {
+      val twice = LineClean.cleanLines(
+        once.select($"doc_id", $"cleaned_text".as("text")), LineClean.c4)
+      // every survivor survives again, with byte-identical text and counts
+      val joined = once.join(twice.select($"doc_id",
+        $"n_lines_kept", $"cleaned_text".as("again")), "doc_id")
+      assert(twice.count() == once.count())
+      assert(joined.filter($"cleaned_text" =!= $"again").count() == 0)
+      // and kept lines all individually satisfy the line rules
+      val offenders = twice.filter($"n_lines" =!= $"n_lines_kept").count()
+      assert(offenders == 0, "a kept line failed the rules on re-clean")
+    } finally once.unpersist()
+  }
+
+  test("BPE partition invariant on random words and random learned merges") {
+    import graft.operators.Bpe
+    val word = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    val corpus = sample(Gen.zip(word, Gen.chooseNum(1L, 50L)), 60)
+    val merges = Bpe.learnMerges(corpus, numMerges = 30)
+    val rank = merges.zipWithIndex.toMap
+    // tokens always concatenate back to the word; never empty for a
+    // non-empty word; token count never exceeds char count
+    sample(word, 200).foreach { w =>
+      val toks = Bpe.applyMerges(w, rank)
+      assert(toks.mkString == w)
+      assert(toks.nonEmpty && toks.length <= w.length)
+      assert(toks.forall(_.nonEmpty))
+    }
+    // learn determinism: same corpus → same merges
+    assert(Bpe.learnMerges(corpus, numMerges = 30) == merges)
+  }
 }
