@@ -59,6 +59,9 @@ object SparkEntry {
     // embedding-table audit gate: dims, zero/NaN vectors, norm mass —
     // double-cast squares, 6-dp norms, integer-micros aggregate
     "embedding_profile" -> (Profile.embeddingProfile _),
+    // per-source curation decision table: volume, exact-dup and
+    // contamination counts, quality mass in exact integer units
+    "source_curation_report" -> (Profile.sourceCurationReport _),
     // release-to-release snapshot diff: one co-partitioned full-outer join
     // classifying added/removed/changed/unchanged by content hash
     "corpus_diff" -> (Profile.documentsDiff _),
@@ -702,6 +705,23 @@ object SparkEntry {
         "FROM ex JOIN v USING (token) GROUP BY 1) " +
         "SELECT doc_id, n_tokens, " +
         "round(sum_cnt::DOUBLE / (n_tokens * (SELECT n FROM tot))::DOUBLE + 1e-9, 6) AS mean_token_freq FROM d"),
+    // per-source curation twin: dedup identity = grouped text content
+    // (min-doc_id keeper), contamination membership from the shared sweep
+    // CTE, quality mass in exact 1e-4 units of the 4-dp-rounded score
+    "source_curation_report" ->
+      (s"WITH st AS ($textStatsSql), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY coalesce(text, '')), " +
+        s"ct AS ($ngramContaminationSql), " +
+        "cd AS (SELECT DISTINCT doc_id FROM ct) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs, " +
+        "CAST(sum(CASE WHEN cd.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated_docs, " +
+        "CAST(sum(st.n_tokens) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(CAST(round(st.quality_score * 1e4) AS BIGINT)) AS BIGINT) AS sum_quality_units " +
+        "FROM documents d JOIN st ON st.doc_id = d.doc_id " +
+        "LEFT JOIN k ON k.doc_id = d.doc_id " +
+        "LEFT JOIN cd ON cd.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     // embedding audit twin: double-cast squares (a float×float square
     // rounds differently), IEEE-exact sqrt rounded at 6 dp, norm mass as
     // exact integer micros so the per-label sum is order-independent

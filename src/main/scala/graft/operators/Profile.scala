@@ -86,6 +86,44 @@ object Profile {
       Pii.plantedDocs(spark, sfDir).filter($"doc_id" % 7 =!= 0)
         .select($"doc_id", $"txt".as("text")))
 
+  /** Registered query: the per-SOURCE curation report — the decision table
+    * a corpus owner reads to decide which sources to keep, cap, or drop:
+    * document and token volume, how many docs are exact duplicates
+    * (identity = text content, keeper = min doc_id, the
+    * [[Dedup.exactDedupOf]] contract), how many carry benchmark
+    * contamination (the [[Decontamination.ngramContamination]] sweep), and
+    * quality mass. Quality travels as exact integer 1e-4 units of the
+    * already-4-dp-rounded score, so the per-source sum is
+    * order-independent where a raw double sum would not be.
+    *
+    * Topology: three linear passes joined on doc_id (co-partitioned
+    * hash joins), one per-source hash-agg; the contamination side is the
+    * broadcast benchmark sweep. Nothing quadratic, nothing global-sorts.
+    */
+  def sourceCurationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val stats = TextAnalysis.textStatsOf(docs)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+    val keepers = Dedup.exactDedupOf(docs)
+      .select($"keep_doc_id".as("doc_id"), lit(1).as("is_keeper"))
+    val contaminated = Decontamination.ngramContamination(spark, sfDir)
+      .select($"doc_id").distinct()
+      .select($"doc_id", lit(1).as("is_contam"))
+    docs
+      .join(stats, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"is_keeper".isNull, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+        sum(coalesce($"is_contam", lit(0)).cast("long")).as("n_contaminated_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum(round($"quality_score" * 1e4).cast("long")).as("sum_quality_units"))
+      .orderBy($"source")
+  }
+
   /** Registered query: the embedding-table twin of [[documentsProfile]] —
     * the per-label audit an embedding pipeline gates on before indexing:
     * row counts, dimension bounds (a ragged dim is a broken encoder

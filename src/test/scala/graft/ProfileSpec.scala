@@ -48,6 +48,35 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("sourceCurationReport: counts match direct recomputation") {
+    import graft.operators.{Decontamination, Dedup, Profile}
+    val report = Profile.sourceCurationReport(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // totals partition the corpus
+    assert(report.values.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // exact-dup count: docs minus per-source keepers of the GLOBAL dedup
+    val keepers = Dedup.exactDedupOf(
+      graft.sources.Tables.documents(spark, sf))
+      .select($"keep_doc_id").as[Long].collect().toSet
+    val bySource = docs.groupBy(_._2)
+    bySource.foreach { case (src, ds) =>
+      val expectDups = ds.count(d => !keepers.contains(d._1))
+      assert(report(src).getAs[Long]("n_exact_dup_docs") == expectDups,
+        s"$src dup count")
+    }
+    // contamination count: distinct flagged docs per source
+    val contam = Decontamination.ngramContamination(spark, sf)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    bySource.foreach { case (src, ds) =>
+      val expect = ds.count(d => contam.contains(d._1))
+      assert(report(src).getAs[Long]("n_contaminated_docs") == expect,
+        s"$src contamination count")
+    }
+  }
+
   test("embeddingProfile: exact norms, zero/NaN/ragged-dim detection") {
     import graft.operators.Profile
     val crafted = Seq(
