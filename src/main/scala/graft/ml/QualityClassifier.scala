@@ -118,6 +118,15 @@ object QualityClassifier {
       .toDF("feature", "coef")
   }
 
+  /** Margin column over a features frame for a FROZEN model — the form a
+    * streaming micro-batch or a cross-cluster scoring job uses: the
+    * coefficients are plain literals (broadcast-free, codegen-folded), so
+    * scoring is one shuffle-free projection wherever the frame lives. */
+  def marginWith(intercept: Double, coefs: Array[Double]): org.apache.spark.sql.Column =
+    featureNames.zip(coefs).foldLeft(lit(intercept): org.apache.spark.sql.Column) {
+      case (acc, (f, c)) => acc + lit(c) * col(f)
+    }
+
   /** Registered query: per-document features, margin, and prediction from
     * the standing fit. The margin is built as literal arithmetic in the
     * exact left-to-right order the oracle replays:
@@ -125,9 +134,7 @@ object QualityClassifier {
     */
   def scoresEntry(spark: SparkSession, sfDir: String): DataFrame = {
     val (b, w) = fittedCoefs(spark, sfDir)
-    val margin = featureNames.zip(w).foldLeft(lit(b): org.apache.spark.sql.Column) {
-      case (acc, (f, c)) => acc + lit(c) * col(f)
-    }
+    val margin = marginWith(b, w)
     features(Tables.documents(spark, sfDir))
       .withColumn("margin", round(margin + 1e-9, 6))
       .withColumn("predicted", (margin > 0.0).cast("int"))

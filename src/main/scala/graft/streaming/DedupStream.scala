@@ -125,7 +125,8 @@ object DedupStream {
       maxBucketSize: Int = 1000, minQuality: Double = Double.NegativeInfinity,
       redactPii: Boolean = false, trimSpans: Boolean = false,
       spanN: Int = 8, spanMinOccurrences: Int = 2,
-      lineRules: Option[graft.operators.LineClean.Rules] = None)
+      lineRules: Option[graft.operators.LineClean.Rules] = None,
+      classifierGate: Option[(Double, Array[Double], Double)] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
@@ -181,12 +182,23 @@ object DedupStream {
           .join(contaminated, Seq("doc_id"), "left_anti")
         // optional Gopher-style quality gate (shuffle-free per-row scoring;
         // the same gate Pipelines.cleanCorpus applies batch-side)
-        val gated =
+        val heuristicGated =
           if (minQuality == Double.NegativeInfinity) clean
           else clean.join(
             graft.operators.TextAnalysis.textStatsOf(clean)
               .filter($"quality_score" >= minQuality).select($"doc_id"),
             "doc_id")
+        // optional FROZEN-MODEL gate (the production pattern: the
+        // classifier trains offline, micro-batches score with the fixed
+        // coefficient literals — one shuffle-free projection per batch)
+        val gated = classifierGate.map { case (b, w, minMargin) =>
+          heuristicGated.join(
+            graft.ml.QualityClassifier
+              .features(heuristicGated.select($"doc_id", $"text"))
+              .filter(graft.ml.QualityClassifier.marginWith(b, w) >= minMargin)
+              .select($"doc_id"),
+            "doc_id")
+        }.getOrElse(heuristicGated)
         // select-first/scrub-last (the redacted_corpus release order): the
         // sink receives scrubbed text, while the band index is appended
         // from the PRE-redaction survivors — the standing corpus tracks

@@ -235,6 +235,34 @@ class DedupStreamSpec extends SparkTestBase {
     assert(got(4L) == other)
   }
 
+  test("ingest with a frozen classifier gate: fixed coefficients decide per micro-batch") {
+    // crafted model: margin = -1 + 10·f_len (f_len = min(len,500)/500) —
+    // positive iff len >= 50; other features zero-weighted
+    val gate = (-1.0, Array(10.0, 0.0, 0.0, 0.0, 0.0), 0.0)
+    val standing = Seq((900L, "Standing corpus text that matches nothing else at all."))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(standing, "band_idx_clsgate", buckets = 2)
+    val benchmark = Seq((990L, "benchmark text far away from everything"))
+      .toDF("doc_id", "text")
+    val got = scala.collection.mutable.Set[Long]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.ingestQuery(
+      ms.toDF().toDF("doc_id", "text"), standing, "band_idx_clsgate",
+      benchmark, classifierGate = Some(gate)) { (clean, _) =>
+      got ++= clean.select($"doc_id").as[Long].collect()
+    }.start()
+    try {
+      ms.addData(
+        (1L, "x" * 60),  // len 60 >= 50 → margin 0.2 → kept
+        (2L, "y" * 30))  // len 30 < 50 → margin -0.4 → dropped
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_clsgate")
+    }
+    assert(got.toSet == Set(1L))
+  }
+
   test("probe-then-append finds a duplicate of an earlier micro-batch") {
     val text1 = "an entirely novel document about streaming ingest loops"
     val text2 = "an entirely novel document about streaming ingest loops!"
