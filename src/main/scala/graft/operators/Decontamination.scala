@@ -121,4 +121,48 @@ object Decontamination {
       count_distinct($"bench_id").as("n_test_docs"),
       sum($"n_shared").as("n_shared_grams"))
   }
+
+  /** SEMANTIC contamination sweep — the embedding-space twin of the n-gram
+    * check: a training vector is flagged when its cosine against ANY
+    * benchmark vector reaches `threshold`. Published eval-hygiene pipelines
+    * run both tiers — paraphrased benchmark items share no 8-gram run but
+    * sit next to the original in embedding space.
+    *
+    * Same topology rule as [[contaminationPairsOf]]: the benchmark side is
+    * small by definition, so its vectors [[broadcast]] and each corpus
+    * partition scores its own rows in place (codegen cosine, no LSH needed —
+    * the candidate-generation machinery in [[Dedup]] exists for
+    * corpus×corpus pair spaces, not for a corpus×small-benchmark sweep).
+    * The per-vec rollup groups by `vec_id`, whose partial aggregation
+    * collapses each partition to ≤ one row per flagged vec before the (tiny,
+    * flagged-subset-only) final exchange.
+    *
+    * Core over any (vec_id, embedding) corpus/benchmark pair of frames.
+    */
+  def semanticContaminationOf(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = graft.util.Cols.spread(corpus)
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val b = benchmark
+      .select($"vec_id".as("bench_id"), $"embedding".as("b_emb"))
+      .filter($"b_emb".isNotNull)
+    c.crossJoin(broadcast(b))
+      .withColumn("cosine", round(Similarity.cosine($"embedding", $"b_emb"), 6))
+      .filter($"cosine" >= threshold)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max($"cosine").as("max_cosine"))
+  }
+
+  /** Registered query: sweep the fixture embedding table against a held-out
+    * "benchmark" slice of itself (every 10th vec — the same membership rule
+    * as [[ngramContamination]]'s text-side slice). Threshold 0.35 sits below
+    * the fixture's max pair cosine (≈0.51) so the report is non-trivial.
+    * The oracle brute-forces the same rounded-cosine sweep in DuckDB. */
+  def semanticContamination(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    semanticContaminationOf(
+      emb.filter($"vec_id" % 10 =!= 0),
+      emb.filter($"vec_id" % 10 === 0), threshold)
+  }
 }

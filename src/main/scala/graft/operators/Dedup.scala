@@ -335,6 +335,64 @@ object Dedup {
       docs.filter($"doc_id" % 10 === 0))
   }
 
+  /** EXACT incremental dedup with a Bloom pre-filter — the sketch-carried
+    * scale path of the batch-vs-standing-corpus exact tier. The standing
+    * corpus's content hashes aggregate into ONE Bloom filter (a fixed
+    * `numBits/8`-byte binary, corpus-size-independent) which broadcasts to
+    * the batch; batch rows whose probe says "definitely absent" are new
+    * with certainty (Bloom has no false negatives) and skip verification
+    * entirely. Only the probe-positive CANDIDATES — true dups plus an fpp
+    * sliver — reach the exact verify, and because that candidate set is
+    * small by construction it broadcasts BACK against the corpus scan:
+    *
+    *   corpus ──agg──▶ bloom (one binary row, broadcast) ──probe──▶ batch
+    *   candidates (tiny, broadcast) ──semi-join──▶ corpus ─▶ confirmed
+    *   batch ──anti-join (broadcast confirmed)──▶ survivors
+    *
+    * NEITHER the corpus nor the batch ever shuffles — the plain hash
+    * anti-join this replaces co-shuffles both sides on text_hash. The
+    * false-positive rate only costs re-verification work, never
+    * correctness, so the result is bit-identical to the exact anti-join
+    * and the plain-SQL oracle applies verbatim.
+    */
+  def bloomIncrementalDedupOf(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, numBits: Long = 8000000L): DataFrame = {
+    import graft.functions.Bloom
+    val hashOf = sha2(coalesce($"text", lit("")), 256)
+    val cor = spread(corpus).select(hashOf.as("text_hash"))
+    // the corpus-side sketch rides as a SCALAR SUBQUERY (the only build
+    // form might_contain accepts besides a literal): one subquery stage
+    // aggregates the corpus into the filter, every batch partition probes
+    // its result value in place
+    val bloom = org.apache.spark.sql.GraftSqlBridge.scalarSubquery(cor.agg(
+      Bloom.bloomAgg(xxhash64($"text_hash"), expectedItems, numBits).as("bf")))
+    val bat = spread(batch).select($"doc_id", hashOf.as("text_hash"))
+    val candidates = bat
+      .filter(Bloom.mightContain(bloom, xxhash64($"text_hash")))
+      .select($"text_hash").distinct()
+    val confirmed = cor
+      .join(broadcast(candidates), "text_hash")
+      .select($"text_hash").distinct()
+    bat.join(broadcast(confirmed), Seq("text_hash"), "left_anti")
+      .select($"doc_id".as("new_doc_id"), $"text_hash")
+  }
+
+  /** Registered form of [[bloomIncrementalDedupOf]]: a re-crawl day. The
+    * whole fixture corpus stands; the batch re-ingests every 10th doc under
+    * a fresh id namespace (+1e6), with every 20th doc's text UPDATED
+    * (suffixed) — so half the batch are exact dups the Bloom probe catches
+    * and half are changed pages that pass as new. The oracle replays the
+    * same derivation and the plain NOT-IN anti-join. */
+  def bloomIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      when($"doc_id" % 20 === 0,
+        concat(coalesce($"text", lit("")), lit(" v2")))
+        .otherwise($"text").as("text"))
+    bloomIncrementalDedupOf(docs, batch)
+  }
+
   /** Materialize the standing corpus's band index as a BUCKETED table: one
     * row per (doc_id, band, bsig), bucketed+sorted by the band key — the
     * build-once half of the incremental-dedup contract
@@ -665,6 +723,46 @@ object Dedup {
     dupClusters(embeddingNearDup(spark, sfDir)
       .select($"a_vec_id".as("a_doc_id"), $"b_vec_id".as("b_doc_id")))
       .select($"doc_id".as("vec_id"), $"cluster_id")
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — CLUSTER-SCOPED semantic
+    * pruning: k-means partitions the embedding space, pairwise cosine runs
+    * only WITHIN each cluster, and a vector is dropped when some
+    * smaller-id cluster-mate sits at ≥ `threshold` (the deterministic
+    * keep-lowest-id form of the paper's keep-one-per-dup-group rule;
+    * semantic dups land in the same cell or they were not dups the coarse
+    * quantizer could see — the paper's own accepted approximation, and the
+    * complement of [[embeddingNearDup]]'s LSH tier: LSH bounds the MISS
+    * probability analytically, SemDeDup bounds the PAIR SPACE by Σ|cell|²
+    * instead of n²).
+    *
+    * Reuses [[Similarity.standingIndex]] — the ONE k-means fit behind
+    * every fixture IVF entry — so the `ivf_assignments` dump doubles as
+    * this entry's oracle input: DuckDB replays the in-cell pair scan +
+    * rounded-cosine drop rule from the dumped cells and the raw vectors.
+    *
+    * Scale: the pair join is cell-co-partitioned (one shuffle on `cell`,
+    * then per-cell local pairing); cluster sizes are bounded by the
+    * quantizer's balance — production SemDeDup picks k so E|cell| ≈
+    * corpus/k stays re-pairable, exactly the nlist sizing rule the IVF
+    * docstrings pin. Output: every assigned vector with its cell and an
+    * `is_kept` 0/1 decision (the audit shape — a release build composes
+    * `WHERE is_kept = 1`). */
+  def semdedupPruned(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val assigned = Similarity.standingIndex(spark, sfDir).bucketed
+      .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
+    val dropped = assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6)
+        >= threshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(broadcast(dropped.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        when($"hit".isNull, 1).otherwise(0).as("is_kept"))
+  }
 
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -252,4 +252,36 @@ object Sampling {
         $"uid".cast("long").as("user_id"))
       .orderBy($"event_type", $"rk")
   }
+
+  /** Per-source quality cap — the curation staple after the per-source
+    * report ([[Profile.sourceCurationReport]]) says a source is
+    * over-represented: keep only each source's `cap` best documents by
+    * [[TextAnalysis.textStatsOf]]'s quality score (doc_id tiebreak, so the
+    * cut is deterministic and append-stable for a frozen corpus).
+    *
+    * Scale: the quality features are a shuffle-free projection (`source`
+    * rides through the same scan — no doc_id self-join to re-attach it),
+    * and the rank is the salted TWO-phase top-k (the
+    * [[Similarity.cosineTopK]] pattern): a local rank within (source, salt)
+    * prunes each bucket to `cap` rows, so the global per-source window sees
+    * ≤ salts×cap rows — one giant source never funnels its whole corpus
+    * through a single window task.
+    */
+  def sourceCappedCorpus(spark: SparkSession, sfDir: String,
+      cap: Int = 10, salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = TextAnalysis
+      .textStatsOf(Tables.documents(spark, sfDir), carry = Seq("source"))
+      .select($"doc_id", $"source", $"quality_score")
+    val localW = Window.partitionBy($"source", pmod($"doc_id", lit(salts)))
+      .orderBy($"quality_score".desc, $"doc_id")
+    val globalW = Window.partitionBy($"source")
+      .orderBy($"quality_score".desc, $"doc_id")
+    stats
+      .withColumn("lrk", row_number().over(localW))
+      .filter($"lrk" <= cap)
+      .withColumn("rk", row_number().over(globalW).cast("long"))
+      .filter($"rk" <= cap)
+      .select($"doc_id", $"source", $"quality_score", $"rk")
+  }
 }

@@ -263,7 +263,7 @@ object Similarity {
   private val standingIndexes =
     scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
-  private[operators] def standingIndex(spark: SparkSession, sfDir: String,
+  private[graft] def standingIndex(spark: SparkSession, sfDir: String,
       nlist: Int = 16): IvfIndex =
     standingIndexes.getOrElseUpdate(s"$sfDir#$nlist", {
       val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")

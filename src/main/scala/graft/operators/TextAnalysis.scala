@@ -52,13 +52,16 @@ object TextAnalysis {
   /** [[textStats]] over any (doc_id, text) frame — the form a streaming
     * micro-batch or a mid-pipeline frame feeds (same plan, same oracle
     * semantics; the table entry above is this applied to `documents`). */
-  def textStatsOf(docs: DataFrame): DataFrame = {
+  def textStatsOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     // materialize tokens/counts ONCE in a first projection: referencing the
     // tokenizer expression from several output columns would re-run the
     // (interpreted) HOF per column — CollapseProject keeps multi-referenced
     // non-trivial expressions un-inlined, so the two-step shape sticks
+    // (`carry` columns ride through both projections so downstream curation
+    // ops — e.g. the per-source cap — never pay a doc_id self-join to
+    // re-attach metadata the scan already had in hand)
     val toks = tokens($"text")
-    val base = spread(docs).select(
+    val base = spread(docs).select(Seq(
       $"doc_id",
       length(coalesce($"text", lit(""))).as("len_i"),
       size(toks).as("n_tok_i"),
@@ -66,6 +69,7 @@ object TextAnalysis {
       bpeTokenCount($"text").as("n_bpe_i"),
       (length(coalesce($"text", lit(""))) -
         length(regexp_replace(coalesce($"text", lit("")), "[\\p{Punct}]", ""))).as("n_punct_i"))
+      ++ carry.map(col): _*)
     // Cross-engine rounding determinism (bit at sf0.1): every rounded ratio
     // is (a) computed as ONE division of exact integers, so the pre-rounding
     // double is bit-identical in any engine, and (b) nudged +1e-9 before
@@ -82,7 +86,7 @@ object TextAnalysis {
       lit(300L) * $"n_stop_i" * gLen +
       lit(200L) * (gLen - $"n_punct_i") * gTok
     val scoreDen = lit(1000L) * gTok * gLen
-    base.select(
+    base.select(Seq(
       $"doc_id",
       $"len_i".cast("long").as("len_chars"), // DuckDB len() is BIGINT
       $"n_tok_i".cast("long").as("n_tokens"),
@@ -91,6 +95,7 @@ object TextAnalysis {
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(scoreNum.cast("double") / scoreDen + eps, 4).as("quality_score"))
+      ++ carry.map(col): _*)
   }
 
   private val markers: Seq[(String, Seq[String])] = Seq(

@@ -15,4 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A one-row/one-column DataFrame as an in-plan scalar subquery column —
+    * the form expressions like `might_contain` require their build input in
+    * (constant or scalar subquery), evaluated by the engine as a subquery
+    * stage, never collected through the driver. */
+  def scalarSubquery(df: DataFrame): Column =
+    column(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 }

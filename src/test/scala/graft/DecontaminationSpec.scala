@@ -103,4 +103,41 @@ class DecontaminationSpec extends SparkTestBase {
     // the fixture's dup families do cross the split boundary
     assert(row.getAs[Long]("n_leak_pairs") >= 1)
   }
+
+  test("semanticContamination: threshold gate, hit counts, max, null safety") {
+    // unit-ish crafted vectors: cosine against bench [1,0,0,0] is just x(0)
+    // for unit corpus vectors
+    val bench = Seq(
+      (900L, Seq(1f, 0f, 0f, 0f)),
+      (901L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),       // cos 1.0 with 900, 0 with 901
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),   // cos 0.8 with 900, 0.6 with 901
+      (3L, Seq(0f, 0f, 1f, 0f)),       // orthogonal to both
+      (4L, null.asInstanceOf[Seq[Float]])) // dropped, not an error
+      .toDF("vec_id", "embedding")
+    val byVec = Decontamination.semanticContaminationOf(corpus, bench, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byVec.keySet == Set(1L, 2L)) // 3 orthogonal, 4 null
+    assert(byVec(1L) == (1L, 1.0))
+    assert(byVec(2L) == (2L, 0.8)) // both benchmark vecs hit; max is 0.8
+  }
+
+  test("semanticContamination fixture entry: subset of the brute-force sweep") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val brute = emb.filter($"vec_id" % 10 =!= 0).as("c")
+      .crossJoin(emb.filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("b_id"), $"embedding".as("b_emb")))
+      .withColumn("cos",
+        round(graft.operators.Similarity.cosine($"embedding", $"b_emb"), 6))
+      .filter($"cos" >= 0.35)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), max($"cos").as("m"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Decontamination.semanticContamination(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }

@@ -308,4 +308,62 @@ class DedupSpec extends SparkTestBase {
       assert(got.forall { case (n, d, _) => n % 10 == 0 && d % 10 != 0 })
     } finally spark.sql("DROP TABLE IF EXISTS emb_band_idx_spec")
   }
+
+  test("bloomIncrementalDedup: crafted batch — dups dropped, new kept, no false negatives") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // exact dup of corpus 1 → dropped
+      (11L, "beta"),   // exact dup of corpus 2 → dropped
+      (12L, "delta"),  // new → kept
+      (13L, null.asInstanceOf[String])) // dup of corpus 4 (both hash "") → dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomIncrementalDedupOf(corpus, batch)
+      .select("new_doc_id").as[Long].collect().toSet
+    assert(got == Set(12L))
+  }
+
+  test("bloomIncrementalDedup: bit-equal to the plain exact anti-join on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      when($"doc_id" % 20 === 0,
+        concat(coalesce($"text", lit("")), lit(" v2")))
+        .otherwise($"text").as("text"))
+    val hashOf = sha2(coalesce($"text", lit("")), 256)
+    val plain = batch.select($"doc_id", hashOf.as("text_hash"))
+      .join(docs.select(hashOf.as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+      .select($"doc_id", $"text_hash")
+      .as[(Long, String)].collect().toSet
+    val got = Dedup.bloomIncrementalDedup(spark, sf)
+      .as[(Long, String)].collect().toSet
+    assert(got == plain)
+    // the re-crawl derivation yields both dups (unchanged pages, absent
+    // here) and survivors (updated pages, present)
+    assert(got.nonEmpty)
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).subsetOf(batchIds) && got.size < batchIds.size)
+  }
+
+  test("semdedupPruned: drop rule matches the in-cell brute force; kept set audit-shaped") {
+    val idx = graft.operators.Similarity.standingIndex(spark, sf)
+    val assigned = idx.bucketed
+      .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
+    val brute = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(graft.operators.Similarity.cosine(
+        col("l.embedding"), col("r.embedding")), 6) >= 0.3)
+      .select(col("r.vec_id")).as[Long].collect().toSet
+    val got = Dedup.semdedupPruned(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every assigned vector appears exactly once with a 0/1 decision
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.length == assigned.count())
+    got.foreach { case (vid, _, kept) =>
+      assert(kept == (if (brute(vid)) 0 else 1), s"vec $vid decision")
+    }
+    // the fixture has in-cell semantic dups AND survivors
+    assert(got.exists(_._3 == 0) && got.exists(_._3 == 1))
+  }
 }

@@ -117,4 +117,61 @@ class DupSpansSpec extends SparkTestBase {
     // the fixture actually exercises the operator
     assert(joined.filter($"n_dropped_tokens" > 0).count() > 0L)
   }
+
+  test("blockDedup: keep-first semantics on crafted docs") {
+    // blockSize=3; doc 1 owns block "a b c"; doc 2 repeats it twice and
+    // adds unique material; doc 3 consists ONLY of the duplicated block
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s a b c"),    // blocks: "a b c" (dup), "q r s", ragged "a b c" (dup)
+      (3L, "a b c"),                // single block, dup of doc 1's first
+      (4L, "w"),                    // ragged single-token block, unique
+      (5L, "   "),                  // no tokens — excluded entirely
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = DupSpans.blockDedupOf(docs, blockSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // 5, 6 have no blocks
+    assert(got(1L) == (2L, 2L, "a b c x y z")) // first owner keeps all
+    assert(got(2L) == (3L, 1L, "q r s"))       // both dup copies cut
+    assert(got(3L) == (1L, 0L, ""))            // fully-duplicated doc stays, empty
+    assert(got(4L) == (1L, 1L, "w"))
+  }
+
+  test("blockDedup: matches an independent window-based keep-first on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // independent derivation (the oracle's window form) vs the operator's
+    // min-struct + broadcast-probe plan: same kept set, same rebuild
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+    val blocks = base
+      .select($"doc_id", $"toks", explode(sequence(lit(0),
+        floor((size($"toks") - 1).cast("double") / 8).cast("int"))).as("b"))
+      .select($"doc_id", $"b".cast("long").as("block_id"),
+        array_join(slice($"toks", $"b" * 8 + 1, lit(8)), " ").as("block"))
+    val kept = blocks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"block").orderBy($"doc_id", $"block_id")))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"block")))
+      .filter($"n_occ" === 1 || $"rn" === 1)
+    val expected = base
+      .select($"doc_id", (floor((size($"toks") - 1).cast("double") / 8) + 1)
+        .cast("long").as("n_blocks"))
+      .join(kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("k"),
+        array_join(transform(
+          sort_array(collect_list(struct($"block_id", $"block"))),
+          s => s.getField("block")), " ").as("t")), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_blocks",
+        coalesce($"k", lit(0L)).as("n_blocks_kept"),
+        coalesce($"t", lit("")).as("deduped_text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = DupSpans.blockDedupCorpus(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+    // and the pass actually dropped something on the fixture
+    assert(got.exists { case (_, n, k, _) => k < n })
+  }
 }

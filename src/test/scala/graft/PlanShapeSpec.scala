@@ -266,7 +266,10 @@ class PlanShapeSpec extends SparkTestBase {
       "retrieval_label_precision",
       // the document-fetch composition embeds cosine_topk's query-sized
       // broadcast scorer; the fetch itself is a broadcast-hash equi-join
-      "semantic_search_docs")
+      "semantic_search_docs",
+      // benchmark-sized broadcast build (eval suites are small by
+      // definition — the same contract as the n-gram sweep's broadcast)
+      "semantic_contamination")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -285,4 +285,30 @@ class SamplingSpec extends SparkTestBase {
       assert(first == again)
     } finally order.unpersist()
   }
+
+  test("sourceCappedCorpus: per-source cap, salted rank equals the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cap = 10
+    val got = Sampling.sourceCappedCorpus(spark, sf, cap = cap)
+    val rows = got.collect()
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    assert(perSource.values.forall(_.length <= cap))
+    perSource.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // the salted two-phase rank must select the SAME rows as the single
+    // naive window (the salt is an execution detail, not a semantic)
+    val stats = graft.operators.TextAnalysis
+      .textStatsOf(graft.sources.Tables.documents(spark, sf), carry = Seq("source"))
+      .select($"doc_id", $"source", $"quality_score")
+    val naive = stats
+      .withColumn("rk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"quality_score".desc, $"doc_id")).cast("long"))
+      .filter($"rk" <= cap)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getLong(3))).toSet == naive)
+    assert(rows.nonEmpty)
+  }
 }
