@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,12 @@ object SparkEntry {
     "dsir_token_ratios" -> ((s, d) => Dsir.tokenRatios(s, d)), // rows-only (it IS the oracle input)
     "dsir_doc_weights" -> ((s, d) => Dsir.docWeights(s, d)),
     "dsir_top_weighted" -> ((s, d) => Dsir.topWeighted(s, d)),
+    // CCNet-style LM quality scoring: add-one bigram model trained on the
+    // English reference slice, model tables dumped in integer micros, every
+    // doc's NLL an exact BIGINT sum + one final division
+    "lm_bigram_logprobs" -> (NgramLm.bigramLogprobs _), // rows-only (it IS the oracle input)
+    "lm_unigram_defaults" -> (NgramLm.unigramDefaults _), // rows-only (it IS the oracle input)
+    "lm_perplexity_scores" -> (NgramLm.perplexityScores _),
     "last_purchase_asof" -> (AsOf.lastPurchaseAsOf _),
     "event_session_attribution" -> (RangeJoin.eventSessionAttribution _),
     "purchase_click_attribution" -> (RangeJoin.purchaseClickAttribution _),
@@ -297,6 +303,10 @@ object SparkEntry {
     // near), against the STANDING corpus via the persisted band index, and
     // decontaminated against the benchmark slice
     "ingested_corpus" -> ((s, d) => Pipelines.ingestedCorpus(s, d)),
+    // the per-doc RELEASE DECISION audit: every trainable doc with one
+    // verdict in release-chain priority order (dup > contamination >
+    // quality) — the reasoning behind what the composed chains drop
+    "doc_curation_decisions" -> ((s, d) => Pipelines.curationDecisions(s, d)),
   )
 
   // oracle bodies shared between their own entry and the clean_corpus
@@ -724,6 +734,22 @@ object SparkEntry {
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
     // BIGINT vocab counts joined back, BIGINT per-doc sums, one final
     // IEEE division (+1e-9 nudge, 6 dp)
+    // LM scoring replayed from the dumped model: DuckDB re-derives each
+    // doc's positional bigrams, probes bigram → context-default → global
+    // marker ('' row), sums negated micros as BIGINT, one final division
+    "lm_perplexity_scores" ->
+      (s"WITH $toksCte, " +
+        "ps AS (SELECT doc_id, unnest(generate_series(0, len(toks)-2)) AS p, toks FROM t WHERE len(toks) >= 2), " +
+        "oc AS (SELECT doc_id, array_to_string(toks[p+1:p+2], ' ') AS gram, toks[p+1] AS u FROM ps), " +
+        "b AS (SELECT gram, lp_micros FROM read_parquet('{OUT}/lm_bigram_logprobs/*.parquet')), " +
+        "ud AS (SELECT context, def_micros FROM read_parquet('{OUT}/lm_unigram_defaults/*.parquet')), " +
+        "j AS (SELECT oc.doc_id, coalesce(b.lp_micros, ud.def_micros, " +
+        "(SELECT def_micros FROM ud WHERE context = '')) AS lp " +
+        "FROM oc LEFT JOIN b USING (gram) LEFT JOIN ud ON ud.context = oc.u) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(-lp) AS BIGINT) AS nll_micros, " +
+        "round(sum(-lp)::DOUBLE / (1000000.0 * count(*)) + 1e-9, 6) AS mean_nll " +
+        "FROM j GROUP BY doc_id"),
     // DSIR weights replayed from the dumped feature table: DuckDB's own
     // tokenization joins the micros ratios, the weight is an
     // order-independent BIGINT dot product — bit-exact by construction
@@ -906,6 +932,18 @@ object SparkEntry {
     // the ingest-day chain, from the same brute-force component twins with
     // the pair spaces restricted to today's batch
     "ingested_corpus" -> ingestedCorpusSql,
+    // the decision table from the SAME shared component twins, decided in
+    // the same priority order the release chains apply
+    "doc_curation_decisions" ->
+      (s"WITH k AS ($exactDedupSql), nd AS ($nearDupPairsSql), " +
+        s"ct AS ($ngramContaminationSql), st AS ($textStatsSql) " +
+        "SELECT d.doc_id, st.quality_score, " +
+        "CASE WHEN d.doc_id NOT IN (SELECT keep_doc_id FROM k) THEN 'drop_exact_dup' " +
+        "WHEN d.doc_id IN (SELECT b_doc_id FROM nd) THEN 'drop_near_dup' " +
+        "WHEN d.doc_id IN (SELECT doc_id FROM ct) THEN 'drop_contaminated' " +
+        "WHEN st.quality_score < 0.45 THEN 'review_low_quality' " +
+        "ELSE 'keep' END AS verdict " +
+        "FROM documents d JOIN st ON d.doc_id = st.doc_id WHERE d.doc_id % 10 <> 0"),
     // brute-force twin of the sign-LSH plan: at threshold 0.4 with r=2,b=64
     // the LSH miss probability is ~7e-15, so exact match holds (seeded planes)
     "embedding_near_dup" -> embeddingNearDupSql,

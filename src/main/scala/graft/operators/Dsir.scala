@@ -43,7 +43,7 @@ object Dsir {
       sum(when($"is_t", 1L).otherwise(0L)).as("target_cnt"),
       sum(when(!$"is_t", 1L).otherwise(0L)).as("raw_cnt"))
     // three scalars: total target tokens, total raw tokens, vocab size
-    val t = counts.agg(sum($"target_cnt"), sum($"raw_cnt"), count(lit(1))).head
+    val t = counts.agg(sum($"target_cnt"), sum($"raw_cnt"), count(lit(1))).head()
     val (tT, tR, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
     counts.withColumn("ratio_micros",
       round((log(($"target_cnt" + 1).cast("double") / (tT + v).toDouble) -

@@ -219,4 +219,49 @@ object Pipelines {
       // materialized checkpoint, which makes raw row order run-dependent
       .orderBy($"doc_id")
   }
+
+  /** The per-document RELEASE DECISION table — the audit artifact a curation
+    * review actually reads: every trainable document with its quality score
+    * and a single verdict, decided in the release chain's priority order
+    * (dedup evidence beats contamination beats quality):
+    *
+    *   drop_exact_dup      — not its content family's canonical (min-id) doc
+    *   drop_near_dup       — the higher side of a near-dup pair
+    *   drop_contaminated   — shares an 8-gram run with the benchmark slice
+    *   review_low_quality  — survives hygiene but scores under `minQuality`
+    *   keep                — ships
+    *
+    * Where [[cleanCorpus]]/[[decontaminatedCorpus]] EMIT the surviving
+    * slice, this emits the reasoning for every doc — the difference between
+    * a filter and an audit. Composes the same shared stages (and the same
+    * DuckDB CTE twins), so the decision table provably agrees with what the
+    * release chain drops. All stages linear: two hash-aggs (content hash,
+    * band key), broadcast probes, co-partitioned doc_id joins.
+    */
+  def curationDecisions(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.45): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val docs = Tables.documents(spark, sfDir)
+    val trainable = docs.filter($"doc_id" % 10 =!= 0)
+    val keepers = Dedup.exactDedup(spark, sfDir)
+      .select($"keep_doc_id".as("doc_id")).withColumn("is_keeper", lit(1))
+    val nearDrops = Dedup.nearDupPairs(spark, sfDir)
+      .select($"b_doc_id".as("doc_id")).distinct()
+      .withColumn("is_near_drop", lit(1))
+    val contaminated = Decontamination.ngramContamination(spark, sfDir)
+      .select($"doc_id").distinct().withColumn("is_contaminated", lit(1))
+    val stats = TextAnalysis.textStats(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    trainable.select($"doc_id")
+      .join(stats, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(nearDrops, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select($"doc_id", $"quality_score",
+        when($"is_keeper".isNull, "drop_exact_dup")
+          .when($"is_near_drop" === 1, "drop_near_dup")
+          .when($"is_contaminated" === 1, "drop_contaminated")
+          .when($"quality_score" < minQuality, "review_low_quality")
+          .otherwise("keep").as("verdict"))
+  }
 }

@@ -90,6 +90,71 @@ object DedupStream {
             rowsPerBand, dim, seed, buckets, maxBucketSize)
       }
 
+  /** Streaming twin of the Bloom-prefiltered EXACT tier
+    * ([[Dedup.bloomIncrementalDedupOf]]): the standing corpus is aggregated
+    * ONCE into a driver-held sketch (`df.stat.bloomFilter` — Spark's
+    * distributed tree-aggregated build, never a collect of the corpus);
+    * each micro-batch probes the sketch as a plan LITERAL (the other build
+    * form `might_contain` accepts), probe-positive candidates broadcast
+    * back against the standing corpus for the exact verify, and the
+    * certainly-new survivors go to `sink`. Per batch nothing shuffles —
+    * the batch-operator topology, amortized: the corpus is read once per
+    * QUERY, not once per batch (the stream-static band-index argument,
+    * with the index shrunk to numBits/8 bytes of driver state).
+    *
+    * With `accumulate`, each batch's survivor hashes merge into the sketch
+    * (distributed per-batch build + `mergeInPlace`, O(1) driver state), so
+    * later batches also drop dups of earlier survivors. Cross-batch
+    * semantics are SKETCH-EVIDENCE: a true dup of an earlier survivor is
+    * always dropped (Bloom has no false negatives), while a new doc is
+    * falsely dropped with probability ≤ fpp — the standard bounded-state
+    * streaming-dedup trade (exact unbounded state is what
+    * `dropDuplicates` + watermark buys; this is the O(1)-state tier for
+    * corpus-scale histories). Standing-corpus drops stay EXACT: they are
+    * verified against the corpus before dropping.
+    */
+  def bloomDedupQuery(stream: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.000001,
+      accumulate: Boolean = false)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val hashOf = sha2(coalesce($"text", lit("")), 256)
+    val keyed = xxhash64(hashOf)
+    val corpusHashes = corpus.select(hashOf.as("text_hash"))
+    val standing = corpusHashes.stat
+      .bloomFilter(xxhash64($"text_hash"), expectedItems, fpp)
+    def sketchBytes(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      standing.writeTo(bos)
+      bos.toByteArray
+    }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probe = graft.functions.Bloom.mightContain(
+          lit(sketchBytes()), keyed)
+        val candidates = batch.filter(probe)
+          .select(hashOf.as("text_hash")).distinct()
+        val confirmed = corpusHashes
+          .join(broadcast(candidates), "text_hash").distinct()
+        val survivors = batch
+          // certainly new (sketch miss) OR sketch hit that the standing
+          // corpus disowns — unless accumulating, where an unconfirmed hit
+          // reads as "dup of an earlier survivor" and drops on sketch
+          // evidence
+          .withColumn("text_hash", hashOf)
+          .join(broadcast(confirmed), Seq("text_hash"), "left_anti")
+        val shipped =
+          if (!accumulate) survivors.drop("text_hash")
+          else survivors.filter(!probe).drop("text_hash")
+        sink(shipped, batchId)
+        if (accumulate && !shipped.isEmpty) {
+          standing.mergeInPlace(shipped.stat
+            .bloomFilter(keyed, expectedItems, fpp))
+          ()
+        }
+      }
+  }
+
   /** The full streaming ingest pipeline — the per-micro-batch form of
     * [[graft.operators.Pipelines.ingestedCorpus]]: each batch of documents
     * is exact-deduped within itself, near-deduped within itself and against

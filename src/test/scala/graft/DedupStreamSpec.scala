@@ -359,4 +359,54 @@ class DedupStreamSpec extends SparkTestBase {
     assert(hits == Set((20L, 10L)),
       s"batch 1 should dup batch 0's vector only, got ${perBatch(1L)}")
   }
+
+  test("bloom dedup stream: batch parity, then cross-batch drops when accumulating") {
+    val docs = Tables.documents(spark, sf)
+    val batchDocs = docs.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      org.apache.spark.sql.functions.when($"doc_id" % 20 === 0,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.coalesce($"text",
+            org.apache.spark.sql.functions.lit("")),
+          org.apache.spark.sql.functions.lit(" v2")))
+        .otherwise($"text").as("text"))
+    // 1) parity with the batch operator over the same derived re-crawl
+    val got = scala.collection.mutable.Set[Long]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.bloomDedupQuery(
+      ms.toDF().toDF("doc_id", "text"), docs) { (ship, _) =>
+      got ++= ship.select($"doc_id").as[Long].collect()
+    }.start()
+    try {
+      val rows = batchDocs.as[(Long, String)].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Dedup.bloomIncrementalDedup(spark, sf)
+      .select($"new_doc_id").as[Long].collect().toSet
+    assert(got.toSet == expected)
+    // 2) accumulate: a doc surviving batch 0 re-arrives in batch 1 under a
+    // new id and is dropped on sketch evidence; a genuinely new doc passes
+    val perBatch = scala.collection.mutable.Map[Long, Set[Long]]()
+    val ms2 = MemoryStream[(Long, String)]
+    val corpus = Seq((1L, "standing alpha"), (2L, "standing beta"))
+      .toDF("doc_id", "text")
+    val q2 = DedupStream.bloomDedupQuery(
+      ms2.toDF().toDF("doc_id", "text"), corpus,
+      accumulate = true) { (ship, id) =>
+      perBatch(id) = ship.select($"doc_id").as[Long].collect().toSet
+    }.start()
+    try {
+      ms2.addData((10L, "fresh gamma"), (11L, "standing alpha"))
+      q2.processAllAvailable()
+      ms2.addData((20L, "fresh gamma"), (21L, "fresh delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(perBatch(0L) == Set(10L)) // corpus dup dropped exactly
+    assert(perBatch(1L) == Set(21L),
+      s"dup of batch 0's survivor must drop on sketch evidence: ${perBatch(1L)}")
+  }
 }

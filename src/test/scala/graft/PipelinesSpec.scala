@@ -105,4 +105,21 @@ class PipelinesSpec extends SparkTestBase {
     // otherwise the composition proves nothing on this fixture
     assert(ids.size < deduped.count(_ % 10 != 0))
   }
+
+  test("curationDecisions: verdicts partition the trainable slice and agree with the release chain") {
+    val decisions = Pipelines.curationDecisions(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every trainable doc gets exactly one verdict
+    val trainable = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 =!= 0).select($"doc_id").as[Long].collect().toSet
+    assert(decisions.keySet == trainable)
+    // the shipping+review set IS the decontaminated chain's survivor set
+    val surviving = decisions.collect {
+      case (id, v) if v == "keep" || v == "review_low_quality" => id }.toSet
+    val chain = Pipelines.decontaminatedCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surviving == chain)
+    // the fixture exercises more than one verdict class
+    assert(decisions.values.toSet.size >= 3, decisions.values.toSet.toString)
+  }
 }

@@ -255,6 +255,36 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("bloom dedup: sketch rides as a subquery, verify joins broadcast, nothing sort-merges") {
+    val plan = planOf(graft.operators.Dedup.bloomIncrementalDedup(spark, sf))
+    // the corpus sketch is an in-plan subquery stage, not a collected literal
+    assert(plan.contains("Subquery") && plan.contains("bloom_filter_agg"),
+      plan.take(1500))
+    assert(plan.contains("might_contain"), plan.take(1500))
+    // candidate semi-join and survivor anti-join both broadcast — neither
+    // the corpus nor the batch ever co-shuffles on text_hash
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("block dedup: the duplicated-block probe is a broadcast join") {
+    val plan = planOf(graft.operators.DupSpans.blockDedupCorpus(spark, sf))
+    // corpus blocks probe the (small by construction) duplicated-block
+    // first-owner table in place; only the hash-agg partials and the
+    // per-doc rebuild exchange
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("model-scoring probes broadcast: DSIR ratios and LM tables never shuffle the corpus on a token") {
+    val dsir = planOf(graft.operators.Dsir.docWeights(spark, sf))
+    assert(dsir.contains("BroadcastHashJoin"), dsir.take(2000))
+    assert(!dsir.contains("SortMergeJoin"), dsir.take(2000))
+    val lm = planOf(graft.operators.NgramLm.perplexityScores(spark, sf))
+    assert(lm.contains("BroadcastHashJoin"), lm.take(2000))
+    assert(!lm.contains("SortMergeJoin"), lm.take(2000))
+  }
+
   test("no registered query plans a cartesian product; nested-loop joins only where whitelisted") {
     // BNLJ is legitimate ONLY where the build side is query-sized by
     // design (a handful of broadcast query vectors scored against the
