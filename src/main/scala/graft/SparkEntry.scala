@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Sq, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,12 @@ object SparkEntry {
     "json_props_agg" -> (EventAnalytics.jsonPropsAgg _),
     "user_activity" -> (EventAnalytics.userActivity _),
     "user_sessions" -> (EventAnalytics.userSessions _),
+    // ordered view→click→purchase funnel: sequential conditional minima,
+    // everything keyed on user_id (co-partitioned end to end)
+    "conversion_funnel" -> (EventAnalytics.conversionFunnel _),
+    // weekly cohort retention: first-event cohort × active-week offset in
+    // exact epoch arithmetic; result dashboard-sized by construction
+    "cohort_retention" -> (EventAnalytics.cohortRetention _),
     "value_quantiles" -> (EventAnalytics.valueQuantiles _),
     "value_quantiles_approx" -> ((s, d) => EventAnalytics.valueQuantilesApprox(s, d)), // rows-only (sketch)
     // per-type 3-sigma outliers in EXACT integer-cents arithmetic
@@ -190,6 +196,13 @@ object SparkEntry {
     // coarse index, so the ivf_* + pq_* dumps replay the whole
     // composition (+ spec:PqSpec recall floor)
     "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    // SQ8 scalar quantization — the 4x compression tier below PQ: per-dim
+    // 8-bit grid, compressed-domain ranking in EXACT integer L2 (no
+    // per-query table, no float pin), exact rerank of the shortlist
+    "sq_params" -> (Sq.sqParamsEntry _), // rows-only (audit surface)
+    "sq_codes" -> (Sq.sqCodesEntry _), // rows-only (it IS the oracle input)
+    "sq_adc_topk" -> ((s, d) => Sq.sqAdcTopK(s, d)),
+    "sq_rerank_topk" -> ((s, d) => Sq.sqRerankTopK(s, d)),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -456,6 +469,18 @@ object SparkEntry {
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
       "FROM c, q WHERE c.vec_id <> q.query_id)"
 
+  // SQ8 compressed-domain scoring replayed from the codes dump alone: the
+  // query side is the same dump's vec_id<5 slice and the metric is exact
+  // integer squared-L2 — no float rounding anywhere before the rerank
+  private val sqAdcCtes =
+    "c AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
+      "FROM read_parquet('{OUT}/sq_codes/*.parquet')), " +
+      "q AS (SELECT vec_id AS query_id, codes AS qcodes FROM c WHERE vec_id < 5), " +
+      "s AS (SELECT q.query_id, c.vec_id, " +
+      "CAST(list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(c.codes[i] - q.qcodes[i] AS BIGINT) * (c.codes[i] - q.qcodes[i]))) AS BIGINT) AS qdist " +
+      "FROM c, q WHERE c.vec_id <> q.query_id)"
+
   // shared by its own entry and the embedding-clusters recursive CTE
   private val embeddingNearDupSql =
     "SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, " +
@@ -672,6 +697,35 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // same sequential conditional minima: first view, first click after
+    // it, first purchase after that — strict > on full-precision ts
+    "conversion_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1) " +
+        "SELECT s1.user_id, strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS view_ts, " +
+        "strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS click_ts, " +
+        "strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts, " +
+        "CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END + " +
+        "CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stages_completed " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+    // both week stamps are date_trunc('week') values in a UTC session, so
+    // the offset is an exact 604800-second multiple in either engine
+    "cohort_retention" ->
+      ("WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk " +
+        "FROM events WHERE user_id IS NOT NULL) " +
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week, " +
+        "CAST((CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(f.cohort) AS BIGINT)) // 604800 AS BIGINT) AS week_offset, " +
+        "count(DISTINCT a.user_id) AS n_active " +
+        "FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2"),
     "value_quantiles" ->
       ("SELECT event_type, " +
         "round(quantile_cont(value, 0.25) + 1e-9, 4) AS p25, " +
@@ -1104,6 +1158,30 @@ object SparkEntry {
     // shortlist (rounded-ADC rank <= 50 from the dumps) then EXACT rerank:
     // squared L2 recomputed from the raw embeddings table, left-to-right
     // double sum = Spark's fused loop, rounded 6 dp, vec_id tiebreak
+    // integer-exact compressed ranking from the codes dump (qdist BIGINT)
+    "sq_adc_topk" ->
+      (s"WITH $sqAdcCtes " +
+        "SELECT query_id, vec_id, qdist, rk FROM (" +
+        "SELECT query_id, vec_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // compressed shortlist (50) then the pq_rerank exact-L2 replay shape
+    "sq_rerank_topk" ->
+      (s"WITH $sqAdcCtes, " +
+        "sl AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, vec_id) AS ark FROM s) " +
+        "WHERE ark <= 50), " +
+        "r AS (SELECT sl.query_id, sl.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 64), " +
+        "i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) * " +
+        "(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))), 6) AS l2sq " +
+        "FROM sl JOIN embeddings a ON a.vec_id = sl.vec_id " +
+        "JOIN embeddings b ON b.vec_id = sl.query_id) " +
+        "SELECT query_id, vec_id, l2sq, rk FROM (" +
+        "SELECT query_id, vec_id, l2sq, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY l2sq, vec_id) AS rk FROM r) " +
+        "WHERE rk <= 10"),
     "pq_rerank_topk" ->
       (s"WITH $pqAdcCtes, " +
         "sl AS (SELECT query_id, vec_id FROM (" +

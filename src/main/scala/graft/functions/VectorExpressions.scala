@@ -165,6 +165,40 @@ object VectorHashImpl {
     d
   }
 
+  /** Scalar (SQ8) quantization codes: dimension d of the embedding maps to
+    * round((x_d − min_d)·scale_d) clamped to [0, 255] — one uniform 8-bit
+    * grid per dimension. Math.round = half-up, deterministic; a constant
+    * dimension (scale 0) encodes to 0 everywhere. */
+  def sq8Codes(emb: ArrayData, mins: Array[Double],
+      scales: Array[Double]): ArrayData = {
+    if (emb.numElements() != mins.length)
+      throw new IllegalArgumentException(
+        s"SQ8 params dim ${mins.length} != embedding dim ${emb.numElements()}")
+    val out = new Array[Any](mins.length)
+    var i = 0
+    while (i < mins.length) {
+      val v = Math.round((emb.getFloat(i).toDouble - mins(i)) * scales(i))
+      out(i) = Math.max(0L, Math.min(255L, v)).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact squared L2 distance between two int-code arrays as a Long —
+    * pure integer arithmetic, so the compressed-domain ranking is
+    * bit-identical in any engine (no float summation order to pin). */
+  def intL2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val t = (a.getInt(i) - b.getInt(i)).toLong
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
   /** Index of the nearest center by squared Euclidean distance (first
     * minimum wins on exact ties — the same rule as MLlib K-Means
     * assignment, so [[NearestCenterExpr]] reproduces the quantizer's own
@@ -317,6 +351,43 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar-quantization (SQ8) encode of an `array<float>` embedding: one
+  * 8-bit code per DIMENSION on a per-dim uniform grid — the 4× scan-byte
+  * compression tier below [[PqCodesExpr]]'s ~32× (coarser codes, but the
+  * compressed-domain distance needs no per-query table and is EXACT integer
+  * arithmetic). The per-dim min/scale vectors ride as codegen references. */
+case class Sq8EncodeExpr(child: Expression, mins: Array[Double],
+    scales: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.sq8Codes(input.asInstanceOf[ArrayData], mins, scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("mins", mins, "double[]")
+    val sref = ctx.addReferenceObj("scales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.sq8Codes($c, $mref, $sref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8EncodeExpr =
+    copy(child = c)
+}
+
+/** Exact integer squared-L2 between two SQ8 code arrays (Long) — the
+  * compressed-domain ranking metric of [[graft.operators.Sq]]; being pure
+  * integer math it is engine-order-exact with no rounding pin needed. */
+case class IntL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashImpl.intL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorHashImpl.intL2($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntL2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: cosine similarity of two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -350,4 +421,15 @@ object VectorExpressions {
     GraftSqlBridge.column(
       PqAdcExpr(GraftSqlBridge.expression(codes),
         GraftSqlBridge.expression(dtab), k))
+
+  /** Column wrapper: SQ8 codes of an `array<float>` column. */
+  def sq8Codes(emb: Column, mins: Array[Double],
+      scales: Array[Double]): Column =
+    GraftSqlBridge.column(
+      Sq8EncodeExpr(GraftSqlBridge.expression(emb), mins, scales))
+
+  /** Column wrapper: exact integer squared-L2 of two code columns. */
+  def intL2(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      IntL2Expr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -172,4 +172,67 @@ object EventAnalytics {
         date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         round(sum($"value"), 2).as("total_value"))
       .orderBy($"user_id")
+
+  /** Ordered conversion FUNNEL (the product-analytics staple): per user,
+    * the first `view`, the first `click` strictly after it, the first
+    * `purchase` strictly after that — sequential conditional minima, the
+    * deterministic relational funnel (no pattern-matching state machine
+    * needed for first-occurrence semantics). Output: one row per user who
+    * entered the funnel, stage timestamps (null once the chain breaks) and
+    * the completed-stage count.
+    *
+    * Scale: three aggregations and two joins, ALL keyed on user_id — after
+    * the first exchange the plan is co-partitioned end to end (the
+    * [[userSessions]] argument); nothing is pairwise and no window spans
+    * more than a user's own events. */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts")
+      .filter($"user_id".isNotNull)
+    val s1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = e.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = e.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id",
+        date_format($"t1", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format($"t2", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format($"t3", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (lit(1) + when($"t2".isNull, 0).otherwise(1)
+          + when($"t3".isNull, 0).otherwise(1)).as("stages_completed"))
+      .orderBy($"user_id")
+  }
+
+  /** Weekly COHORT RETENTION (the other product-analytics staple): users
+    * cohorted by the ISO week of their first event; each (cohort,
+    * week-offset) cell counts the cohort's users active that week. The
+    * offset is exact integer epoch arithmetic — both week stamps are
+    * `date_trunc('week')` values in a UTC-pinned session, so their
+    * difference is an exact multiple of 604800 s and the division can't
+    * straddle an engine boundary.
+    *
+    * Scale: first-event per user (one agg), distinct user-weeks (one
+    * agg), one user-keyed join, cohort-keyed rollup — linear, and the
+    * result is cohorts × weeks, dashboard-sized by construction. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts").filter($"user_id".isNotNull)
+    val firstWeek = e.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort"))
+    val activeWeeks = e
+      .select($"user_id", date_trunc("week", $"ts").as("wk")).distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      .groupBy($"cohort",
+        ((unix_timestamp($"wk") - unix_timestamp($"cohort")) / 604800L)
+          .cast("long").as("week_offset"))
+      .agg(count_distinct($"user_id").as("n_active"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_active")
+      .orderBy($"cohort_week", $"week_offset")
+  }
 }
