@@ -299,7 +299,11 @@ class PlanShapeSpec extends SparkTestBase {
       "semantic_search_docs",
       // benchmark-sized broadcast build (eval suites are small by
       // definition — the same contract as the n-gram sweep's broadcast)
-      "semantic_contamination")
+      "semantic_contamination",
+      // SQ8 compressed-domain scorers: same contract as the PQ family —
+      // the build side is the handful of broadcast query codes, the
+      // coded corpus streams through without shuffling
+      "sq_adc_topk", "sq_rerank_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
