@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Sq, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,20 @@ object SparkEntry {
     "orders_above_cust_avg" -> (Relational.ordersAboveCustAvg _),
     "repeat_customers" -> (Relational.repeatCustomers _),
     "rolling_customer_spend" -> (Relational.rollingCustomerSpend _),
+    // skew mitigation: salted fact-side join and member-salted
+    // count-distinct — pure plan rewrites, results bit-equal to the plain
+    // forms (the oracles ARE the plain SQL)
+    "skew_salted_join" -> ((s, d) => Skew.skewSaltedJoin(s, d)),
+    "salted_distinct_users" -> ((s, d) => Skew.saltedDistinctUsers(s, d)),
+    // Z-order layout: Morton codes (mask-spread interleave, pure codegen
+    // integer ops) + the per-bucket bounding-box locality audit
+    "zorder_values" -> ((s, d) => graft.operators.ZOrder.zorderValues(s, d)),
+    "zorder_locality" -> ((s, d) => graft.operators.ZOrder.zorderLocality(s, d)),
+    // per-source distinct-token cardinality: exact anchor + mergeable
+    // DataSketches HLL tier (fixed 4 KiB/sketch; per-shard sketches union
+    // losslessly — SketchesSpec pins the merge identity)
+    "source_token_cardinality" -> ((s, d) => graft.operators.Sketches.sourceTokenCardinality(s, d)),
+    "source_token_cardinality_hll" -> ((s, d) => graft.operators.Sketches.sourceTokenCardinalityHll(s, d)), // rows-only (sketch)
     "user_type_pivot" -> (Relational.userTypePivot _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
@@ -50,6 +64,9 @@ object SparkEntry {
     // ordered view→click→purchase funnel: sequential conditional minima,
     // everything keyed on user_id (co-partitioned end to end)
     "conversion_funnel" -> (EventAnalytics.conversionFunnel _),
+    // first-order Markov transitions: per-user lead() (one shuffle on
+    // user_id), type²-sized rollup, row-normalized probabilities
+    "event_transitions" -> (EventAnalytics.eventTransitions _),
     // weekly cohort retention: first-event cohort × active-week offset in
     // exact epoch arithmetic; result dashboard-sized by construction
     "cohort_retention" -> (EventAnalytics.cohortRetention _),
@@ -157,6 +174,9 @@ object SparkEntry {
     // retrieval-quality eval: label precision@10 over the exact top-k —
     // ranking, label joins, and arithmetic all replayed by the oracle
     "retrieval_label_precision" -> ((s, d) => Similarity.retrievalLabelPrecision(s, d)),
+    // contrastive-training hard negatives: top-k cosine among OTHER-label
+    // vectors, label inequality pruning inside the broadcast join
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // retrieval returning documents (the RAG fetch shape): ranking side
     // broadcasts, the corpus never shuffles
     "semantic_search_docs" -> ((s, d) => Similarity.semanticSearchDocs(s, d)),
@@ -259,6 +279,9 @@ object SparkEntry {
     // packs by integer running-total arithmetic (shard-parallel windows,
     // no global funnel); per-pack fill audit
     "packed_sequences" -> ((s, d) => TextAnalysis.packedSequences(s, d)),
+    // per-shard fill/overflow audit of the packing layout (the number a
+    // trainer needs to size truncation policy and spot wasted context)
+    "packing_efficiency" -> ((s, d) => TextAnalysis.packingEfficiency(s, d)),
     // PII sweep over deterministically-planted synthetic PII: per-doc
     // email/phone/IP counts + redacted text, identical regexes both engines
     "pii_redaction" -> (Pii.piiRedaction _),
@@ -286,6 +309,9 @@ object SparkEntry {
     // -> deterministic md5 gate; totals, rates, and gate all re-derived by
     // the oracle
     "corpus_mixture" -> ((s, d) => Sampling.corpusMixture(s, d)),
+    // temperature-scaled (p^alpha) per-language mixture weights — the
+    // multilingual sampling table; doubles r6 after each engine's own pow
+    "mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     // mixing with UPSAMPLING: floor(budget/actual) full epochs per doc +
     // a fractional epoch gated at the remainder rate
     "corpus_mixture_epochs" -> ((s, d) => Sampling.corpusMixtureEpochs(s, d)),
@@ -321,6 +347,13 @@ object SparkEntry {
     // quality) — the reasoning behind what the composed chains drop
     "doc_curation_decisions" -> ((s, d) => Pipelines.curationDecisions(s, d)),
   )
+
+  // Morton zval arithmetic, generated from ZOrder's own step table
+  private val zvalSql = {
+    val zx = graft.operators.ZOrder.spreadSql("l_partkey")
+    val zy = graft.operators.ZOrder.spreadSql("l_suppkey")
+    s"($zx | ($zy << 1))"
+  }
 
   // oracle bodies shared between their own entry and the clean_corpus
   // composition (DuckDB allows WITH-queries inside a CTE subquery)
@@ -667,6 +700,31 @@ object SparkEntry {
         "INTERSECT " +
         "SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998 " +
         "ORDER BY o_custkey"),
+    "skew_salted_join" ->
+      ("SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey, " +
+        "o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey"),
+    // exact anchor of the HLL tier: same whitespace tokenization as the
+    // corpus-frequency family
+    "source_token_cardinality" ->
+      ("WITH t AS (SELECT source, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "e AS (SELECT source, unnest(toks) AS tok FROM t) " +
+        "SELECT source, count(DISTINCT tok) AS n_distinct_tokens " +
+        "FROM e GROUP BY source ORDER BY source"),
+    // Morton arithmetic generated from the SAME (shift, mask) step table
+    // as the Spark expression (ZOrder.spreadSql) — the engines can't drift
+    "zorder_values" ->
+      (s"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"$zvalSql AS zval FROM lineitem"),
+    "zorder_locality" ->
+      (s"WITH z AS (SELECT l_partkey, l_suppkey, $zvalSql AS zval FROM lineitem) " +
+        "SELECT zval >> 24 AS zbucket, count(*) AS n, " +
+        "min(l_partkey) AS min_part, max(l_partkey) AS max_part, " +
+        "min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp " +
+        "FROM z GROUP BY 1 ORDER BY 1"),
+    "salted_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_distinct " +
+        "FROM events GROUP BY event_type"),
     "user_type_pivot" ->
       ("SELECT user_id, " +
         "count(*) FILTER (event_type = 'click') AS click, " +
@@ -697,6 +755,17 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // identical lead() sequence (ts, event_id tiebreak), row-normalized
+    // after each engine's own division, r6
+    "event_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "c AS (SELECT event_type, next_type, count(*) AS n FROM p " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT event_type, next_type, n, " +
+        "round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type)::DOUBLE, 6) AS p " +
+        "FROM c ORDER BY event_type, next_type"),
     // same sequential conditional minima: first view, first click after
     // it, first purchase after that — strict > on full-precision ts
     "conversion_funnel" ->
@@ -1095,6 +1164,21 @@ object SparkEntry {
         "SELECT query_id, vec_id, adc, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // cosine_topk's construction restricted to OTHER-label candidates,
+    // plus the negative's label payload
+    "hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.label <> q.q_label), " +
+        "topk AS (SELECT query_id, vec_id, cosine, rk FROM (" +
+        "SELECT query_id, vec_id, cosine, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10) " +
+        "SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, t.vec_id, t.cosine, " +
+        "e.label AS neg_label FROM topk t JOIN embeddings e USING (vec_id) " +
+        "ORDER BY t.query_id, t.rk"),
     "cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
         "s AS (SELECT q.query_id, e.vec_id, " +
@@ -1235,6 +1319,22 @@ object SparkEntry {
     // the full mixing derivation replayed: token totals per language,
     // data-derived rates against the same literal budgets, threshold hex
     // (round(rate·16^8), 'g' = keep-all sentinel), identical md5 gate
+    // temperature mixing: share → p^0.7 → normalized weight; every double
+    // rounded to 6 decimals AFTER each engine's own pow/sum (libm last-ulp
+    // drift cannot survive r6), targets derived from the ROUNDED weight
+    "mixture_temperature" ->
+      ("WITH t AS (SELECT doc_id, lang, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "d AS (SELECT doc_id, lang, len(toks) AS n_tokens FROM t), " +
+        "tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM d GROUP BY lang HAVING sum(n_tokens) > 0), " +
+        "g AS (SELECT lang, lang_tokens, lang_tokens::DOUBLE / sum(lang_tokens) OVER ()::DOUBLE AS share FROM tot), " +
+        "p AS (SELECT lang, lang_tokens, share, power(share, 0.7) AS pw FROM g), " +
+        "w AS (SELECT lang, lang_tokens, share, round(pw / sum(pw) OVER (), 6) AS weight FROM p), " +
+        "x AS (SELECT lang, lang_tokens, round(share, 6) AS share, weight, " +
+        "CAST(round(weight * 100000.0) AS BIGINT) AS target_tokens FROM w) " +
+        "SELECT lang, lang_tokens, share, weight, target_tokens, " +
+        "round(target_tokens::DOUBLE / lang_tokens::DOUBLE, 6) AS mix_ratio " +
+        "FROM x ORDER BY lang"),
     "corpus_mixture" ->
       ("WITH t AS (SELECT doc_id, lang, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
         "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
@@ -1427,6 +1527,19 @@ object SparkEntry {
       (s"WITH $chunksCtes SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5 FROM ch"),
     // same chunk derivation + md5-mod shard + integer running-total cut:
     // (cumsum-before // 256) replayed with the identical window order
+    // same packing derivation rolled up per shard: fill + overflow audit
+    "packing_efficiency" ->
+      (s"WITH $chunksCtes, sh AS (SELECT doc_id, chunk_id, n_chunk_tokens, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard FROM ch), " +
+        "p AS (SELECT shard, doc_id, n_chunk_tokens, " +
+        "CAST((sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) // 256 AS BIGINT) AS pack_id FROM sh), " +
+        "ps AS (SELECT shard, pack_id, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens " +
+        "FROM p GROUP BY shard, pack_id) " +
+        "SELECT shard, count(*) AS n_packs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "round(sum(n_tokens)::DOUBLE / (count(*) * 256)::DOUBLE, 6) AS mean_fill, " +
+        "CAST(sum(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow " +
+        "FROM ps GROUP BY shard ORDER BY shard"),
     "packed_sequences" ->
       (s"WITH $chunksCtes, sh AS (SELECT doc_id, chunk_id, n_chunk_tokens, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard FROM ch), " +

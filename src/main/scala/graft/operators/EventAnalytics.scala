@@ -235,4 +235,32 @@ object EventAnalytics {
         $"week_offset", $"n_active")
       .orderBy($"cohort_week", $"week_offset")
   }
+
+  /** First-order Markov transition matrix of per-user event sequences:
+    * for each (event_type → next event_type) pair, the count and the
+    * row-normalized probability — the behavioral fingerprint table
+    * (anomaly detection, bot filtering, simulation seeding) every event
+    * pipeline eventually wants.
+    *
+    * Scale: the lead() window partitions by user_id — each user's (small)
+    * event list sorts within one task, the same single-shuffle shape as
+    * sessionization; the transition rollup is type²-sized. Probability is
+    * rounded to 6 decimals after each engine's own division. Ties on ts
+    * are broken by event_id so both engines see the same sequence.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+    val counts = pairs.groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy($"event_type")
+    counts
+      .withColumn("p",
+        round($"n".cast("double") / sum($"n").over(rowW).cast("double"), 6))
+      .orderBy($"event_type", $"next_type")
+  }
 }

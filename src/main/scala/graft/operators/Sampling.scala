@@ -146,6 +146,44 @@ object Sampling {
       .select($"doc_id", $"lang", $"n_tokens", $"epoch")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-LM standard
+    * (XLM-R / mT5 style): a language with token share p gets sampling
+    * weight p^alpha / Σ p^alpha. alpha = 1 reproduces natural proportions;
+    * alpha → 0 approaches uniform; the usual 0.3–0.7 band lifts
+    * low-resource languages without drowning the head. Output is the
+    * per-language release table: actual tokens, natural share, temperature
+    * weight, the token target a `totalBudget`-token run would draw, and
+    * the resulting keep/upsample ratio (target/actual — feeds
+    * [[corpusMixtureEpochs]] as its budget map).
+    *
+    * Scale: one hash-agg over (lang) — the result is language-count-sized,
+    * so the unpartitioned windows that normalize shares run over a
+    * dashboard-sized frame, not the corpus. Doubles are rounded to 6
+    * decimals AFTER each engine's own pow/sum so last-ulp libm drift
+    * cannot flip the hash compare.
+    */
+  def mixtureTemperature(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.7, totalBudget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val totals = Tables.documents(spark, sfDir)
+      .select($"lang", size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
+      .filter($"lang_tokens" > 0)
+    totals
+      .withColumn("share", $"lang_tokens".cast("double") /
+        sum($"lang_tokens").over(all).cast("double"))
+      .withColumn("pw", pow($"share", lit(alpha)))
+      .withColumn("weight", round($"pw" / sum($"pw").over(all), 6))
+      .withColumn("target_tokens",
+        round($"weight" * lit(totalBudget.toDouble)).cast("long"))
+      .select($"lang", $"lang_tokens", round($"share", 6).as("share"),
+        $"weight", $"target_tokens",
+        round($"target_tokens".cast("double") / $"lang_tokens".cast("double"), 6)
+          .as("mix_ratio"))
+      .orderBy($"lang")
+  }
+
   /** Deterministic shard assignment: the first 8 hex chars of md5(key)
     * parsed as an integer, mod `nShards` — the same hash family as
     * [[hashGate]]/[[holdoutSplit]], so shard membership is a pure function

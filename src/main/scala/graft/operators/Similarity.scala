@@ -102,6 +102,34 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the k most-similar vectors carrying a DIFFERENT label
+    * (same-label neighbors are positives; the high-cosine other-label ones
+    * are the "hard" negatives a contrastive or reranker trainer wants).
+    * Identical scale shape to [[cosineTopK]]: queries broadcast with their
+    * labels, the label inequality rides in the join condition so
+    * same-label pairs are pruned before scoring, salted two-phase top-k.
+    * Fully oracle-checked: DuckDB replays the filter, ranking, and the
+    * label payload join. */
+  def hardNegatives(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, salts: Int = 8): DataFrame = {
+    val emb = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding", $"label")
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"label".as("q_label"))
+    val scored = emb.join(broadcast(queries),
+        $"vec_id" =!= $"query_id" && $"label" =!= $"q_label")
+      .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
+      .select($"query_id", $"vec_id", $"cosine")
+    val negLabels = broadcast(Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".as("neg_label")))
+    topKPerQuery(scored, k, salts)
+      .join(negLabels, "vec_id")
+      .select($"query_id", $"rk", $"vec_id", $"cosine", $"neg_label")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Registered query: semantic search returning DOCUMENTS, not ids — the
     * retrieval shape a RAG/inspection workflow actually consumes. The exact
     * cosine top-k ([[cosineTopK]]) joins the `documents` table for payload

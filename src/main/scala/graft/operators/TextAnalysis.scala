@@ -406,6 +406,30 @@ object TextAnalysis {
       .orderBy($"shard", $"pack_id")
   }
 
+  /** Registered query: the packing-efficiency audit over
+    * [[packedSequences]] — per shard: pack count, token volume, mean fill
+    * against the `contextLen` budget, and how many packs OVERFLOW it (the
+    * cumulative-offset packing assigns a chunk to the pack its first token
+    * lands in, so a boundary-straddling chunk overfills its pack — the
+    * number a trainer needs to size its truncation/continuation policy).
+    * A release pipeline reads this table before shipping shards: fill far
+    * below 1.0 means wasted context windows; heavy overflow means the
+    * chunker's maxTokens is mis-sized against the trainer's context.
+    *
+    * Scale: a shard-count-sized rollup of the already-linear packing
+    * derivation — nothing new shuffles.
+    */
+  def packingEfficiency(spark: SparkSession, sfDir: String,
+      contextLen: Int = 256, nShards: Int = 16): DataFrame =
+    packedSequences(spark, sfDir, contextLen, nShards)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_packs"),
+        sum($"n_tokens").as("n_tokens"),
+        round(sum($"n_tokens").cast("double") /
+          (count(lit(1)) * lit(contextLen)).cast("double"), 6).as("mean_fill"),
+        sum(when($"n_tokens" > contextLen, 1L).otherwise(0L)).as("n_overflow"))
+      .orderBy($"shard")
+
   /** Roll-up: per-language volume and quality profile (one hash-agg). */
   def langProfile(spark: SparkSession, sfDir: String): DataFrame =
     spread(Tables.documents(spark, sfDir))

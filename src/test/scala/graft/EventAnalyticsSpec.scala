@@ -59,4 +59,20 @@ class EventAnalyticsSpec extends SparkTestBase {
         s"cohort $cw: offset-0 cell is not the cohort size")
     }
   }
+
+  test("eventTransitions: counts conserve, rows normalize to 1") {
+    import org.apache.spark.sql.functions._
+    val t = EventAnalytics.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(t.nonEmpty)
+    // Σ transitions = Σ_user (n_events − 1): every adjacent pair, no more
+    val perUser = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id").count().collect().map(_.getLong(1))
+    assert(t.map(_._3).sum == perUser.map(_ - 1).sum)
+    t.groupBy(_._1).foreach { case (et, g) =>
+      val psum = g.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$et rows sum to $psum")
+    }
+  }
 }

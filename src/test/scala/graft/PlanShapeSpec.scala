@@ -56,6 +56,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("salted join hashes on (key, salt); salted distinct never single-buckets the hot key") {
+    val join = planOf(graft.operators.Skew.skewSaltedJoin(spark, sf))
+    // the exchanges must carry the salt — that IS the mitigation
+    assert("hashpartitioning\\(o_custkey[^)]*_salt".r.findFirstIn(join).isDefined,
+      join.take(1500))
+    assert(!join.contains("BroadcastHashJoin"), join.take(1500))
+    val dist = planOf(graft.operators.Skew.saltedDistinctUsers(spark, sf))
+    assert("hashpartitioning\\(event_type[^)]*_salt".r.findFirstIn(dist).isDefined,
+      dist.take(1500))
+  }
+
   test("persisted IVF probe prunes the scan to the probed cell directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.Similarity
@@ -294,6 +305,9 @@ class PlanShapeSpec extends SparkTestBase {
     val bnljByDesign = Set("cosine_topk", "embedding_near_dup_scale",
       "pq_adc_topk", "pq_adc_topk_indexed", "pq_rerank_topk",
       "retrieval_label_precision",
+      // cosine_topk's scorer with the label inequality in the join
+      // condition — same query-sized broadcast build side
+      "hard_negatives",
       // the document-fetch composition embeds cosine_topk's query-sized
       // broadcast scorer; the fetch itself is a broadcast-hash equi-join
       "semantic_search_docs",

@@ -311,4 +311,23 @@ class SamplingSpec extends SparkTestBase {
       r.getLong(3))).toSet == naive)
     assert(rows.nonEmpty)
   }
+
+  test("mixtureTemperature: weights normalize; alpha=1 is natural; alpha<1 lifts the tail") {
+    val t = Sampling.mixtureTemperature(spark, sf, alpha = 0.7).collect()
+    assert(t.nonEmpty)
+    val wsum = t.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // alpha = 1 → weight == natural share (within the r6 rounding)
+    Sampling.mixtureTemperature(spark, sf, alpha = 1.0).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") - r.getAs[Double]("share")) <= 2e-6, r.toString)
+    }
+    // alpha < 1 flattens: the smallest-share language gains weight, the
+    // largest loses — the lift that temperature sampling exists to provide
+    val byShare = t.sortBy(_.getAs[Double]("share"))
+    assert(byShare.head.getAs[Double]("weight") > byShare.head.getAs[Double]("share"))
+    assert(byShare.last.getAs[Double]("weight") < byShare.last.getAs[Double]("share"))
+    // targets track the budget (round-off only)
+    val tsum = t.map(_.getAs[Long]("target_tokens")).sum
+    assert(math.abs(tsum - 100000L) <= t.length, s"targets sum to $tsum")
+  }
 }

@@ -167,4 +167,39 @@ class SimilaritySpec extends SparkTestBase {
     // beats that floor; on real clustered data recall rises sharply.
     assert(recall > 0.25, s"IVF recall@10 = $recall")
   }
+
+  test("hardNegatives: other-label only, rank-contiguous, equals filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, v, _, negLabel) =>
+      assert(labels(v) == negLabel)
+      assert(negLabel != labels(q), s"query $q got a same-label negative $v")
+    }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq, s"query $q ranks")
+      // scores weakly decrease with rank
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // top-1 matches a brute-force scan over other-label vectors
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val best = emb.keys
+        .filter(v => v != q && labels(v) != labels(q))
+        .map(v => v -> BigDecimal(cos(emb(q), emb(v)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toSeq.sortBy { case (v, c) => (-c, v) }.head
+      val got1 = g.find(_._2 == 1L).get
+      assert((got1._3, got1._4) == best, s"query $q top-1")
+    }
+  }
 }

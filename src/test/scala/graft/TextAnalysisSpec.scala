@@ -252,4 +252,24 @@ class TextAnalysisSpec extends SparkTestBase {
       }
     }
   }
+
+  test("packingEfficiency agrees with the packedSequences rollup") {
+    val eff = TextAnalysis.packingEfficiency(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    val packs = TextAnalysis.packedSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val expect = packs.groupBy(_._1).map { case (shard, ps) =>
+      val toks = ps.map(_._2).sum
+      shard -> (ps.length.toLong, toks,
+        BigDecimal(toks.toDouble / (ps.length * 256.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ps.count(_._2 > 256L).toLong)
+    }
+    assert(eff == expect)
+    // fill is a ratio in (0, overflow bound]
+    eff.values.foreach { case (_, _, fill, _) =>
+      assert(fill > 0.0 && fill < 1.25, s"fill $fill")
+    }
+  }
 }

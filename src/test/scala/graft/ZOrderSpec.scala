@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+
+/** Morton interleave: known codes, round-trip bit structure, and the
+  * layout property the curve exists for — range partitions on zval are
+  * small rectangles in (x, y), so min/max stats prune on BOTH dims.
+  */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def z(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y")).as[Long].head()
+
+  test("known Morton codes") {
+    // reference interleave: x on even bits, y on odd
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)
+    assert(z(0, 1) == 2L)
+    assert(z(1, 1) == 3L)
+    assert(z(2, 0) == 4L)
+    assert(z(3, 3) == 15L)
+    assert(z(0xFFFF, 0) == 0x55555555L)
+    assert(z(0, 0xFFFF) == 0xAAAAAAAAL)
+    assert(z(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+  }
+
+  test("interleave matches a bit-by-bit reference across random inputs") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(64)((rnd.nextInt(0x10000).toLong, rnd.nextInt(0x10000).toLong))
+    val got = pts.toDF("x", "y").select(ZOrder.zValue($"x", $"y")).as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y) => ref(x, y) })
+  }
+
+  test("Z-ordered write: per-file bounding boxes are compact on BOTH dims") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val n = 1 << 12
+    val rnd = new scala.util.Random(42)
+    val df = Seq.fill(n)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    ZOrder.writeZOrdered(df, "x", "y", dir, numFiles = 16)
+    val withFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+    val boxes = withFile.groupBy($"f")
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"), count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.length >= 8, s"only ${boxes.length} files")
+    // a random (unclustered) split would give each file a ~full-extent box
+    // on both dims (~1023); Z-range files must average far below that on
+    // the combined area — the pruning-effectiveness property
+    val meanArea = boxes.map { r =>
+      (r.getLong(2) - r.getLong(1) + 1).toDouble *
+        (r.getLong(4) - r.getLong(3) + 1).toDouble
+    }.sum / boxes.length
+    val fullArea = 1024.0 * 1024.0
+    assert(meanArea < fullArea / 3.0,
+      s"mean per-file area $meanArea vs full $fullArea — layout not clustering")
+  }
+}
