@@ -67,6 +67,9 @@ object SparkEntry {
     // first-order Markov transitions: per-user lead() (one shuffle on
     // user_id), type²-sized rollup, row-normalized probabilities
     "event_transitions" -> (EventAnalytics.eventTransitions _),
+    // top-k ordered session paths: sessionize (one shuffle on user_id),
+    // per-session ordered type join, TakeOrdered rollup
+    "session_paths" -> ((s, d) => EventAnalytics.sessionPaths(s, d)),
     // weekly cohort retention: first-event cohort × active-week offset in
     // exact epoch arithmetic; result dashboard-sized by construction
     "cohort_retention" -> (EventAnalytics.cohortRetention _),
@@ -117,6 +120,9 @@ object SparkEntry {
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    // mirror detection: the near-dup pair set rolled up by unordered
+    // source pair; jaccard summed in exact ten-thousandths
+    "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(s, d)),
     // EXACT token-n-gram Jaccard join via prefix filtering (AllPairs/PPJoin
     // family): deterministic counterpart of the MinHash tier — candidates
     // from each doc's globally-RAREST grams only, size filter in the join
@@ -282,6 +288,12 @@ object SparkEntry {
     // per-shard fill/overflow audit of the packing layout (the number a
     // trainer needs to size truncation policy and spot wasted context)
     "packing_efficiency" -> ((s, d) => TextAnalysis.packingEfficiency(s, d)),
+    // per-source quality z-scores from decimal-exact moments (one float
+    // division at the end); the cross-source calibration gate
+    "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
+    // per-source trigram type-token ratio: template/boilerplate signal;
+    // total grams derived WITHOUT an explode
+    "source_ngram_diversity" -> ((s, d) => TextAnalysis.sourceNgramDiversity(s, d)),
     // PII sweep over deterministically-planted synthetic PII: per-doc
     // email/phone/IP counts + redacted text, identical regexes both engines
     "pii_redaction" -> (Pii.piiRedaction _),
@@ -703,6 +715,35 @@ object SparkEntry {
     "skew_salted_join" ->
       ("SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey, " +
         "o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey"),
+    // z from HUGEINT-exact moments (the decimal(38,0) twin of Spark's
+    // accumulation); the only float step is the final division, r6
+    "quality_calibration" ->
+      (s"WITH st AS ($textStatsSql), " +
+        "j AS (SELECT st.doc_id, d.source, st.quality_score, " +
+        "CAST(round(st.quality_score * 10000) AS BIGINT) AS qm " +
+        "FROM st JOIN documents d USING (doc_id)), " +
+        "m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(qm) AS HUGEINT) AS s, CAST(sum(qm*qm) AS HUGEINT) AS q2 " +
+        "FROM j GROUP BY source) " +
+        "SELECT j.doc_id, j.source, j.quality_score, " +
+        "round(CAST(m.n * j.qm - m.s AS DOUBLE) / " +
+        "sqrt(CAST(m.n * m.q2 - m.s * m.s AS DOUBLE)), 6) AS z " +
+        "FROM j JOIN m USING (source)"),
+    // total grams = Σ max(len−2, 0) (no explode); distinct grams via the
+    // same space-joined trigram shingle as the doc-freq family
+    "source_ngram_diversity" ->
+      ("WITH t AS (SELECT source, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(greatest(len(toks) - 2, 0)) AS BIGINT) AS total_grams " +
+        "FROM t GROUP BY source), " +
+        "g AS (SELECT source, CASE WHEN len(toks) < 3 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM t), " +
+        "d AS (SELECT source, count(DISTINCT gram) AS distinct_grams FROM " +
+        "(SELECT source, unnest(grams) AS gram FROM g) GROUP BY source) " +
+        "SELECT source, total_grams, distinct_grams, " +
+        "round(distinct_grams::DOUBLE / greatest(total_grams, 1)::DOUBLE, 6) AS diversity " +
+        "FROM tot JOIN d USING (source) ORDER BY source"),
     // exact anchor of the HLL tier: same whitespace tokenization as the
     // corpus-frequency family
     "source_token_cardinality" ->
@@ -755,6 +796,21 @@ object SparkEntry {
         "SELECT user_id, count(*) AS n_events, CAST(max(sid) AS BIGINT) AS n_sessions, " +
         "round(count(*)::DOUBLE / max(sid) + 1e-9, 4) AS avg_session_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // identical sessionization (30-min gap, ts+event_id order), ordered
+    // string_agg path, count-desc-then-path top-20
+    "session_paths" ->
+      ("WITH f AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS flag " +
+        "FROM events WHERE user_id IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, event_id, event_type, " +
+        "sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT path, count(*) AS n_sessions FROM p GROUP BY path " +
+        "ORDER BY n_sessions DESC, path LIMIT 20"),
     // identical lead() sequence (ts, event_id tiebreak), row-normalized
     // after each engine's own division, r6
     "event_transitions" ->
@@ -988,6 +1044,19 @@ object SparkEntry {
     // brute-force all-pairs twin of the banded-LSH plan: at the 0.8 threshold
     // with b=128,r=8 the LSH miss probability is ~7e-11, so exact match holds
     "near_dup_pairs" -> nearDupPairsSql,
+    // the same pair set, source-joined and rolled up unordered; mean
+    // jaccard from exact ten-thousandth sums, one final division r6
+    "cross_source_dup_matrix" ->
+      (s"WITH nd AS ($nearDupPairsSql), " +
+        "s AS (SELECT doc_id, source FROM documents), " +
+        "e AS (SELECT least(sa.source, sb.source) AS source_a, " +
+        "greatest(sa.source, sb.source) AS source_b, " +
+        "CAST(round(nd.jaccard * 10000) AS BIGINT) AS jm " +
+        "FROM nd JOIN s sa ON nd.a_doc_id = sa.doc_id " +
+        "JOIN s sb ON nd.b_doc_id = sb.doc_id) " +
+        "SELECT source_a, source_b, count(*) AS n_pairs, " +
+        "round(sum(jm)::DOUBLE / (count(*) * 10000)::DOUBLE, 6) AS avg_jaccard " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2"),
     // inverted-index brute-force twin of the prefix-filtered exact join:
     // intersections from grouping the shared-gram join (only co-occurring
     // grams matter — J >= 0.5 needs at least one), sizes from the gram sets;

@@ -146,6 +146,36 @@ object Dedup {
     nearDupPairsOf(Tables.documents(spark, sfDir), shingleLen, numBands,
       rowsPerBand, threshold)
 
+  /** Cross-source duplication matrix: [[nearDupPairs]] rolled up by the
+    * (unordered) source pair — which sources mirror/copy which is the
+    * table that decides whether to dedup a source pair jointly or drop
+    * one side wholesale (mirror-site detection in web corpora).
+    *
+    * Exactness: jaccard is a 4-decimal double, so ×10⁴ sums as exact
+    * integers and the mean is ONE final division, r6 — no float-
+    * summation-order drift. Scale: the pair set is ≪ the corpus (it is
+    * the LSH output), so both doc_id joins put the small pair side
+    * against the corpus scan — shuffle-on-key, never pairwise — and the
+    * rollup is source²-sized.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val pairs = nearDupPairs(spark, sfDir)
+      .withColumn("jm", round($"jaccard" * 10000).cast("long"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "a_doc_id")
+        .withColumnRenamed("source", "src_a"), "a_doc_id")
+      .join(src.withColumnRenamed("doc_id", "b_doc_id")
+        .withColumnRenamed("source", "src_b"), "b_doc_id")
+      .select(least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"), $"jm")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"jm").cast("double") / (count(lit(1)) * 10000).cast("double"), 6)
+          .as("avg_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Core of [[nearDupPairs]] over any (doc_id, text) frame.
     * `maxBucketSize` caps LSH bucket fan-out (see [[dropHotBuckets]]); the
     * fixture corpora never approach the default cap, so the oracle's

@@ -236,6 +236,43 @@ object EventAnalytics {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Top session PATHS: the ordered event-type sequence of each 30-minute
+    * session, rolled up to the k most common paths — the navigation-
+    * pattern table (onboarding analysis, bot signatures) that sits one
+    * level above [[eventTransitions]]' pairwise view.
+    *
+    * Determinism: within a session, events order by (ts, event_id) — the
+    * struct array_sort sees exactly those fields first — and the oracle's
+    * string_agg uses the same ORDER BY. Top-k is count desc then path, a
+    * TakeOrderedAndProject (never a global sort).
+    *
+    * Scale: sessionization is the standard single shuffle on user_id; the
+    * per-session path agg re-keys (user_id, sid) with map-side partials;
+    * the path rollup is paths-sized. Session paths are bounded by the
+    * session gap, so collect_list here is per-session, not per-user.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prev = lag($"ts", 1).over(w)
+    val flag = when(prev.isNull ||
+      unix_micros($"ts") - unix_micros(prev) > gapMinutes * 60000000L, 1L)
+      .otherwise(0L)
+    val sess = Tables.events(spark, sfDir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("sid", sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy($"user_id", $"sid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix of per-user event sequences:
     * for each (event_type → next event_type) pair, the count and the
     * row-normalized probability — the behavioral fingerprint table

@@ -406,6 +406,66 @@ object TextAnalysis {
       .orderBy($"shard", $"pack_id")
   }
 
+  /** Per-source quality CALIBRATION: z-score each document's quality
+    * against its own source's distribution, so a 0.6 from a terse source
+    * and a 0.6 from a verbose one become comparable before a global
+    * quality gate — the cross-source correction a mixed-corpus curation
+    * pass needs (a fixed global threshold systematically starves sources
+    * whose style scores low).
+    *
+    * Exactness: quality_score is a 4-decimal double, so ×10⁴ is an exact
+    * integer; sums and squared sums accumulate in decimal(38,0) (engine-
+    * order-proof — the [[Profile]] outlier pattern), and the only float
+    * step is the final z division: z = (n·q − S) / √(n·Q − S²), one cast
+    * and one sqrt of EXACT integers, rounded to 6 decimals. decimal(38)
+    * headroom: q ≤ 10⁴ so n·Q ≤ n²·10⁸ — safe past 10¹⁴ docs/source.
+    *
+    * Scale: one hash-agg for the source-count-sized moment table,
+    * broadcast back; the corpus never shuffles.
+    */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = textStatsOf(Tables.documents(spark, sfDir), carry = Seq("source"))
+      .select($"doc_id", $"source", $"quality_score",
+        round($"quality_score" * 10000).cast("long").as("qm"))
+    val mom = stats.groupBy($"source").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum($"qm".cast("decimal(38,0)")).as("s"),
+      sum(($"qm" * $"qm").cast("decimal(38,0)")).as("q2"))
+    stats.join(broadcast(mom), "source")
+      .select($"doc_id", $"source", $"quality_score",
+        round(($"n" * $"qm" - $"s").cast("double") /
+          sqrt(($"n" * $"q2" - $"s" * $"s").cast("double")), 6).as("z"))
+  }
+
+  /** Per-source n-gram DIVERSITY (distinct / total trigrams — the
+    * type-token ratio at gram granularity): the template-detection signal
+    * curation pipelines use — boilerplate-heavy or machine-generated
+    * sources score low because their gram vocabulary saturates while
+    * volume keeps growing.
+    *
+    * Scale: total grams per source needs NO explode — it is
+    * Σ max(n_tokens−(n−1), 0), one narrow hash-agg; the distinct side
+    * explodes each doc's DISTINCT grams once (the codegen
+    * [[graft.functions.TextExpressions]] shingler) into a count-distinct
+    * keyed (source, gram) — the same linear shape as the vocab family.
+    */
+  def sourceNgramDiversity(spark: SparkSession, sfDir: String,
+      n: Int = 3): DataFrame = {
+    val docs = spread(Tables.documents(spark, sfDir))
+    val totals = docs
+      .select($"source",
+        greatest(size(tokens($"text")) - (n - 1), lit(0)).cast("long").as("tg"))
+      .groupBy($"source").agg(sum($"tg").as("total_grams"))
+    val distincts = docs
+      .select($"source", explode(Decontamination.tokenNgrams($"text", n)).as("gram"))
+      .groupBy($"source").agg(countDistinct($"gram").as("distinct_grams"))
+    totals.join(distincts, "source")
+      .select($"source", $"total_grams", $"distinct_grams",
+        round($"distinct_grams".cast("double") /
+          greatest($"total_grams", lit(1L)).cast("double"), 6).as("diversity"))
+      .orderBy($"source")
+  }
+
   /** Registered query: the packing-efficiency audit over
     * [[packedSequences]] — per shard: pack count, token volume, mean fill
     * against the `contextLen` budget, and how many packs OVERFLOW it (the

@@ -366,4 +366,17 @@ class DedupSpec extends SparkTestBase {
     // the fixture has in-cell semantic dups AND survivors
     assert(got.exists(_._3 == 0) && got.exists(_._3 == 1))
   }
+
+  test("crossSourceDupMatrix: conserves the pair count, unordered keys, bounded mean") {
+    val m = Dedup.crossSourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n, avg) =>
+      assert(a <= b, s"unordered key violated: $a > $b")
+      assert(n >= 1)
+      assert(avg >= 0.8 - 1e-6 && avg <= 1.0, s"($a,$b) avg $avg")
+    }
+    val totalPairs = Dedup.nearDupPairs(spark, sf).count()
+    assert(m.map(_._3).sum == totalPairs)
+  }
 }

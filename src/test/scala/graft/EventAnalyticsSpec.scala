@@ -60,6 +60,24 @@ class EventAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("sessionPaths: counts conserve to the session total; paths are well-formed") {
+    import org.apache.spark.sql.functions._
+    val paths = EventAnalytics.sessionPaths(spark, sf, k = 1000000).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(paths.nonEmpty)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    paths.foreach { case (p, n) =>
+      assert(n >= 1)
+      assert(p.split(">").forall(types.contains), p)
+    }
+    // Σ path counts = number of sessions (uncapped k)
+    val nSessions = EventAnalytics.userSessionsOf(
+      graft.sources.Tables.events(spark, sf).filter($"user_id".isNotNull))
+      .agg(sum($"n_sessions")).collect()(0).getLong(0)
+    assert(paths.map(_._2).sum == nSessions,
+      s"${paths.map(_._2).sum} path-sessions vs $nSessions sessions")
+  }
+
   test("eventTransitions: counts conserve, rows normalize to 1") {
     import org.apache.spark.sql.functions._
     val t = EventAnalytics.eventTransitions(spark, sf).collect()

@@ -253,6 +253,34 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("qualityCalibration: per-source z-scores have mean 0, std 1, monotone in score") {
+    val rows = TextAnalysis.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val zs = g.map(_._4)
+      val mean = zs.sum / zs.length
+      val std = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / zs.length)
+      assert(math.abs(mean) < 1e-3, s"$src z-mean $mean")
+      assert(math.abs(std - 1.0) < 1e-2, s"$src z-std $std")
+      // z order matches score order within a source
+      val byScore = g.sortBy(r => (r._3, r._1))
+      assert(byScore.map(_._4).zip(byScore.map(_._4).tail)
+        .forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
+  test("sourceNgramDiversity: bounded ratio, distinct never exceeds total") {
+    val rows = TextAnalysis.sourceNgramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, distinct, div) =>
+      assert(distinct <= total, s"$src: $distinct > $total")
+      assert(div > 0.0 && div <= 1.0, s"$src diversity $div")
+      assert(math.abs(div - distinct.toDouble / total) < 1e-6)
+    }
+  }
+
   test("packingEfficiency agrees with the packedSequences rollup") {
     val eff = TextAnalysis.packingEfficiency(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
