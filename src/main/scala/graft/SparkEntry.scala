@@ -183,6 +183,13 @@ object SparkEntry {
     // contrastive-training hard negatives: top-k cosine among OTHER-label
     // vectors, label inequality pruning inside the broadcast join
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // lexical retrieval tier: Okapi BM25 with the tf part exact-rational
+    // (22·tf·L / (10·tf·L + 3·L + 9·dl·N)) and ln() quantized per TERM —
+    // per-doc scores are exact BIGINT sums
+    "bm25_topk" -> ((s, d) => graft.operators.Bm25.bm25TopK(s, d)),
+    // reciprocal-rank fusion of the lexical and semantic rankings —
+    // contributions micro-quantized, sums exact; fusion is queries×k-sized
+    "hybrid_rrf_topk" -> ((s, d) => graft.operators.Bm25.hybridRrfTopK(s, d)),
     // retrieval returning documents (the RAG fetch shape): ranking side
     // broadcasts, the corpus never shuffles
     "semantic_search_docs" -> ((s, d) => Similarity.semanticSearchDocs(s, d)),
@@ -538,6 +545,33 @@ object SparkEntry {
   private val toksCte =
     "t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents)"
+
+  // Okapi BM25 replay, shared by its own entry and the RRF fusion: the tf
+  // part exact-rational (k1=6/5, b=3/4 clear denominators), ln() micro-
+  // quantized per term, per-doc scores exact BIGINT sums
+  private val bm25Sql =
+    s"WITH $toksCte, " +
+      "l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t), " +
+      "sc AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM l), " +
+      "e AS (SELECT doc_id, unnest(toks) AS term FROM t), " +
+      "q AS (SELECT DISTINCT doc_id AS query_id, term FROM e WHERE doc_id < 3), " +
+      "qv AS (SELECT DISTINCT term FROM q), " +
+      "p AS (SELECT e.doc_id, e.term FROM e JOIN qv USING (term)), " +
+      "dfd AS (SELECT term, count(*)::BIGINT AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM p) GROUP BY term), " +
+      "idf AS (SELECT term, CAST(round(ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) " +
+      "* 1000000) AS BIGINT) AS idf_micros FROM dfd, sc), " +
+      "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM p GROUP BY 1, 2), " +
+      "w AS (SELECT tf.doc_id, tf.term, CAST(round(idf.idf_micros * " +
+      "(22 * tf.tf * sc.total_dl)::DOUBLE / " +
+      "(10 * tf.tf * sc.total_dl + 3 * sc.total_dl + 9 * l.dl * sc.n_docs)::DOUBLE) " +
+      "AS BIGINT) AS wm FROM tf JOIN l USING (doc_id) JOIN idf USING (term), sc), " +
+      "s AS (SELECT q.query_id, w.doc_id, CAST(sum(w.wm) AS BIGINT) AS score_micros " +
+      "FROM w JOIN q USING (term) WHERE w.doc_id <> q.query_id GROUP BY 1, 2) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score_micros FROM (" +
+      "SELECT query_id, doc_id, score_micros, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY score_micros DESC, doc_id) AS rk FROM s) " +
+      "WHERE rk <= 10 ORDER BY query_id, rk"
 
   // chunk CTEs shared by doc_chunks and packed_sequences: stride-64 slices
   // over the shared tokenization, ragged tail truncating like Spark's slice
@@ -1233,6 +1267,29 @@ object SparkEntry {
         "SELECT query_id, vec_id, adc, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // identical integer-rational BM25: the only libm call (ln) quantizes
+    // to micros per term; every per-(doc,term) weight is the same double
+    // dag over exact integers, summed as BIGINT
+    "bm25_topk" -> bm25Sql,
+    // RRF fusion of the two component rankings, each contribution
+    // micro-quantized from the same integer division — sums exact
+    "hybrid_rrf_topk" ->
+      (s"WITH lx AS ($bm25Sql), " +
+        "cq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3), " +
+        "cs AS (SELECT cq.query_id, e.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], cq.q_emb::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings e, cq WHERE e.vec_id <> cq.query_id), " +
+        "ct AS (SELECT query_id, vec_id AS doc_id, rk FROM (" +
+        "SELECT query_id, vec_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM cs) WHERE rk <= 10), " +
+        "u AS (SELECT query_id, doc_id, CAST(round(1000000.0 / (60 + rk)) AS BIGINT) AS c FROM lx " +
+        "UNION ALL SELECT query_id, doc_id, CAST(round(1000000.0 / (60 + rk)) AS BIGINT) AS c FROM ct), " +
+        "g AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micros, " +
+        "count(*) AS n_lists FROM u GROUP BY 1, 2) " +
+        "SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf_micros, n_lists FROM (" +
+        "SELECT query_id, doc_id, rrf_micros, n_lists, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS rk FROM g) " +
+        "WHERE rk <= 10 ORDER BY query_id, rk"),
     // cosine_topk's construction restricted to OTHER-label candidates,
     // plus the negative's label payload
     "hard_negatives" ->

@@ -308,6 +308,9 @@ class PlanShapeSpec extends SparkTestBase {
       // cosine_topk's scorer with the label inequality in the join
       // condition — same query-sized broadcast build side
       "hard_negatives",
+      // embeds cosine_topk's query-sized broadcast scorer as its
+      // semantic leg; the lexical leg and the fusion are equi-joins
+      "hybrid_rrf_topk",
       // the document-fetch composition embeds cosine_topk's query-sized
       // broadcast scorer; the fetch itself is a broadcast-hash equi-join
       "semantic_search_docs",
