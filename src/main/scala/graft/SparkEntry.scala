@@ -91,6 +91,9 @@ object SparkEntry {
     // release-to-release snapshot diff: one co-partitioned full-outer join
     // classifying added/removed/changed/unchanged by content hash
     "corpus_diff" -> (Profile.documentsDiff _),
+    // distribution-shift alarm: top terms by smoothed KL contribution
+    // between the ingest batch and the standing corpus (integer-micro ln)
+    "vocab_drift" -> ((s, d) => Profile.vocabDrift(s, d)),
     // lexical-rarity quality signal: mean corpus frequency of each doc's
     // tokens — BIGINT sums + ONE final division (engine-order-exact)
     "token_rarity" -> ((s, d) => TextAnalysis.tokenRarityScore(s, d)),
@@ -778,6 +781,21 @@ object SparkEntry {
         "SELECT source, total_grams, distinct_grams, " +
         "round(distinct_grams::DOUBLE / greatest(total_grams, 1)::DOUBLE, 6) AS diversity " +
         "FROM tot JOIN d USING (source) ORDER BY source"),
+    // the same conditional counts, per-term micro-quantized ln, identical
+    // contribution dag; top-20 by |drift|
+    "vocab_drift" ->
+      (s"WITH $toksCte, " +
+        "e AS (SELECT doc_id % 10 = 1 AS in_batch, unnest(toks) AS term FROM t), " +
+        "c AS (SELECT term, CAST(sum(CASE WHEN in_batch THEN 1 ELSE 0 END) AS BIGINT) AS tf_b, " +
+        "CAST(sum(CASE WHEN in_batch THEN 0 ELSE 1 END) AS BIGINT) AS tf_c FROM e GROUP BY term), " +
+        "sc AS (SELECT CAST(sum(tf_b) AS BIGINT) AS t_b, CAST(sum(tf_c) AS BIGINT) AS t_c, " +
+        "count(*)::BIGINT AS v FROM c), " +
+        "d AS (SELECT term, tf_b, tf_c, CAST(round(ln(((tf_b + 1) * (sc.t_c + sc.v))::DOUBLE / " +
+        "((tf_c + 1) * (sc.t_b + sc.v))::DOUBLE) * 1000000) AS BIGINT) AS ln_micros FROM c, sc), " +
+        "f AS (SELECT term, tf_b, tf_c, CAST(round(((tf_b + 1) * ln_micros)::DOUBLE / " +
+        "(sc.t_b + sc.v)::DOUBLE) AS BIGINT) AS drift_micros FROM d, sc) " +
+        "SELECT term, tf_b, tf_c, drift_micros FROM f " +
+        "ORDER BY abs(drift_micros) DESC, term LIMIT 20"),
     // exact anchor of the HLL tier: same whitespace tokenization as the
     // corpus-frequency family
     "source_token_cardinality" ->

@@ -169,4 +169,42 @@ object Profile {
         max($"norm").as("max_norm"))
       .orderBy($"label")
   }
+
+  /** Vocabulary DRIFT report: the top terms by add-one-smoothed KL
+    * contribution between the ingest batch (doc_id % 10 = 1, the
+    * [[Pipelines.ingestedCorpus]] split) and the standing corpus — the
+    * distribution-shift alarm a continuously-fed pipeline reads before
+    * letting a batch in (a scraper gone wrong shows up here before it
+    * shows up in eval loss).
+    *
+    * Exactness (the BM25/LM discipline): term counts are exact integers
+    * from ONE conditional hash-agg; the log ratio
+    * ln((tf_b+1)(T_c+V) / ((tf_c+1)(T_b+V))) micro-quantizes per TERM
+    * (vocabulary-sized libm exposure); each contribution is then the same
+    * double dag (tf_b+1)·ln_micros/(T_b+V) over exact integers in both
+    * engines. Scalars (T_b, T_c, V) are one bounded 1-row collect.
+    * Top-k by |contribution| is a TakeOrderedAndProject.
+    */
+  def vocabDrift(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    val toks = graft.util.Cols.spread(Tables.documents(spark, sfDir))
+      .select(($"doc_id" % 10 === 1).as("in_batch"),
+        explode(TextAnalysis.tokens($"text")).as("term"))
+    val counts = toks.groupBy($"term").agg(
+      sum(when($"in_batch", 1L).otherwise(0L)).as("tf_b"),
+      sum(when($"in_batch", 0L).otherwise(1L)).as("tf_c"))
+    val Seq(tB, tC, v) = {
+      val r = counts.agg(sum($"tf_b"), sum($"tf_c"), count(lit(1))).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    counts
+      .withColumn("ln_micros", round(
+        log((($"tf_b" + 1L) * lit(tC + v)).cast("double") /
+          (($"tf_c" + 1L) * lit(tB + v)).cast("double")) * 1e6).cast("long"))
+      .withColumn("drift_micros", round(
+        (($"tf_b" + 1L) * $"ln_micros").cast("double") / lit((tB + v).toDouble))
+        .cast("long"))
+      .select($"term", $"tf_b", $"tf_c", $"drift_micros")
+      .orderBy(abs($"drift_micros").desc, $"term")
+      .limit(topK)
+  }
 }

@@ -132,4 +132,30 @@ class ProfileSpec extends SparkTestBase {
     assert(got.nonEmpty, "exponential-tailed fixture must have 3-sigma outliers")
     assert(got.size < ev.length / 20, "3-sigma should flag well under 5%")
   }
+
+  test("vocabDrift equals a driver-side recomputation of the smoothed KL contributions") {
+    val got = Profile.vocabDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text"))
+      .as[(Long, Seq[String])].collect()
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.foreach { case (id, toks) =>
+      val inBatch = id % 10 == 1
+      toks.foreach { t =>
+        val (b, c) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (inBatch) (b + 1, c) else (b, c + 1)
+      }
+    }
+    val tB = counts.values.map(_._1).sum
+    val tC = counts.values.map(_._2).sum
+    val v = counts.size.toLong
+    val expect = counts.toSeq.map { case (t, (b, c)) =>
+      val lnM = math.round(math.log(((b + 1) * (tC + v)).toDouble /
+        ((c + 1) * (tB + v)).toDouble) * 1e6)
+      (t, b, c, math.round((b + 1) * lnM / (tB + v).toDouble))
+    }.sortBy { case (t, _, _, d) => (-math.abs(d), t) }.take(20)
+    assert(got.toSeq == expect)
+  }
 }

@@ -120,6 +120,10 @@ REWRITES = {
   "incremental_near_dup_indexed": [(INCR_LITERAL, INCR_FAST)],
   "ingested_corpus": [(INGEST_NDB_LITERAL, INGEST_NDB_FAST),
                       (INGEST_NDS_LITERAL, INGEST_NDS_FAST)],
+  # round-9 compositions that embed the same literal pair subquery: the
+  # release-decision audit and the cross-source mirror matrix
+  "doc_curation_decisions": [(PAIRS_LITERAL, PAIRS_FAST)],
+  "cross_source_dup_matrix": [(PAIRS_LITERAL, PAIRS_FAST)],
 }
 REWRITABLE = set(REWRITES)
 
