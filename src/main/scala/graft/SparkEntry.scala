@@ -122,6 +122,15 @@ object SparkEntry {
     "quality_classifier_eval" -> (graft.ml.QualityClassifier.evalEntry _),
     // —— LLM-pipeline: dedup family ——
     "exact_dedup" -> (Dedup.exactDedup _),
+    // normalization-tolerant exact tier (C4 "fuzzy exact"): case-fold +
+    // punctuation/whitespace collapse BEFORE the hash group-by; n_variants
+    // audits how many raw forms each normalized group collapsed
+    "normalized_dedup" -> (Dedup.normalizedDedup _),
+    // edit-distance tier: banded-LSH candidates (dumped below — they ARE
+    // the oracle input) verified with BOUNDED Levenshtein; the −1 reject of
+    // the bound is exactly the integer threshold criterion, no float gate
+    "edit_candidates" -> ((s, d) => Dedup.editCandidates(s, d)), // rows-only (it IS the oracle input)
+    "edit_near_dup" -> ((s, d) => Dedup.editNearDup(s, d)),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
     // mirror detection: the near-dup pair set rolled up by unordered
     // source pair; jaccard summed in exact ten-thousandths
@@ -180,6 +189,10 @@ object SparkEntry {
     "embedding_near_dup_scale" -> ((s, d) => Dedup.embeddingNearDupScale(s, d)),
     // —— LLM-pipeline: similarity search ——
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    // matryoshka truncation eval: recall@10 of prefix-truncated rankings
+    // (d = 8/16/32 of 64) vs the full-dim exact top-k — the
+    // dimension-selection table; every dim reuses the cosine_topk topology
+    "matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     // retrieval-quality eval: label precision@10 over the exact top-k —
     // ranking, label joins, and arithmetic all replayed by the oracle
     "retrieval_label_precision" -> ((s, d) => Similarity.retrievalLabelPrecision(s, d)),
@@ -245,6 +258,13 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "lang_profile" -> (TextAnalysis.langProfile _),
     "lang_source_rollup" -> (TextAnalysis.langSourceRollup _),
+    // langid eval: heuristic prediction vs the labeled lang column, one
+    // scan (guess computed with the label in hand — no self-join), r6
+    // within-label share
+    "lang_confusion" -> (TextAnalysis.langConfusion _),
+    // tokenizer-budget diagnostic: BPE-ish tokens per whitespace word per
+    // language — exact integer sums, one final division r6
+    "tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     // Gopher/C4 repetition-quality signals, one shuffle-free fused
     // expression per row; oracle re-derives them via explode + group-by
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
@@ -1050,6 +1070,29 @@ object SparkEntry {
           s"CAST(max($c) AS VARCHAR) AS max_value FROM documents"
       }.mkString(" UNION ALL ")),
     "exact_dedup" -> exactDedupSql,
+    // same group-by-hash shape over the C4-normalized form; DuckDB's
+    // regexp_replace needs the 'g' flag (default replaces first match only)
+    "normalized_dedup" ->
+      ("SELECT sha256(trim(regexp_replace(lower(coalesce(text, '')), " +
+        "'[^a-z0-9]+', ' ', 'g'))) AS norm_hash, min(doc_id) AS keep_doc_id, " +
+        "count(*) AS n_dups, count(DISTINCT text) AS n_variants " +
+        "FROM documents GROUP BY 1"),
+    // bounded-Levenshtein verify replayed over the Spark-dumped LSH
+    // candidates ({OUT} → Verify's output dir): DuckDB computes the full
+    // distance and applies the threshold as the SAME exact-integer
+    // criterion (d·10000 ≤ 2000·max_len ⟺ d ≤ the bound Spark handed to
+    // its banded DP) — candidate recall lives in the band geometry, pinned
+    // brute-force in DedupSpec
+    "edit_near_dup" ->
+      ("WITH c AS (SELECT a_doc_id, b_doc_id FROM read_parquet('{OUT}/edit_candidates/*.parquet')), " +
+        "p AS (SELECT c.a_doc_id, c.b_doc_id, " +
+        "levenshtein(coalesce(a.text, ''), coalesce(b.text, '')) AS d, " +
+        "greatest(len(coalesce(a.text, '')), len(coalesce(b.text, ''))) AS ml " +
+        "FROM c JOIN documents a ON c.a_doc_id = a.doc_id " +
+        "JOIN documents b ON c.b_doc_id = b.doc_id) " +
+        "SELECT a_doc_id, b_doc_id, CAST(d AS BIGINT) AS edit_dist, " +
+        "round(1.0 - d::DOUBLE / ml, 4) AS edit_sim " +
+        "FROM p WHERE d * 10000 <= 2000 * ml"),
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
     // independent twin of the pigeonhole-chunk candidate join + verify
@@ -1332,6 +1375,27 @@ object SparkEntry {
         "SELECT query_id, vec_id, cosine, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // matryoshka truncation eval: both rankings replayed — the full-dim
+    // top-10 (the cosine_topk construction) and, per dim, the
+    // prefix-sliced ranking via list_slice; recall is a small-integer
+    // ratio, cosine r6-rounded with vec_id tiebreak exactly as cosine_topk
+    "matryoshka_recall" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "f AS (SELECT query_id, vec_id FROM (" +
+        "SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id " +
+        "ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id) AS rk " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rk <= 10), " +
+        "ds AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS dim), " +
+        "t AS (SELECT dim, query_id, vec_id FROM (" +
+        "SELECT ds.dim, q.query_id, e.vec_id, row_number() OVER (PARTITION BY ds.dim, q.query_id " +
+        "ORDER BY round(list_cosine_similarity(" +
+        "list_slice(e.embedding::DOUBLE[], 1, CAST(ds.dim AS INT)), " +
+        "list_slice(q.q_emb::DOUBLE[], 1, CAST(ds.dim AS INT))), 6) DESC, e.vec_id) AS rk " +
+        "FROM embeddings e, q, ds WHERE e.vec_id <> q.query_id) WHERE rk <= 10) " +
+        "SELECT t.dim, t.query_id, count(f.vec_id) AS n_overlap, " +
+        "round(count(f.vec_id)::DOUBLE / 10, 4) AS recall " +
+        "FROM t LEFT JOIN f ON t.query_id = f.query_id AND t.vec_id = f.vec_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // document-fetch retrieval: the cosine_topk construction joined to the
     // documents payload (1-based substr agrees between engines)
     "semantic_search_docs" ->
@@ -1428,6 +1492,27 @@ object SparkEntry {
         "WHERE rk <= 10"),
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    // confusion rollup of the same guess against the labeled lang; the
+    // share is one division of exact counts over a label-sized window
+    "lang_confusion" ->
+      (s"WITH g AS ($langIdSql), " +
+        "j AS (SELECT d.lang, g.lang_guess FROM documents d JOIN g ON d.doc_id = g.doc_id), " +
+        "c AS (SELECT lang, lang_guess, count(*) AS n_docs FROM j GROUP BY 1, 2) " +
+        "SELECT lang, lang_guess, n_docs, " +
+        "round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_share " +
+        "FROM c ORDER BY lang, lang_guess"),
+    // per-language fertility: same tokenizer semantics as text_stats
+    // (whitespace words over TRIMMED text; BPE-ish regex over the raw)
+    "tokenizer_fertility" ->
+      ("WITH t AS (SELECT lang, " +
+        "CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tok, " +
+        "len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe " +
+        "FROM documents) " +
+        "SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_words, " +
+        "CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens, " +
+        "round(sum(n_bpe)::DOUBLE / sum(n_tok), 6) AS fertility " +
+        "FROM t GROUP BY lang ORDER BY lang"),
     "clean_corpus" ->
       (s"WITH k AS ($exactDedupSql), s AS ($textStatsSql), l AS ($langIdSql) " +
         "SELECT s.doc_id, l.lang_guess, s.quality_score " +

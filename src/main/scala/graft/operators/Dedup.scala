@@ -185,18 +185,9 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     // spread first: shingling + minhash are the dominant per-row cost —
     // never leave them on one task (a small fixture file is one scan split)
-    val base = spread(documents)
-      .select($"doc_id", coalesce($"text", lit("")).as("t"))
-      .filter(length($"t") >= shingleLen) // same rows as size(shingles) > 0
-    val banded = dropHotBuckets(base.select($"doc_id",
-      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
-        .as(Seq("band", "bsig"))), Seq("band", "bsig"), maxBucketSize)
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"))
-      .distinct()
+    val base = nearDupBase(documents, shingleLen)
+    val candidates = bandedCandidates(base, shingleLen, numBands,
+      rowsPerBand, maxBucketSize)
     val sets = base.select($"doc_id",
       graft.functions.TextExpressions.charShingles($"t", shingleLen).as("shingles"))
     candidates
@@ -213,6 +204,129 @@ object Dedup {
         (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"a_doc_id", $"b_doc_id", $"jaccard")
+  }
+
+  /** The (doc_id, t) frame every text-LSH tier starts from: spread first
+    * (shingling + minhash are the dominant per-row cost — never leave them
+    * on one task; a small fixture file is one scan split), null→empty, and
+    * drop texts too short to shingle (same rows as size(shingles) > 0). */
+  private def nearDupBase(documents: DataFrame, shingleLen: Int): DataFrame =
+    spread(documents)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+
+  /** Banded-LSH candidate generation shared by the MinHash-Jaccard and
+    * edit-distance tiers: distinct unordered (a_doc_id < b_doc_id) pairs
+    * colliding in at least one band. Cost O(docs × bands) rows exchanged;
+    * only colliding buckets join; hot buckets capped ([[dropHotBuckets]]). */
+  private def bandedCandidates(base: DataFrame, shingleLen: Int,
+      numBands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    val banded = dropHotBuckets(base.select($"doc_id",
+      posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
+        .as(Seq("band", "bsig"))), Seq("band", "bsig"), maxBucketSize)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"))
+      .distinct()
+  }
+
+  /** Normalization-tolerant exact dedup (the C4/RefinedWeb "fuzzy-exact"
+    * tier): case-fold, collapse every non-alphanumeric run to one space,
+    * trim, THEN content-hash group-by. Catches the formatting variants the
+    * raw-byte tier misses (casing, punctuation, whitespace layout) at
+    * identical cost — one linear scan and one hash shuffle, nothing
+    * pairwise. Sits between tier 1 (exact) and tier 2 (MinHash) in the
+    * tolerance ladder: still zero false positives on CONTENT (two docs
+    * collapse only when their normalized forms are byte-equal).
+    *
+    * `n_variants` counts distinct RAW texts per normalized group — the
+    * audit column separating true re-posts (n_dups ≫ n_variants) from
+    * formatting drift (n_variants ≈ n_dups).
+    */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, sfDir))
+
+  /** Core of [[normalizedDedup]] over any (doc_id, text) frame. */
+  def normalizedDedupOf(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(coalesce($"text", lit(""))),
+      "[^a-z0-9]+", " "))
+    docs
+      .groupBy(sha2(norm, 256).as("norm_hash"))
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"),
+        countDistinct($"text").as("n_variants"))
+  }
+
+  /** Registered companion of [[editNearDup]]: the banded-LSH candidate
+    * pairs themselves (rows-only on its own — it IS the oracle input, the
+    * ivf_assignments pattern). The edit_near_dup oracle replays the
+    * bounded-Levenshtein verify over exactly these candidates in DuckDB, so
+    * the verify arithmetic is hash-checked while candidate recall stays
+    * where it honestly lives: in the band geometry over the char-shingle
+    * proxy (DedupSpec pins brute-force equality on a mutation fixture).
+    */
+  def editCandidates(spark: SparkSession, sfDir: String,
+      shingleLen: Int = 5, numBands: Int = 128,
+      rowsPerBand: Int = 8): DataFrame =
+    bandedCandidates(
+      nearDupBase(Tables.documents(spark, sfDir), shingleLen),
+      shingleLen, numBands, rowsPerBand, 1000)
+
+  /** Edit-distance-verified near-duplicates: banded-LSH candidates (the
+    * char-shingle proxy — edit-similar docs are shingle-similar, so the
+    * same geometry that is exhaustive-with-p≈7e-11 for Jaccard ≥ 0.8
+    * recalls the edit tier's pairs) verified with BOUNDED Levenshtein:
+    * `levenshtein(a, b, max_dist)` runs the banded O(max_dist·n) DP and
+    * returns −1 past the bound instead of filling the full O(n·m) matrix —
+    * at a 0.8 similarity floor that is a 5–10× verify saving on long docs,
+    * and the kept distances are exact (the bound only truncates rejects).
+    * edit_sim = 1 − dist/max(len); threshold on the rounded sim. The tier
+    * to reach for when "duplicate" means small local edits (boilerplate
+    * injection, truncation, typo drift) rather than set overlap — ordering
+    * matters to Levenshtein, not to Jaccard.
+    */
+  def editNearDup(spark: SparkSession, sfDir: String, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8,
+      threshold: Double = 0.8): DataFrame =
+    editNearDupOf(Tables.documents(spark, sfDir), shingleLen, numBands,
+      rowsPerBand, threshold)
+
+  /** Core of [[editNearDup]] over any (doc_id, text) frame.
+    *
+    * The threshold is applied as EXACT INTEGER arithmetic: with t in
+    * ten-thousandths (tq), `sim ≥ t  ⟺  d·10000 ≤ (10000−tq)·max_len  ⟺
+    * d ≤ ⌊(10000−tq)·max_len/10000⌋` for integer d — so the bounded
+    * Levenshtein's −1 reject IS the threshold filter, and no float gate
+    * exists to drift between engines. (The naive `floor(max_len·(1−t))`
+    * breaks exactly there: `1.0−0.8 < 0.2` in IEEE doubles, so Spark would
+    * compute 110 where DuckDB's literal 0.2 gives 111 on a 555-char doc.)
+    * `edit_sim` is a REPORTED rounded column, never a filter.
+    */
+  def editNearDupOf(documents: DataFrame, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8, threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val tq = math.round(threshold * 10000).toInt
+    val base = nearDupBase(documents, shingleLen)
+    val candidates = bandedCandidates(base, shingleLen, numBands,
+      rowsPerBand, maxBucketSize)
+    candidates
+      .join(base.withColumnRenamed("doc_id", "a_doc_id")
+        .withColumnRenamed("t", "a_t"), "a_doc_id")
+      .join(base.withColumnRenamed("doc_id", "b_doc_id")
+        .withColumnRenamed("t", "b_t"), "b_doc_id")
+      .withColumn("max_len", greatest(length($"a_t"), length($"b_t")))
+      .withColumn("max_dist",
+        expr(s"int((max_len * ${10000 - tq}L) div 10000)"))
+      // per-pair bound: the SQL form takes the threshold as an expression
+      // (the Scala functions.levenshtein overload only takes an Int
+      // literal); banded O(max_dist·n) DP instead of the full O(n·m) matrix
+      .withColumn("edit_dist", expr("levenshtein(a_t, b_t, max_dist)"))
+      .filter($"edit_dist" >= 0) // −1 = past the bound = below threshold
+      .withColumn("edit_sim",
+        round(lit(1.0) - $"edit_dist".cast("double") / $"max_len", 4))
+      .select($"a_doc_id", $"b_doc_id",
+        $"edit_dist".cast("long").as("edit_dist"), $"edit_sim")
   }
 
   /** Exact token-n-gram Jaccard similarity self-join via PREFIX FILTERING

@@ -147,6 +147,49 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Matryoshka/truncation eval — recall@k of the PREFIX-truncated
+    * embedding rankings against the full-dimension exact top-k: for each
+    * dim d, score with only the first d components (the MRL serving trick:
+    * a matryoshka-trained model packs coarse semantics into the prefix, so
+    * serving at d ≪ D trades recall for a D/d memory/compute cut), rank
+    * top-k per query, and report the overlap with the full-D top-k. This
+    * table IS the dimension-selection decision: the smallest d whose
+    * recall clears the product floor.
+    *
+    * Scale shape: each dim is the [[cosineTopK]] topology — queries
+    * broadcast, corpus never shuffles, salted two-phase rank — so cost is
+    * |dims| corpus scans of an EVAL-sized (sampled) corpus, not a new plan
+    * shape. Arithmetic: prefix slice then the same sequential double
+    * accumulation as the full ranking; r6-rounded cosine with vec_id
+    * tiebreak keeps both engines' rankings bit-stable, and the recall is a
+    * small-integer ratio — fully oracle-checked (DuckDB replays both
+    * rankings via list_slice and the overlap count).
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+      dims: Seq[Int] = Seq(8, 16, 32), numQueries: Int = 5, k: Int = 10,
+      salts: Int = 8): DataFrame = {
+    val emb = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val fullTop = cosineTopK(spark, sfDir, numQueries, k, salts)
+      .select($"query_id", $"vec_id", lit(1L).as("hit"))
+    val truncTops = dims.map { d =>
+      val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .withColumn("cosine",
+          round(cosine(slice($"embedding", 1, d), slice($"q_emb", 1, d)), 6))
+        .select($"query_id", $"vec_id", $"cosine")
+      topKPerQuery(scored, k, salts).withColumn("dim", lit(d.toLong))
+    }
+    truncTops.reduce(_.unionByName(_))
+      .join(fullTop, Seq("query_id", "vec_id"), "left")
+      .groupBy($"dim", $"query_id")
+      .agg(coalesce(sum($"hit"), lit(0L)).as("n_overlap"))
+      .select($"dim", $"query_id", $"n_overlap",
+        round($"n_overlap".cast("double") / k, 4).as("recall"))
+      .orderBy($"dim", $"query_id")
+  }
+
   /** A built IVF index: the corpus bucketed by nearest coarse centroid plus
     * the (small, driver-side) centroid matrix. Build ONCE, query many — in
     * production the bucketed frame is written out partitioned by `cell`

@@ -498,6 +498,55 @@ object TextAnalysis {
         round(avg(length(coalesce($"text", lit("")))), 2).as("avg_len"),
         round(avg(size(tokens($"text"))), 2).as("avg_tokens"))
 
+  /** Language-ID confusion matrix — the [[langId]] heuristic's prediction
+    * against the labeled `lang` column, one row per (labeled, predicted)
+    * cell with the within-label share (the per-language recall
+    * decomposition). This is the eval table that decides whether the cheap
+    * marker heuristic is fit to GATE on (the clean/release chains filter
+    * lang_guess = 'en') or needs a model upgrade. ONE corpus scan — the
+    * guess is computed inline with the label in hand, never a doc_id
+    * self-join back to the corpus — then a languages²-sized rollup; the
+    * share is one division of exact counts, r6, over a window whose
+    * partitions are label-sized (≤ languages rows each).
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = spread(Tables.documents(spark, sfDir))
+      .select($"lang", tokens($"text").as("toks"))
+    val hits = markers.map { case (l, ws) =>
+      l -> size(filter($"toks", w => w.isin(ws: _*)))
+    }
+    val Seq(en, fr, es) = hits.map(_._2)
+    withToks
+      .select($"lang",
+        when(en >= fr && en >= es, "en")
+          .when(fr >= es, "fr").otherwise("es").as("lang_guess"))
+      .groupBy($"lang", $"lang_guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", round($"n_docs".cast("double") /
+        sum($"n_docs").over(Window.partitionBy($"lang")), 6))
+      .orderBy($"lang", $"lang_guess")
+  }
+
+  /** Tokenizer fertility per language — BPE-ish tokens emitted per
+    * whitespace word, the standard multilingual tokenizer-budget
+    * diagnostic: a language with high fertility is under-served by the
+    * vocabulary (each word fragments into many pieces), pays more sequence
+    * length for the same content, and effectively trains on less text per
+    * token budget. Exact integer sums (map-side combinable), ONE final
+    * division, r6 — a language with zero words reports NULL fertility in
+    * both engines.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.documents(spark, sfDir))
+      .select($"lang", size(tokens($"text")).as("n_tok"),
+        bpeTokenCount($"text").as("n_bpe"))
+      .groupBy($"lang")
+      .agg(sum($"n_tok").as("n_words"), sum($"n_bpe").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round($"n_bpe_tokens".cast("double") / $"n_words", 6))
+      .orderBy($"lang")
+
   /** Hierarchical ROLLUP over (lang, source): per-pair, per-lang subtotal,
     * and grand-total rows in ONE pass — Catalyst's Expand emits the three
     * grouping sets map-side, so the corpus is still scanned once and one

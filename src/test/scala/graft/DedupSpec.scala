@@ -379,4 +379,75 @@ class DedupSpec extends SparkTestBase {
     val totalPairs = Dedup.nearDupPairs(spark, sf).count()
     assert(m.map(_._3).sum == totalPairs)
   }
+
+  test("normalizedDedup collapses case/punctuation/whitespace variants") {
+    val docs = Seq((10L, "Hello, World!"), (3L, "hello   world"),
+      (7L, "hello-world"), (8L, "different text"),
+      (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.normalizedDedupOf(docs)
+      .select($"keep_doc_id", $"n_dups", $"n_variants")
+      .as[(Long, Long, Long)].collect().toSet
+    // three formatting variants of "hello world" collapse to keep_doc_id 3
+    // with THREE distinct raw forms; null normalizes to the empty group
+    // (count(distinct text) skips the null → 0 variants)
+    assert(r == Set((3L, 3L, 3L), (8L, 1L, 1L), (9L, 1L, 0L)))
+  }
+
+  test("normalizedDedup never splits an exact-dup group (strictly coarser)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exactGroups = Dedup.exactDedupOf(docs).count()
+    val normGroups = Dedup.normalizedDedupOf(docs).count()
+    assert(normGroups <= exactGroups)
+    // conservation: every doc lands in exactly one normalized group
+    val total = Dedup.normalizedDedupOf(docs)
+      .agg(sum($"n_dups")).as[Long].head()
+    assert(total == docs.count())
+  }
+
+  test("editNearDup equals brute-force threshold Levenshtein on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Dedup.editNearDupOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = docs.select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= 5)
+    // brute force: UNBOUNDED levenshtein over all pairs, the exact-integer
+    // threshold criterion (d·10000 ≤ 2000·max_len) — the candidate stage
+    // and the −1 bound must drop nothing this filter keeps
+    val brute = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc_id"), col("b.doc_id").as("b_doc_id"),
+        levenshtein(col("a.t"), col("b.t")).as("d"),
+        greatest(length(col("a.t")), length(col("b.t"))).as("ml"))
+      .filter($"d" * 10000 <= $"ml" * 2000)
+      .select($"a_doc_id", $"b_doc_id", $"d".cast("long"),
+        round(lit(1.0) - $"d".cast("double") / $"ml", 4))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("editNearDup finds a planted single-substitution variant with exact distance") {
+    val a = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "observers take careful notes about its trajectory and landing spot"
+    val b = a.updated(40, 'x') // one substitution → edit distance 1
+    val c = "completely unrelated content that shares nothing with the others"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Dedup.editNearDupOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val sim = BigDecimal(1.0 - 1.0 / a.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Set((1L, 2L, 1L, sim)))
+  }
+
+  test("edit threshold bound is exact-integer (555-char boundary kept)") {
+    // d=111 on max_len=555 is sim = 0.8 EXACTLY and must be kept; the
+    // naive floor(max_len·(1.0−0.8)) computes floor(110.999…) = 110 in
+    // IEEE doubles (1.0−0.8 < 0.2) and would reject it — the cross-engine
+    // drift the integer form exists to prevent
+    val bound = Seq(555L, 554L, 556L).toDF("max_len")
+      .withColumn("max_dist", expr("int((max_len * 2000L) div 10000)"))
+      .as[(Long, Int)].collect().toMap
+    assert(bound(555L) == 111)
+    assert(bound(554L) == 110)
+    assert(bound(556L) == 111)
+  }
 }

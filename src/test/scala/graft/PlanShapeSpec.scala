@@ -314,6 +314,9 @@ class PlanShapeSpec extends SparkTestBase {
       // the document-fetch composition embeds cosine_topk's query-sized
       // broadcast scorer; the fetch itself is a broadcast-hash equi-join
       "semantic_search_docs",
+      // one cosine_topk-shaped scorer per truncation dim — every leg has
+      // the same query-sized broadcast build side
+      "matryoshka_recall",
       // benchmark-sized broadcast build (eval suites are small by
       // definition — the same contract as the n-gram sweep's broadcast)
       "semantic_contamination",

@@ -202,4 +202,44 @@ class SimilaritySpec extends SparkTestBase {
       assert((got1._3, got1._4) == best, s"query $q top-1")
     }
   }
+
+  test("matryoshkaRecall: identity at full dim, bounded and complete below it") {
+    val r = Similarity.matryoshkaRecall(spark, sf, dims = Seq(8, 64))
+      .as[(Long, Long, Long, Double)].collect()
+    // one row per (dim, query)
+    assert(r.map(t => (t._1, t._2)).toSet ==
+      (for (d <- Seq(8L, 64L); q <- 0L until 5L) yield (d, q)).toSet)
+    // dim 64 IS the full embedding: truncated ranking ≡ full ranking
+    r.filter(_._1 == 64L).foreach { case (_, q, n, rec) =>
+      assert(n == 10L && rec == 1.0, s"query $q full-dim recall")
+    }
+    // below full dim: recall is a /10 fraction in [0, 1]
+    r.filter(_._1 == 8L).foreach { case (_, q, n, rec) =>
+      assert(n >= 0L && n <= 10L, s"query $q overlap $n")
+      assert(rec == n / 10.0, s"query $q recall arithmetic")
+    }
+  }
+
+  test("matryoshkaRecall: truncated ranking equals brute force at dim 8") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(_.toDouble))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // driver-side full replay of the dim-8 recall for query 0
+    val full64 = graft.operators.Similarity.cosineTopK(spark, sf)
+      .filter($"query_id" === 0L).select($"vec_id").as[Long].collect().toSet
+    val top8 = emb.keys.filter(_ != 0L)
+      .map(v => v -> BigDecimal(cos(emb(0L), emb(v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toSeq.sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+    val expected = (top8 & full64).size.toLong
+    val got = Similarity.matryoshkaRecall(spark, sf, dims = Seq(8))
+      .filter($"query_id" === 0L)
+      .select($"n_overlap").as[Long].head()
+    assert(got == expected)
+  }
 }

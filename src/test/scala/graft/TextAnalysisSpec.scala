@@ -300,4 +300,44 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(fill > 0.0 && fill < 1.25, s"fill $fill")
     }
   }
+
+  test("langConfusion: shares sum to 1 per label, doc count conserved, guesses closed") {
+    val rows = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("en", "fr", "es")(r._2))) // guess codomain
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val share = g.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$lang shares sum $share")
+    }
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    // the matrix agrees with a per-doc join of langId against the labels
+    val joined = TextAnalysis.langId(spark, sf).select($"doc_id", $"lang_guess")
+      .join(graft.sources.Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"lang_guess").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == joined)
+  }
+
+  test("tokenizerFertility: ≥1 by construction, sums agree with textStats") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, words, bpe, fert) =>
+      // every whitespace word contains ≥1 captured run, so bpe ≥ words
+      assert(bpe >= words, s"$lang bpe $bpe < words $words")
+      assert(fert >= 1.0, s"$lang fertility $fert")
+      assert(math.abs(fert - bpe.toDouble / words) < 1e-4)
+    }
+    // conservation: per-lang sums equal the per-doc textStats totals
+    val stats = TextAnalysis.textStats(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_bpe_tokens")
+      .join(graft.sources.Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(sum($"n_tokens").as("w"), sum($"n_bpe_tokens").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == stats)
+  }
 }
