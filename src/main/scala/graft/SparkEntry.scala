@@ -131,6 +131,16 @@ object SparkEntry {
     // the bound is exactly the integer threshold criterion, no float gate
     "edit_candidates" -> ((s, d) => Dedup.editCandidates(s, d)), // rows-only (it IS the oracle input)
     "edit_near_dup" -> ((s, d) => Dedup.editNearDup(s, d)),
+    // cross-tier agreement matrix: MinHash/edit/SimHash pair sets rolled
+    // up by presence combination — the two LSH-verified tiers share ONE
+    // lineage-cut candidate pass; full-outer joins are pair-graph-sized
+    "dedup_tier_overlap" -> ((s, d) => Dedup.dedupTierOverlap(s, d)),
+    // keep-BEST policy over near-dup families: highest quality_score wins
+    // (ties to smaller doc_id); min_doc_id audits divergence vs keep-first
+    "quality_keep_dedup" -> ((s, d) => Dedup.qualityKeepDedup(s, d)),
+    // the shippable form: exact keepers minus non-keeper family members —
+    // both subtractions pair-graph-sized anti-join probes
+    "quality_keep_corpus" -> ((s, d) => Dedup.qualityKeepCorpus(s, d)),
     "near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(s, d)),
     // mirror detection: the near-dup pair set rolled up by unordered
     // source pair; jaccard summed in exact ten-thousandths
@@ -1093,6 +1103,72 @@ object SparkEntry {
         "SELECT a_doc_id, b_doc_id, CAST(d AS BIGINT) AS edit_dist, " +
         "round(1.0 - d::DOUBLE / ml, 4) AS edit_sim " +
         "FROM p WHERE d * 10000 <= 2000 * ml"),
+    // tier matrix: MinHash pairs brute-forced, edit pairs replayed from
+    // the candidates dump, SimHash pairs from the signatures dump, then
+    // the same two full-outer joins + presence rollup
+    "dedup_tier_overlap" ->
+      (s"WITH nd AS ($nearDupPairsSql), " +
+        "mh AS (SELECT a_doc_id, b_doc_id FROM nd), " +
+        "ec AS (SELECT a_doc_id, b_doc_id FROM read_parquet('{OUT}/edit_candidates/*.parquet')), " +
+        "ep AS (SELECT ec.a_doc_id, ec.b_doc_id, " +
+        "levenshtein(coalesce(a.text, ''), coalesce(b.text, '')) AS d, " +
+        "greatest(len(coalesce(a.text, '')), len(coalesce(b.text, ''))) AS ml " +
+        "FROM ec JOIN documents a ON ec.a_doc_id = a.doc_id " +
+        "JOIN documents b ON ec.b_doc_id = b.doc_id), " +
+        "ed AS (SELECT a_doc_id, b_doc_id FROM ep WHERE d * 10000 <= 2000 * ml), " +
+        "ss AS (SELECT doc_id, sh FROM read_parquet('{OUT}/simhash_signatures/*.parquet')), " +
+        "sh AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM ss a JOIN ss b " +
+        "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3), " +
+        "j1 AS (SELECT coalesce(mh.a_doc_id, ed.a_doc_id) AS a, " +
+        "coalesce(mh.b_doc_id, ed.b_doc_id) AS b, " +
+        "CASE WHEN mh.a_doc_id IS NOT NULL THEN 1 ELSE 0 END AS m, " +
+        "CASE WHEN ed.a_doc_id IS NOT NULL THEN 1 ELSE 0 END AS e " +
+        "FROM mh FULL JOIN ed ON mh.a_doc_id = ed.a_doc_id AND mh.b_doc_id = ed.b_doc_id), " +
+        "j2 AS (SELECT coalesce(j1.m, 0) AS minhash, coalesce(j1.e, 0) AS edit, " +
+        "CASE WHEN sh.a_doc_id IS NOT NULL THEN 1 ELSE 0 END AS simhash " +
+        "FROM j1 FULL JOIN sh ON j1.a = sh.a_doc_id AND j1.b = sh.b_doc_id) " +
+        "SELECT minhash, edit, simhash, count(*) AS n_pairs FROM j2 " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // keep-best policy: family assignment via the recursive-CTE components
+    // twin, quality from the textStats twin, argmax via window
+    "quality_keep_dedup" ->
+      (s"WITH RECURSIVE nd AS ($nearDupPairsSql), " +
+        "sym AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM nd " +
+        "UNION ALL SELECT b_doc_id, a_doc_id FROM nd), " +
+        "reach(node, label) AS (SELECT DISTINCT src, src FROM sym " +
+        "UNION SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node), " +
+        "fam AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node), " +
+        s"st AS ($textStatsSql), " +
+        "j AS (SELECT f.cluster_id, f.doc_id, st.quality_score, " +
+        "row_number() OVER (PARTITION BY f.cluster_id " +
+        "ORDER BY st.quality_score DESC, f.doc_id) AS rk " +
+        "FROM fam f JOIN st ON st.doc_id = f.doc_id) " +
+        "SELECT cluster_id, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id, " +
+        "max(CASE WHEN rk = 1 THEN quality_score END) AS keep_quality, " +
+        "count(*) AS n_members, min(doc_id) AS min_doc_id " +
+        "FROM j GROUP BY cluster_id ORDER BY cluster_id"),
+    // the shippable keep-best corpus: exact keepers minus non-keeper
+    // family members (same recursive components + argmax twins)
+    "quality_keep_corpus" ->
+      (s"WITH RECURSIVE nd AS ($nearDupPairsSql), " +
+        "sym AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM nd " +
+        "UNION ALL SELECT b_doc_id, a_doc_id FROM nd), " +
+        "reach(node, label) AS (SELECT DISTINCT src, src FROM sym " +
+        "UNION SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node), " +
+        "fam AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node), " +
+        s"st AS ($textStatsSql), " +
+        "j AS (SELECT f.cluster_id, f.doc_id, " +
+        "row_number() OVER (PARTITION BY f.cluster_id " +
+        "ORDER BY st.quality_score DESC, f.doc_id) AS rk " +
+        "FROM fam f JOIN st ON st.doc_id = f.doc_id), " +
+        "dec AS (SELECT cluster_id, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id " +
+        "FROM j GROUP BY cluster_id), " +
+        "drops AS (SELECT f.doc_id FROM fam f JOIN dec ON f.cluster_id = dec.cluster_id " +
+        "WHERE f.doc_id <> dec.keep_doc_id), " +
+        s"k AS ($exactDedupSql) " +
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+        "JOIN k ON d.doc_id = k.keep_doc_id " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"),
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
     // independent twin of the pigeonhole-chunk candidate join + verify

@@ -188,6 +188,14 @@ object Dedup {
     val base = nearDupBase(documents, shingleLen)
     val candidates = bandedCandidates(base, shingleLen, numBands,
       rowsPerBand, maxBucketSize)
+    jaccardVerify(base, candidates, shingleLen, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets: the tail of [[nearDupPairsOf]], factored so [[dedupTierOverlap]]
+    * can run it over a SHARED candidate pass. */
+  private def jaccardVerify(base: DataFrame, candidates: DataFrame,
+      shingleLen: Int, threshold: Double): DataFrame = {
     val sets = base.select($"doc_id",
       graft.functions.TextExpressions.charShingles($"t", shingleLen).as("shingles"))
     candidates
@@ -306,10 +314,18 @@ object Dedup {
   def editNearDupOf(documents: DataFrame, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8, threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val tq = math.round(threshold * 10000).toInt
     val base = nearDupBase(documents, shingleLen)
     val candidates = bandedCandidates(base, shingleLen, numBands,
       rowsPerBand, maxBucketSize)
+    editVerify(base, candidates, threshold)
+  }
+
+  /** Bounded-Levenshtein verification of candidate pairs: the tail of
+    * [[editNearDupOf]], factored so [[dedupTierOverlap]] can run it over a
+    * SHARED candidate pass. */
+  private def editVerify(base: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val tq = math.round(threshold * 10000).toInt
     candidates
       .join(base.withColumnRenamed("doc_id", "a_doc_id")
         .withColumnRenamed("t", "a_t"), "a_doc_id")
@@ -327,6 +343,112 @@ object Dedup {
         round(lit(1.0) - $"edit_dist".cast("double") / $"max_len", 4))
       .select($"a_doc_id", $"b_doc_id",
         $"edit_dist".cast("long").as("edit_dist"), $"edit_sim")
+  }
+
+  /** Cross-tier agreement matrix — which near-dup pairs each tier finds:
+    * MinHash-Jaccard (set overlap), bounded-Levenshtein (ordered local
+    * edits), and SimHash (weighted-feature Hamming), rolled up by presence
+    * combination. The table that decides whether a cheaper tier can REPLACE
+    * a costlier one on this corpus (a row like (0,1,0) counts pairs only
+    * the edit tier sees — drop it and those survive dedup).
+    *
+    * Cost sharing is the point of the implementation: the two
+    * banded-LSH-verified tiers run over ONE shared candidate pass (the
+    * candidate frame is localCheckpoint-cut so the shingle→minhash→band
+    * subtree executes once, not once per verify — the dupClusters lineage
+    * discipline); SimHash generates its own (pigeonhole) candidates by
+    * construction. The full-outer joins run on pair-graph-sized frames,
+    * ≪ corpus.
+    */
+  def dedupTierOverlap(spark: SparkSession, sfDir: String,
+      shingleLen: Int = 5, numBands: Int = 128, rowsPerBand: Int = 8,
+      jaccardThreshold: Double = 0.8, editThreshold: Double = 0.8,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = nearDupBase(docs, shingleLen)
+    val candidates = bandedCandidates(base, shingleLen, numBands,
+      rowsPerBand, 1000).localCheckpoint()
+    val keys = Seq("a_doc_id", "b_doc_id")
+    val mh = jaccardVerify(base, candidates, shingleLen, jaccardThreshold)
+      .select($"a_doc_id", $"b_doc_id", lit(1).as("minhash"))
+    val ed = editVerify(base, candidates, editThreshold)
+      .select($"a_doc_id", $"b_doc_id", lit(1).as("edit"))
+    val sh = simhashNearDupOf(docs, shingleLen, maxHamming)
+      .select($"a_doc_id", $"b_doc_id", lit(1).as("simhash"))
+    mh.join(ed, keys, "full")
+      .join(sh, keys, "full")
+      .select(coalesce($"minhash", lit(0)).as("minhash"),
+        coalesce($"edit", lit(0)).as("edit"),
+        coalesce($"simhash", lit(0)).as("simhash"))
+      .groupBy($"minhash", $"edit", $"simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"minhash", $"edit", $"simhash")
+  }
+
+  /** Keep-BEST dedup policy: per near-dup family ([[nearDupClusters]]'s
+    * connected components), keep the member with the HIGHEST quality score
+    * (ties to the smaller doc_id) instead of keep-first — what production
+    * pipelines actually ship, since the lowest doc_id is an accident of
+    * crawl order while the highest-quality variant is the one worth
+    * training on. `min_doc_id` rides along as the audit column: rows where
+    * keep_doc_id ≠ min_doc_id are exactly the decisions this policy
+    * changes vs keep-first.
+    *
+    * Scale shape: the family frame is pair-graph-sized (≪ corpus), so the
+    * quality join sends the tiny side to the corpus-wide score scan, and
+    * the ranking window partitions by family — family-sized partitions,
+    * never a corpus funnel.
+    */
+  def qualityKeepDedup(spark: SparkSession, sfDir: String): DataFrame =
+    qualityKeepDecisions(nearDupClusters(spark, sfDir),
+      TextAnalysis.textStats(spark, sfDir)
+        .select($"doc_id", $"quality_score"))
+      .orderBy($"cluster_id")
+
+  /** Core of [[qualityKeepDedup]] over any (doc_id, cluster_id) family
+    * frame and (doc_id, quality_score) score frame. */
+  def qualityKeepDecisions(fams: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    fams.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id")
+          .orderBy($"quality_score".desc, $"doc_id")))
+      .groupBy($"cluster_id")
+      .agg(max(when($"rk" === 1, $"doc_id")).as("keep_doc_id"),
+        max(when($"rk" === 1, $"quality_score")).as("keep_quality"),
+        count(lit(1)).as("n_members"),
+        min($"doc_id").as("min_doc_id"))
+  }
+
+  /** The SHIPPABLE form of the keep-best policy — the corpus after
+    * quality-keep near-dedup: exact-dedup keepers minus every near-dup
+    * family member that is not its family's quality keeper. The
+    * keep-first twin is [[graft.operators.Pipelines]]' near_dedup_corpus
+    * shape; this one keeps the variant worth training on instead of the
+    * crawl-order accident. Composition edge (documented, not hidden): a
+    * family whose quality keeper was itself dropped by the EXACT tier
+    * contributes nothing — at any realistic scale exact duplicates carry
+    * equal quality scores, so the policies agree there, and the exact
+    * tier runs first precisely so its families never reach the LSH join.
+    *
+    * Scale: both subtractions are pair-graph-sized anti-join probes into
+    * the corpus scan; every stage linear.
+    */
+  def qualityKeepCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fams = nearDupClusters(spark, sfDir)
+    val drops = fams
+      .join(qualityKeepDecisions(fams,
+          TextAnalysis.textStats(spark, sfDir)
+            .select($"doc_id", $"quality_score"))
+          .select($"cluster_id", $"keep_doc_id"),
+        "cluster_id")
+      .filter($"doc_id" =!= $"keep_doc_id")
+      .select($"doc_id")
+    docs
+      .join(exactDedupOf(docs).select($"keep_doc_id".as("doc_id")), "doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_chars")
   }
 
   /** Exact token-n-gram Jaccard similarity self-join via PREFIX FILTERING

@@ -438,6 +438,59 @@ class DedupSpec extends SparkTestBase {
     assert(r == Set((1L, 2L, 1L, sim)))
   }
 
+  test("dedupTierOverlap conserves each tier's pair count, closed flag domain") {
+    val rows = Dedup.dedupTierOverlap(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((m, e, s2), n) =>
+      assert(Seq(m, e, s2).forall(x => x == 0 || x == 1))
+      assert((m, e, s2) != ((0, 0, 0)), "a pair no tier found cannot exist")
+      assert(n >= 1)
+    }
+    // marginal sums equal each tier run standalone — the shared candidate
+    // pass must not change any tier's verdict
+    assert(rows.filter(_._1._1 == 1).map(_._2).sum ==
+      Dedup.nearDupPairs(spark, sf).count())
+    assert(rows.filter(_._1._2 == 1).map(_._2).sum ==
+      Dedup.editNearDup(spark, sf).count())
+    assert(rows.filter(_._1._3 == 1).map(_._2).sum ==
+      Dedup.simhashNearDup(spark, sf).count())
+  }
+
+  test("qualityKeepDedup keeps the argmax-quality member per family") {
+    val fams = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fams.nonEmpty)
+    val q = graft.operators.TextAnalysis.textStats(spark, sf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val expect = fams.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      val keep = members.minBy(d => (-q(d), d))
+      c -> (keep, q(keep), members.length.toLong, members.min)
+    }
+    val got = Dedup.qualityKeepDedup(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
+  test("qualityKeepCorpus: exact keepers minus non-keeper family members") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exactKeep = Dedup.exactDedupOf(docs)
+      .select($"keep_doc_id").as[Long].collect().toSet
+    val fams = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q = graft.operators.TextAnalysis.textStats(spark, sf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val keepers = fams.groupBy(_._2)
+      .map { case (_, ms) => ms.map(_._1).minBy(d => (-q(d), d)) }.toSet
+    val expect = exactKeep -- (fams.map(_._1).toSet -- keepers)
+    val got = Dedup.qualityKeepCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("edit threshold bound is exact-integer (555-char boundary kept)") {
     // d=111 on max_len=555 is sim = 0.8 EXACTLY and must be kept; the
     // naive floor(max_len·(1.0−0.8)) computes floor(110.999…) = 110 in
