@@ -378,6 +378,11 @@ object SparkEntry {
     "media_audio_features_dump" -> (graft.multimodal.Media.audioFeatureDump _), // rows-only (it IS the oracle input)
     "media_video_features" -> (graft.multimodal.Media.videoFeatureRollup _),
     "media_video_features_dump" -> (graft.multimodal.Media.videoFeatureDump _), // rows-only (it IS the oracle input)
+    // perceptual image dedup: decode → integer aHash → multi-index Hamming
+    // join (8×8-bit chunks, d ≤ 6) — SimHash-for-images, planted
+    // re-encode variants that exact payload hashing cannot see
+    "image_phash_dump" -> (graft.multimodal.Media.imagePhashDump _), // rows-only (it IS the oracle input)
+    "image_phash_near_dup" -> (graft.multimodal.Media.imagePhashNearDup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     // the release shape: clean_corpus survivors carrying PII-scrubbed text
@@ -1169,6 +1174,15 @@ object SparkEntry {
         "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
         "JOIN k ON d.doc_id = k.keep_doc_id " +
         "WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"),
+    // brute-force Hamming pairs over the Spark-computed aHashes (dumped by
+    // image_phash_dump): the independent twin of the multi-index
+    // (pigeonhole) candidate join + exact verify, same shape as simhash
+    "image_phash_near_dup" ->
+      ("WITH s AS (SELECT media_id, ahash FROM read_parquet('{OUT}/image_phash_dump/*.parquet')) " +
+        "SELECT a.media_id AS a_media_id, b.media_id AS b_media_id, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM s a JOIN s b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"),
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
     // independent twin of the pigeonhole-chunk candidate join + verify

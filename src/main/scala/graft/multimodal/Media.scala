@@ -260,6 +260,88 @@ object Media {
       .orderBy($"width", $"height")
   }
 
+  /** One 64-bit perceptual hash per image ([[imageAHash]]). */
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Deterministic image table WITH planted near-duplicates: the first
+    * `nBase` images are seeded-random; each of the next `nBase` is a
+    * re-encode-with-noise VARIANT of its base (1 + id%3 payload bytes
+    * XOR-flipped at deterministic positions) — the re-encode/watermark/
+    * noise drift image dedup exists to catch, which EXACT payload hashing
+    * misses by construction. */
+  def synthesizeImageVariants(spark: SparkSession, nBase: Int,
+      payloadBytes: Int = 256): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(2L * nBase).map { id =>
+      val baseId: Long = if (id < nBase) id.toLong else id - nBase
+      val rnd = new scala.util.Random(baseId) // variant shares its base's payload
+      val payload = new Array[Byte](payloadBytes)
+      rnd.nextBytes(payload)
+      if (id >= nBase) {
+        val edits = 1 + (id % 3).toInt
+        var e = 0
+        while (e < edits) {
+          val pos = ((id * 31 + e * 97) % payloadBytes).toInt
+          payload(pos) = (payload(pos) ^ 0x5a).toByte
+          e += 1
+        }
+      }
+      MediaRow(id, id % 100,
+        MediaMeta("image", width = 16, height = 16, sampleRateHz = 0,
+          durationMs = 0L, codec = "fake"),
+        payload)
+    }
+  }
+
+  /** Perceptual hash (aHash) per image: decode → 8×8 nearest-neighbor
+    * downsample → per-pixel mean threshold → 64-bit hash. All INTEGER
+    * arithmetic — bit i is set iff 64·pixel_i > Σpixels, so there is no
+    * float mean to drift between engines or platforms. Same batched
+    * mapPartitions shape as every media op (one codec init per batch). */
+  def imageAHash(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val luma = FakeCodec.decodeLuma(r.payload, r.meta.width, r.meta.height)
+          val small = FakeCodec.resizeLuma(luma, r.meta.width, r.meta.height, 8, 8)
+          var sum = 0L
+          var i = 0
+          while (i < 64) { sum += (small(i) & 0xff); i += 1 }
+          var h = 0L
+          i = 0
+          while (i < 64) {
+            if (64L * (small(i) & 0xff) > sum) h |= (1L << i)
+            i += 1
+          }
+          ImageHash(r.media_id, h)
+        }
+      }
+    }
+  }
+
+  /** Registered companion of [[imagePhashNearDup]]: the per-image aHash
+    * signatures (rows-only — the fake codec has no DuckDB twin; the dump
+    * IS the oracle input, the `simhash_signatures` pattern): DuckDB
+    * brute-forces the Hamming pairs over these Spark-computed hashes. */
+  def imagePhashDump(spark: SparkSession, sfDir: String): DataFrame =
+    imageAHash(synthesizeImageVariants(spark, nBase = 100)).toDF()
+
+  /** Registered query: perceptual near-duplicate IMAGES — the multimodal
+    * dedup tier: decode → aHash → multi-index Hamming self-join
+    * ([[graft.operators.Dedup.hammingNearDup]], 8×8-bit chunks for the
+    * d ≤ 6 budget) → exact bit_count verify. Exact payload hashing cannot
+    * see these pairs (every variant differs in raw bytes); the perceptual
+    * tier is to images what SimHash is to text, and shares its candidate
+    * machinery. */
+  def imagePhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.hammingNearDup(
+      imageAHash(synthesizeImageVariants(spark, nBase = 100)).toDF(),
+      "media_id", "ahash", numChunks = 8, maxHamming = 6)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
+
   /** Sample every `everyMs` milliseconds of a video into frame rows —
     * the explode happens BEFORE decode so frames parallelize downstream. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long,

@@ -1288,19 +1288,56 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val docs = spread(documents)
       .select($"doc_id", simhash($"text", shingleLen).as("sh"))
-    val chunkStructs = (0 until 4).map(c =>
+    hammingNearDup(docs, "doc_id", "sh", numChunks = 4,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+      .withColumnRenamed("a_id", "a_doc_id")
+      .withColumnRenamed("b_id", "b_doc_id")
+  }
+
+  /** Multi-index Hamming self-join (Norouzi et al.'s multi-index hashing,
+    * the pigeonhole form): split each 64-bit signature into `numChunks`
+    * equal chunks; any pair within Hamming distance ≤ numChunks − 1 agrees
+    * EXACTLY on at least one chunk, so candidates come from equi-joins on
+    * (chunk, key) and the exact `bit_count(xor)` filter settles membership
+    * — no false negatives within the pigeonhole budget, false positives
+    * only re-verify. Signature-source-agnostic: text SimHash
+    * ([[simhashNearDupOf]], 4×16-bit chunks for d ≤ 3) and image
+    * perceptual hashes ([[graft.multimodal.Media.imagePhashNearDup]],
+    * 8×8-bit chunks for d ≤ 7) share this core.
+    *
+    * The distance-budget/selectivity trade is explicit: a wider budget
+    * needs more (narrower) chunks, and an `bits/numChunks`-bit key space
+    * has 2^(bits/numChunks) buckets per chunk — candidate fan-out grows as
+    * n²/2^(bits/numChunks) per chunk under uniform hashing. At production
+    * scale keep chunks ≥ 16 bits and compose tiers (exact dedup first)
+    * rather than widening the budget; [[dropHotBuckets]] caps adversarial
+    * buckets either way.
+    *
+    * Expects `maxHamming ≤ numChunks − 1` (asserted: a wider budget would
+    * silently miss pairs — the pigeonhole guarantee is the contract).
+    */
+  def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
+      numChunks: Int, maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
+    require(maxHamming <= numChunks - 1,
+      s"pigeonhole violated: maxHamming $maxHamming > numChunks − 1 = ${numChunks - 1}")
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val chunkStructs = (0 until numChunks).map(c =>
       struct(lit(c).as("chunk"),
-        shiftright($"sh", c * 16).bitwiseAND(lit(0xffffL)).as("key")))
-    val chunked = dropHotBuckets(docs.select($"doc_id", $"sh",
+        shiftright($"sig", c * chunkBits).bitwiseAND(lit(mask)).as("key")))
+    val chunked = dropHotBuckets(base.select($"id", $"sig",
       explode(array(chunkStructs: _*)).as("c"))
-      .select($"doc_id", $"sh", $"c.chunk".as("chunk"), $"c.key".as("key")),
+      .select($"id", $"sig", $"c.chunk".as("chunk"), $"c.key".as("key")),
       Seq("chunk", "key"), maxBucketSize)
     chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"),
-        hammingDist(col("l.sh"), col("r.sh")).as("hamming"))
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        hammingDist(col("l.sig"), col("r.sig")).as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }

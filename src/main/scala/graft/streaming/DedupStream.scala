@@ -191,7 +191,8 @@ object DedupStream {
       redactPii: Boolean = false, trimSpans: Boolean = false,
       spanN: Int = 8, spanMinOccurrences: Int = 2,
       lineRules: Option[graft.operators.LineClean.Rules] = None,
-      classifierGate: Option[(Double, Array[Double], Double)] = None)
+      classifierGate: Option[(Double, Array[Double], Double)] = None,
+      normalizedExact: Boolean = false)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
@@ -206,7 +207,14 @@ object DedupStream {
             .cleanLines(rawBatch.select($"doc_id", $"text"), r)
             .select($"doc_id", $"cleaned_text".as("text"))
         }.getOrElse(rawBatch)
-        val keep = Dedup.exactDedupOf(batch)
+        // `normalizedExact` swaps the exact tier for the C4 fuzzy-exact
+        // form ([[graft.operators.Dedup.normalizedDedupOf]]): formatting
+        // variants (casing/punctuation/whitespace) collapse in-batch at
+        // identical cost. The BAND index still hashes raw text either way
+        // — near-dup shingles already absorb formatting drift, and the
+        // index's content-identity contract stays one thing.
+        val keep = (if (normalizedExact) Dedup.normalizedDedupOf(batch)
+          else Dedup.exactDedupOf(batch))
           .select($"keep_doc_id".as("doc_id"))
         val inBatchDrops = Dedup
           .nearDupPairsOf(batch, shingleLen, numBands, rowsPerBand, threshold)

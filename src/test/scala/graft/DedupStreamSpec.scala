@@ -263,6 +263,40 @@ class DedupStreamSpec extends SparkTestBase {
     assert(got.toSet == Set(1L))
   }
 
+  test("ingest with normalizedExact: formatting variants collapse in-batch") {
+    // ALL-CAPS vs lowercase: char shingles are case-sensitive, so the
+    // MinHash tier sees (nearly) disjoint sets and never fires — only the
+    // normalized-exact tier can collapse this pair, which isolates the flag
+    val a = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val c = "a completely different document about something else entirely"
+    val standing = Seq((1L, "unrelated standing corpus text here"))
+      .toDF("doc_id", "text")
+    val allDocs = standing.union(
+      Seq((10L, a), (20L, b), (30L, c)).toDF("doc_id", "text"))
+    val benchmark = Seq((99L, "benchmark item that matches nothing at all"))
+      .toDF("doc_id", "text")
+    for ((flag, expected) <- Seq(true -> Set(10L, 30L),
+        false -> Set(10L, 20L, 30L))) {
+      Dedup.writeBandIndex(standing, "band_idx_norm", buckets = 2)
+      val got = scala.collection.mutable.Set[Long]()
+      val ms = MemoryStream[(Long, String)]
+      val q = DedupStream.ingestQuery(ms.toDF().toDF("doc_id", "text"),
+        allDocs, "band_idx_norm", benchmark, appendAfterProbe = false,
+        normalizedExact = flag) { (out, _) =>
+        got ++= out.select($"doc_id").as[Long].collect()
+      }.start()
+      try {
+        ms.addData((10L, a), (20L, b), (30L, c))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS band_idx_norm")
+      }
+      assert(got.toSet == expected, s"normalizedExact=$flag")
+    }
+  }
+
   test("probe-then-append finds a duplicate of an earlier micro-batch") {
     val text1 = "an entirely novel document about streaming ingest loops"
     val text2 = "an entirely novel document about streaming ingest loops!"

@@ -125,4 +125,38 @@ class MediaSpec extends SparkTestBase {
     assert(a.size == 100)
     a.values.foreach { case (amp, _) => assert(amp >= 0 && amp <= 128) }
   }
+
+  test("imagePhashNearDup equals brute-force Hamming; planted variants found") {
+    val pairs = Media.imagePhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Media.imageAHash(Media.synthesizeImageVariants(spark, 100))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(sigs.size == 200)
+    val brute = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      d = java.lang.Long.bitCount(sigs(x) ^ sigs(y)) if d <= 6
+    } yield (x, y, d)).toSet
+    // the multi-index join is EXACT within the pigeonhole budget
+    assert(pairs == brute)
+    // planted re-encode variants: a single payload-byte edit has a 1/4
+    // chance of landing on a downsampled pixel, so many variants hash
+    // IDENTICALLY and nearly all land within the budget; unrelated images
+    // sit at Hamming ≈ 32 — require a clear majority found and zero
+    // cross-family pairs
+    val found = (100L until 200L).count(v =>
+      pairs.exists(p => p._1 == v - 100 && p._2 == v))
+    assert(found >= 90, s"only $found/100 planted variants found")
+    pairs.foreach { case (x, y, _) =>
+      assert(y == x + 100, s"cross-family pair ($x,$y)")
+    }
+  }
+
+  test("hammingNearDup rejects a budget beyond the pigeonhole guarantee") {
+    import spark.implicits._
+    val sigs = Seq((1L, 0L), (2L, 1L)).toDF("id", "sig")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingNearDup(sigs, "id", "sig",
+        numChunks = 4, maxHamming = 4)
+    }
+  }
 }
