@@ -383,6 +383,13 @@ object SparkEntry {
     // re-encode variants that exact payload hashing cannot see
     "image_phash_dump" -> (graft.multimodal.Media.imagePhashDump _), // rows-only (it IS the oracle input)
     "image_phash_near_dup" -> (graft.multimodal.Media.imagePhashNearDup _),
+    // audio leg: 64-band integer energy fingerprint (Haitsma–Kalker shape)
+    // through the same multi-index Hamming core
+    "audio_fp_dump" -> (graft.multimodal.Media.audioFpDump _), // rows-only (it IS the oracle input)
+    "audio_fp_near_dup" -> (graft.multimodal.Media.audioFpNearDup _),
+    // video leg: temporal hash — 8 frames × 8-bit luma-histogram signature
+    "video_thash_dump" -> (graft.multimodal.Media.videoTHashDump _), // rows-only (it IS the oracle input)
+    "video_thash_near_dup" -> (graft.multimodal.Media.videoTHashNearDup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     // the release shape: clean_corpus survivors carrying PII-scrubbed text
@@ -1183,6 +1190,20 @@ object SparkEntry {
         "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
         "FROM s a JOIN s b ON a.media_id < b.media_id " +
         "WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"),
+    // audio and video twins of the image_phash oracle: brute-force Hamming
+    // over the dumped fingerprints/temporal hashes
+    "audio_fp_near_dup" ->
+      ("WITH s AS (SELECT media_id, afp FROM read_parquet('{OUT}/audio_fp_dump/*.parquet')) " +
+        "SELECT a.media_id AS a_media_id, b.media_id AS b_media_id, " +
+        "CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming " +
+        "FROM s a JOIN s b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.afp, b.afp)) <= 6"),
+    "video_thash_near_dup" ->
+      ("WITH s AS (SELECT media_id, vhash FROM read_parquet('{OUT}/video_thash_dump/*.parquet')) " +
+        "SELECT a.media_id AS a_media_id, b.media_id AS b_media_id, " +
+        "CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming " +
+        "FROM s a JOIN s b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.vhash, b.vhash)) <= 6"),
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
     // independent twin of the pigeonhole-chunk candidate join + verify

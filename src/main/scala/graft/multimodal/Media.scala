@@ -263,14 +263,15 @@ object Media {
   /** One 64-bit perceptual hash per image ([[imageAHash]]). */
   final case class ImageHash(media_id: Long, ahash: Long)
 
-  /** Deterministic image table WITH planted near-duplicates: the first
-    * `nBase` images are seeded-random; each of the next `nBase` is a
+  /** Deterministic media table WITH planted near-duplicates: the first
+    * `nBase` items are seeded-random; each of the next `nBase` is a
     * re-encode-with-noise VARIANT of its base (1 + id%3 payload bytes
     * XOR-flipped at deterministic positions) — the re-encode/watermark/
-    * noise drift image dedup exists to catch, which EXACT payload hashing
-    * misses by construction. */
-  def synthesizeImageVariants(spark: SparkSession, nBase: Int,
-      payloadBytes: Int = 256): Dataset[MediaRow] = {
+    * noise drift perceptual dedup exists to catch, which EXACT payload
+    * hashing misses by construction. Works for all three modalities (the
+    * meta block follows [[synthesize]]'s per-type conventions). */
+  def synthesizeVariants(spark: SparkSession, nBase: Int,
+      mediaType: String = "image", payloadBytes: Int = 256): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(2L * nBase).map { id =>
       val baseId: Long = if (id < nBase) id.toLong else id - nBase
@@ -287,11 +288,18 @@ object Media {
         }
       }
       MediaRow(id, id % 100,
-        MediaMeta("image", width = 16, height = 16, sampleRateHz = 0,
-          durationMs = 0L, codec = "fake"),
+        MediaMeta(mediaType, width = 16, height = 16,
+          sampleRateHz = if (mediaType == "audio") 16000 else 0,
+          durationMs = if (mediaType == "video") 4000L else 0L,
+          codec = "fake"),
         payload)
     }
   }
+
+  /** Image-typed [[synthesizeVariants]] (kept as the image entries' name). */
+  def synthesizeImageVariants(spark: SparkSession, nBase: Int,
+      payloadBytes: Int = 256): Dataset[MediaRow] =
+    synthesizeVariants(spark, nBase, "image", payloadBytes)
 
   /** Perceptual hash (aHash) per image: decode → 8×8 nearest-neighbor
     * downsample → per-pixel mean threshold → 64-bit hash. All INTEGER
@@ -339,6 +347,114 @@ object Media {
     graft.operators.Dedup.hammingNearDup(
       imageAHash(synthesizeImageVariants(spark, nBase = 100)).toDF(),
       "media_id", "ahash", numChunks = 8, maxHamming = 6)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
+
+  /** One 64-bit audio fingerprint per clip ([[audioFingerprint]]). */
+  final case class AudioHash(media_id: Long, afp: Long)
+
+  /** 64-band energy fingerprint per clip (the Haitsma–Kalker robust-hash
+    * shape): signed 8-bit PCM split into 64 equal-share windows; bit w is
+    * set iff window w's mean |amplitude| exceeds the clip mean — INTEGER
+    * cross-multiplied (energy_w · n > total · len_w), so there is no float
+    * mean to drift. Re-encode noise moves few windows across their
+    * threshold; unrelated clips land at Hamming ≈ 32. */
+  def audioFingerprint(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val pcm = FakeCodec.decodePcm(r.payload)
+          val n = pcm.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += math.abs(pcm(i).toInt); i += 1 }
+          var h = 0L
+          var w = 0
+          while (w < 64) {
+            val lo = w * n / 64
+            val hi = (w + 1) * n / 64
+            var e = 0L
+            var j = lo
+            while (j < hi) { e += math.abs(pcm(j).toInt); j += 1 }
+            if (e * n > total * (hi - lo)) h |= (1L << w)
+            w += 1
+          }
+          AudioHash(r.media_id, h)
+        }
+      }
+    }
+  }
+
+  /** Registered companion of [[audioFpNearDup]] (rows-only — it IS the
+    * oracle input): DuckDB brute-forces the Hamming pairs over these
+    * Spark-computed fingerprints. */
+  def audioFpDump(spark: SparkSession, sfDir: String): DataFrame =
+    audioFingerprint(synthesizeVariants(spark, nBase = 100, "audio")).toDF()
+
+  /** Registered query: perceptual near-duplicate AUDIO — the audio leg of
+    * the multimodal dedup tier, sharing [[graft.operators.Dedup.hammingNearDup]]
+    * (8×8-bit chunks, d ≤ 6) with the image and text tiers. */
+  def audioFpNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.hammingNearDup(
+      audioFingerprint(synthesizeVariants(spark, nBase = 100, "audio")).toDF(),
+      "media_id", "afp", numChunks = 8, maxHamming = 6)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
+
+  /** One 64-bit temporal video hash ([[videoTHash]]). */
+  final case class VideoHash(media_id: Long, vhash: Long)
+
+  /** Temporal video hash: `nFrames` uniformly indexed frames × an 8-bit
+    * per-frame luma-histogram signature — bit (f·8 + j) is set iff frame
+    * f's histogram bucket j exceeds the uniform share (8·hist_j >
+    * frameBytes, exact integers). Captures the luma-distribution ARC over
+    * time, so a re-encoded copy collides while a reshuffled or unrelated
+    * video does not. */
+  def videoTHash(media: Dataset[MediaRow], nFrames: Int = 8,
+      batchSize: Int = 64): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    require(nFrames * 8 == 64, s"nFrames $nFrames must fill the 64-bit hash")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val frameBytes = r.meta.width * r.meta.height
+          var h = 0L
+          var f = 0
+          while (f < nFrames) {
+            val frame = FakeCodec.frameAt(r.payload, f, frameBytes)
+            val hist = new Array[Int](8)
+            var i = 0
+            while (i < frame.length) { hist((frame(i) & 0xff) >> 5) += 1; i += 1 }
+            var j = 0
+            while (j < 8) {
+              if (8 * hist(j) > frame.length) h |= (1L << (f * 8 + j))
+              j += 1
+            }
+            f += 1
+          }
+          VideoHash(r.media_id, h)
+        }
+      }
+    }
+  }
+
+  /** Registered companion of [[videoTHashNearDup]] (rows-only — it IS the
+    * oracle input). The variant payload is nFrames·frameBytes so every
+    * sampled frame carries distinct content. */
+  def videoTHashDump(spark: SparkSession, sfDir: String): DataFrame =
+    videoTHash(synthesizeVariants(spark, nBase = 100, "video",
+      payloadBytes = 2048)).toDF()
+
+  /** Registered query: perceptual near-duplicate VIDEO — the video leg of
+    * the multimodal dedup tier over the temporal hash, same shared
+    * multi-index Hamming core (8×8-bit chunks, d ≤ 6). */
+  def videoTHashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.hammingNearDup(
+      videoTHash(synthesizeVariants(spark, nBase = 100, "video",
+        payloadBytes = 2048)).toDF(),
+      "media_id", "vhash", numChunks = 8, maxHamming = 6)
       .withColumnRenamed("a_id", "a_media_id")
       .withColumnRenamed("b_id", "b_media_id")
 

@@ -151,6 +151,44 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("audioFpNearDup equals brute-force Hamming; planted variants found") {
+    val pairs = Media.audioFpNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Media.audioFingerprint(
+      Media.synthesizeVariants(spark, 100, "audio"))
+      .collect().map(h => h.media_id -> h.afp).toMap
+    val brute = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      d = java.lang.Long.bitCount(sigs(x) ^ sigs(y)) if d <= 6
+    } yield (x, y, d)).toSet
+    assert(pairs == brute)
+    val found = (100L until 200L).count(v =>
+      pairs.exists(p => p._1 == v - 100 && p._2 == v))
+    assert(found >= 90, s"only $found/100 planted variants found")
+    pairs.foreach { case (x, y, _) =>
+      assert(y == x + 100, s"cross-family pair ($x,$y)")
+    }
+  }
+
+  test("videoTHashNearDup equals brute-force Hamming; planted variants found") {
+    val pairs = Media.videoTHashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Media.videoTHash(
+      Media.synthesizeVariants(spark, 100, "video", payloadBytes = 2048))
+      .collect().map(h => h.media_id -> h.vhash).toMap
+    val brute = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      d = java.lang.Long.bitCount(sigs(x) ^ sigs(y)) if d <= 6
+    } yield (x, y, d)).toSet
+    assert(pairs == brute)
+    val found = (100L until 200L).count(v =>
+      pairs.exists(p => p._1 == v - 100 && p._2 == v))
+    assert(found >= 90, s"only $found/100 planted variants found")
+    pairs.foreach { case (x, y, _) =>
+      assert(y == x + 100, s"cross-family pair ($x,$y)")
+    }
+  }
+
   test("hammingNearDup rejects a budget beyond the pigeonhole guarantee") {
     import spark.implicits._
     val sigs = Seq((1L, 0L), (2L, 1L)).toDF("id", "sig")
