@@ -390,6 +390,10 @@ object SparkEntry {
     // video leg: temporal hash — 8 frames × 8-bit luma-histogram signature
     "video_thash_dump" -> (graft.multimodal.Media.videoTHashDump _), // rows-only (it IS the oracle input)
     "video_thash_near_dup" -> (graft.multimodal.Media.videoTHashNearDup _),
+    // the image-firehose shape: arriving images probe a PERSISTED
+    // (chunk,key)-bucketed signature index over the standing corpus —
+    // zero index-side exchange, corpus×corpus never pairs
+    "incremental_phash_near_dup" -> (graft.multimodal.Media.incrementalPhashNearDup _),
     // —— LLM-pipeline: composed corpus build (dedup ∧ quality ∧ lang) ——
     "clean_corpus" -> ((s, d) => Pipelines.cleanCorpus(s, d)),
     // the release shape: clean_corpus survivors carrying PII-scrubbed text
@@ -1190,6 +1194,15 @@ object SparkEntry {
         "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
         "FROM s a JOIN s b ON a.media_id < b.media_id " +
         "WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"),
+    // incremental probe: brute-force batch×corpus Hamming from the same
+    // dumped signatures (corpus = media_id < 150, batch = the rest)
+    "incremental_phash_near_dup" ->
+      ("WITH s AS (SELECT media_id, ahash FROM read_parquet('{OUT}/image_phash_dump/*.parquet')) " +
+        "SELECT b.media_id AS new_media_id, a.media_id AS dup_of_media_id, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM s a, s b WHERE a.media_id < 150 AND b.media_id >= 150 " +
+        "AND bit_count(xor(a.ahash, b.ahash)) <= 6 " +
+        "ORDER BY new_media_id, dup_of_media_id"),
     // audio and video twins of the image_phash oracle: brute-force Hamming
     // over the dumped fingerprints/temporal hashes
     "audio_fp_near_dup" ->

@@ -350,6 +350,34 @@ object Media {
       .withColumnRenamed("a_id", "a_media_id")
       .withColumnRenamed("b_id", "b_media_id")
 
+  /** Registered query: INCREMENTAL perceptual image dedup — a batch of
+    * arriving images (media_id ≥ 150: the variants of bases 50-99) probes
+    * a PERSISTED hash index over the standing corpus (media_id < 150),
+    * built once per process ([[graft.operators.Dedup.writeHashIndex]],
+    * bucketed by (chunk, key) so the probe reads the index co-located —
+    * zero index-side exchange, only the batch moves). The image-firehose
+    * shape: day-over-day ingestion dedups against everything already
+    * accepted without ever re-pairing the corpus with itself. Oracle:
+    * DuckDB brute-forces batch×corpus Hamming from the image_phash_dump
+    * signatures.
+    */
+  def incrementalPhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sigs = imageAHash(synthesizeImageVariants(spark, nBase = 100)).toDF()
+    val table = "graft_phash_index"
+    if (!spark.catalog.tableExists(table))
+      Dedup.writeHashIndex(sigs.filter($"media_id" < 150), "media_id",
+        "ahash", table, numChunks = 8,
+        location = Some(
+          s"${graft.util.TmpDirs.perProcessDir("graft_phashidx")}/img"))
+    Dedup.hammingIndexProbe(table, sigs.filter($"media_id" >= 150),
+      "media_id", "ahash", numChunks = 8, maxHamming = 6)
+      .withColumnRenamed("new_id", "new_media_id")
+      .withColumnRenamed("dup_of_id", "dup_of_media_id")
+      .orderBy($"new_media_id", $"dup_of_media_id")
+  }
+
   /** One 64-bit audio fingerprint per clip ([[audioFingerprint]]). */
   final case class AudioHash(media_id: Long, afp: Long)
 

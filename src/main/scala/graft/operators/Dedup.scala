@@ -1319,18 +1319,8 @@ object Dedup {
   def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
       numChunks: Int, maxHamming: Int,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
-    require(maxHamming <= numChunks - 1,
-      s"pigeonhole violated: maxHamming $maxHamming > numChunks − 1 = ${numChunks - 1}")
-    val chunkBits = 64 / numChunks
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
-    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    val chunkStructs = (0 until numChunks).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright($"sig", c * chunkBits).bitwiseAND(lit(mask)).as("key")))
-    val chunked = dropHotBuckets(base.select($"id", $"sig",
-      explode(array(chunkStructs: _*)).as("c"))
-      .select($"id", $"sig", $"c.chunk".as("chunk"), $"c.key".as("key")),
+    requirePigeonhole(numChunks, maxHamming)
+    val chunked = dropHotBuckets(chunkedSigs(sigs, idCol, sigCol, numChunks),
       Seq("chunk", "key"), maxBucketSize)
     chunked.as("l")
       .join(chunked.as("r"),
@@ -1338,6 +1328,78 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
         hammingDist(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  private def requirePigeonhole(numChunks: Int, maxHamming: Int): Unit = {
+    require(64 % numChunks == 0, s"numChunks $numChunks must divide 64")
+    require(maxHamming <= numChunks - 1,
+      s"pigeonhole violated: maxHamming $maxHamming > numChunks − 1 = ${numChunks - 1}")
+  }
+
+  /** (id, sig, chunk, key) rows of the multi-index layout — the exploded
+    * form both the self-join and the persisted index use. */
+  private def chunkedSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      numChunks: Int): DataFrame = {
+    val chunkBits = 64 / numChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val chunkStructs = (0 until numChunks).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright($"sig", c * chunkBits).bitwiseAND(lit(mask)).as("key")))
+    base.select($"id", $"sig", explode(array(chunkStructs: _*)).as("c"))
+      .select($"id", $"sig", $"c.chunk".as("chunk"), $"c.key".as("key"))
+  }
+
+  /** Persist a 64-bit-signature HASH INDEX for incremental multi-index
+    * Hamming probes — the perceptual-dedup twin of [[writeBandIndex]]:
+    * chunked rows bucketed (and sorted) by (chunk, key), so every
+    * subsequent [[hammingIndexProbe]] reads the index side CO-LOCATED
+    * (zero index-side exchange; only the new batch moves). One index
+    * serves any 64-bit signature source — image aHash, audio fingerprint,
+    * video temporal hash, text SimHash. */
+  def writeHashIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      table: String, numChunks: Int, buckets: Int = 32,
+      maxBucketSize: Int = 1000, location: Option[String] = None): Unit = {
+    val chunked = dropHotBuckets(
+      chunkedSigs(spread(sigs), idCol, sigCol, numChunks),
+      Seq("chunk", "key"), maxBucketSize)
+    val writer = chunked.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "chunk", "key").sortBy("chunk", "key")
+    location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+  }
+
+  /** Append a batch's signatures to a standing hash index — shares the
+    * band index's union-re-capped append core ([[appendBandedRows]]): keys
+    * whose standing+incoming count would exceed the cap are dropped from
+    * the APPEND (those families are exact-tier work), and the standing
+    * count is probed co-located for the incoming keys only. */
+  def appendToHashIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      table: String, numChunks: Int, buckets: Int = 0,
+      maxBucketSize: Int = 1000): Unit =
+    appendBandedRows(chunkedSigs(spread(sigs), idCol, sigCol, numChunks),
+      table, Seq("chunk", "key"), buckets, maxBucketSize)
+
+  /** Probe a standing hash index with a batch of signatures: batch chunks
+    * equi-join the bucketed index on (chunk, key) — index side co-located,
+    * only the batch shuffles — then the exact `bit_count(xor)` verify.
+    * Output (new_id, dup_of_id, hamming); no false negatives within the
+    * pigeonhole budget against everything indexed. */
+  def hammingIndexProbe(indexTable: String, batch: DataFrame,
+      idCol: String, sigCol: String, numChunks: Int, maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    requirePigeonhole(numChunks, maxHamming)
+    val spark = batch.sparkSession
+    val b = dropHotBuckets(
+      chunkedSigs(spread(batch), idCol, sigCol, numChunks),
+      Seq("chunk", "key"), maxBucketSize)
+    spark.table(indexTable).as("i")
+      .join(b.as("n"),
+        col("i.chunk") === col("n.chunk") && col("i.key") === col("n.key") &&
+          col("i.id") =!= col("n.id"))
+      .select(col("n.id").as("new_id"), col("i.id").as("dup_of_id"),
+        hammingDist(col("n.sig"), col("i.sig")).as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }

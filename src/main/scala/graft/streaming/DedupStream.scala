@@ -90,6 +90,35 @@ object DedupStream {
             rowsPerBand, dim, seed, buckets, maxBucketSize)
       }
 
+  /** Streaming PERCEPTUAL dedup — the media-firehose twin of
+    * [[incrementalDedupQuery]] over a persisted 64-bit-signature hash
+    * index ([[Dedup.writeHashIndex]] / [[Dedup.appendToHashIndex]]):
+    * micro-batches of (id, sig) rows — any modality's perceptual hash
+    * (image aHash, audio fingerprint, video temporal hash, text SimHash),
+    * computed upstream as a per-row stage — probe the standing index
+    * ([[Dedup.hammingIndexProbe]], index side co-located, only the batch
+    * shuffles, exact bit_count verify) and hand (new_id, dup_of_id,
+    * hamming) to `sink`. With `appendAfterProbe` each batch's chunks join
+    * the index (union-re-capped), so later batches dedup against earlier
+    * arrivals — probe-then-ingest with the same exactly-once caveat as the
+    * text twin.
+    */
+  def hashDedupQuery(stream: DataFrame, indexTable: String,
+      idCol: String = "id", sigCol: String = "sig", numChunks: Int = 8,
+      maxHamming: Int = 6, appendAfterProbe: Boolean = false,
+      buckets: Int = 0, maxBucketSize: Int = 1000)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.hammingIndexProbe(indexTable, batch, idCol,
+          sigCol, numChunks, maxHamming, maxBucketSize)
+        sink(pairs, batchId)
+        if (appendAfterProbe)
+          Dedup.appendToHashIndex(batch, idCol, sigCol, indexTable,
+            numChunks, buckets, maxBucketSize)
+      }
+
   /** Streaming twin of the Bloom-prefiltered EXACT tier
     * ([[Dedup.bloomIncrementalDedupOf]]): the standing corpus is aggregated
     * ONCE into a driver-held sketch (`df.stat.bloomFilter` — Spark's

@@ -394,6 +394,32 @@ class DedupStreamSpec extends SparkTestBase {
       s"batch 1 should dup batch 0's vector only, got ${perBatch(1L)}")
   }
 
+  test("hash dedup stream: perceptual probe-then-append across micro-batches") {
+    // standing signature differs from both arrivals in every 8-bit chunk;
+    // the two arrivals differ from each other by ONE bit
+    val standing = Seq((1L, 0x0f0f0f0f0f0f0f0fL)).toDF("id", "sig")
+    Dedup.writeHashIndex(standing, "id", "sig", "hash_idx_ds",
+      numChunks = 8, buckets = 2)
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Int)]]()
+    val ms = MemoryStream[(Long, Long)]
+    val q = DedupStream.hashDedupQuery(ms.toDF().toDF("id", "sig"),
+      "hash_idx_ds", appendAfterProbe = true, buckets = 2) { (pairs, id) =>
+      perBatch(id) = pairs.as[(Long, Long, Int)].collect().toSet
+    }.start()
+    try {
+      ms.addData((10L, 0x7070707070707070L)) // no perceptual dup standing
+      q.processAllAvailable()
+      ms.addData((20L, 0x7070707070707071L)) // 1 bit from batch 0's image
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS hash_idx_ds")
+    }
+    assert(perBatch(0L).isEmpty, s"batch 0 matched: ${perBatch(0L)}")
+    assert(perBatch(1L) == Set((20L, 10L, 1)),
+      s"batch 1 should perceptually dup batch 0's item, got ${perBatch(1L)}")
+  }
+
   test("bloom dedup stream: batch parity, then cross-batch drops when accumulating") {
     val docs = Tables.documents(spark, sf)
     val batchDocs = docs.filter($"doc_id" % 10 === 0).select(

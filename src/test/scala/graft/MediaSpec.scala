@@ -189,6 +189,22 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalPhashNearDup: batch probes the standing index, equals brute force") {
+    val got = Media.incrementalPhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Media.imageAHash(Media.synthesizeImageVariants(spark, 100))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    val brute = (for {
+      a <- sigs.keys if a < 150
+      b <- sigs.keys if b >= 150
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 6
+    } yield (b, a, d)).toSet
+    assert(got == brute)
+    // the batch is the variants of bases 50-99: every pair is (v, v-100)
+    assert(got.nonEmpty)
+    got.foreach { case (v, base, _) => assert(base == v - 100) }
+  }
+
   test("hammingNearDup rejects a budget beyond the pigeonhole guarantee") {
     import spark.implicits._
     val sigs = Seq((1L, 0L), (2L, 1L)).toDF("id", "sig")
