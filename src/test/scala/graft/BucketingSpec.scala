@@ -174,6 +174,54 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("hash index probe: persisted signature index side never shuffles") {
+    import spark.implicits._
+    val sigs = graft.multimodal.Media.imageAHash(
+      graft.multimodal.Media.synthesizeImageVariants(spark, 100)).toDF()
+    val corpus = sigs.filter($"media_id" < 150)
+    val batch = sigs.filter($"media_id" >= 150)
+    Dedup.writeHashIndex(corpus, "media_id", "ahash", "hash_idx_test",
+      numChunks = 8, buckets = 4)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // same build-once contract as the band index: the index side of the
+      // probe join reads in place — no Exchange between its scan and the
+      // join; only the batch side moves
+      val probePlan = Dedup.hammingIndexProbe("hash_idx_test", batch,
+        "media_id", "ahash", numChunks = 8, maxHamming = 6)
+        .queryExecution.executedPlan
+      val join = probePlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.left.toString.contains("hash_idx_test") ||
+              j.right.toString.contains("hash_idx_test") => j
+      }.last
+      val idxSide = if (join.left.toString.contains("hash_idx_test"))
+        join.left else join.right
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"hash index was re-exchanged before the probe join: $shuffled")
+      // layout is semantics-free: same pairs as the self-join restricted
+      // to batch×corpus
+      val got = Dedup.hammingIndexProbe("hash_idx_test", batch,
+        "media_id", "ahash", numChunks = 8, maxHamming = 6)
+        .as[(Long, Long, Int)].collect().toSet
+      val all = Dedup.hammingNearDup(sigs, "media_id", "ahash",
+        numChunks = 8, maxHamming = 6)
+        .as[(Long, Long, Int)].collect()
+      val expected = all.filter(p => p._1 < 150 && p._2 >= 150)
+        .map(p => (p._2, p._1, p._3)).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS hash_idx_test")
+    }
+  }
+
   test("embedding band index: post-append probe exchange-free with union semantics") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
