@@ -124,6 +124,11 @@ REWRITES = {
   # release-decision audit and the cross-source mirror matrix
   "doc_curation_decisions": [(PAIRS_LITERAL, PAIRS_FAST)],
   "cross_source_dup_matrix": [(PAIRS_LITERAL, PAIRS_FAST)],
+  # round-9 session-2 compositions over the same nd CTE: the tier matrix
+  # and the keep-best-quality policy (+ its shippable corpus form)
+  "dedup_tier_overlap": [(PAIRS_LITERAL, PAIRS_FAST)],
+  "quality_keep_dedup": [(PAIRS_LITERAL, PAIRS_FAST)],
+  "quality_keep_corpus": [(PAIRS_LITERAL, PAIRS_FAST)],
 }
 REWRITABLE = set(REWRITES)
 
