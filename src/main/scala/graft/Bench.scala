@@ -35,11 +35,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Best-known time per query across every committed `BENCH_r*.json`
-    * artifact in `dir`, read as actual JSON ([[graft.util.MiniJson]]) from
-    * the artifact's `parsed` object — the raw escaped `tail` copy of the
-    * same map is never consulted (its times may be a different run's). A
-    * regex parse here silently broke once already on the writer's
+  /** Best-known time per query across every committed bench artifact in
+    * `dir`, read as actual JSON ([[graft.util.MiniJson]]). Two shapes are
+    * consulted:
+    *  - `BENCH_r*.json` (driver-written): queries live under
+    *    `parsed.queries` with `parsed.sf` — the raw escaped `tail` copy of
+    *    the same map is never consulted (its times may be a different
+    *    run's). Since round 10 the driver's record is a compact summary
+    *    (top-slowest queries only), so this source is partial going forward.
+    *  - `BENCH_DETAIL_r*.json` (builder-committed copies of
+    *    `bench_last.json`): full per-query map at the TOP level with a
+    *    top-level `sf` — the complete baseline source from round 10 on.
+    * A regex parse here silently broke once already on the writer's
     * pretty-printing; real parsing makes the extraction shape-stable, and a
     * malformed artifact skips THAT FILE only (Try per file) instead of
     * disabling detection wholesale. Taking the MIN across rounds means one
@@ -50,19 +57,28 @@ object Bench {
   def bestPriorTimes(dir: java.io.File, names: Seq[String],
       sfDir: String): Map[String, Double] = {
     val nameSet = names.toSet
-    val perFile = for {
-      f <- Option(dir.listFiles()).getOrElse(Array[java.io.File]()).toSeq
-      if f.getName.matches("BENCH_r\\d+\\.json")
-      root <- scala.util.Try(
-        graft.util.MiniJson.parse(Files.readString(f.toPath))).toOption.toSeq
-      if graft.util.MiniJson.at(root, "parsed", "sf").contains(sfDir)
-      qs <- graft.util.MiniJson.at(root, "parsed", "queries").toSeq
+    def queryTimes(root: Any, path: String*): Seq[(String, Double)] = for {
+      _ <- graft.util.MiniJson.at(root, path :+ "sf": _*).toSeq
+        .filter(_ == sfDir)
+      qs <- graft.util.MiniJson.at(root, path :+ "queries": _*).toSeq
         .collect { case m: Map[String @unchecked, Any @unchecked] => m }
       (n, v) <- qs.toSeq
       if nameSet(n)
       t <- Some(v).collect { case d: Double => d }
       if t > 0
     } yield n -> t
+    val perFile = for {
+      f <- Option(dir.listFiles()).getOrElse(Array[java.io.File]()).toSeq
+      shape <- f.getName match {
+        case n if n.matches("BENCH_r\\d+\\.json") => Seq("driver")
+        case n if n.matches("BENCH_DETAIL_r\\d+\\.json") => Seq("full")
+        case _ => Nil
+      }
+      root <- scala.util.Try(
+        graft.util.MiniJson.parse(Files.readString(f.toPath))).toOption.toSeq
+      nt <- if (shape == "driver") queryTimes(root, "parsed")
+            else queryTimes(root)
+    } yield nt
     perFile.groupMapReduce(_._1)(_._2)(math.min)
   }
 
@@ -140,8 +156,30 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stall_suspected":$stallJson,"in_run_times":$inRunJson,"sf":${jq(sfDir)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
+    // Compact summary, printed LAST: the driver records only a ~2000-char
+    // stdout tail, and the full 160-entry line above (~5 KB) truncated
+    // mid-dict two rounds running (BENCH_r08/r09 `parsed: null`). The tail
+    // must therefore end with one self-contained parseable record. It keeps
+    // the driver's expected shape (metric/value/unit/queries/sf) but caps
+    // `queries` at the slowest entries that fit a fixed budget; the full
+    // map lives in bench_last.json (committed per round as
+    // BENCH_DETAIL_r*.json, which bestPriorTimes reads for stall baselines).
+    val slowest = times.filter(_._2 >= 0).sortBy(-_._2)
+      .foldLeft(List.empty[(String, Double)]) { case (acc, kv) =>
+        val cand = acc :+ kv
+        val len = cand.map { case (k, v) => jq(k).length + f"$v%.3f".length + 2 }.sum
+        if (len <= 600) cand else acc
+      }
+    val topQs = slowest.map { case (k, v) => s"${jq(k)}:${f"$v%.3f"}" }
+      .mkString("{", ",", "}")
+    def summaryLine(q: String, nq: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"queries":$q,"queries_truncated_to_slowest":$nq,"detail":"bench_last.json","sf":${jq(sfDir)}}"""
+    // never throw here — a lost artifact is worse than a short one
+    val full = summaryLine(topQs, slowest.size)
+    val summary = if (full.length < 1000) full else summaryLine("{}", 0)
     spark.stop()
     // print last, after Spark's shutdown logging, so the line tails cleanly
     println(line)
+    println(summary)
   }
 }

@@ -68,6 +68,27 @@ class BenchParseSpec extends AnyFunSuite {
     assert(best == Map("q_alpha" -> 1.25, "q_beta" -> 2.25))
   }
 
+  test("BENCH_DETAIL_r*.json full-line artifacts count, top-level shape") {
+    val dir = Files.createTempDirectory("graft-benchparse-detail")
+    dir.toFile.deleteOnExit()
+    // driver shape: partial (post-r10 compact summary keeps only slowest)
+    Files.writeString(dir.resolve("BENCH_r10.json"), artifact)
+    // builder-committed copy of bench_last.json: full map at the TOP level
+    Files.writeString(dir.resolve("BENCH_DETAIL_r09.json"),
+      """{"metric":"total","value":9.9,"queries":{"q_alpha":0.75,"q_gamma":3.0},"sf":"/data/sf0.1"}""")
+    // a detail file at another sf must not contribute
+    Files.writeString(dir.resolve("BENCH_DETAIL_r08.json"),
+      """{"queries":{"q_alpha":0.01},"sf":"/data/sf0.01"}""")
+    // bench_last.json itself is still ignored (it is THIS run's output)
+    Files.writeString(dir.resolve("bench_last.json"),
+      """{"queries":{"q_alpha":0.001},"sf":"/data/sf0.1"}""")
+    val best = Bench.bestPriorTimes(dir.toFile,
+      Seq("q_alpha", "q_beta", "q_gamma"), "/data/sf0.1")
+    assert(best("q_alpha") == 0.75) // min across driver artifact and detail
+    assert(best("q_beta") == 2.25)
+    assert(best("q_gamma") == 3.0) // detail-only query still baselined
+  }
+
   test("pretty-print changes do not break the parse (it is not a regex)") {
     val dir = Files.createTempDirectory("graft-benchparse-fmt")
     dir.toFile.deleteOnExit()
