@@ -1303,7 +1303,9 @@ object Dedup {
     * only re-verify. Signature-source-agnostic: text SimHash
     * ([[simhashNearDupOf]], 4×16-bit chunks for d ≤ 3) and image
     * perceptual hashes ([[graft.multimodal.Media.imagePhashNearDup]],
-    * 8×8-bit chunks for d ≤ 7) share this core.
+    * 8×8-bit chunks, budget d ≤ 6 — the registered entries and their
+    * DuckDB oracles all use maxHamming = 6; the pigeonhole BOUND is
+    * numChunks − 1 = 7) share this core.
     *
     * The distance-budget/selectivity trade is explicit: a wider budget
     * needs more (narrower) chunks, and an `bits/numChunks`-bit key space
@@ -1368,6 +1370,39 @@ object Dedup {
     val writer = chunked.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "chunk", "key").sortBy("chunk", "key")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+    // record the chunk geometry as a table property — probes and appends
+    // verify it (see requireChunkGeometry); without this, a mismatched
+    // numChunks shifts the (chunk, key) layout and silently drops pairs
+    sigs.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$NumChunksProperty'='$numChunks')")
+  }
+
+  /** Table property recording a hash index's build-time `numChunks` — the
+    * geometry half of the (chunk, key) layout contract. */
+  val NumChunksProperty = "graft.numChunks"
+
+  /** Fail loudly when a probe/append's `numChunks` differs from the
+    * geometry the index was built with: a mismatch shifts the (chunk, key)
+    * layout, so equi-joins silently drop pairs instead of erroring —
+    * exactly the failure the embedding band index's documented geometry
+    * contract exists to prevent. The build records [[NumChunksProperty]];
+    * an index written before the property existed is checked by scanning
+    * max(chunk)+1 of the standing table (one small int column). */
+  private def requireChunkGeometry(spark: SparkSession, table: String,
+      numChunks: Int): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val built = meta.properties.get(NumChunksProperty).map(_.toInt)
+      .orElse(Option(spark.table(table)
+        .agg(max(col("chunk"))).head.get(0))
+        .map(_.asInstanceOf[Int] + 1))
+    built.filter(_ != numChunks).foreach { b =>
+      throw new IllegalArgumentException(
+        s"hash index $table was built with numChunks=$b but this " +
+          s"probe/append uses numChunks=$numChunks — a mismatched chunk " +
+          "geometry silently drops pairs; match the build or rebuild " +
+          "the index")
+    }
   }
 
   /** Append a batch's signatures to a standing hash index — shares the
@@ -1377,9 +1412,11 @@ object Dedup {
     * count is probed co-located for the incoming keys only. */
   def appendToHashIndex(sigs: DataFrame, idCol: String, sigCol: String,
       table: String, numChunks: Int, buckets: Int = 0,
-      maxBucketSize: Int = 1000): Unit =
+      maxBucketSize: Int = 1000): Unit = {
+    requireChunkGeometry(sigs.sparkSession, table, numChunks)
     appendBandedRows(chunkedSigs(spread(sigs), idCol, sigCol, numChunks),
       table, Seq("chunk", "key"), buckets, maxBucketSize)
+  }
 
   /** Probe a standing hash index with a batch of signatures: batch chunks
     * equi-join the bucketed index on (chunk, key) — index side co-located,
@@ -1391,6 +1428,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     requirePigeonhole(numChunks, maxHamming)
     val spark = batch.sparkSession
+    requireChunkGeometry(spark, indexTable, numChunks)
     val b = dropHotBuckets(
       chunkedSigs(spread(batch), idCol, sigCol, numChunks),
       Seq("chunk", "key"), maxBucketSize)

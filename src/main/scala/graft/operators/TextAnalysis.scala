@@ -103,6 +103,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
     "es" -> Seq("el", "los", "las", "de", "y", "un", "es"))
 
+  /** Marker-hit count per language over a tokenized column, in the fixed
+    * `markers` order. Shared by [[langId]] and [[langConfusion]] so the
+    * counting can't drift between the gate and its eval table. */
+  private def markerHits(toks: Column): Seq[(String, Column)] =
+    markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, w => w.isin(ws: _*)))
+    }
+
+  /** The langId argmax over [[markerHits]] — ties resolve in the fixed
+    * en→fr→es order. ONE definition: langId (the clean/release chains gate
+    * on it) and langConfusion (the eval of that gate) must agree by
+    * construction, not by a test pinning two inline copies together. */
+  private def langGuessExpr(toks: Column): Column = {
+    val Seq(en, fr, es) = markerHits(toks).map(_._2)
+    when(en >= fr && en >= es, "en").when(fr >= es, "fr").otherwise("es")
+  }
+
   /** N-gram(1) language-ID heuristic: count marker-word hits per language,
     * pick the argmax (ties resolve in the fixed en→fr→es order). A real
     * pipeline extends `markers` — the operator shape (per-row array filter +
@@ -113,16 +130,12 @@ object TextAnalysis {
     // count each language's markers from it
     val withToks = spread(Tables.documents(spark, sfDir))
       .select($"doc_id", tokens($"text").as("toks"))
-    val hits = markers.map { case (lang, ws) =>
-      lang -> size(filter($"toks", w => w.isin(ws: _*)))
-    }
+    val hits = markerHits($"toks")
     val Seq(en, fr, es) = hits.map(_._2)
     withToks
       .select($"doc_id", en.cast("long").as("n_en"),
-        fr.cast("long").as("n_fr"), es.cast("long").as("n_es"))
-      .select($"doc_id", $"n_en", $"n_fr", $"n_es",
-        when($"n_en" >= $"n_fr" && $"n_en" >= $"n_es", "en")
-          .when($"n_fr" >= $"n_es", "fr").otherwise("es").as("lang_guess"))
+        fr.cast("long").as("n_fr"), es.cast("long").as("n_es"),
+        langGuessExpr($"toks").as("lang_guess"))
   }
 
   /** Per-document repetition-quality signals — the Gopher/C4 pre-training
@@ -511,16 +524,9 @@ object TextAnalysis {
     */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withToks = spread(Tables.documents(spark, sfDir))
+    spread(Tables.documents(spark, sfDir))
       .select($"lang", tokens($"text").as("toks"))
-    val hits = markers.map { case (l, ws) =>
-      l -> size(filter($"toks", w => w.isin(ws: _*)))
-    }
-    val Seq(en, fr, es) = hits.map(_._2)
-    withToks
-      .select($"lang",
-        when(en >= fr && en >= es, "en")
-          .when(fr >= es, "fr").otherwise("es").as("lang_guess"))
+      .select($"lang", langGuessExpr($"toks").as("lang_guess"))
       .groupBy($"lang", $"lang_guess")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("row_share", round($"n_docs".cast("double") /

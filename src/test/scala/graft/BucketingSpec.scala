@@ -222,6 +222,49 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("hash index probe/append fail loudly on a numChunks mismatch") {
+    import spark.implicits._
+    val sigs = graft.multimodal.Media.imageAHash(
+      graft.multimodal.Media.synthesizeImageVariants(spark, 50)).toDF()
+    Dedup.writeHashIndex(sigs, "media_id", "ahash", "hash_idx_geom",
+      numChunks = 8, buckets = 4)
+    try {
+      // build records the geometry as a table property
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("hash_idx_geom"))
+        .properties
+      assert(props.get(Dedup.NumChunksProperty).contains("8"))
+      // a probe at a different geometry would silently drop pairs (the
+      // (chunk, key) layout shifts) — it must throw instead. numChunks=4
+      // keeps the pigeonhole precondition valid so the GEOMETRY guard is
+      // what fires.
+      val probeEx = intercept[IllegalArgumentException] {
+        Dedup.hammingIndexProbe("hash_idx_geom", sigs,
+          "media_id", "ahash", numChunks = 4, maxHamming = 3)
+      }
+      assert(probeEx.getMessage.contains("numChunks=8"))
+      val appendEx = intercept[IllegalArgumentException] {
+        Dedup.appendToHashIndex(sigs, "media_id", "ahash",
+          "hash_idx_geom", numChunks = 4)
+      }
+      assert(appendEx.getMessage.contains("numChunks=8"))
+      // a legacy index without the property is checked from the data:
+      // max(chunk)+1 of the standing table
+      spark.sql("ALTER TABLE hash_idx_geom UNSET TBLPROPERTIES " +
+        s"('${Dedup.NumChunksProperty}')")
+      val legacyEx = intercept[IllegalArgumentException] {
+        Dedup.hammingIndexProbe("hash_idx_geom", sigs,
+          "media_id", "ahash", numChunks = 4, maxHamming = 3)
+      }
+      assert(legacyEx.getMessage.contains("numChunks=8"))
+      // the matching geometry still probes fine either way
+      assert(Dedup.hammingIndexProbe("hash_idx_geom", sigs,
+        "media_id", "ahash", numChunks = 8, maxHamming = 6).count() >= 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hash_idx_geom")
+    }
+  }
+
   test("embedding band index: post-append probe exchange-free with union semantics") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
