@@ -37,6 +37,7 @@ object SparkEntry {
     "top_orders_per_priority" -> (Relational.topOrdersPerPriority _),
     "distinct_parts" -> (Relational.distinctParts _),
     "distinct_parts_approx" -> ((s, d) => Relational.distinctPartsApprox(s, d)), // rows-only (sketch)
+    "distinct_parts_envelope" -> ((s, d) => Relational.distinctPartsEnvelope(s, d)), // hash-checked sketch error bound
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "orders_above_cust_avg" -> (Relational.ordersAboveCustAvg _),
     "repeat_customers" -> (Relational.repeatCustomers _),
@@ -55,6 +56,7 @@ object SparkEntry {
     // losslessly — SketchesSpec pins the merge identity)
     "source_token_cardinality" -> ((s, d) => graft.operators.Sketches.sourceTokenCardinality(s, d)),
     "source_token_cardinality_hll" -> ((s, d) => graft.operators.Sketches.sourceTokenCardinalityHll(s, d)), // rows-only (sketch)
+    "token_cardinality_envelope" -> ((s, d) => graft.operators.Sketches.sourceTokenCardinalityEnvelope(s, d)), // hash-checked sketch error bound
     "user_type_pivot" -> (Relational.userTypePivot _),
     // —— event analytics (streaming twins in graft.streaming.EventStreams) ——
     "events_hourly" -> (EventAnalytics.hourlyTypeCounts _),
@@ -75,6 +77,7 @@ object SparkEntry {
     "cohort_retention" -> (EventAnalytics.cohortRetention _),
     "value_quantiles" -> (EventAnalytics.valueQuantiles _),
     "value_quantiles_approx" -> ((s, d) => EventAnalytics.valueQuantilesApprox(s, d)), // rows-only (sketch)
+    "value_quantiles_envelope" -> ((s, d) => EventAnalytics.valueQuantilesEnvelope(s, d)), // hash-checked sketch error bound
     // per-type 3-sigma outliers in EXACT integer-cents arithmetic
     // ((n·c−S)² > k²(nQ−S²), decimal128) — no float boundary flips; the
     // 5-row moment table broadcast, events never shuffle
@@ -772,6 +775,13 @@ object SparkEntry {
     "distinct_parts" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // sketch error envelope: DuckDB replays the exact side and literal
+    // TRUEs — the HLL estimate drifting out of its 5-sigma band flips a
+    // Spark-side boolean and the hash goes red
+    "distinct_parts_envelope" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+        "TRUE AS parts_within_tol, TRUE AS supps_within_tol " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "customers_without_orders" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
@@ -849,6 +859,13 @@ object SparkEntry {
         "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
         "e AS (SELECT source, unnest(toks) AS tok FROM t) " +
         "SELECT source, count(DISTINCT tok) AS n_distinct_tokens " +
+        "FROM e GROUP BY source ORDER BY source"),
+    // HLL error envelope (see distinct_parts_envelope)
+    "token_cardinality_envelope" ->
+      ("WITH t AS (SELECT source, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents), " +
+        "e AS (SELECT source, unnest(toks) AS tok FROM t) " +
+        "SELECT source, count(DISTINCT tok) AS n_distinct_tokens, TRUE AS within_tol " +
         "FROM e GROUP BY source ORDER BY source"),
     // Morton arithmetic generated from the SAME (shift, mask) step table
     // as the Spark expression (ZOrder.spreadSql) — the engines can't drift
@@ -955,6 +972,16 @@ object SparkEntry {
         "round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50, " +
         "round(quantile_cont(value, 0.75) + 1e-9, 4) AS p75, " +
         "round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // quantile-sketch error envelope (see distinct_parts_envelope)
+    "value_quantiles_envelope" ->
+      ("SELECT event_type, " +
+        "round(quantile_cont(value, 0.25) + 1e-9, 4) AS p25, " +
+        "round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50, " +
+        "round(quantile_cont(value, 0.75) + 1e-9, 4) AS p75, " +
+        "round(quantile_cont(value, 0.95) + 1e-9, 4) AS p95, " +
+        "TRUE AS p25_within_tol, TRUE AS p50_within_tol, " +
+        "TRUE AS p75_within_tol, TRUE AS p95_within_tol " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     // same session intervals derived with the same window logic, then a
     // native inequality join — an independent implementation of the

@@ -84,7 +84,13 @@ object Verify {
     val pre =
       if (contract.isEmpty) Nil
       else Seq("_fixture_contract" -> contract.mkString(" | "))
-    dumpAll(spark, sfDir, outDir, SparkEntry.queries, pre)
+    // optional comma-separated filter (same contract as Bench): dev-loop
+    // tool for iterating on a few queries against a FRESH out dir. The
+    // driver never sets it, so the gate always dumps the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    dumpAll(spark, sfDir, outDir, queries, pre)
     // {OUT} placeholder → this run's absolute output dir: lets an oracle
     // read SPARK-COMPUTED artifacts (e.g. simhash signatures) and verify a
     // derivation DuckDB can express over a hash it cannot (xxhash64).

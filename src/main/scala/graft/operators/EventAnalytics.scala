@@ -136,6 +136,29 @@ object EventAnalytics {
         round(expr(s"approx_percentile(value, 0.95, $accuracy)") + 1e-9, 4).as("p95"))
       .orderBy($"event_type")
 
+  /** HASH-CHECKED error envelope for the quantile sketch (see
+    * [[graft.operators.Relational.distinctPartsEnvelope]] for the
+    * pattern): exact per-type percentiles plus booleans asserting each
+    * approx percentile lands within `tol` relative of its exact twin.
+    * approx_percentile returns an actual data value (no interpolation), so
+    * the band must absorb one local value gap — 5% of (|exact| + 1) is
+    * generous without being vacuous at ~200 values per group. DuckDB
+    * replays the exact side and literal TRUEs; a sketch out of band flips
+    * a boolean and the hash goes red.
+    */
+  def valueQuantilesEnvelope(spark: SparkSession, sfDir: String,
+      tol: Double = 0.05): DataFrame = {
+    val exact = valueQuantiles(spark, sfDir)
+    val qs = Seq("p25", "p50", "p75", "p95")
+    val approx = valueQuantilesApprox(spark, sfDir)
+      .select($"event_type" +: qs.map(q => col(q).as(s"a_$q")): _*)
+    exact.join(broadcast(approx), "event_type")
+      .select($"event_type" +: qs.map(col) ++: qs.map(q =>
+        (abs(col(s"a_$q") - col(q)) <= lit(tol) * (abs(col(q)) + 1.0))
+          .as(s"${q}_within_tol")): _*)
+      .orderBy($"event_type")
+  }
+
   /** Per-type k-sigma outlier detection — the metric-cleaning staple — in
     * EXACT integer arithmetic: values are 2-decimal currency, so with
     * c = round(value·100) (exact cents), S = Σc, Q = Σc², the test

@@ -132,6 +132,31 @@ object Relational {
         approx_count_distinct($"l_suppkey", rsd).as("n_supps"))
       .orderBy($"l_returnflag")
 
+  /** HASH-CHECKED error envelope for the sketch tier: per group, the exact
+    * distinct counts plus booleans asserting the HLL estimates land within
+    * `tol` (5σ at rsd 0.02, plus one unit of slack for tiny groups). The
+    * sketch value itself is engine-specific and can't be oracled, but the
+    * CLAIM "approx within ε of exact" can: DuckDB replays the exact side
+    * and literal TRUEs, so a sketch drifting out of its band flips a
+    * boolean and turns the entry red — no more trust-the-spec for the
+    * approximate family. Both sides are group-sized aggregates of one scan
+    * each; the join is a broadcast over a handful of rows.
+    */
+  def distinctPartsEnvelope(spark: SparkSession, sfDir: String,
+      tol: Double = 0.1): DataFrame = {
+    val exact = distinctParts(spark, sfDir)
+    val approx = distinctPartsApprox(spark, sfDir)
+      .withColumnRenamed("n_parts", "ap_parts")
+      .withColumnRenamed("n_supps", "ap_supps")
+    exact.join(broadcast(approx), "l_returnflag")
+      .select($"l_returnflag", $"n_parts", $"n_supps",
+        (abs($"ap_parts" - $"n_parts") <= lit(tol) * $"n_parts" + 1)
+          .as("parts_within_tol"),
+        (abs($"ap_supps" - $"n_supps") <= lit(tol) * $"n_supps" + 1)
+          .as("supps_within_tol"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Correlated scalar subquery — orders priced above 1.5× their OWN
     * customer's average order value. Exercises Catalyst's subquery
     * decorrelation: the correlated aggregates rewrite to one grouped

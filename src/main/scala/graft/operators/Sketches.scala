@@ -45,6 +45,26 @@ object Sketches {
     * unioned into the per-source totals. Estimates are EXACTLY equal to
     * [[sourceTokenCardinalityHll]]'s — HLL register merge is max(), which
     * is associative/commutative — so sharded accumulation loses nothing. */
+  /** HASH-CHECKED error envelope for the HLL tier (see
+    * [[graft.operators.Relational.distinctPartsEnvelope]] for the
+    * pattern): exact per-source distinct-token counts plus a boolean
+    * asserting the lgK=12 estimate lands within `tol` (a 5σ band at
+    * rsd ≈ 1.6%, plus one unit of slack for tiny groups). DuckDB replays
+    * the exact side and a literal TRUE; HLL drift flips the boolean and
+    * the hash goes red. The estimate stays a DOUBLE comparison — rounding
+    * it to a long first could mask a boundary drift.
+    */
+  def sourceTokenCardinalityEnvelope(spark: SparkSession, sfDir: String,
+      lgK: Int = 12, tol: Double = 0.08): DataFrame = {
+    val exact = sourceTokenCardinality(spark, sfDir)
+    val est = sourceTokenCardinalityHll(spark, sfDir, lgK)
+    exact.join(broadcast(est), "source")
+      .select($"source", $"n_distinct_tokens",
+        (abs($"n_distinct_tokens_est" - $"n_distinct_tokens") <=
+          lit(tol) * $"n_distinct_tokens" + 1).as("within_tol"))
+      .orderBy($"source")
+  }
+
   def sourceTokenCardinalitySharded(spark: SparkSession, sfDir: String,
       lgK: Int = 12, nShards: Int = 8): DataFrame =
     sourceTokens(spark, sfDir)
