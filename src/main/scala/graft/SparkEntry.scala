@@ -229,12 +229,14 @@ object SparkEntry {
     "ivf_assignments" -> ((s, d) => Similarity.ivfAssignmentsEntry(s, d)), // rows-only (it IS the oracle input)
     "ivf_probe_cells" -> ((s, d) => Similarity.ivfProbeCellsEntry(s, d)), // rows-only (it IS the oracle input)
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    // rows-only: build-once/query-many path — FRESH fit + persist
-    // partitioned by cell, re-load, probe with partition pruning
-    // (PlanShapeSpec pins the pruning); an independent fit's boundary
-    // assignments may differ bit-wise from the standing index's, so this
-    // entry stays rows-only and keeps timing the full build cycle
+    // build-once/query-many path: persist the standing fit partitioned by
+    // cell, re-load, probe with partition pruning (PlanShapeSpec pins the
+    // pruning). Hash-checked since r10 — same dump replay as ivf_topk; the
+    // timed cost is the on-disk construction (write+reload) + pruned probe
     "ivf_topk_persisted" -> ((s, d) => Similarity.ivfTopKPersisted(s, d)),
+    // ANN tuning curve: recall@10 vs nprobe against the exact ranking,
+    // every width replayed from the ranked probe-cells dump
+    "ivf_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
     // AMORTIZED standing-index probe — build absorbed by the bench's
     // untimed warmup; timed passes pay load + pruned probe only. Same
     // oracle as ivf_topk: the persisted layout is the standing index's fit
@@ -546,7 +548,9 @@ object SparkEntry {
   // dumps; shared by ivf_topk and ivf_probe_only (same standing fit)
   private val ivfReplaySql =
     "WITH a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet')), " +
+      // the probe-cells dump is RANKED up to maxNprobe=16; rk <= 4 is the
+      // nprobe=4 probe set these entries use
+      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
       "s AS (SELECT p.query_id, a.vec_id, " +
       "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine " +
       "FROM p JOIN a ON a.cell = p.cell " +
@@ -1461,13 +1465,42 @@ object SparkEntry {
     // fit as the in-memory one (Similarity.ensureFixtureIndex persists it),
     // so the amortized probe replays identically
     "ivf_probe_only" -> ivfReplaySql,
+    // the persist-cycle entry probes the standing fit too (r10) — its
+    // output replays from the same dumps; what it uniquely measures is the
+    // on-disk construction time, which the oracle need not see
+    "ivf_topk_persisted" -> ivfReplaySql,
+    // the tuning curve: every nprobe width's probe set is the ranked dump
+    // sliced at rk <= nprobe; exact baseline = the cosine_topk
+    // construction; candidates rescored exactly and ranked per width
+    "ivf_recall_curve" ->
+      ("WITH a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "p AS (SELECT query_id, cell, rk FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet')), " +
+        "np AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS nprobe), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "f AS (SELECT query_id, vec_id FROM (" +
+        "SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id " +
+        "ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id) AS rk " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rk <= 10), " +
+        "s AS (SELECT np.nprobe, p.query_id, a.vec_id, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM np JOIN p ON p.rk <= np.nprobe JOIN a ON a.cell = p.cell " +
+        "JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "JOIN embeddings qe ON qe.vec_id = p.query_id " +
+        "WHERE a.vec_id <> p.query_id), " +
+        "t AS (SELECT nprobe, query_id, vec_id FROM (" +
+        "SELECT nprobe, query_id, vec_id, row_number() OVER (PARTITION BY nprobe, query_id " +
+        "ORDER BY cosine DESC, vec_id) AS rk2 FROM s) WHERE rk2 <= 10) " +
+        "SELECT t.nprobe, t.query_id, count(f.vec_id) AS n_overlap, " +
+        "round(count(f.vec_id)::DOUBLE / 10, 4) AS recall " +
+        "FROM t LEFT JOIN f ON t.query_id = f.query_id AND t.vec_id = f.vec_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // the IVF×PQ composition replayed end-to-end from the four dumps:
     // probed cells → assignments prune the candidate set, ADC from the
     // codes + distance tables, rank ascending with vec_id tiebreak
     "ivf_pq_topk" ->
       (s"WITH $pqDumpCtes, " +
         "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet')), " +
+        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
         "s AS (SELECT p.query_id, c.vec_id, " +
         "round(list_sum(list_transform(generate_series(1, 8), " +
         "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +

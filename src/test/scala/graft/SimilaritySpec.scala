@@ -168,6 +168,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.25, s"IVF recall@10 = $recall")
   }
 
+  test("ivfRecallCurve: monotone in nprobe, exact at full width, matches per-width probes") {
+    val curve = Similarity.ivfRecallCurve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val widths = Seq(1L, 2L, 4L, 8L, 16L)
+    val queryIds = curve.keys.map(_._2).toSet
+    assert(queryIds == (0L until 5L).toSet)
+    assert(curve.keySet == (for (w <- widths; q <- queryIds) yield (w, q)).toSet)
+    // monotone: candidate sets are nested, and a global-top-10 member in a
+    // narrower width's top-10 cannot be evicted by widening (fewer than 10
+    // items beat it anywhere), so overlap never decreases
+    queryIds.foreach { q =>
+      widths.sliding(2).foreach { case Seq(a, b) =>
+        assert(curve((a, q)) <= curve((b, q)),
+          s"query $q: recall dropped from nprobe=$a (${curve((a, q))}) " +
+            s"to nprobe=$b (${curve((b, q))})")
+      }
+    }
+    // nprobe = nlist = 16 probes every cell — the probe IS the exact scan
+    queryIds.foreach(q => assert(curve((16L, q)) == 10L))
+    // each width's row agrees with an independent probe at that width
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    Seq(1, 4).foreach { np =>
+      val ivf = Similarity.ivfTopK(spark, sf, nprobe = np)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      queryIds.foreach { q =>
+        val overlap = exact.count { case (qq, v) =>
+          qq == q && ivf.contains((q, v)) }
+        assert(curve((np.toLong, q)) == overlap.toLong,
+          s"nprobe=$np query $q: curve ${curve((np.toLong, q))} vs direct $overlap")
+      }
+    }
+  }
+
+  test("ivf_topk_persisted probes the standing fit: same rows as ivf_topk") {
+    val persisted = Similarity.ivfTopKPersisted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val inMemory = Similarity.ivfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+  }
+
   test("hardNegatives: other-label only, rank-contiguous, equals filtered brute force") {
     import org.apache.spark.sql.functions._
     val labels = graft.sources.Tables.embeddings(spark, sf)
