@@ -323,7 +323,10 @@ class PlanShapeSpec extends SparkTestBase {
       // SQ8 compressed-domain scorers: same contract as the PQ family —
       // the build side is the handful of broadcast query codes, the
       // coded corpus streams through without shuffling
-      "sq_adc_topk", "sq_rerank_topk")
+      "sq_adc_topk", "sq_rerank_topk",
+      // the exact-baseline leg is cosine_topk's query-sized broadcast
+      // scorer; the probed legs are equi-joins on the assignment dumps
+      "ivf_recall_curve")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
