@@ -164,6 +164,11 @@ object SparkEntry {
     // by warmup; probes read the corpus side co-located, zero exchange —
     // BucketingSpec pins the plan shape)
     "incremental_near_dup_indexed" -> (Dedup.incrementalNearDupIndexedEntry _),
+    // TIERED probe against the persisted indexes: exact-hash tier first
+    // (co-located equi-join, byte-equality verified, jaccard 1.0), the
+    // 128-band near-dup tier only over the batch docs with no exact twin —
+    // the firehose ingest shape where exact re-fetches skip the band explode
+    "tiered_incremental_dedup" -> (Dedup.tieredIncrementalDedupEntry _),
     // benchmark decontamination: corpus docs sharing token 8-grams with a
     // held-out slice; benchmark grams broadcast, corpus never shuffled
     "ngram_contamination" -> ((s, d) => Decontamination.ngramContamination(s, d)),
@@ -1331,6 +1336,33 @@ object SparkEntry {
     // LSH join — same shingle sets, same threshold, same miss bound
     "incremental_near_dup" -> incrementalNearDupSql,
     "incremental_near_dup_indexed" -> incrementalNearDupSql,
+    // first-tier-wins replay of the tiered probe: exact pairs by text
+    // equality at jaccard 1.0 (the xxhash64 routing key is semantically
+    // invisible — byte equality is the verified contract), then the same
+    // brute-force shingle-jaccard tier restricted to batch docs with no
+    // exact twin
+    "tiered_incremental_dedup" ->
+      ("WITH b0 AS (SELECT doc_id + 1000000 AS doc_id, " +
+        "CASE WHEN doc_id % 20 = 0 THEN coalesce(text,'') || ' v2' " +
+        "ELSE coalesce(text,'') END AS t FROM documents WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT doc_id, coalesce(text,'') AS t FROM documents " +
+        "WHERE len(coalesce(text,'')) >= 5), " +
+        "b AS (SELECT doc_id, t FROM b0 WHERE len(t) >= 5), " +
+        "exact AS (SELECT b.doc_id AS new_doc_id, c.doc_id AS dup_of_doc_id, " +
+        "CAST(1.0 AS DOUBLE) AS jaccard FROM b JOIN c ON b.t = c.t), " +
+        "shc AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(t)-4, 0)), i -> t[i:i+4])) AS s FROM c), " +
+        "shb AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(t)-4, 0)), i -> t[i:i+4])) AS s FROM b " +
+        "WHERE doc_id NOT IN (SELECT new_doc_id FROM exact)), " +
+        "near AS (SELECT new_doc_id, dup_of_doc_id, jaccard FROM (" +
+        "SELECT a.doc_id AS dup_of_doc_id, x.doc_id AS new_doc_id, " +
+        "round(len(list_intersect(a.s, x.s))::DOUBLE / len(list_distinct(list_concat(a.s, x.s))), 4) AS jaccard " +
+        "FROM shc a JOIN shb x ON len(a.s) > 0 AND len(x.s) > 0) " +
+        "WHERE jaccard >= 0.8) " +
+        "SELECT new_doc_id, dup_of_doc_id, jaccard FROM exact " +
+        "UNION ALL SELECT new_doc_id, dup_of_doc_id, jaccard FROM near " +
+        "ORDER BY new_doc_id, dup_of_doc_id"),
     // the Bloom pre-filter is semantically invisible (no false negatives;
     // false positives are removed by the exact verify), so the oracle is
     // the PLAIN anti-join over the same derived re-crawl batch

@@ -760,8 +760,10 @@ object Dedup {
         // join reads co-located (bucketed on the key), the per-key count
         // frame is what shuffles — the probe's exact topology, never a full
         // re-aggregation of the standing index
+        // merge hint: see bandIndexCandidates — the incoming key frame can
+        // be numBands×|batch| keys with a tiny pre-explode estimate
         val oldCounts = spark.table(table)
-          .join(newCounts.select(keys: _*), keyCols)
+          .join(newCounts.select(keys: _*).hint("merge"), keyCols)
           .groupBy(keys: _*).agg(count(lit(1)).as("n_old"))
         val hot = newCounts
           .join(oldCounts, keyCols, "left")
@@ -810,7 +812,14 @@ object Dedup {
       .select($"doc_id",
         posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
           .as(Seq("band", "bsig")))
-    batchBanded.as("l")
+    // MERGE hint: the banded batch side must never be broadcast. Catalyst
+    // sizes it from the PRE-explode child (a rate/range/streaming source
+    // estimates tiny), so without the hint it builds a numBands×|batch|-row
+    // hashed relation on the driver — single-threaded, and an OOM at
+    // production batch sizes. The designed topology is the hint's: batch
+    // side exchanges to the index's bucketing, index side streams in place
+    // (zero Exchange above its scan, pinned in BucketingSpec).
+    batchBanded.as("l").hint("merge")
       .join(spark.table(indexTable).as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
       .select(col("l.doc_id").as("new_doc_id"),
@@ -880,6 +889,148 @@ object Dedup {
     // the registered entry pins it (trivial sort; the result is pair-scale)
     incrementalNearDupIndexed(docs.filter($"doc_id" % 10 =!= 0), table,
       docs.filter($"doc_id" % 10 === 0))
+      .orderBy($"new_doc_id", $"dup_of_doc_id")
+  }
+
+  /** Materialize the standing corpus's EXACT-HASH index as a bucketed
+    * table: one row per (h = xxhash64(text), doc_id), bucketed+sorted by
+    * `h` — the cheap first tier of the tiered incremental probe
+    * ([[tieredIncrementalNearDupIndexed]]). Web-crawl firehoses are heavy
+    * with byte-identical re-fetches; catching them here costs one hash +
+    * one co-located equi-join per batch instead of the 128-band explode
+    * the near-dup tier pays. Same build-once/append-many contract as
+    * [[writeBandIndex]]: only the batch side ever shuffles, and the same
+    * hot-key cap bounds fan-out when one text stands duplicated beyond
+    * `maxBucketSize` (the band index drops such texts' buckets for the
+    * same reason).
+    */
+  def writeExactIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
+      buckets: Int = 32, maxBucketSize: Int = 1000,
+      location: Option[String] = None): Unit = {
+    val hashed = dropHotBuckets(
+      spread(docs)
+        .select($"doc_id", coalesce($"text", lit("")).as("t"))
+        .filter(length($"t") >= shingleLen)
+        .select(xxhash64($"t").as("h"), $"doc_id"),
+      Seq("h"), maxBucketSize)
+    val writer = hashed.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+    location.fold(writer)(writer.option("path", _)).saveAsTable(table)
+  }
+
+  /** Append a verified batch's exact hashes to an existing exact index —
+    * the append-many half of [[writeExactIndex]] (same union-capped
+    * topology as [[appendToBandIndex]]). */
+  def appendToExactIndex(batch: DataFrame, table: String,
+      shingleLen: Int = 5, buckets: Int = 0,
+      maxBucketSize: Int = 1000): Unit = {
+    val hashed = spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+      .select(xxhash64($"t").as("h"), $"doc_id")
+    appendBandedRows(hashed, table, Seq("h"), buckets, maxBucketSize)
+  }
+
+  /** Tier-1 candidate probe of the exact-hash index: hash the batch texts
+    * and equi-join the bucketed index on `h` — returns (new_doc_id, t,
+    * dup_of_doc_id) HASH matches, byte-verified by the caller
+    * ([[tieredIncrementalNearDupIndexed]]). Merge hint for the same reason
+    * as [[bandIndexCandidates]]: the batch side's pre-compute size
+    * estimate (rate/range/streaming sources read tiny) must not turn into
+    * a driver-side broadcast of the whole batch. */
+  def exactIndexCandidates(exactTable: String, batch: DataFrame,
+      shingleLen: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    spread(batch)
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .filter(length($"t") >= shingleLen)
+      .withColumn("h", xxhash64($"t")).as("l")
+      .hint("merge")
+      .join(spark.table(exactTable).as("r"), col("l.h") === col("r.h"))
+      .select(col("l.doc_id").as("new_doc_id"), col("l.t").as("t"),
+        col("r.doc_id").as("dup_of_doc_id"))
+  }
+
+  /** TIERED incremental probe — exact tier first, band tier for the rest.
+    * The streaming ingest loop's cost profile is dominated by the band
+    * tier's numBands×|batch| explode + index join; a firehose's exact
+    * re-fetches don't need any of it. Tier 1 probes the exact-hash index
+    * ([[writeExactIndex]]; hash matches are verified by byte equality
+    * against the candidate corpus texts, so xxhash64 collisions cannot
+    * fabricate a pair) and reports each match as a (new_doc_id,
+    * dup_of_doc_id, jaccard = 1.0) pair; tier 2 runs the full
+    * [[incrementalNearDupIndexed]] band probe over ONLY the batch docs
+    * with no exact twin.
+    *
+    * Semantics are FIRST-TIER-WINS: a batch doc with an exact twin reports
+    * its exact twins only, even if it also has non-identical near-dups in
+    * the corpus. The dedup DECISION (is this doc a duplicate?) is
+    * unchanged from the untiered probe — an exact twin is itself a
+    * jaccard-1.0 pair ≥ any threshold — only the per-doc pair LIST narrows
+    * (TieredDedupSpec pins decision parity). Both tiers keep the index
+    * topology: index sides co-located bucketed, only the batch and the
+    * pair-bounded verify frames move.
+    */
+  def tieredIncrementalNearDupIndexed(corpus: DataFrame, bandTable: String,
+      exactTable: String, batch: DataFrame, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val exactCand = exactIndexCandidates(exactTable, batch, shingleLen)
+    // collision-proof verify: fetch candidate corpus texts only (the
+    // candidate set is batch-bounded, broadcast semi — the corpus itself
+    // never shuffles), then require byte equality
+    val candIds = exactCand.select($"dup_of_doc_id")
+    val corpusTexts = spread(corpus)
+      .select($"doc_id", coalesce($"text", lit("")).as("ct"))
+      .join(broadcast(candIds), $"doc_id" === $"dup_of_doc_id", "left_semi")
+      .select($"doc_id".as("dup_of_doc_id"), $"ct")
+    // materialized once (localCheckpoint, as the band probe's candidate
+    // stage): the exact pairs feed both the output and the tier-2 carve
+    val exactPairs = exactCand.join(corpusTexts, "dup_of_doc_id")
+      .filter($"t" === $"ct")
+      .select($"new_doc_id", $"dup_of_doc_id",
+        lit(1.0).cast("double").as("jaccard"))
+      .localCheckpoint()
+    val exactIds = exactPairs.select($"new_doc_id").distinct()
+    val rest = spread(batch)
+      .join(broadcast(exactIds), $"doc_id" === $"new_doc_id", "left_anti")
+    exactPairs.unionByName(
+      incrementalNearDupIndexed(corpus, bandTable, rest, shingleLen,
+        numBands, rowsPerBand, threshold))
+  }
+
+  /** Registered query: the tiered build-once/probe-many path on a RE-CRAWL
+    * day — the whole fixture corpus stands (both indexes persisted bucketed
+    * once per process, untimed warmup, as
+    * [[incrementalNearDupIndexedEntry]]); the batch re-ingests every 10th
+    * doc under a fresh id namespace (+1e6) with every 20th doc's text
+    * UPDATED (suffixed), the [[bloomIncrementalDedup]] derivation. The
+    * unmodified re-fetches are exact twins of their originals and resolve
+    * in tier 1; the updated pages have no exact twin and fall through to
+    * the band tier, where they pair with their originals near jaccard
+    * 0.95 — both tiers are exercised, which the %10 split (zero exact
+    * cross-split pairs in the fixtures) would not do. The oracle replays
+    * the first-tier-wins semantics directly: exact pairs by text equality
+    * at jaccard 1.0, the brute-force shingle-jaccard tier over the
+    * remaining batch docs. */
+  def tieredIncrementalDedupEntry(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val bandTable = s"graft_band_index_full_$key"
+    val exactTable = s"graft_exact_index_full_$key"
+    if (!spark.catalog.tableExists(bandTable))
+      writeBandIndex(docs, bandTable, location = Some(
+        s"${graft.util.TmpDirs.perProcessDir("graft_bandidx_full")}/$key"))
+    if (!spark.catalog.tableExists(exactTable))
+      writeExactIndex(docs, exactTable, location = Some(
+        s"${graft.util.TmpDirs.perProcessDir("graft_exactidx_full")}/$key"))
+    val batch = docs.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      when($"doc_id" % 20 === 0,
+        concat(coalesce($"text", lit("")), lit(" v2")))
+        .otherwise($"text").as("text"))
+    tieredIncrementalNearDupIndexed(docs, bandTable, exactTable, batch)
       .orderBy($"new_doc_id", $"dup_of_doc_id")
   }
 
@@ -1203,7 +1354,9 @@ object Dedup {
     val batchBanded = prepareEmbeddings(batch)
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
-    batchBanded.as("l")
+    // merge hint: see bandIndexCandidates — the exploded batch side's
+    // pre-explode size estimate must not turn into a driver-side broadcast
+    batchBanded.as("l").hint("merge")
       .join(spark.table(indexTable).as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .select(col("l.vec_id").as("new_vec_id"),
@@ -1433,7 +1586,9 @@ object Dedup {
       chunkedSigs(spread(batch), idCol, sigCol, numChunks),
       Seq("chunk", "key"), maxBucketSize)
     spark.table(indexTable).as("i")
-      .join(b.as("n"),
+      // merge hint: see bandIndexCandidates — the chunked batch side's
+      // pre-explode size estimate must not turn into a driver broadcast
+      .join(b.as("n").hint("merge"),
         col("i.chunk") === col("n.chunk") && col("i.key") === col("n.key") &&
           col("i.id") =!= col("n.id"))
       .select(col("n.id").as("new_id"), col("i.id").as("dup_of_id"),
