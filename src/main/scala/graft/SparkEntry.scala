@@ -311,6 +311,10 @@ object SparkEntry {
     // the corpus with those spans cut out: per-doc span lists joined back
     // once by doc_id, HOF trim per row, whitespace-normalized rebuild
     "span_trimmed_corpus" -> ((s, d) => DupSpans.spanTrimmedCorpus(s, d)),
+    // Lee et al.'s minimum-match-length form: only merged spans of >= 50
+    // tokens are trimmed; short incidental matches (quotes, idioms) stay.
+    // Length filter runs on the span list, never the corpus
+    "long_span_trimmed_corpus" -> ((s, d) => DupSpans.longSpanTrimmedCorpus(s, d)),
     // WHERE contamination lives (not just which docs): benchmark-overlap
     // spans, and the surgical alternative to dropping — trim the
     // overlapping run, keep the unique prose
@@ -693,9 +697,14 @@ object SparkEntry {
   // indexes → kept tokens re-joined in position order → tr = (doc_id,
   // n_tokens, n_dropped_tokens, text_trimmed); span-free and all-span docs
   // both surface via the left joins
-  private val spanTrimTailCtes =
-    "ctk AS (SELECT DISTINCT doc_id, ti FROM " +
-      "(SELECT doc_id, unnest(generate_series(p, p+7)) AS ti FROM cv)), " +
+  private val spanTrimTailCtes = spanTrimTailOver(
+    "SELECT doc_id, unnest(generate_series(p, p+7)) AS ti FROM cv")
+
+  // the trim tail parameterized by its covered-token-index source (the
+  // default form expands covered STARTS from cv; the long-span form expands
+  // the merged spans surviving the length filter)
+  private def spanTrimTailOver(coveredIdx: String): String =
+    s"ctk AS (SELECT DISTINCT doc_id, ti FROM ($coveredIdx)), " +
       "at AS (SELECT doc_id, unnest(generate_series(0, len(toks)-1)) AS ti, toks FROM t WHERE len(toks) > 0), " +
       "kp AS (SELECT a.doc_id, a.ti, a.toks[a.ti+1] AS tok FROM at a " +
       "LEFT JOIN ctk c ON a.doc_id = c.doc_id AND a.ti = c.ti WHERE c.ti IS NULL), " +
@@ -1863,6 +1872,13 @@ object SparkEntry {
     "span_trimmed_corpus" ->
       (s"WITH $dupSpansCtes, $spanTrimTailCtes " +
         "SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr"),
+    // the same span chain, trim tail fed only by merged spans of >= 50
+    // tokens (token indexes expanded from the surviving spans directly)
+    "long_span_trimmed_corpus" ->
+      (s"WITH $dupSpansCtes, " +
+        spanTrimTailOver("SELECT doc_id, unnest(generate_series(span_start, span_end)) AS ti " +
+          "FROM sp WHERE n_span_tokens >= 50") +
+        " SELECT doc_id, n_tokens, n_dropped_tokens, text_trimmed FROM tr"),
     // keep-first block dedup: same 8-token non-overlapping blocking, a
     // window (first-occurrence rank + per-block count) instead of the
     // min-struct agg, ordered string_agg rebuild — the kept set is

@@ -35,18 +35,22 @@ object StreamSoak {
       // one warmup-dominated batch
       val dedupScale = math.min(scale, 4)
       val docsRate = 5000 * dedupScale
+      val itemsRate = 10000 * dedupScale
       val (c, sunk, h) = Soak.run(spark, collectorRate, eventsRate, out.toString)
       val d = Soak.dedupRun(spark, corpusDocs = 20000 * dedupScale, docsRate,
         tag = s"c$cores", soakMs = 30000)
+      val hd = Soak.hashDedupRun(spark, corpusItems = 20000 * dedupScale,
+        itemsRate, tag = s"c$cores", soakMs = 30000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       require(sunk >= c.totalRows, s"collector sank $sunk < reported ${c.totalRows}")
       s""""local_$cores":{"collector":${Soak.json(c)},""" +
         s""""hourly_type_counts":${Soak.json(h)},""" +
-        s""""dedup_probe":${Soak.json(d)},"cores":$cores,""" +
+        s""""dedup_probe":${Soak.json(d)},""" +
+        s""""hash_dedup":${Soak.json(hd)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
-        s""""docs_rate":$docsRate}"""
+        s""""docs_rate":$docsRate,"items_rate":$itemsRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

@@ -138,6 +138,40 @@ object DupSpans {
       minOccurrences: Int = 2): DataFrame =
     trimWithSpans(docs, dupSpansOf(docs, n, minOccurrences))
 
+  /** Lee et al.'s MINIMUM-MATCH-LENGTH form: trim only duplicated spans of
+    * at least `minSpanTokens` tokens (the paper uses 50), keeping short
+    * incidental n-gram matches — quotes, idioms, named entities — in place.
+    * Composition of the existing machinery: the n-gram cover + island
+    * merge ([[dupSpansOf]]) already yields maximal variable-length spans;
+    * this filters to the long ones before the trim. With `minSpanTokens
+    * <= n` it degrades to exactly [[spanTrimmedCorpusOf]] (every merged
+    * span is at least n tokens by construction — DupSpansSpec pins the
+    * equivalence).
+    *
+    * Approximation note vs the suffix-array original: an island can chain
+    * ADJACENT shorter repeats with different partners into one long span,
+    * so a span here certifies "every n-window inside repeats somewhere",
+    * not "this exact run repeats verbatim" — conservative over-flagging,
+    * the same merge semantics [[dupSpansOf]] documents. Scale shape is
+    * unchanged: the length filter runs on the span list (the rare output),
+    * never the corpus. */
+  def longSpanTrimmedCorpusOf(docs: DataFrame, n: Int = 8,
+      minOccurrences: Int = 2, minSpanTokens: Int = 50): DataFrame =
+    trimWithSpans(docs,
+      dupSpansOf(docs, n, minOccurrences)
+        .filter(col("n_span_tokens") >= minSpanTokens))
+
+  /** Registered query: [[longSpanTrimmedCorpusOf]] over the `documents`
+    * table at the paper's 50-token minimum (the fixture's span lengths
+    * straddle 50, so kept-short and trimmed-long branches both exercise).
+    * Oracle: the shared span CTEs with the length filter applied to the
+    * merged spans, then the same trim tail over the long spans' token
+    * indexes. */
+  def longSpanTrimmedCorpus(spark: SparkSession, sfDir: String, n: Int = 8,
+      minSpanTokens: Int = 50): DataFrame =
+    longSpanTrimmedCorpusOf(spread(Tables.documents(spark, sfDir)), n,
+      minSpanTokens = minSpanTokens)
+
   /** Rebuild each document with the given token spans cut out — the trim
     * core shared by [[spanTrimmedCorpusOf]] (duplicated spans) and
     * [[contaminationTrimmedCorpusOf]] (benchmark-overlap spans). `spans` =

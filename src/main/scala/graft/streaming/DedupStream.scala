@@ -41,22 +41,38 @@ object DedupStream {
     * after a crash between probe and append would append its bands twice;
     * production sinks should append under the batch id (idempotent overwrite
     * of a per-batch partition) or dedup the index by (doc_id, band).
+    *
+    * With `exactTable`, the probe runs TIERED
+    * ([[Dedup.tieredIncrementalNearDupIndexed]]): the batch's exact
+    * re-fetches resolve against the bucketed exact-hash index with one
+    * co-located equi-join (pairs at jaccard 1.0, first-tier-wins) and only
+    * docs with no exact twin pay the band explode — the firehose cost
+    * profile, since a crawl stream is heavy with byte-identical re-fetches.
+    * `appendAfterProbe` then maintains BOTH standing indexes.
     */
   def incrementalDedupQuery(stream: DataFrame, corpus: DataFrame,
       indexTable: String, shingleLen: Int = 5, numBands: Int = 128,
       rowsPerBand: Int = 8, threshold: Double = 0.8,
       appendAfterProbe: Boolean = false, buckets: Int = 0,
-      maxBucketSize: Int = 1000)
+      maxBucketSize: Int = 1000, exactTable: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = Dedup.incrementalNearDupIndexed(corpus, indexTable,
-          batch, shingleLen, numBands, rowsPerBand, threshold)
+        val pairs = exactTable match {
+          case Some(et) => Dedup.tieredIncrementalNearDupIndexed(corpus,
+            indexTable, et, batch, shingleLen, numBands, rowsPerBand,
+            threshold)
+          case None => Dedup.incrementalNearDupIndexed(corpus, indexTable,
+            batch, shingleLen, numBands, rowsPerBand, threshold)
+        }
         sink(pairs, batchId)
-        if (appendAfterProbe)
+        if (appendAfterProbe) {
           Dedup.appendToBandIndex(batch, indexTable, shingleLen, numBands,
             rowsPerBand, buckets, maxBucketSize)
+          exactTable.foreach(et => Dedup.appendToExactIndex(batch, et,
+            shingleLen, buckets, maxBucketSize))
+        }
       }
 
   /** Streaming twin of SEMANTIC (embedding) incremental dedup — the

@@ -45,12 +45,30 @@ object Soak {
     concat_ws(" ",
       (0 until 12).map(i => pmod(seed * (31 + i) + i, lit(9973)).cast("string")): _*)
 
-  /** Streaming incremental dedup against a persisted band index — the
-    * ingest loop's throughput number. Synthesizes a standing corpus,
-    * persists its band index bucketed (build untimed: it's the standing
-    * artifact), then soaks a rate-source document stream whose
-    * micro-batches probe the index via [[DedupStream]]; the sink counts
-    * the emitted pairs so every batch pays the full probe + verify. */
+  /** [[synthText]] with every word shifted by one — same per-row cost and
+    * length profile, but never an exact or near duplicate of any
+    * [[synthText]] output: for any seed pair at most one of the 12 word
+    * positions can coincide (the match condition fixes (31+i)⁻¹ mod 9973,
+    * distinct per position), so shingle overlap stays far below threshold. */
+  private def synthTextNovel(seed: org.apache.spark.sql.Column) =
+    concat_ws(" ",
+      (0 until 12).map(i => pmod(seed * (31 + i) + i + 1, lit(9973)).cast("string")): _*)
+
+  /** Streaming incremental dedup against the persisted standing indexes —
+    * the ingest loop's throughput number. Synthesizes a standing corpus,
+    * persists its band index AND exact-hash index bucketed (builds
+    * untimed: they are the standing artifacts), then soaks a rate-source
+    * document stream whose micro-batches probe TIERED via [[DedupStream]]
+    * (exact tier first, band tier for the rest); the sink counts the
+    * emitted pairs so every batch pays the full probe + verify.
+    *
+    * The feed is the firehose shape: half the docs are byte-identical
+    * re-fetches of standing corpus texts (each colliding with ~8 standing
+    * twins — they resolve in the exact tier), half are novel texts that
+    * fall through to the full band probe. All-novel and all-dup are both
+    * easier than this mix for the tiered probe: all-dup skips every band
+    * explode, all-novel skips the tier-2 carve's anti-join work.
+    */
   def dedupRun(spark: SparkSession, corpusDocs: Int, docsRate: Int,
       tag: String, soakMs: Long = 20000): Result = {
     // longer soak than the row-shaped pipelines: a probe micro-batch is a
@@ -59,13 +77,77 @@ object Soak {
     val corpus = spark.range(corpusDocs.toLong)
       .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
     val table = s"graft_soak_band_index_$tag"
+    val exact = s"graft_soak_exact_index_$tag"
     graft.operators.Dedup.writeBandIndex(corpus, table, location = Some(
       s"${graft.util.TmpDirs.perProcessDir("graft_soak_bandidx")}/$tag"))
+    graft.operators.Dedup.writeExactIndex(corpus, exact, location = Some(
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_exactidx")}/$tag"))
+    // even values re-fetch standing texts (seed space mod 9973 collides
+    // with ~8 corpus docs each); odd values shift every word by one (+1
+    // inside the pmod) — never byte-equal to any standing text
     val docs = spark.readStream.format("rate")
       .option("rowsPerSecond", docsRate.toString).load()
       .select((col("value") + corpusDocs).as("doc_id"),
-        synthText(col("value") * 7 + 3).as("text"))
-    val q = DedupStream.incrementalDedupQuery(docs, corpus, table) {
+        when(col("value") % 2 === 0, synthText(col("value") * 7 + 3))
+          .otherwise(synthTextNovel(col("value") * 7 + 3)).as("text"))
+    val q = DedupStream.incrementalDedupQuery(docs, corpus, table,
+      exactTable = Some(exact)) {
+      (pairs, _) => val _ = pairs.count()
+    }.start()
+    try soak(q, soakMs)
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $exact")
+    }
+  }
+
+  /** Streaming PERCEPTUAL dedup throughput — the media-firehose twin of
+    * [[dedupRun]]: a standing corpus of synthesized images is hashed
+    * (decode → 8×8 aHash, [[graft.multimodal.Media.imageAHash]]) into a
+    * persisted multi-index Hamming table (build untimed), then a
+    * rate-source media stream runs the full decode → hash → probe chain
+    * per micro-batch via [[DedupStream.hashDedupQuery]]. Half the streamed
+    * items are re-encode VARIANTS of standing images (1-3 payload bytes
+    * XOR-flipped, the [[graft.multimodal.Media.synthesizeVariants]] drift —
+    * they land within the Hamming budget and must pair), half are novel
+    * payloads that must miss. */
+  def hashDedupRun(spark: SparkSession, corpusItems: Int, itemsRate: Int,
+      tag: String, soakMs: Long = 20000): Result = {
+    import spark.implicits._
+    import graft.multimodal.Media
+    val corpus = Media.synthesize(spark, corpusItems)
+    val table = s"graft_soak_hash_index_$tag"
+    graft.operators.Dedup.writeHashIndex(
+      Media.imageAHash(corpus).toDF(), "media_id", "ahash", table,
+      numChunks = 8, location = Some(
+        s"${graft.util.TmpDirs.perProcessDir("graft_soak_hashidx")}/$tag"))
+    val nItems = corpusItems.toLong
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", itemsRate.toString).load()
+      .select(col("value")).as[Long]
+      .map { v =>
+        val dup = v % 2 == 0
+        val baseId = if (dup) v % nItems else nItems + v
+        val rnd = new scala.util.Random(baseId) // variant shares base payload
+        val payload = new Array[Byte](256)
+        rnd.nextBytes(payload)
+        if (dup) { // synthesizeVariants' re-encode drift
+          val edits = 1 + (v % 3).toInt
+          var e = 0
+          while (e < edits) {
+            val pos = ((v * 31 + e * 97) % 256).toInt
+            payload(pos) = (payload(pos) ^ 0x5a).toByte
+            e += 1
+          }
+        }
+        Media.MediaRow(nItems + v, v % 100,
+          Media.MediaMeta("image", width = 16, height = 16,
+            sampleRateHz = 0, durationMs = 0L, codec = "fake"),
+          payload)
+      }
+    val hashes = Media.imageAHash(stream).toDF()
+      .select($"media_id".as("id"), $"ahash".as("sig"))
+    val q = DedupStream.hashDedupQuery(hashes, table) {
       (pairs, _) => val _ = pairs.count()
     }.start()
     try soak(q, soakMs)

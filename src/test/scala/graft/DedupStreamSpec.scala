@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{coalesce, concat, lit, when}
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -329,6 +330,63 @@ class DedupStreamSpec extends SparkTestBase {
       s"batch 1 should dup batch 0's doc only, got ${perBatch(1L)}")
   }
 
+  test("tiered micro-batch probes equal the tiered batch probe; append maintains both indexes") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    // the re-crawl batch shape: exact re-fetches AND updated pages
+    val batchDocs = docs.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      when($"doc_id" % 20 === 0,
+        concat(coalesce($"text", lit("")), lit(" v2")))
+        .otherwise($"text").as("text"))
+    Dedup.writeBandIndex(docs, "band_idx_tds", buckets = 4)
+    Dedup.writeExactIndex(docs, "exact_idx_tds", buckets = 4)
+    val results = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalDedupQuery(
+      ms.toDF().toDF("doc_id", "text"), docs, "band_idx_tds",
+      appendAfterProbe = true, exactTable = Some("exact_idx_tds")) {
+      (pairs, _) => results ++= pairs.as[(Long, Long, Double)].collect()
+    }.start()
+    val rows = batchDocs.select($"doc_id", coalesce($"text", lit("")))
+      .as[(Long, String)].collect()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_tds")
+      spark.sql("DROP TABLE IF EXISTS exact_idx_tds")
+    }
+    // cross-micro-batch pairs cannot arise here (batch ids are disjoint
+    // from corpus ids and the re-crawl texts only duplicate CORPUS texts,
+    // with one exception: two batch docs re-fetching the same standing
+    // text are exact twins of each other once appended) — so filter the
+    // streamed result to standing-corpus partners before comparing
+    val gotVsCorpus = results.toSet.filter(_._2 < 1000000L)
+    // batch-twin comparison against fresh indexes (built after the stream
+    // dropped its own tables)
+    Dedup.writeBandIndex(docs, "band_idx_tds_x", buckets = 4)
+    Dedup.writeExactIndex(docs, "exact_idx_tds_x", buckets = 4)
+    try {
+      val exp = Dedup.tieredIncrementalNearDupIndexed(docs,
+        "band_idx_tds_x", "exact_idx_tds_x", batchDocs)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotVsCorpus == exp)
+      assert(exp.exists(_._3 == 1.0) && exp.exists(_._3 < 1.0),
+        "fixture must exercise both tiers")
+      // and any extra streamed pairs are batch-vs-earlier-batch appends at
+      // jaccard 1.0 (same standing text re-fetched twice)
+      assert((results.toSet -- gotVsCorpus).forall(_._3 == 1.0))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_idx_tds_x")
+      spark.sql("DROP TABLE IF EXISTS exact_idx_tds_x")
+    }
+  }
+
   test("embedding micro-batch probes equal the batch probe on the same data") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
@@ -424,11 +482,8 @@ class DedupStreamSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf)
     val batchDocs = docs.filter($"doc_id" % 10 === 0).select(
       ($"doc_id" + 1000000L).as("doc_id"),
-      org.apache.spark.sql.functions.when($"doc_id" % 20 === 0,
-        org.apache.spark.sql.functions.concat(
-          org.apache.spark.sql.functions.coalesce($"text",
-            org.apache.spark.sql.functions.lit("")),
-          org.apache.spark.sql.functions.lit(" v2")))
+      when($"doc_id" % 20 === 0,
+        concat(coalesce($"text", lit("")), lit(" v2")))
         .otherwise($"text").as("text"))
     // 1) parity with the batch operator over the same derived re-crawl
     val got = scala.collection.mutable.Set[Long]()

@@ -79,6 +79,33 @@ class DupSpansSpec extends SparkTestBase {
     assert(got(5L) == ((0L, 0L, "")))
   }
 
+  test("longSpanTrimmedCorpus: short repeats kept, long repeats cut; degrades to spanTrimmed at minSpan <= n") {
+    val shortRun = (0 until 10).map("s" + _).mkString(" ")  // 10-token repeat
+    val longRun = (0 until 20).map("l" + _).mkString(" ")   // 20-token repeat
+    val df = Seq(
+      (1L, s"a1 $shortRun a2 $longRun a3"),
+      (2L, s"b1 $shortRun b2"),
+      (3L, s"$longRun c1"))
+      .toDF("doc_id", "text")
+    val got = DupSpans.longSpanTrimmedCorpusOf(df, n = 8, minSpanTokens = 15)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the 20-token run crosses the 15-token minimum and is cut; the
+    // 10-token run repeats too but stays in place
+    assert(got(1L) == ((33L, 20L, s"a1 $shortRun a2 a3")))
+    assert(got(2L) == ((12L, 0L, s"b1 $shortRun b2")))
+    assert(got(3L) == ((21L, 20L, "c1")))
+
+    // fixed-case equivalence: minSpanTokens <= n filters nothing (every
+    // merged span is at least n tokens by construction)
+    val fixture = graft.sources.Tables.documents(spark, sf)
+    val viaLong = DupSpans.longSpanTrimmedCorpusOf(fixture, n = 8,
+      minSpanTokens = 8).as[(Long, Long, Long, String)].collect().toSet
+    val viaFixed = DupSpans.spanTrimmedCorpusOf(fixture, n = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaLong == viaFixed)
+  }
+
   test("contaminationSpans/Trim: benchmark overlap located and surgically cut") {
     val leak = (0 until 9).map("b" + _).mkString(" ") // 9-token benchmark run
     val corpus = Seq(

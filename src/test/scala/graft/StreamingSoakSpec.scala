@@ -63,4 +63,16 @@ class StreamingSoakSpec extends SparkTestBase {
       assert(d.rowsPerSec > 500, s"dedup probe throughput degenerate: $d")
     }
   }
+
+  test("rate-source soak: perceptual hash dedup sustains the media firehose") {
+    // the full decode → aHash → multi-index Hamming probe chain per
+    // micro-batch; floor far below a healthy 4-core rate (CI-noise-proof)
+    measureWithRetry { i =>
+      Soak.hashDedupRun(spark, corpusItems = 20000, itemsRate = 10000,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 10000, d)
+      assert(d.rowsPerSec > 1000, s"hash dedup throughput degenerate: $d")
+    }
+  }
 }
