@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis, Wordpiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -196,6 +196,14 @@ object SparkEntry {
     // per dup group, audit-shaped 0/1 output; oracle replays the in-cell
     // pair scan from the ivf_assignments dump
     "semdedup_pruned" -> ((s, d) => Dedup.semdedupPruned(s, d)),
+    // prototype pruning (SSL-prototypes): cosine-to-own-centroid score,
+    // per-cell rank, drop the most prototypical quarter (integer quota);
+    // centroids dumped (proto_centroids) so DuckDB replays score+rank+quota
+    "prototype_pruned" -> ((s, d) => Dedup.prototypePruned(s, d)),
+    "proto_centroids" -> ((s, d) => Dedup.protoCentroids(s, d)), // rows-only (it IS the oracle input)
+    // D4 = SemDeDup then prototype-prune the survivors (quotas on survivor
+    // cell sizes); both stage decisions in the audit output
+    "d4_pruned" -> ((s, d) => Dedup.d4Pruned(s, d)),
     // semantic dedup's daily-ingestion path: batch sign-LSH bands probe a
     // PERSISTED bucketed embedding band index (build absorbed by warmup;
     // index side co-located, candidate-bounded exact-cosine verify)
@@ -303,6 +311,14 @@ object SparkEntry {
     "bpe_merges" -> (Bpe.mergesEntry _), // rows-only (iterative learn has no SQL twin)
     "bpe_tokenized" -> (Bpe.tokenizedEntry _), // rows-only (it IS the oracle input)
     "bpe_vocab_usage" -> (Bpe.vocabUsageEntry _),
+    // WordPiece tokenizer (the BERT-family segmenter): likelihood-scored
+    // driver learn over the same bounded word table, greedy
+    // longest-match-first apply. Stronger oracle than BPE's: the APPLY is
+    // hash-checked — DuckDB replays the greedy walk with a recursive CTE
+    // over the vocab dump and reassembles docs by word ordinal
+    "wordpiece_vocab" -> (Wordpiece.vocabEntry _), // rows-only (it IS the oracle input)
+    "wordpiece_tokenized" -> (Wordpiece.tokenizedEntry _),
+    "wordpiece_vocab_usage" -> (Wordpiece.vocabUsageEntry _),
     // exact-substring spans (Lee et al. 2022 relationally): positional
     // 8-grams occurring 2+ times corpus-wide, overlapping windows merged
     // gap-and-island; dup-gram set broadcast, corpus positions never
@@ -550,6 +566,20 @@ object SparkEntry {
       "round(coalesce(bgs.top_c, 0)::DOUBLE / greatest(coalesce(bgs.n_grams, 0), 1) + 1e-9, 4) AS top_bigram_frac " +
       "FROM documents d JOIN ls ON d.doc_id = ls.doc_id " +
       "LEFT JOIN bgs ON d.doc_id = bgs.doc_id"
+
+  // prototype-score replay: assignments + float-cast centroid dumps →
+  // cosine-to-own-centroid, per-cell rank (rounded desc, vec_id tiebreak)
+  // and cell size — the scored frame behind prototype_pruned
+  private val protoScoredCtes =
+    "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+      "c AS (SELECT cell, list_transform(string_split(centroid, ','), x -> CAST(x AS DOUBLE)) AS centroid " +
+      "FROM read_parquet('{OUT}/proto_centroids/*.parquet')), " +
+      "e AS (SELECT a.vec_id, a.cell, " +
+      "round(list_cosine_similarity(emb.embedding::DOUBLE[], c.centroid), 6) AS proto_cos " +
+      "FROM a JOIN embeddings emb USING (vec_id) JOIN c USING (cell)), " +
+      "r AS (SELECT vec_id, cell, proto_cos, " +
+      "row_number() OVER (PARTITION BY cell ORDER BY proto_cos DESC, vec_id) AS rnk, " +
+      "count(*) OVER (PARTITION BY cell) AS cell_n FROM e)"
 
   // shared by pq_adc_topk and pq_rerank_topk: per-(corpus vector, query)
   // ADC distance from the Spark-dumped codes + distance tables
@@ -1452,6 +1482,36 @@ object SparkEntry {
         "WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.3) " +
         "SELECT e.vec_id, e.cell, CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept " +
         "FROM e LEFT JOIN dr ON e.vec_id = dr.vec_id"),
+    // prototype pruning replayed from the assignment + centroid dumps:
+    // cosine-to-own-centroid (same float values — the dump is float-cast),
+    // per-cell rank (rounded cosine desc, vec_id tiebreak), integer quota
+    "prototype_pruned" ->
+      (s"WITH $protoScoredCtes " +
+        "SELECT vec_id, cell, proto_cos, CASE WHEN rnk <= (cell_n * 1) // 4 " +
+        "THEN 0 ELSE 1 END AS is_kept FROM r"),
+    // D4: the semdedup drop set carved out first, prototype rank + quota
+    // over the SURVIVORS only, both stage decisions in the output
+    "d4_pruned" ->
+      ("WITH a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "c AS (SELECT cell, list_transform(string_split(centroid, ','), x -> CAST(x AS DOUBLE)) AS centroid " +
+        "FROM read_parquet('{OUT}/proto_centroids/*.parquet')), " +
+        "e AS (SELECT a.vec_id, a.cell, emb.embedding FROM a " +
+        "JOIN embeddings emb USING (vec_id)), " +
+        "dr AS (SELECT DISTINCT r.vec_id FROM e l JOIN e r " +
+        "ON l.cell = r.cell AND l.vec_id < r.vec_id " +
+        "WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.3), " +
+        "f AS (SELECT e.vec_id, e.cell, e.embedding, " +
+        "CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS semdedup_kept " +
+        "FROM e LEFT JOIN dr ON e.vec_id = dr.vec_id), " +
+        "r AS (SELECT f.vec_id, " +
+        "row_number() OVER (PARTITION BY f.cell ORDER BY " +
+        "round(list_cosine_similarity(f.embedding::DOUBLE[], c.centroid), 6) DESC, f.vec_id) AS rnk, " +
+        "count(*) OVER (PARTITION BY f.cell) AS cell_n " +
+        "FROM f JOIN c USING (cell) WHERE f.semdedup_kept = 1) " +
+        "SELECT f.vec_id, f.cell, f.semdedup_kept, " +
+        "CASE WHEN f.semdedup_kept = 0 THEN 0 " +
+        "WHEN r.rnk <= (r.cell_n * 1) // 4 THEN 0 ELSE 1 END AS is_kept " +
+        "FROM f LEFT JOIN r ON f.vec_id = r.vec_id"),
     // brute-force batch×corpus twin of the persisted-index probe — the
     // index is an execution layout, not a semantic (miss p ≈ 7e-15 at the
     // r=2/b=64 test geometry, so exact match holds)
@@ -1860,6 +1920,40 @@ object SparkEntry {
       ("SELECT token, count(*) AS n FROM (" +
         "SELECT unnest(string_split(tokenized, ' ')) AS token " +
         "FROM read_parquet('{OUT}/bpe_tokenized/*.parquet')) " +
+        "WHERE token <> '' GROUP BY token"),
+    // WordPiece apply replayed exactly: greedy longest-match-first is a
+    // deterministic single-path walk, so a recursive CTE advances one
+    // (word, cursor) state per word — QUALIFY keeps the longest matching
+    // piece (continuations only off position 1) — and a word whose walk
+    // gets stuck (or exceeds 100 chars) never completes → [UNK], the HF
+    // WordpieceTokenizer contract. Docs reassemble by word ordinal.
+    "wordpiece_tokenized" ->
+      (s"WITH RECURSIVE $toksCte, " +
+        "v AS (SELECT piece, is_cont FROM read_parquet('{OUT}/wordpiece_vocab/*.parquet')), " +
+        "w AS (SELECT doc_id, unnest(toks) AS word, " +
+        "unnest(generate_series(1, len(toks))) AS idx FROM t), " +
+        "dw AS (SELECT DISTINCT word FROM w WHERE len(word) <= 100), " +
+        "seg AS (SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM dw " +
+        "UNION ALL " +
+        "(SELECT s.word, s.pos + len(v.piece) AS pos, " +
+        "s.toks || CASE WHEN s.toks = '' THEN '' ELSE ' ' END || " +
+        "CASE WHEN s.pos > 1 THEN '##' || v.piece ELSE v.piece END AS toks " +
+        "FROM seg s JOIN v ON v.is_cont = CASE WHEN s.pos > 1 THEN 1 ELSE 0 END " +
+        "AND substr(s.word, s.pos, len(v.piece)) = v.piece " +
+        "WHERE s.pos <= len(s.word) " +
+        "QUALIFY row_number() OVER (PARTITION BY s.word, s.pos " +
+        "ORDER BY len(v.piece) DESC, v.piece) = 1)), " +
+        "done AS (SELECT word, toks FROM seg WHERE pos > len(word)), " +
+        "wt AS (SELECT w.doc_id, w.idx, coalesce(d.toks, '[UNK]') AS wtoks " +
+        "FROM w LEFT JOIN done d USING (word)), " +
+        "agg AS (SELECT doc_id, string_agg(wtoks, ' ' ORDER BY idx) AS tokenized, " +
+        "sum(len(string_split(wtoks, ' '))) AS n_tokens FROM wt GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(agg.tokenized, '') AS tokenized FROM t LEFT JOIN agg USING (doc_id)"),
+    "wordpiece_vocab_usage" ->
+      ("SELECT token, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/wordpiece_tokenized/*.parquet')) " +
         "WHERE token <> '' GROUP BY token"),
     // exact-gram twin of the hashed-gram Spark plan (xxhash64 keys can only
     // ADD covered positions, at ~B²/2^65 expected colliding pairs); same

@@ -1167,18 +1167,143 @@ object Dedup {
     * `WHERE is_kept = 1`). */
   def semdedupPruned(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
-    val assigned = Similarity.standingIndex(spark, sfDir).bucketed
+    val assigned = standingAssigned(spark, sfDir)
+    assigned
+      .join(broadcast(semdedupDropped(assigned, threshold)
+        .withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        when($"hit".isNull, 1).otherwise(0).as("is_kept"))
+  }
+
+  /** The standing fixture fit's assignments with embeddings attached —
+    * the shared input of the cluster-scoped pruning family
+    * ([[semdedupPruned]], [[prototypePruned]], [[d4Pruned]]). */
+  private def standingAssigned(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.standingIndex(spark, sfDir).bucketed
       .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
-    val dropped = assigned.as("l")
+
+  /** SemDeDup's drop set: vec_ids with a smaller-id cluster-mate at
+    * rounded cosine ≥ threshold. In-cell pairs only (Σ|cell|² pair space,
+    * cell-co-partitioned join) — the loop body of [[semdedupPruned]],
+    * shared with [[d4Pruned]]. */
+  private def semdedupDropped(assigned: DataFrame,
+      threshold: Double): DataFrame =
+    assigned.as("l")
       .join(assigned.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
       .filter(round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6)
         >= threshold)
       .select(col("r.vec_id").as("vec_id")).distinct()
-    assigned
-      .join(broadcast(dropped.withColumn("hit", lit(1))), Seq("vec_id"), "left")
-      .select($"vec_id", $"cell",
-        when($"hit".isNull, 1).otherwise(0).as("is_kept"))
+
+  /** The standing fit's coarse centroids as a k-row (cell, centroid)
+    * frame, float-cast to match the corpus embedding dtype (so the scoring
+    * arithmetic — float inputs widened to double, sequential sum — is
+    * identical between [[Similarity.cosine]] and the DuckDB replay over
+    * the [[protoCentroids]] dump). k rows; always broadcast. */
+  private def centersDf(spark: SparkSession,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Registered dump (it IS the oracle input, the `ivf_assignments`
+    * contract): the standing fit's k coarse centroids, comma-joined float
+    * values — what [[prototypePruned]]/[[d4Pruned]] score against, dumped
+    * so DuckDB replays the cosine from the exact same numbers
+    * (k-means centroids are not derivable in SQL; the cosine, ranking and
+    * keep rule computed FROM them are, and those are what gets checked). */
+  def protoCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    centersDf(spark, Similarity.standingIndex(spark, sfDir).centers)
+      .select($"cell",
+        // widen float → double BEFORE stringifying: a float's shortest
+        // string re-parsed as DOUBLE is NOT the widened float (0.1f prints
+        // "0.1", but (double)"0.1" ≠ (double)0.1f); the double's shortest
+        // string round-trips exactly, so DuckDB scores with bit-identical
+        // inputs to the Spark expression (which widens floats to double)
+        expr("array_join(transform(centroid, x -> cast(cast(x AS double) AS string)), ',')")
+          .as("centroid"))
+
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning" — the
+    * SSL-prototypes metric): score each vector by cosine to its cluster's
+    * k-means centroid; the MOST prototypical (easiest, most redundant)
+    * fraction of each cluster is dropped, the informative tail kept. The
+    * per-cluster quota (vs a global score cutoff) is the paper's
+    * class-balanced form — it prevents the prune from emptying dense
+    * clusters' sparse neighbors.
+    *
+    * Reuses the ONE standing k-means fit behind every fixture IVF/SemDeDup
+    * entry, so `ivf_assignments` + [[protoCentroids]] are the oracle
+    * inputs: DuckDB replays cosine-to-centroid, the per-cell rank, and the
+    * integer drop quota from the dumps and raw vectors.
+    *
+    * Determinism: proto_cos is rounded to 6 dp with vec_id tiebreak before
+    * ranking; the drop quota is exact integer arithmetic
+    * (`cell_n * dropNum DIV dropDen`), never a float multiply.
+    *
+    * Scale: centroids are k rows (broadcast); scoring is one codegen
+    * cosine per vector, no shuffle; rank is one window per cell (single
+    * shuffle on `cell` — same key the standing index is already bucketed
+    * by, so a co-located layout makes even that exchange-free). Output is
+    * the audit shape: every vector with its score and 0/1 decision. */
+  def prototypePruned(spark: SparkSession, sfDir: String,
+      dropNum: Int = 1, dropDen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = Similarity.standingIndex(spark, sfDir)
+    val scored = standingAssigned(spark, sfDir)
+      .join(broadcast(centersDf(spark, idx.centers)), Seq("cell"))
+      .withColumn("proto_cos",
+        round(Similarity.cosine($"embedding", $"centroid"), 6))
+    val w = Window.partitionBy($"cell")
+      .orderBy($"proto_cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy($"cell")))
+      .select($"vec_id", $"cell", $"proto_cos",
+        when($"rnk" <= expr(s"cell_n * $dropNum DIV $dropDen"), 0)
+          .otherwise(1).as("is_kept"))
+  }
+
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM pretraining via document
+    * de-duplication and diversification"): SemDeDup first (drop in-cluster
+    * semantic duplicates), THEN prototype-prune the survivors — dedup
+    * removes the redundancy spikes, the prototype pass then diversifies
+    * what remains. Composition of [[semdedupDropped]] and
+    * [[prototypePruned]]'s rank over the SURVIVOR set (quotas are computed
+    * on survivor cell sizes — pruning against pre-dedup sizes would
+    * over-prune clusters that lost many duplicates). Same standing fit
+    * and centroids as the parts (the paper re-uses its clustering too).
+    *
+    * Output audit shape: every assigned vector with both stage decisions
+    * (`semdedup_kept`, then final `is_kept`); a release build composes
+    * `WHERE is_kept = 1`. Scale = the parts': Σ|cell|² pair scan + one
+    * broadcast cosine + one window, all cell-co-partitioned. */
+  def d4Pruned(spark: SparkSession, sfDir: String, threshold: Double = 0.3,
+      dropNum: Int = 1, dropDen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = Similarity.standingIndex(spark, sfDir)
+    val assigned = standingAssigned(spark, sfDir)
+    val flagged = assigned
+      .join(broadcast(semdedupDropped(assigned, threshold)
+        .withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .withColumn("semdedup_kept", when($"hit".isNull, 1).otherwise(0))
+    val w = Window.partitionBy($"cell")
+      .orderBy($"proto_cos".desc, $"vec_id".asc)
+    val ranked = flagged.filter($"semdedup_kept" === 1)
+      .join(broadcast(centersDf(spark, idx.centers)), Seq("cell"))
+      .withColumn("proto_cos",
+        round(Similarity.cosine($"embedding", $"centroid"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy($"cell")))
+      .select($"vec_id",
+        when($"rnk" <= expr(s"cell_n * $dropNum DIV $dropDen"), 1)
+          .otherwise(0).as("proto_dropped"))
+    flagged.join(ranked, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"semdedup_kept",
+        when($"semdedup_kept" === 0, 0)
+          .when($"proto_dropped" === 1, 0).otherwise(1).as("is_kept"))
   }
 
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */

@@ -367,6 +367,48 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_._3 == 0) && got.exists(_._3 == 1))
   }
 
+  test("prototypePruned: per-cell quota is exact, dropped set is the top of the proto_cos ranking") {
+    val got = Dedup.prototypePruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    val byCell = got.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val quota = rows.length / 4 // integer quota: cell_n * 1 DIV 4
+      val dropped = rows.filter(_._4 == 0)
+      assert(dropped.length == quota, s"cell $cell drop count")
+      // the dropped vectors are exactly the quota top-ranked by
+      // (proto_cos desc, vec_id asc) — the paper's "most prototypical"
+      val ranked = rows.sortBy { case (vid, _, cos, _) => (-cos, vid) }
+      assert(ranked.take(quota).map(_._1).toSet == dropped.map(_._1).toSet,
+        s"cell $cell dropped set is not the ranking prefix")
+    }
+    // audit shape: every assigned vector appears exactly once
+    val n = graft.operators.Similarity.standingIndex(spark, sf).bucketed.count()
+    assert(got.map(_._1).distinct.length == got.length && got.length == n)
+    assert(got.exists(_._4 == 0) && got.exists(_._4 == 1))
+  }
+
+  test("d4Pruned: stage-1 decisions equal semdedupPruned; quota over survivors only") {
+    val sem = Dedup.semdedupPruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    val got = Dedup.d4Pruned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.length == sem.size)
+    got.foreach { case (vid, _, semKept, kept) =>
+      assert(semKept == sem(vid), s"vec $vid stage-1 decision drifted")
+      if (semKept == 0) assert(kept == 0, s"vec $vid revived a semantic dup")
+    }
+    // stage-2 quota is computed on SURVIVOR cell sizes, not pre-dedup sizes
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      val survivors = rows.filter(_._3 == 1)
+      val protoDropped = survivors.count(_._4 == 0)
+      assert(protoDropped == survivors.length / 4, s"cell $cell survivor quota")
+    }
+    // D4 keeps strictly fewer than SemDeDup alone once any cell has >= 4 survivors
+    val semKeptN = sem.values.count(_ == 1)
+    val d4KeptN = got.count(_._4 == 1)
+    assert(d4KeptN < semKeptN)
+  }
+
   test("crossSourceDupMatrix: conserves the pair count, unordered keys, bounded mean") {
     val m = Dedup.crossSourceDupMatrix(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
