@@ -309,7 +309,10 @@ object SparkEntry {
     // table, broadcast-rank apply; the iterative learn is a dump, the
     // usage rollup over it is the oracle-checked derivation
     "bpe_merges" -> (Bpe.mergesEntry _), // rows-only (iterative learn has no SQL twin)
-    "bpe_tokenized" -> (Bpe.tokenizedEntry _), // rows-only (it IS the oracle input)
+    // apply is HASH-CHECKED (upgraded from a dump): greedy lowest-rank
+    // merging over the STATIC rank table is a deterministic single-path
+    // walk, so DuckDB replays it recursively from the bpe_merges dump
+    "bpe_tokenized" -> (Bpe.tokenizedEntry _),
     "bpe_vocab_usage" -> (Bpe.vocabUsageEntry _),
     // WordPiece tokenizer (the BERT-family segmenter): likelihood-scored
     // driver learn over the same bounded word table, greedy
@@ -374,6 +377,10 @@ object SparkEntry {
     // published config is spec-tested on crafted multi-line pages)
     "line_cleaned_corpus" -> (LineClean.lineCleanedCorpus _),
     "stratified_sample" -> (Sampling.stratifiedSample _),
+    // Efraimidis-Spirakis A-ES weighted sampling without replacement:
+    // token-weighted top-100, md5-derived uniforms, micro-quantized
+    // ln(u)/w priority — corpus never shuffles (TakeOrdered)
+    "weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     // per-source quality cap: each source's top-`cap` docs by quality score
     // (doc_id tiebreak), salted two-phase rank — no per-source funnel
     "source_capped_corpus" -> ((s, d) => Sampling.sourceCappedCorpus(s, d)),
@@ -1885,6 +1892,20 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' " +
         "THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' " +
         "ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' END"),
+    // A-ES priorities replayed exactly: same md5 units → the same exact
+    // double u (division by 2^32 is exact), ln micro-quantized to BIGINT
+    // before the single IEEE division by the token weight
+    "weighted_sample" ->
+      (s"WITH $toksCte, " +
+        "w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS weight FROM t " +
+        "WHERE len(toks) > 0), " +
+        "p AS (SELECT doc_id, weight, CAST(round(ln(" +
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) " +
+        "/ 4294967296.0) * 1000000) AS BIGINT) AS ln_u_micros FROM w), " +
+        "r AS (SELECT doc_id, weight, ln_u_micros, CAST(row_number() OVER (" +
+        "ORDER BY CAST(ln_u_micros AS DOUBLE) / weight DESC, doc_id) AS INTEGER) AS rk " +
+        "FROM p) " +
+        "SELECT rk, doc_id, weight, ln_u_micros FROM r WHERE rk <= 100"),
     // per-source cap replayed with one window over the shared quality CTE
     // (same (score desc, doc_id) order, so the cut is deterministic)
     "source_capped_corpus" ->
@@ -1921,6 +1942,36 @@ object SparkEntry {
         "SELECT unnest(string_split(tokenized, ' ')) AS token " +
         "FROM read_parquet('{OUT}/bpe_tokenized/*.parquet')) " +
         "WHERE token <> '' GROUP BY token"),
+    // BPE apply replayed exactly: per distinct word, one merge per
+    // recursion step — the position list unnests, pairs join the dumped
+    // rank table, QUALIFY keeps (lowest rank, leftmost) — and the word's
+    // final state is its max-step row (a stuck word emits nothing more).
+    // Docs reassemble by word ordinal; the learn LOOP stays a dump (its
+    // argmax is over a mutating pair-count table, nothing static to join)
+    "bpe_tokenized" ->
+      (s"WITH RECURSIVE $toksCte, " +
+        "m AS (SELECT rank, \"left\" AS l, \"right\" AS r " +
+        "FROM read_parquet('{OUT}/bpe_merges/*.parquet')), " +
+        "w AS (SELECT doc_id, unnest(toks) AS word, " +
+        "unnest(generate_series(1, len(toks))) AS idx FROM t), " +
+        "dw AS (SELECT DISTINCT word FROM w), " +
+        "seg AS (SELECT word, 0 AS step, " +
+        "list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms FROM dw " +
+        "UNION ALL " +
+        "(SELECT s.word, s.step + 1, " +
+        "s.syms[1:i-1] || [m.l || m.r] || s.syms[i+2:] AS syms " +
+        "FROM seg s, unnest(generate_series(1, len(s.syms)-1)) u(i) " +
+        "JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1] " +
+        "QUALIFY row_number() OVER (PARTITION BY s.word, s.step " +
+        "ORDER BY m.rank, i) = 1)), " +
+        "fin AS (SELECT word, syms FROM seg " +
+        "QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1), " +
+        "wt AS (SELECT w.doc_id, w.idx, len(f.syms) AS n, " +
+        "array_to_string(f.syms, ' ') AS wtoks FROM w JOIN fin f USING (word)), " +
+        "agg AS (SELECT doc_id, string_agg(wtoks, ' ' ORDER BY idx) AS tokenized, " +
+        "sum(n) AS n_tokens FROM wt GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(agg.tokenized, '') AS tokenized FROM t LEFT JOIN agg USING (doc_id)"),
     // WordPiece apply replayed exactly: greedy longest-match-first is a
     // deterministic single-path walk, so a recursive CTE advances one
     // (word, cursor) state per word — QUALIFY keeps the longest matching

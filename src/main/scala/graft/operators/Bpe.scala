@@ -27,13 +27,16 @@ import graft.util.Cols.spread
   * max-count pair with lexicographic tie-break; top-V selection orders by
   * (count desc, word asc). No floats anywhere in learn or apply.
   *
-  * Oracle strategy: the merge loop is iterative and not SQL-expressible,
-  * so the learned table and the per-doc tokenization are dumps; what
-  * DuckDB CHECKS is the derivation over them — the corpus-wide
-  * vocab-usage rollup re-aggregated from the dumped tokenized strings
-  * (the kmeans_assignments / ivf_assignments contract). The partition
-  * invariant (tokens concatenate back to the exact word stream) is pinned
-  * in spec.
+  * Oracle strategy: the LEARN loop is iterative over a mutating
+  * pair-count table and not SQL-expressible, so the merge table is a dump
+  * (the kmeans_assignments / ivf_assignments contract). APPLY, though, is
+  * a deterministic single-path walk over the STATIC rank table, so the
+  * per-doc tokenization is HASH-CHECKED: DuckDB replays the greedy
+  * lowest-rank-leftmost merging with a recursive CTE per distinct word
+  * and reassembles documents by word ordinal (the [[Wordpiece]] replay
+  * shape). The vocab-usage rollup re-aggregates the tokenized table. The
+  * partition invariant (tokens concatenate back to the exact word stream)
+  * is pinned in spec.
   */
 object Bpe {
 

@@ -88,6 +88,47 @@ object Decontamination {
       .select($"doc_id", $"bench_id", $"n_shared")
   }
 
+  /** A benchmark gram set prepared ONCE for repeated sweeps — the streaming
+    * form's standing half. [[contaminationPairsOf]] re-explodes the
+    * benchmark and re-runs the broadcast-guard count on every call; under a
+    * micro-batch loop that is one redundant explode + one driver action per
+    * trigger. Here the exploded (bench_id, gram) frame is persisted and
+    * materialized up front, the hashed-vs-exact decision is taken once, and
+    * every subsequent sweep just broadcasts the cached rows.
+    *
+    * Call [[PreparedBenchmark.unpersist]] when the stream stops. */
+  final case class PreparedBenchmark(grams: DataFrame, hashed: Boolean,
+      n: Int) {
+    def unpersist(): Unit = { val _ = grams.unpersist() }
+  }
+
+  def prepareBenchmark(benchmark: DataFrame, n: Int = 8,
+      maxBroadcastGrams: Long = 50L * 1000 * 1000): PreparedBenchmark = {
+    val b = benchmark.select($"doc_id".as("bench_id"),
+      explode(tokenNgrams($"text", n)).as("gram"))
+    val hashed = b.agg(count(lit(1))).head.getLong(0) > maxBroadcastGrams
+    val keyed = if (hashed) b.withColumn("gram", xxhash64($"gram")) else b
+    val cached = keyed.persist()
+    cached.count() // materialize now, not inside the first micro-batch
+    PreparedBenchmark(cached, hashed, n)
+  }
+
+  /** [[contaminationPairsOf]] against a [[PreparedBenchmark]] — identical
+    * output and topology (benchmark broadcast, corpus probes in place),
+    * but the benchmark side is the cached frame: no re-explode, no guard
+    * action. The per-sweep cost is exactly the corpus side's. */
+  def contaminationPairsPrepared(corpus: DataFrame,
+      bench: PreparedBenchmark, minOverlap: Int = 1): DataFrame = {
+    val c0 = spread(corpus).select($"doc_id",
+      explode(tokenNgrams($"text", bench.n)).as("gram"))
+    val c = if (bench.hashed) c0.withColumn("gram", xxhash64($"gram")) else c0
+    c.join(broadcast(bench.grams), "gram")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minOverlap)
+      .select($"doc_id", $"bench_id", $"n_shared")
+  }
+
   /** Registered query: sweep the fixture corpus against a held-out
     * "benchmark" slice of itself (every 10th doc), n=8 tokens. The oracle
     * brute-forces the same distinct-gram intersection in DuckDB. */

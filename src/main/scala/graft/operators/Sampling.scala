@@ -234,6 +234,50 @@ object Sampling {
         .otherwise(hashGate($"doc_id", 0.5)))
       .select($"doc_id", $"lang")
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws priority u^(1/w) from a uniform u and
+    * its weight w, and the global top-n by priority is EXACTLY a weighted
+    * sample without replacement — the one-pass, shuffle-light way to draw
+    * "n docs, longer docs proportionally likelier" from a 100 TB corpus.
+    *
+    * Determinism across engines (no RNG): u comes from the corpus-standard
+    * md5 gate (first 8 hex chars → integer units; u = (units+1)/2³², in
+    * (0,1] — exact in double, both engines see bit-identical u), and the
+    * priority is compared as ln(u)/w (monotone in u^(1/w)) with ln
+    * micro-quantized to an exact BIGINT (`round(ln(u)·1e6)`, the [[Bm25]]
+    * convention) before the one IEEE division by w. Ties (incl. the
+    * measure-zero quantization collisions) break by doc_id.
+    *
+    * Scale: a per-row projection, then global top-n = TakeOrdered (per
+    * partition top-n, driver merges n·partitions rows) — the corpus never
+    * shuffles; the rank window runs on the n collected survivors only. */
+  def weightedSampleOf(docs: DataFrame, weight: Column, n: Int): DataFrame = {
+    val units = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val lnMicros = round(
+      log((units + 1).cast("double") / lit(4294967296.0)) * 1e6, 0)
+      .cast("long")
+    val scored = docs
+      .select($"doc_id", weight.cast("long").as("weight"))
+      .filter($"weight" > 0)
+      .withColumn("ln_u_micros", lnMicros)
+      .withColumn("priority", $"ln_u_micros".cast("double") / $"weight")
+    val top = scored.orderBy($"priority".desc, $"doc_id").limit(n)
+    // rank assignment over the n survivors only (tiny, post-TakeOrdered)
+    top.withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy($"priority".desc, $"doc_id")))
+      .select($"rk", $"doc_id", $"weight", $"ln_u_micros")
+  }
+
+  /** Registered query: token-weighted A-ES top-100 over the fixture —
+    * length-proportional sampling, the subsample shape a token-budget
+    * ablation draws. Empty docs (weight 0) are excluded by contract
+    * (u^(1/0) is undefined; a zero-weight row can never win). */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      n: Int = 100): DataFrame =
+    weightedSampleOf(Tables.documents(spark, sfDir),
+      size(TextAnalysis.tokens($"text")).cast("long"), n)
+
   /** Registered query: deterministic multi-epoch training order — the
     * reproducible data-order contract a training run needs (resume from a
     * checkpoint, re-run a divergence, ablate data order — all demand the

@@ -37,8 +37,8 @@ import graft.util.Cols.spread
   * (the `ivf_assignments` contract) and DuckDB replays the exact greedy
   * walk with a recursive CTE (one row per (word, cursor), `QUALIFY` keeps
   * the longest matching piece), then reassembles documents by word
-  * ordinal. The BPE merge loop admits no such replay (its inner argmax is
-  * over a mutating pair-count table); WordPiece's apply does.
+  * ordinal. (The same replay shape upgraded [[Bpe]]'s apply; only the
+  * LEARN loops — argmax over mutating count tables — remain dumps.)
   */
 object Wordpiece {
 

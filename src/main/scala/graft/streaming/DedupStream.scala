@@ -200,6 +200,30 @@ object DedupStream {
       }
   }
 
+  /** Streaming decontamination — the benchmark-hygiene twin of
+    * [[incrementalDedupQuery]]: micro-batches of (doc_id, text) sweep
+    * against a [[Decontamination.PreparedBenchmark]] (exploded, keyed and
+    * cached ONCE up front — the standing side of this stream; a naive
+    * per-batch [[Decontamination.contaminationPairsOf]] would re-explode
+    * the benchmark and re-run its broadcast-guard driver action on every
+    * trigger) and hand the (doc_id, bench_id, n_shared) contamination
+    * pairs to `sink`. Per batch the plan is: explode the batch's grams,
+    * probe the broadcast benchmark relation in place, group by the (rare)
+    * matching pairs — the batch never shuffles its full gram stream.
+    *
+    * The benchmark is FROZEN for the stream's lifetime, which is the
+    * production contract (eval suites version discretely; a new suite is a
+    * new prepared frame and a stream restart). */
+  def decontaminationQuery(stream: DataFrame,
+      bench: Decontamination.PreparedBenchmark, minOverlap: Int = 1)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Decontamination
+          .contaminationPairsPrepared(batch, bench, minOverlap), batchId)
+      }
+
   /** The full streaming ingest pipeline — the per-micro-batch form of
     * [[graft.operators.Pipelines.ingestedCorpus]]: each batch of documents
     * is exact-deduped within itself, near-deduped within itself and against
@@ -227,6 +251,10 @@ object DedupStream {
     * does not exactly share; the streaming rule is the one a day-over-day
     * pipeline actually wants (nothing in the corpus ever references a
     * dropped doc).
+    *
+    * `preparedBench` (when set) replaces the per-trigger benchmark
+    * explode with the once-cached [[Decontamination.PreparedBenchmark]]
+    * frame — prepare it with the same `n` as this query's.
     */
   def ingestQuery(stream: DataFrame, corpus: DataFrame, indexTable: String,
       benchmark: DataFrame, shingleLen: Int = 5, numBands: Int = 128,
@@ -237,7 +265,8 @@ object DedupStream {
       spanN: Int = 8, spanMinOccurrences: Int = 2,
       lineRules: Option[graft.operators.LineClean.Rules] = None,
       classifierGate: Option[(Double, Array[Double], Double)] = None,
-      normalizedExact: Boolean = false)
+      normalizedExact: Boolean = false,
+      preparedBench: Option[Decontamination.PreparedBenchmark] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
@@ -293,8 +322,11 @@ object DedupStream {
         // the sweep probes the CURRENT text (trimmed when enabled) — a
         // duplicated span that also matched a benchmark item is gone by
         // the time the sweep runs, so it cannot flag the document
-        val contaminated = Decontamination
-          .contaminationPairsOf(trimmed, benchmark, n)
+        // a prepared benchmark (same grams, cached once) skips the
+        // per-trigger benchmark re-explode + broadcast-guard action
+        val contaminated = preparedBench.map(pb => Decontamination
+            .contaminationPairsPrepared(trimmed, pb))
+          .getOrElse(Decontamination.contaminationPairsOf(trimmed, benchmark, n))
           .select($"doc_id").distinct()
         val clean = trimmed
           .join(contaminated, Seq("doc_id"), "left_anti")

@@ -71,6 +71,36 @@ class DecontaminationSpec extends SparkTestBase {
     assert(!exact.queryExecution.optimizedPlan.toString.contains("xxhash64"))
   }
 
+  test("prepared benchmark: same pairs as the one-shot sweep, exact and hashed, cached once") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val expected = Decontamination.contaminationPairsOf(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    val prepared = Decontamination.prepareBenchmark(bench)
+    try {
+      // the standing side is materialized up front — repeated sweeps
+      // (micro-batches) read the cache, not the explode
+      assert(prepared.grams.storageLevel.useMemory)
+      assert(!prepared.hashed)
+      val got = Decontamination.contaminationPairsPrepared(corpus, prepared)
+      assert(got.as[(Long, Long, Long)].collect().toSet == expected)
+      // benchmark still the broadcast build side
+      assert(got.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally prepared.unpersist()
+    val hashedPrep = Decontamination.prepareBenchmark(bench,
+      maxBroadcastGrams = 10)
+    try {
+      assert(hashedPrep.hashed)
+      val got = Decontamination
+        .contaminationPairsPrepared(corpus, hashedPrep)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally hashedPrep.unpersist()
+    assert(expected.nonEmpty)
+  }
+
   test("ngramContamination sweeps the fixture and equals brute force") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val got = Decontamination.ngramContamination(spark, sf)

@@ -47,6 +47,73 @@ class DedupStreamSpec extends SparkTestBase {
     assert(results.nonEmpty)
   }
 
+  test("streaming decontamination sweeps equal the batch sweep; benchmark prepared once") {
+    import graft.operators.Decontamination
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val prepared = Decontamination.prepareBenchmark(bench)
+    val results = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.decontaminationQuery(
+      ms.toDF().toDF("doc_id", "text"), prepared) { (pairs, _) =>
+      results ++= pairs.as[(Long, Long, Long)].collect()
+    }.start()
+    try {
+      val rows = corpus.select($"doc_id", $"text").as[(Long, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prepared.unpersist()
+    }
+    // a doc's pairs depend only on its own grams vs the frozen benchmark,
+    // so micro-batch sweeps union to exactly the one-shot batch sweep
+    val expected = Decontamination.contaminationPairsOf(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(results.toSet == expected)
+    assert(results.nonEmpty)
+  }
+
+  test("ingest with a prepared benchmark: byte-equal survivors to the per-batch sweep form") {
+    import graft.operators.Decontamination
+    val docs = Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 1)
+    val benchmark = docs.filter($"doc_id" % 10 === 0)
+    val prepared = Decontamination.prepareBenchmark(benchmark)
+    Dedup.writeBandIndex(standing, "band_idx_prepb", buckets = 4)
+    val survivors = scala.collection.mutable.Set[(Long, String)]()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = DedupStream.ingestQuery(
+      ms.toDF().toDF("doc_id", "text", "lang"), docs, "band_idx_prepb",
+      benchmark, preparedBench = Some(prepared)) { (clean, _) =>
+      survivors ++= clean.select($"doc_id", $"lang").as[(Long, String)].collect()
+    }.start()
+    try {
+      val rows = docs.filter($"doc_id" % 10 === 1)
+        .select($"doc_id", $"text", $"lang")
+        .orderBy($"doc_id").as[(Long, String, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prepared.unpersist()
+      spark.sql("DROP TABLE IF EXISTS band_idx_prepb")
+    }
+    // same survivors as the batch chain (and thus as the unprepared form,
+    // pinned by the ingest-parity test above against the same oracle)
+    val expected = graft.operators.Pipelines.ingestedCorpus(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(survivors.toSet == expected)
+    assert(survivors.nonEmpty)
+  }
+
   test("streaming ingest pipeline matches the batch ingest chain") {
     val docs = Tables.documents(spark, sf)
     val standing = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 1)

@@ -330,4 +330,47 @@ class SamplingSpec extends SparkTestBase {
     val tsum = t.map(_.getAs[Long]("target_tokens")).sum
     assert(math.abs(tsum - 100000L) <= t.length, s"targets sum to $tsum")
   }
+
+  test("weightedSample: equals the driver-side A-ES brute force; heavy rows dominate") {
+    import org.apache.spark.sql.functions._
+    // brute-force A-ES over the fixture with the same md5-derived uniforms
+    def lnUMicros(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val units = java.lang.Long.parseLong(hex, 16)
+      math.round(math.log((units + 1).toDouble / 4294967296.0) * 1e6)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(graft.operators.TextAnalysis.tokens($"text")).cast("long").as("w"))
+      .as[(Long, Long)].collect()
+    val expected = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, lnUMicros(id)) }
+      .sortBy { case (id, w, lm) => (-(lm.toDouble / w), id) }
+      .take(100).zipWithIndex
+      .map { case ((id, w, lm), i) => (i + 1, id, w, lm) }.toSeq
+    val got = Sampling.weightedSample(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // determinism under repartitioning (TakeOrdered is partition-invariant)
+    val reparted = Sampling.weightedSampleOf(
+      graft.sources.Tables.documents(spark, sf).repartition(17),
+      size(graft.operators.TextAnalysis.tokens($"text")).cast("long"), 100)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(reparted == got)
+    // weighting works: with weights 100 vs 1 split half/half, the heavy
+    // class dominates the top-50 (deterministic under the fixed hash)
+    val synth = spark.range(1000L)
+      .select($"id".as("doc_id"), when($"id" % 2 === 0, 100L).otherwise(1L).as("w"))
+    val top = Sampling.weightedSampleOf(synth, $"w", 50)
+      .filter($"weight" === 100L).count()
+    assert(top >= 45, s"heavy rows in top-50: $top")
+    // zero-weight rows can never be sampled
+    val withZero = spark.range(10L)
+      .select($"id".as("doc_id"), when($"id" < 5, 0L).otherwise(7L).as("w"))
+    val ids = Sampling.weightedSampleOf(withZero, $"w", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == (5L until 10L).toSet)
+  }
 }
