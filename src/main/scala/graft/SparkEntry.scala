@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis, Wordpiece}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis, UnigramLm, Wordpiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -322,6 +322,14 @@ object SparkEntry {
     "wordpiece_vocab" -> (Wordpiece.vocabEntry _), // rows-only (it IS the oracle input)
     "wordpiece_tokenized" -> (Wordpiece.tokenizedEntry _),
     "wordpiece_vocab_usage" -> (Wordpiece.vocabUsageEntry _),
+    // Unigram-LM / SentencePiece (Kudo 2018) — the third subword family:
+    // EM learn on the driver over the bounded word table (dump), Viterbi
+    // apply with integer micro log-probs HASH-CHECKED: DuckDB carries the
+    // dp vector as a list through a recursive CTE and rebuilds the argmax
+    // path with the same smallest-split tie-break
+    "unigram_vocab" -> (UnigramLm.vocabEntry _), // rows-only (it IS the oracle input)
+    "unigram_tokenized" -> (UnigramLm.tokenizedEntry _),
+    "unigram_vocab_usage" -> (UnigramLm.vocabUsageEntry _),
     // exact-substring spans (Lee et al. 2022 relationally): positional
     // 8-grams occurring 2+ times corpus-wide, overlapping windows merged
     // gap-and-island; dup-gram set broadcast, corpus positions never
@@ -2005,6 +2013,45 @@ object SparkEntry {
       ("SELECT token, count(*) AS n FROM (" +
         "SELECT unnest(string_split(tokenized, ' ')) AS token " +
         "FROM read_parquet('{OUT}/wordpiece_tokenized/*.parquet')) " +
+        "WHERE token <> '' GROUP BY token"),
+    // Unigram-LM Viterbi replayed exactly: the recursion advances every
+    // word one character per step, carrying dp (BIGINT micro log-prob per
+    // prefix) and the best segmentation per prefix as LISTs; candidate
+    // scores come from a map over the dumped piece table, the argmax index
+    // is list_position's FIRST hit (= the Spark strict-> smallest-split
+    // tie-break), and an all-NULL dp tail is an unsegmentable word → [UNK]
+    "unigram_tokenized" ->
+      (s"WITH RECURSIVE $toksCte, " +
+        "vm AS (SELECT map(list(piece), list(CAST(logp_micros AS BIGINT))) AS m " +
+        "FROM read_parquet('{OUT}/unigram_vocab/*.parquet')), " +
+        "w AS (SELECT doc_id, unnest(toks) AS word, " +
+        "unnest(generate_series(1, len(toks))) AS idx FROM t), " +
+        "dw AS (SELECT DISTINCT word FROM w), " +
+        "seg AS (SELECT word, 0 AS k, [CAST(0 AS BIGINT)] AS dp, " +
+        "[CAST('' AS VARCHAR)] AS segs FROM dw " +
+        "UNION ALL " +
+        "SELECT word, k + 1, dp || [list_max(cands)] AS dp, " +
+        "segs || [CASE WHEN list_max(cands) IS NULL THEN NULL ELSE " +
+        "segs[list_position(cands, list_max(cands))] || " +
+        "CASE WHEN list_position(cands, list_max(cands)) > 1 THEN ' ' ELSE '' END || " +
+        "substr(word, list_position(cands, list_max(cands)), " +
+        "k + 2 - list_position(cands, list_max(cands))) END] AS segs " +
+        "FROM (SELECT s.word, s.k, s.dp, s.segs, " +
+        "list_transform(generate_series(1, s.k + 1), " +
+        "i -> s.dp[i] + vm.m[substr(s.word, i, s.k + 2 - i)][1]) AS cands " +
+        "FROM seg s, vm WHERE s.k < len(s.word))), " +
+        "fin AS (SELECT word, coalesce(segs[len(word) + 1], '[UNK]') AS wtoks " +
+        "FROM seg WHERE k = len(word)), " +
+        "wt AS (SELECT w.doc_id, w.idx, f.wtoks, " +
+        "len(string_split(f.wtoks, ' ')) AS n FROM w JOIN fin f USING (word)), " +
+        "agg AS (SELECT doc_id, string_agg(wtoks, ' ' ORDER BY idx) AS tokenized, " +
+        "sum(n) AS n_tokens FROM wt GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(agg.tokenized, '') AS tokenized FROM t LEFT JOIN agg USING (doc_id)"),
+    "unigram_vocab_usage" ->
+      ("SELECT token, count(*) AS n FROM (" +
+        "SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/unigram_tokenized/*.parquet')) " +
         "WHERE token <> '' GROUP BY token"),
     // exact-gram twin of the hashed-gram Spark plan (xxhash64 keys can only
     // ADD covered positions, at ~B²/2^65 expected colliding pairs); same

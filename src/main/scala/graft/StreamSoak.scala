@@ -41,6 +41,9 @@ object StreamSoak {
         tag = s"c$cores", soakMs = 30000)
       val hd = Soak.hashDedupRun(spark, corpusItems = 20000 * dedupScale,
         itemsRate, tag = s"c$cores", soakMs = 30000)
+      val decontamRate = 20000 * dedupScale
+      val dc = Soak.decontamRun(spark, benchDocs = 2000 * dedupScale,
+        decontamRate, soakMs = 20000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -48,9 +51,11 @@ object StreamSoak {
       s""""local_$cores":{"collector":${Soak.json(c)},""" +
         s""""hourly_type_counts":${Soak.json(h)},""" +
         s""""dedup_probe":${Soak.json(d)},""" +
-        s""""hash_dedup":${Soak.json(hd)},"cores":$cores,""" +
+        s""""hash_dedup":${Soak.json(hd)},""" +
+        s""""decontam":${Soak.json(dc)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
-        s""""docs_rate":$docsRate,"items_rate":$itemsRate}"""
+        s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
+        s""""decontam_rate":$decontamRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

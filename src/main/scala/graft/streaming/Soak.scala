@@ -154,6 +154,32 @@ object Soak {
     finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  /** Streaming DECONTAMINATION throughput — the benchmark-hygiene row: a
+    * synthesized benchmark suite is exploded/keyed/cached ONCE
+    * ([[graft.operators.Decontamination.prepareBenchmark]], untimed — it is
+    * the standing artifact), then a rate-source document stream sweeps
+    * against it per micro-batch via [[DedupStream.decontaminationQuery]].
+    * Half the streamed docs are verbatim benchmark texts (every 8-gram
+    * hits — the worst case for the match-side group-by), half are novel
+    * (explode + broadcast probe, zero matches). The sink counts pairs so
+    * every batch pays the full sweep. */
+  def decontamRun(spark: SparkSession, benchDocs: Int, docsRate: Int,
+      soakMs: Long = 20000): Result = {
+    val bench = spark.range(benchDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    val prepared = graft.operators.Decontamination.prepareBenchmark(bench)
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", docsRate.toString).load()
+      .select((col("value") + benchDocs).as("doc_id"),
+        when(col("value") % 2 === 0, synthText(col("value") % benchDocs))
+          .otherwise(synthTextNovel(col("value") * 7 + 3)).as("text"))
+    val q = DedupStream.decontaminationQuery(docs, prepared) {
+      (pairs, _) => val _ = pairs.count()
+    }.start()
+    try soak(q, soakMs)
+    finally prepared.unpersist()
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

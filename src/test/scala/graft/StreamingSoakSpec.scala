@@ -64,6 +64,18 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: streaming decontamination sustains the sweep") {
+    // per micro-batch: 8-gram explode + broadcast probe of the prepared
+    // benchmark + pair group-by; half the feed is all-hits (worst case for
+    // the match side), half all-misses
+    measureWithRetry { _ =>
+      Soak.decontamRun(spark, benchDocs = 2000, docsRate = 20000)
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 20000, d)
+      assert(d.rowsPerSec > 2000, s"decontam throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: perceptual hash dedup sustains the media firehose") {
     // the full decode → aHash → multi-index Hamming probe chain per
     // micro-batch; floor far below a healthy 4-core rate (CI-noise-proof)
