@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.TextClustering
-import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis, UnigramLm, Wordpiece}
+import graft.operators.{AsOf, Bpe, Decontamination, Dedup, Dsir, DupSpans, EventAnalytics, LineClean, NgramLm, Pii, Pipelines, Pq, Profile, RangeJoin, Reference, Relational, Sampling, Similarity, Skew, Sq, TextAnalysis, TokenizerAudit, UnigramLm, Wordpiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -330,6 +330,11 @@ object SparkEntry {
     "unigram_vocab" -> (UnigramLm.vocabEntry _), // rows-only (it IS the oracle input)
     "unigram_tokenized" -> (UnigramLm.tokenizedEntry _),
     "unigram_vocab_usage" -> (UnigramLm.vocabUsageEntry _),
+    // the triad side-by-side: total tokens, exact-integer fertility
+    // (tokens-per-word micros), distinct pieces fired — one exploded
+    // count/count-distinct per tokenizer, replayed from the three dumps
+    "tokenizer_fertility_compare" ->
+      ((s, d) => TokenizerAudit.fertilityCompare(s, d)),
     // exact-substring spans (Lee et al. 2022 relationally): positional
     // 8-grams occurring 2+ times corpus-wide, overlapping windows merged
     // gap-and-island; dup-gram set broadcast, corpus positions never
@@ -2053,6 +2058,20 @@ object SparkEntry {
         "SELECT unnest(string_split(tokenized, ' ')) AS token " +
         "FROM read_parquet('{OUT}/unigram_tokenized/*.parquet')) " +
         "WHERE token <> '' GROUP BY token"),
+    // the same exploded count / count-distinct per dump; fertility with
+    // the identical integer-micros division
+    "tokenizer_fertility_compare" ->
+      (s"WITH $toksCte, tw AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total_words FROM t), " +
+        "u AS (SELECT 'bpe' AS tokenizer, token FROM (SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/bpe_tokenized/*.parquet')) WHERE token <> '' " +
+        "UNION ALL SELECT 'unigram', token FROM (SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/unigram_tokenized/*.parquet')) WHERE token <> '' " +
+        "UNION ALL SELECT 'wordpiece', token FROM (SELECT unnest(string_split(tokenized, ' ')) AS token " +
+        "FROM read_parquet('{OUT}/wordpiece_tokenized/*.parquet')) WHERE token <> '') " +
+        "SELECT tokenizer, CAST(count(*) AS BIGINT) AS total_tokens, " +
+        "CAST(count(*) * 1000000 // tw.total_words AS BIGINT) AS fertility_micros, " +
+        "CAST(count(DISTINCT token) AS BIGINT) AS pieces_used " +
+        "FROM u, tw GROUP BY tokenizer, tw.total_words"),
     // exact-gram twin of the hashed-gram Spark plan (xxhash64 keys can only
     // ADD covered positions, at ~B²/2^65 expected colliding pairs); same
     // island merge via lag/sum windows
