@@ -201,6 +201,10 @@ object SparkEntry {
     // centroids dumped (proto_centroids) so DuckDB replays score+rank+quota
     "prototype_pruned" -> ((s, d) => Dedup.prototypePruned(s, d)),
     "proto_centroids" -> ((s, d) => Dedup.protoCentroids(s, d)), // rows-only (it IS the oracle input)
+    // index-health audit: per-cell balance + mean cosine-to-own-centroid
+    // in exact integer micros (sum DIV n) — the re-train-the-quantizer
+    // signal; replayed from the same assignment/centroid dumps
+    "ivf_quantization_error" -> ((s, d) => Dedup.ivfQuantizationError(s, d)),
     // D4 = SemDeDup then prototype-prune the survivors (quotas on survivor
     // cell sizes); both stage decisions in the audit output
     "d4_pruned" -> ((s, d) => Dedup.d4Pruned(s, d)),
@@ -1509,6 +1513,15 @@ object SparkEntry {
       (s"WITH $protoScoredCtes " +
         "SELECT vec_id, cell, proto_cos, CASE WHEN rnk <= (cell_n * 1) // 4 " +
         "THEN 0 ELSE 1 END AS is_kept FROM r"),
+    // per-cell rollup of the same scored frame: micro-quantized cosine
+    // sums and truncating integer mean (DuckDB // and Spark DIV both
+    // truncate toward zero)
+    "ivf_quantization_error" ->
+      (s"WITH $protoScoredCtes " +
+        "SELECT cell, n_vecs, sum_cos_micros, sum_cos_micros // n_vecs AS mean_cos_micros " +
+        "FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(round(proto_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_micros " +
+        "FROM e GROUP BY cell)"),
     // D4: the semdedup drop set carved out first, prototype rank + quota
     // over the SURVIVORS only, both stage decisions in the output
     "d4_pruned" ->

@@ -1266,6 +1266,30 @@ object Dedup {
           .otherwise(1).as("is_kept"))
   }
 
+  /** IVF index-health audit — the table an index operator watches to
+    * decide when the coarse quantizer needs re-training: per cell, the
+    * member count (balance) and the mean cosine-to-own-centroid in exact
+    * integer micros (quantization quality; appends assign to the nearest
+    * FROZEN centroid, so drifted ingest shows up here as falling means and
+    * swelling cells long before recall degrades). Mean is `sum DIV n` over
+    * micro-quantized cosines — no float aggregation, so the DuckDB replay
+    * (same dumps as [[prototypePruned]]) is bit-exact.
+    *
+    * Scale: one codegen cosine per vector (centroids broadcast) + one
+    * partial-aggregated groupBy(cell) — k result rows. */
+  def ivfQuantizationError(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = Similarity.standingIndex(spark, sfDir)
+    standingAssigned(spark, sfDir)
+      .join(broadcast(centersDf(spark, idx.centers)), Seq("cell"))
+      .withColumn("cos_micros",
+        round(round(Similarity.cosine($"embedding", $"centroid"), 6) * 1e6, 0)
+          .cast("long"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"), sum($"cos_micros").as("sum_cos_micros"))
+      .select($"cell", $"n_vecs", $"sum_cos_micros",
+        expr("sum_cos_micros DIV n_vecs").as("mean_cos_micros"))
+  }
+
   /** D4 (Tirumala et al. 2023, "D4: Improving LLM pretraining via document
     * de-duplication and diversification"): SemDeDup first (drop in-cluster
     * semantic duplicates), THEN prototype-prune the survivors — dedup
@@ -1285,10 +1309,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val idx = Similarity.standingIndex(spark, sfDir)
     val assigned = standingAssigned(spark, sfDir)
+    // lineage cut: `flagged` fans out into the survivor ranking AND the
+    // final decision join — without the cut each reference re-runs the
+    // Σ|cell|² semdedup pair scan (verified in the round-10 plan dump)
     val flagged = assigned
       .join(broadcast(semdedupDropped(assigned, threshold)
         .withColumn("hit", lit(1))), Seq("vec_id"), "left")
       .withColumn("semdedup_kept", when($"hit".isNull, 1).otherwise(0))
+      .localCheckpoint()
     val w = Window.partitionBy($"cell")
       .orderBy($"proto_cos".desc, $"vec_id".asc)
     val ranked = flagged.filter($"semdedup_kept" === 1)

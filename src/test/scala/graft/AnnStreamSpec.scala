@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.streaming.AnnStream
+
+/** Streaming IVF serving: micro-batch probes of the persisted index must
+  * union to the one-shot batch probe, and observe concurrent appends. */
+class AnnStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("micro-batch probes equal the batch probe; appended vectors become searchable") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus), path)
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1).take(6)
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      val (first, second) = queries.splitAt(3)
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+      // per-query results depend only on (query, index): batch-split union
+      // equals the one-shot probe of the same loaded index
+      val expected = Similarity.queryIvfIndex(
+        Similarity.loadIvfIndex(spark, path), queries)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expected)
+      assert(results.nonEmpty)
+      // probe-while-ingest: append a vector near query 0's embedding, the
+      // next micro-batch must surface it
+      val (qid, qemb) = queries.head
+      Similarity.appendToIvfIndex(
+        Seq((990000L, qemb)).toDF("vec_id", "embedding"), path)
+      results.clear()
+      ms.addData((qid, qemb))
+      q.processAllAvailable()
+      assert(results.exists(_._2 == 990000L),
+        s"appended vector not surfaced: ${results.toSeq.sortBy(_._4).take(3)}")
+    } finally q.stop()
+  }
+}

@@ -387,6 +387,25 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_._4 == 0) && got.exists(_._4 == 1))
   }
 
+  test("ivfQuantizationError: conserves membership, means bracket the per-cell cosines") {
+    val idx = graft.operators.Similarity.standingIndex(spark, sf)
+    val got = Dedup.ivfQuantizationError(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one row per standing cell; membership count conserved
+    assert(got.map(_._1).toSet == idx.bucketed.select($"cell".cast("int"))
+      .distinct().as[Int].collect().toSet)
+    assert(got.map(_._2).sum == idx.bucketed.count())
+    got.foreach { case (cell, n, sum, mean) =>
+      assert(n >= 1)
+      assert(mean == sum / n, s"cell $cell integer mean")
+      // a cosine lives in [-1, 1] → micros within ±1e6
+      assert(mean >= -1000000L && mean <= 1000000L, s"cell $cell mean $mean")
+    }
+    // vectors sit closer to their own centroid than random: overall mean
+    // positive on the fixture fit
+    assert(got.map(_._3).sum / got.map(_._2).sum > 0)
+  }
+
   test("d4Pruned: stage-1 decisions equal semdedupPruned; quota over survivors only") {
     val sem = Dedup.semdedupPruned(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(2))).toMap
