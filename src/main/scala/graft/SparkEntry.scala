@@ -375,6 +375,10 @@ object SparkEntry {
     // packs by integer running-total arithmetic (shard-parallel windows,
     // no global funnel); per-pack fill audit
     "packed_sequences" -> ((s, d) => TextAnalysis.packedSequences(s, d)),
+    // padded-batch counterpart of packing: bit-length buckets, per-(shard,
+    // bucket) deterministic batches, exact-integer fill-ratio audit
+    "length_bucketed_batches" ->
+      ((s, d) => TextAnalysis.lengthBucketedBatches(s, d)),
     // per-shard fill/overflow audit of the packing layout (the number a
     // trainer needs to size truncation policy and spot wasted context)
     "packing_efficiency" -> ((s, d) => TextAnalysis.packingEfficiency(s, d)),
@@ -2213,6 +2217,21 @@ object SparkEntry {
     // same chunk derivation + md5-mod shard + integer running-total cut:
     // (cumsum-before // 256) replayed with the identical window order
     // same packing derivation rolled up per shard: fill + overflow audit
+    // bit-length buckets (integer-exact floor(log2)+1 via bin()), md5-mod
+    // shard, per-(shard,bucket) row_number batches, integer fill micros
+    "length_bucketed_batches" ->
+      (s"WITH $toksCte, d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens " +
+        "FROM t WHERE len(toks) >= 1), " +
+        "s AS (SELECT doc_id, n_tokens, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard, " +
+        "CAST(length(bin(n_tokens)) AS INTEGER) AS bucket FROM d), " +
+        "r AS (SELECT shard, bucket, n_tokens, " +
+        "CAST((row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx " +
+        "FROM s) " +
+        "SELECT shard, bucket, batch_idx, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(n_tokens) * 1000000 // (count(*) * max(n_tokens)) AS BIGINT) AS fill_micros " +
+        "FROM r GROUP BY shard, bucket, batch_idx"),
     "packing_efficiency" ->
       (s"WITH $chunksCtes, sh AS (SELECT doc_id, chunk_id, n_chunk_tokens, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard FROM ch), " +

@@ -419,6 +419,49 @@ object TextAnalysis {
       .orderBy($"shard", $"pack_id")
   }
 
+  /** LENGTH-BUCKETED batching — the padded-batch counterpart of
+    * [[packedSequences]]: when examples are NOT concat-packed (SFT,
+    * contrastive pairs, rerankers), every batch pads to its LONGEST
+    * member, so grouping similar lengths is the standard padding-waste
+    * control. Bucket = the token count's bit length (`length(bin(n))` —
+    * the integer-exact floor(log2)+1 both engines compute identically; a
+    * float log2 could straddle exact powers of two); within each
+    * (shard, bucket) the (doc_id) order is total and
+    * batch = `(row_number−1) DIV batchSize`.
+    *
+    * Output: one row per (shard, bucket, batch) with the doc count, the
+    * padded width (max tokens), the real token mass, and the fill ratio
+    * in exact integer micros (`sum·1e6 DIV (n·max)`) — the padding-waste
+    * audit a trainer reads. Empty docs carry no trainable tokens and are
+    * excluded by contract.
+    *
+    * Scale: same shard-parallel layout as [[packedSequences]] — the only
+    * window partitions by (shard, bucket), so batching parallelizes
+    * across shards × buckets and nothing global-sorts. */
+  def lengthBucketedBatches(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= 1)
+      .withColumn("shard", Sampling.shardOf($"doc_id", nShards))
+      .withColumn("bucket", length(bin($"n_tokens")).cast("int"))
+    val w = Window.partitionBy($"shard", $"bucket").orderBy($"doc_id")
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"cast(rn - 1 as bigint) div $batchSize"))
+      .groupBy($"shard", $"bucket", $"batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_tokens").as("sum_tokens"))
+      .select($"shard", $"bucket", $"batch_idx", $"n_docs", $"max_tokens",
+        $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_docs * max_tokens)")
+          .as("fill_micros"))
+  }
+
   /** Per-source quality CALIBRATION: z-score each document's quality
     * against its own source's distribution, so a 0.6 from a terse source
     * and a 0.6 from a verbose one become comparable before a global

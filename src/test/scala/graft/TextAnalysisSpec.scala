@@ -340,4 +340,46 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == stats)
   }
+
+  test("lengthBucketedBatches: exhaustive, bucket-homogeneous, fill audit exact") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val got = TextAnalysis.lengthBucketedBatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every non-empty doc lands in exactly one batch
+    val nDocs = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens($"text")).as("n"))
+      .filter($"n" >= 1).count()
+    assert(got.map(_._4).sum == nDocs)
+    got.foreach { case (shard, bucket, batchIdx, n, maxT, sumT, fill) =>
+      assert(shard >= 0 && shard < 16 && batchIdx >= 0)
+      assert(n >= 1 && n <= 8, s"batch size $n")
+      // bucket-homogeneous: the padded width shares the bucket's bit length
+      assert(java.lang.Long.toBinaryString(maxT).length == bucket)
+      // fill is the exact integer ratio and a batch is at least 50% full:
+      // all members share maxT's bit length, so each is > maxT/2
+      assert(fill == sumT * 1000000L / (n * maxT))
+      assert(fill > 500000L && fill <= 1000000L, s"fill $fill")
+      assert(sumT <= n * maxT)
+    }
+    // only the last batch of a (shard, bucket) run may be ragged
+    got.groupBy(t => (t._1, t._2)).foreach { case ((s2, b), rows) =>
+      val maxIdx = rows.map(_._3).max
+      rows.filter(_._3 < maxIdx).foreach(r =>
+        assert(r._4 == 8, s"interior batch ($s2,$b,${r._3}) has ${r._4} docs"))
+    }
+    // bucketing strictly improves mean fill over one unbucketed batch
+    // stream at the same batch size (the point of the operator)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .filter($"n" >= 1)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val unbucketed = docs.grouped(8).map { g =>
+      g.map(_._2).sum.toDouble / (g.length * g.map(_._2).max)
+    }.toSeq
+    val bucketedMean = got.map(_._7).sum.toDouble / got.length / 1e6
+    assert(bucketedMean > unbucketed.sum / unbucketed.length)
+  }
 }
