@@ -379,6 +379,10 @@ object SparkEntry {
     // bucket) deterministic batches, exact-integer fill-ratio audit
     "length_bucketed_batches" ->
       ((s, d) => TextAnalysis.lengthBucketedBatches(s, d)),
+    // corpus rollup of both strategies: padded vs real token mass — the
+    // compute the bucketing saves, identical real mass by construction
+    "padding_waste_report" ->
+      ((s, d) => TextAnalysis.paddingWasteReport(s, d)),
     // per-shard fill/overflow audit of the packing layout (the number a
     // trainer needs to size truncation policy and spot wasted context)
     "packing_efficiency" -> ((s, d) => TextAnalysis.packingEfficiency(s, d)),
@@ -412,6 +416,10 @@ object SparkEntry {
     // per-epoch md5 reshuffle within each shard, per-shard row_number —
     // nothing global-sorts
     "training_order" -> ((s, d) => Sampling.trainingOrder(s, d)),
+    // easy-to-hard curriculum: per-epoch quality-value cutoffs from the
+    // bounded histogram (final epoch = whole corpus), training_order's
+    // shard/reshuffle windows within each epoch slice
+    "curriculum_order" -> ((s, d) => Sampling.curriculumOrder(s, d)),
     // per-shard audit of the 16-way md5-mod training-shard layout (the
     // write path is Sampling.writeTrainingShards; SamplingSpec pins both)
     "corpus_shards" -> ((s, d) => Sampling.corpusShards(s, d)),
@@ -2232,6 +2240,28 @@ object SparkEntry {
         "max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
         "CAST(sum(n_tokens) * 1000000 // (count(*) * max(n_tokens)) AS BIGINT) AS fill_micros " +
         "FROM r GROUP BY shard, bucket, batch_idx"),
+    // both strategies replayed (the bucketed CTEs above without the bucket
+    // key for the sequential row), rolled up to the corpus totals
+    "padding_waste_report" ->
+      (s"WITH $toksCte, d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens " +
+        "FROM t WHERE len(toks) >= 1), " +
+        "s AS (SELECT doc_id, n_tokens, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard, " +
+        "CAST(length(bin(n_tokens)) AS INTEGER) AS bucket FROM d), " +
+        "rb AS (SELECT shard, bucket, n_tokens, " +
+        "CAST((row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx FROM s), " +
+        "bb AS (SELECT count(*) AS n_docs, max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens " +
+        "FROM rb GROUP BY shard, bucket, batch_idx), " +
+        "rs AS (SELECT shard, n_tokens, " +
+        "CAST((row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx FROM s), " +
+        "bs AS (SELECT count(*) AS n_docs, max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens " +
+        "FROM rs GROUP BY shard, batch_idx), " +
+        "u AS (SELECT 'bucketed' AS strategy, * FROM bb UNION ALL SELECT 'sequential', * FROM bs) " +
+        "SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches, " +
+        "CAST(sum(sum_tokens) AS BIGINT) AS real_tokens, " +
+        "CAST(sum(n_docs * max_tokens) AS BIGINT) AS padded_tokens, " +
+        "CAST(sum(sum_tokens) * 1000000 // sum(n_docs * max_tokens) AS BIGINT) AS fill_micros " +
+        "FROM u GROUP BY strategy"),
     "packing_efficiency" ->
       (s"WITH $chunksCtes, sh AS (SELECT doc_id, chunk_id, n_chunk_tokens, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard FROM ch), " +
@@ -2278,6 +2308,24 @@ object SparkEntry {
         "FROM s GROUP BY shard ORDER BY shard"),
     // reproducible training order: same md5-shard idiom as corpus_shards,
     // per-epoch hash reshuffle + per-(epoch,shard) row_number replayed
+    // histogram → cumulative-from-top value threshold per epoch → gate →
+    // the training_order shard/reshuffle windows; all exact integers
+    "curriculum_order" ->
+      (s"WITH st AS ($textStatsSql), " +
+        "q AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS qm FROM st), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q), " +
+        "hh AS (SELECT qm, count(*) AS c FROM q GROUP BY qm), " +
+        "cum AS (SELECT qm, CAST(sum(c) OVER (ORDER BY qm DESC) AS BIGINT) AS cum FROM hh), " +
+        "ep AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS epoch), " +
+        "thr AS (SELECT ep.epoch, max(cum.qm) AS thr FROM ep, cum, n " +
+        "WHERE cum.cum >= (n.n * (ep.epoch + 1) + 2) // 3 GROUP BY ep.epoch), " +
+        "m AS (SELECT t.epoch, q.doc_id, q.qm, " +
+        "('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, " +
+        "md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(q.doc_id AS VARCHAR)) AS h " +
+        "FROM q JOIN thr t ON q.qm >= t.thr) " +
+        "SELECT epoch, shard, " +
+        "CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos, " +
+        "doc_id, qm FROM m"),
     "training_order" ->
       ("WITH e AS (SELECT doc_id, unnest(generate_series(0, 1)) AS epoch FROM documents), " +
         "s AS (SELECT doc_id, epoch, " +

@@ -278,6 +278,61 @@ object Sampling {
     weightedSampleOf(Tables.documents(spark, sfDir),
       size(TextAnalysis.tokens($"text")).cast("long"), n)
 
+  /** CURRICULUM training order (Bengio et al. 2009's easy-to-hard
+    * schedule, quality-annealed): epoch 0 trains on the highest-quality
+    * slice of the corpus, each later epoch WIDENS the pool, and the final
+    * epoch sees everything — the anneal curriculum pipelines run so early
+    * optimization steps meet clean data.
+    *
+    * Membership is a VALUE-level cutoff, not a rank: the per-epoch
+    * threshold is the largest quality (exact 4-decimal micros) whose
+    * cumulative-from-the-top count reaches `ceil(N·(e+1)/nEpochs)`,
+    * derived on the driver from the quality HISTOGRAM (bounded by
+    * construction: ≤ 20 001 distinct 4-decimal values no matter the corpus
+    * size). Ties at the cutoff are included, so a document's epoch
+    * membership is stable under corpus reordering and slices run at most
+    * one tie-group over nominal. The final epoch's threshold is the
+    * minimum quality — the whole corpus, by construction.
+    *
+    * Order within an epoch = the [[trainingOrder]] idiom: fixed md5
+    * shards, per-(epoch, shard) md5 reshuffle, one windowed row_number per
+    * (epoch, shard) slice — nothing global-sorts; the only driver data is
+    * the histogram. Oracle: DuckDB replays histogram, cumulative
+    * threshold, gate, and windows verbatim.
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String, nEpochs: Int = 3,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nEpochs >= 1)
+    val q = TextAnalysis.textStatsOf(Tables.documents(spark, sfDir))
+      .select($"doc_id", round($"quality_score" * 10000).cast("long").as("qm"))
+    val hist = q.groupBy($"qm").agg(count(lit(1)).as("c"))
+      .orderBy($"qm".desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // bounded (≤20k rows)
+    val n = hist.map(_._2).sum
+    val thresholds = (0 until nEpochs).map { e =>
+      val target = (n * (e + 1) + nEpochs - 1) / nEpochs
+      var cum = 0L
+      var thr = hist.last._1
+      val it = hist.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, c) = it.next(); cum += c
+        if (cum >= target) { thr = v; found = true }
+      }
+      (e.toLong, thr)
+    }
+    val thrDf = spark.createDataFrame(thresholds).toDF("epoch", "thr")
+    val h = md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string")))
+    q.join(broadcast(thrDf), $"qm" >= $"thr")
+      .withColumn("shard", shardOf($"doc_id", nShards))
+      .withColumn("__h", h)
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy($"epoch", $"shard").orderBy($"__h", $"doc_id"))
+        .cast("long"))
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"qm")
+  }
+
   /** Registered query: deterministic multi-epoch training order — the
     * reproducible data-order contract a training run needs (resume from a
     * checkpoint, re-run a divergence, ablate data order — all demand the

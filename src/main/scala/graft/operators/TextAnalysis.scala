@@ -462,6 +462,46 @@ object TextAnalysis {
           .as("fill_micros"))
   }
 
+  /** Padding-waste REPORT — the one-table summary behind
+    * [[lengthBucketedBatches]]: both batching strategies (length-bucketed
+    * vs plain doc_id-sequential) rolled up to corpus totals — batch count,
+    * real token mass, PADDED token mass (Σ per-batch n·max — what the
+    * accelerator actually processes), and the overall fill ratio in exact
+    * integer micros. The delta between the two rows is the compute the
+    * bucketing saves; the real token mass must be identical (both
+    * strategies batch every non-empty doc exactly once).
+    *
+    * Scale: the bucketed row reuses [[lengthBucketedBatches]]'s rollup
+    * (shard × bucket parallel windows); the sequential row shards the same
+    * way WITHOUT the bucket key — same window cost, one row each. */
+  def paddingWasteReport(spark: SparkSession, sfDir: String,
+      batchSize: Int = 8, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lengthBucketedBatches(spark, sfDir, batchSize, nShards)
+      .select(lit("bucketed").as("strategy"), $"n_docs", $"max_tokens",
+        $"sum_tokens")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= 1)
+      .withColumn("shard", Sampling.shardOf($"doc_id", nShards))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    val sequential = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"cast(rn - 1 as bigint) div $batchSize"))
+      .groupBy($"shard", $"batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max($"n_tokens").as("max_tokens"),
+        sum($"n_tokens").as("sum_tokens"))
+      .select(lit("sequential").as("strategy"), $"n_docs", $"max_tokens",
+        $"sum_tokens")
+    bucketed.unionByName(sequential)
+      .groupBy($"strategy")
+      .agg(count(lit(1)).as("n_batches"),
+        sum($"sum_tokens").as("real_tokens"),
+        sum($"n_docs" * $"max_tokens").as("padded_tokens"))
+      .select($"strategy", $"n_batches", $"real_tokens", $"padded_tokens",
+        expr("real_tokens * 1000000 DIV padded_tokens").as("fill_micros"))
+  }
+
   /** Per-source quality CALIBRATION: z-score each document's quality
     * against its own source's distribution, so a 0.6 from a terse source
     * and a 0.6 from a verbose one become comparable before a global

@@ -326,7 +326,11 @@ class PlanShapeSpec extends SparkTestBase {
       "sq_adc_topk", "sq_rerank_topk",
       // the exact-baseline leg is cosine_topk's query-sized broadcast
       // scorer; the probed legs are equi-joins on the assignment dumps
-      "ivf_recall_curve")
+      "ivf_recall_curve",
+      // the broadcast build side is the nEpochs-row quality-threshold
+      // table (3 rows) joined on qm >= thr — epoch-count-sized by
+      // construction, the corpus side streams through unshuffled
+      "curriculum_order")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

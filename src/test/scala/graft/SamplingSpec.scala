@@ -373,4 +373,29 @@ class SamplingSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids == (5L until 10L).toSet)
   }
+
+  test("curriculumOrder: nested epoch slices, quality anneal, full final epoch") {
+    val got = Sampling.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byEpoch = got.groupBy(_._1).map { case (e, rows) =>
+      e -> rows.map(t => (t._4, t._5)).toSet }
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // the final epoch is the whole corpus; slices are nested and at least
+    // nominal-sized (value-level cutoffs include ties)
+    assert(byEpoch(2L).size == n)
+    assert(byEpoch(0L).subsetOf(byEpoch(1L)) && byEpoch(1L).subsetOf(byEpoch(2L)))
+    (0 to 2).foreach { e =>
+      assert(byEpoch(e.toLong).size >= (n * (e + 1) + 2) / 3, s"epoch $e size")
+    }
+    // the anneal: each epoch's worst admitted quality only decreases
+    val worst = (0 to 2).map(e => byEpoch(e.toLong).map(_._2).min)
+    assert(worst(0) >= worst(1) && worst(1) >= worst(2))
+    assert(worst(0) > worst(2)) // epoch 0 is actually selective on the fixture
+    // within an (epoch, shard) slice, positions are 1..k with no gaps
+    got.groupBy(t => (t._1, t._2)).foreach { case ((e, sh), rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"epoch $e shard $sh positions")
+    }
+  }
 }

@@ -382,4 +382,18 @@ class TextAnalysisSpec extends SparkTestBase {
     val bucketedMean = got.map(_._7).sum.toDouble / got.length / 1e6
     assert(bucketedMean > unbucketed.sum / unbucketed.length)
   }
+
+  test("paddingWasteReport: identical real mass, bucketing strictly wins") {
+    val rows = graft.operators.TextAnalysis.paddingWasteReport(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("bucketed", "sequential"))
+    val (bn, br, bp, bf) = rows("bucketed")
+    val (sn, sr, sp, sf2) = rows("sequential")
+    assert(br == sr) // both strategies batch every non-empty doc once
+    assert(bf > sf2, s"bucketed fill $bf not better than sequential $sf2")
+    assert(bp < sp) // strictly less padded compute
+    assert(bf == br * 1000000L / bp && sf2 == sr * 1000000L / sp)
+    assert(bn >= sn) // more, smaller-spread batches is the expected shape
+  }
 }
