@@ -44,6 +44,11 @@ object StreamSoak {
       val decontamRate = 20000 * dedupScale
       val dc = Soak.decontamRun(spark, benchDocs = 2000 * dedupScale,
         decontamRate, soakMs = 20000)
+      // serving corpus fixed across geometries (the standing artifact);
+      // only the offered query rate scales with cores
+      val annRate = 500 * dedupScale
+      val ann = Soak.annRun(spark, corpusVecs = 20000,
+        annRate, tag = s"c$cores", soakMs = 20000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -52,10 +57,11 @@ object StreamSoak {
         s""""hourly_type_counts":${Soak.json(h)},""" +
         s""""dedup_probe":${Soak.json(d)},""" +
         s""""hash_dedup":${Soak.json(hd)},""" +
-        s""""decontam":${Soak.json(dc)},"cores":$cores,""" +
+        s""""decontam":${Soak.json(dc)},""" +
+        s""""ann_probe":${Soak.json(ann)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
-        s""""decontam_rate":$decontamRate}"""
+        s""""decontam_rate":$decontamRate,"ann_rate":$annRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

@@ -293,7 +293,7 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
   }
 
-  private def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
+  private[graft] def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(s"$path/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)

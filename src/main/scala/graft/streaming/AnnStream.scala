@@ -22,14 +22,19 @@ import graft.operators.Similarity
   * side never shuffles; only per-cell candidates × broadcast queries are
   * scored.
   *
-  * The index is re-loaded lazily per batch from `indexPath` (a cheap
-  * metadata read; centers are cached at configure time), so probes observe
-  * vectors appended by a concurrent [[Similarity.appendToIvfIndex]] loop —
-  * probe-while-ingest, the standing contract of the dedup streams. */
+  * The CENTERS are loaded once at configure time — they are FROZEN by the
+  * append contract ([[Similarity.appendToIvfIndex]] assigns to existing
+  * centroids, never moves them), so re-reading them per trigger would be
+  * pure overhead. The corpus frame IS re-read per batch (one cheap
+  * metadata/listing pass), so probes observe vectors appended by a
+  * concurrent ingest loop — probe-while-ingest, the standing contract of
+  * the dedup streams. */
 object AnnStream {
 
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
-      nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val centers =
+      Similarity.loadCenters(queryStream.sparkSession, indexPath)
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -39,7 +44,10 @@ object AnnStream {
           .as[(Long, Seq[Float])].collect().toSeq
         if (queries.nonEmpty)
           sink(Similarity.queryIvfIndex(
-            Similarity.loadIvfIndex(spark, indexPath), queries, k, nprobe),
+            Similarity.IvfIndex(
+              spark.read.parquet(s"$indexPath/corpus"), centers),
+            queries, k, nprobe),
             batchId)
       }
+  }
 }

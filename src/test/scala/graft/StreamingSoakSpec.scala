@@ -76,6 +76,18 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: ANN serving sustains the query stream") {
+    // per micro-batch: driver probe-cell choice + directory-pruned index
+    // scan + broadcast query scoring + salted top-k
+    measureWithRetry { i =>
+      Soak.annRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"ann probe throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: perceptual hash dedup sustains the media firehose") {
     // the full decode → aHash → multi-index Hamming probe chain per
     // micro-batch; floor far below a healthy 4-core rate (CI-noise-proof)
