@@ -164,12 +164,16 @@ object Bench {
     // `queries` at the slowest entries that fit a fixed budget; the full
     // map lives in bench_last.json (committed per round as
     // BENCH_DETAIL_r*.json, which bestPriorTimes reads for stall baselines).
+    // strict slowest-PREFIX: stop at the first entry that overflows the
+    // budget (a fold that kept trying later, shorter-named entries would
+    // make "queries_truncated_to_slowest" a lie)
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2)
-      .foldLeft(List.empty[(String, Double)]) { case (acc, kv) =>
-        val cand = acc :+ kv
-        val len = cand.map { case (k, v) => jq(k).length + f"$v%.3f".length + 2 }.sum
-        if (len <= 600) cand else acc
-      }
+      .map { case (k, v) =>
+        (k, v, jq(k).length + f"$v%.3f".length + 2) }
+      .scanLeft(("", 0.0, 0)) { case ((_, _, acc), (k, v, len)) =>
+        (k, v, acc + len) }
+      .drop(1).takeWhile(_._3 <= 600)
+      .map { case (k, v, _) => (k, v) }
     val topQs = slowest.map { case (k, v) => s"${jq(k)}:${f"$v%.3f"}" }
       .mkString("{", ",", "}")
     def summaryLine(q: String, nq: Int): String =

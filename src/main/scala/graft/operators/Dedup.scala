@@ -1691,23 +1691,36 @@ object Dedup {
     * geometry the index was built with: a mismatch shifts the (chunk, key)
     * layout, so equi-joins silently drop pairs instead of erroring —
     * exactly the failure the embedding band index's documented geometry
-    * contract exists to prevent. The build records [[NumChunksProperty]];
-    * an index written before the property existed is checked by scanning
-    * max(chunk)+1 of the standing table (one small int column). */
+    * contract exists to prevent. The build records [[NumChunksProperty]]
+    * and the recorded value is checked STRICTLY. An index written before
+    * the property existed has only the data to go on, and the data can
+    * only DISPROVE a geometry, not confirm one: an observed chunk id
+    * ≥ `numChunks` is impossible under the probe's layout (definite
+    * mismatch → throw), while max(chunk)+1 < `numChunks` may just mean the
+    * high chunks happen to be empty, and an empty table disproves nothing
+    * — the legacy check is advisory-by-construction, never a spurious
+    * failure. */
   private def requireChunkGeometry(spark: SparkSession, table: String,
       numChunks: Int): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val built = meta.properties.get(NumChunksProperty).map(_.toInt)
-      .orElse(Option(spark.table(table)
-        .agg(max(col("chunk"))).head.get(0))
-        .map(_.asInstanceOf[Int] + 1))
-    built.filter(_ != numChunks).foreach { b =>
-      throw new IllegalArgumentException(
-        s"hash index $table was built with numChunks=$b but this " +
-          s"probe/append uses numChunks=$numChunks — a mismatched chunk " +
-          "geometry silently drops pairs; match the build or rebuild " +
-          "the index")
+    meta.properties.get(NumChunksProperty).map(_.toInt) match {
+      case Some(b) =>
+        if (b != numChunks) throw new IllegalArgumentException(
+          s"hash index $table was built with numChunks=$b but this " +
+            s"probe/append uses numChunks=$numChunks — a mismatched chunk " +
+            "geometry silently drops pairs; match the build or rebuild " +
+            "the index")
+      case None =>
+        Option(spark.table(table).agg(max(col("chunk"))).head.get(0))
+          .map(_.asInstanceOf[Int]).filter(_ >= numChunks).foreach { m =>
+            throw new IllegalArgumentException(
+              s"hash index $table (no recorded chunk geometry) contains " +
+                s"chunk id $m, impossible under this probe/append's " +
+                s"numChunks=$numChunks — the index was built with a " +
+                "different chunk geometry; match the build or rebuild " +
+                "the index")
+          }
     }
   }
 

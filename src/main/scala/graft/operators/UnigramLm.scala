@@ -161,6 +161,10 @@ object UnigramLm {
       import spark.implicits._
       val counts = spread(Tables.documents(spark, sfDir))
         .select(explode(TextAnalysis.tokens($"text")).as("word"))
+        // defensive: an empty word contributes no chars and no substrings
+        // to the seed, yet would occupy a top-V slot and shift the learned
+        // probs — filter it before it can diverge the model hash
+        .filter(length($"word") > 0)
         .groupBy($"word").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"word")
         .limit(defaultVocabWords) // bounded driver footprint by construction
