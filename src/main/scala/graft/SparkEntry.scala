@@ -208,6 +208,13 @@ object SparkEntry {
     // D4 = SemDeDup then prototype-prune the survivors (quotas on survivor
     // cell sizes); both stage decisions in the audit output
     "d4_pruned" -> ((s, d) => Dedup.d4Pruned(s, d)),
+    // IVF retrain-on-drift (the ops response to ivf_quantization_error):
+    // planted-drift fixture (even half fit, reversed odd half appended to
+    // frozen centers), then refit + staged atomic swap; the health table
+    // pre/post is fully replayed by DuckDB from the two dumps below
+    "ivf_retrain_health" -> ((s, d) => Similarity.ivfRetrainHealth(s, d)),
+    "ivf_retrain_assignments" -> ((s, d) => Similarity.ivfRetrainAssignments(s, d)), // rows-only (it IS the oracle input)
+    "ivf_retrain_centroids" -> ((s, d) => Similarity.ivfRetrainCentroids(s, d)), // rows-only (it IS the oracle input)
     // semantic dedup's daily-ingestion path: batch sign-LSH bands probe a
     // PERSISTED bucketed embedding band index (build absorbed by warmup;
     // index side co-located, candidate-bounded exact-cosine verify)
@@ -1525,6 +1532,24 @@ object SparkEntry {
       (s"WITH $protoScoredCtes " +
         "SELECT vec_id, cell, proto_cos, CASE WHEN rnk <= (cell_n * 1) // 4 " +
         "THEN 0 ELSE 1 END AS is_kept FROM r"),
+    // retrain-on-drift health evidence: reconstruct the drifted corpus
+    // from the embeddings table (even = raw, odd = reversed), score every
+    // vector against its dumped phase/cell centroid, roll up per phase and
+    // cell in exact integer micros — the pre rows replay the frozen-center
+    // drift injury, the post rows the refit cure
+    "ivf_retrain_health" ->
+      ("WITH a AS (SELECT phase, vec_id, cell FROM read_parquet('{OUT}/ivf_retrain_assignments/*.parquet')), " +
+        "c AS (SELECT phase, cell, list_transform(string_split(centroid, ','), x -> CAST(x AS DOUBLE)) AS centroid " +
+        "FROM read_parquet('{OUT}/ivf_retrain_centroids/*.parquet')), " +
+        "v AS (SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN embedding ELSE list_reverse(embedding) END AS embedding " +
+        "FROM embeddings), " +
+        "e AS (SELECT a.phase, a.cell, " +
+        "round(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid), 6) AS proto_cos " +
+        "FROM a JOIN v USING (vec_id) JOIN c ON c.phase = a.phase AND c.cell = a.cell) " +
+        "SELECT phase, cell, n_vecs, sum_cos_micros, sum_cos_micros // n_vecs AS mean_cos_micros " +
+        "FROM (SELECT phase, cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(round(proto_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_micros " +
+        "FROM e GROUP BY phase, cell)"),
     // per-cell rollup of the same scored frame: micro-quantized cosine
     // sums and truncating integer mean (DuckDB // and Spark DIV both
     // truncate toward zero)

@@ -15,6 +15,30 @@ import graft.streaming.Soak
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
+    // Focused re-measure mode (the SPARK_GRAFT_ONLY analogue): `ann [cores]`
+    // runs only the ANN-serving soak at local[cores] (default 32) and prints
+    // its row — for iterating on one pipeline without paying the full soak
+    // matrix. STREAMBENCH.json is only written by the full (argless) run.
+    if (args.headOption.contains("ann")) {
+      val cores = args.lift(1).map(_.toInt).getOrElse(32)
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
+        // the serving top-k aggregate groups by query_id: thousands of
+        // groups per task is the NORMAL shape, not a fallback case
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val annRate = 500 * math.min(cores / 4, 4)
+      val ann = Soak.annRun(spark, corpusVecs = 20000, annRate,
+        tag = s"only$cores", soakMs = 20000)
+      spark.stop()
+      println(s"""{"ann_probe":${Soak.json(ann)},"cores":$cores,"ann_rate":$annRate}""")
+      return
+    }
     val geoms = Seq(4, 32).map { cores =>
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
@@ -23,6 +47,9 @@ object StreamSoak {
         .config("spark.ui.enabled", "false")
         // see Bench.scala: 100-entry codegen cache thrashes across many plans
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        // the serving top-k aggregate groups by query_id: thousands of
+        // groups per task is the NORMAL shape, not a fallback case
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val out = Files.createTempDirectory(s"graft-soak-$cores")

@@ -163,4 +163,5 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[SSCounter]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSCounter]]()
   }
+
 }

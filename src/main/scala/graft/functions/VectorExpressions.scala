@@ -199,6 +199,49 @@ object VectorHashImpl {
     d
   }
 
+  /** The `nprobe` nearest centers by squared Euclidean distance, best
+    * first, exact ties broken by LOWER center index — bit-identical to the
+    * driver-side [[graft.operators.Similarity.probeCellsRanked]] (same
+    * per-element double subtraction/accumulation order; repeated
+    * strict-argmin selection reproduces a stable sort's tie order), so
+    * in-plan probe-cell choice and the oracle's driver-side dump can never
+    * disagree. */
+  def probeCells(emb: ArrayData, centers: Array[Array[Double]],
+      nprobe: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = centers.length
+    val d = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val c = centers(i)
+      var s = 0.0
+      var j = 0
+      while (j < c.length) {
+        val t = emb.getFloat(j).toDouble - c(j)
+        s += t * t
+        j += 1
+      }
+      d(i) = s
+      i += 1
+    }
+    val n = math.min(nprobe, m)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var ii = 0
+      while (ii < m) {
+        if (!used(ii) && d(ii) < bd) { bd = d(ii); best = ii }
+        ii += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Index of the nearest center by squared Euclidean distance (first
     * minimum wins on exact ties — the same rule as MLlib K-Means
     * assignment, so [[NearestCenterExpr]] reproduces the quantizer's own
@@ -265,6 +308,29 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
       s"${ev.value} = graft.functions.VectorHashImpl.nearestCenter($c, $ref);")
   }
   override protected def withNewChildInternal(c: Expression): NearestCenterExpr =
+    copy(child = c)
+}
+
+/** The `nprobe` nearest coarse centroids of an `array<float>` embedding,
+  * best first (squared-Euclidean; exact ties → lower cell index) — the
+  * IN-PLAN form of [[graft.operators.Similarity.probeCellsRanked]]'s
+  * driver-side probe choice, bit-identical by construction
+  * ([[VectorHashImpl.probeCells]]). The serving loop uses it to choose
+  * probe cells WITHOUT collecting query embeddings to the driver: the
+  * centroid matrix rides along as a codegen reference and each query row
+  * picks its cells inside whole-stage codegen. */
+case class ProbeCellsExpr(child: Expression, centers: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.probeCells(input.asInstanceOf[ArrayData], centers, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.probeCells($c, $ref, $nprobe);")
+  }
+  override protected def withNewChildInternal(c: Expression): ProbeCellsExpr =
     copy(child = c)
 }
 
@@ -388,11 +454,134 @@ case class IntL2Expr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed-capacity best-first buffer of (score, id) pairs — the aggregation
+  * state of [[TopKScoredAgg]]. Order: score DESC, id ASC; a tie with the
+  * incumbent loses (an equal entry yields the identical output row, so the
+  * result is insertion-order independent). Arrays, not objects: one buffer
+  * per group lives for millions of updates. */
+final class TopKScoredBuf(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  private def beats(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !beats(s, id, k - 1)) return // O(1) reject once saturated
+    var pos = 0
+    while (pos < n && !beats(s, id, pos)) pos += 1
+    if (pos >= k) return
+    val last = math.min(n, k - 1)
+    var i = last
+    while (i > pos) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(pos) = s
+    ids(pos) = id
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: TopKScoredBuf): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Native mergeable bounded top-k by (score DESC, id ASC) — the
+  * PARTIAL-AGGREGATE form of [[graft.operators.Similarity]]'s salted-window
+  * ranking, for the ANN SERVING loop: a probe batch scores
+  * |queries| × nprobe × |cell| candidate rows per trigger, and the window
+  * form must sort-exchange every one of them; this aggregate folds each
+  * candidate into a k-slot buffer inside the scoring stage (map-side
+  * partial), so the shuffle carries O(queries × tasks) bounded states.
+  * Identical rows to `row_number() OVER (ORDER BY score DESC, id)` ≤ k —
+  * same total order, and duplicate (score, id) pairs rank as separate rows
+  * exactly like row_number (AnnStreamSpec pins stream-vs-batch equality).
+  *
+  * Why a TypedImperativeAggregate and not a typed `Aggregator`+`udaf`: the
+  * ScalaAggregator path pays an encoder round-trip per input row (measured
+  * ~2.5 s per 10 M-candidate probe batch — slower than the window it was
+  * meant to replace); this operates on the unsafe row directly, ~zero
+  * allocation per update. Scores must be finite (the r6-rounded cosine is;
+  * NaN would break the comparator's total order). */
+case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[TopKScoredBuf] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cosine", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKScoredBuf = new TopKScoredBuf(k)
+
+  override def update(buf: TopKScoredBuf,
+      input: org.apache.spark.sql.catalyst.InternalRow): TopKScoredBuf = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null) buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKScoredBuf, other: TopKScoredBuf): TopKScoredBuf = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKScoredBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](buf.n)(i =>
+        org.apache.spark.sql.catalyst.InternalRow(buf.scores(i), buf.ids(i))))
+
+  override def serialize(buf: TopKScoredBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.n)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)).putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKScoredBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKScoredBuf(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); i += 1
+    }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKScoredAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKScoredAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKScoredAgg =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
 object VectorExpressions {
   /** Column wrapper: cosine similarity of two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper: bounded top-k of (score, id) pairs per group —
+    * `array<struct<cosine, vec_id>>` best-first. */
+  def topKScored(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKScoredAgg(GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id), k).toAggregateExpression())
 
   /** Column wrapper: sign-LSH band keys of an `array<float>` column. */
   def signLshBands(emb: Column, planes: Array[Array[Double]],
@@ -404,6 +593,13 @@ object VectorExpressions {
   def nearestCenter(emb: Column, centers: Array[Array[Double]]): Column =
     GraftSqlBridge.column(
       NearestCenterExpr(GraftSqlBridge.expression(emb), centers))
+
+  /** Column wrapper: the nprobe nearest cells of an `array<float>` column,
+    * best first. */
+  def probeCells(emb: Column, centers: Array[Array[Double]],
+      nprobe: Int): Column =
+    GraftSqlBridge.column(
+      ProbeCellsExpr(GraftSqlBridge.expression(emb), centers, nprobe))
 
   /** Column wrapper: squared L2 distance of two `array<float>` columns. */
   def l2Sq(a: Column, b: Column): Column =

@@ -229,20 +229,119 @@ object Similarity {
     */
   def queryIvfIndex(index: IvfIndex, queries: Seq[(Long, Seq[Float])],
       k: Int = 10, nprobe: Int = 4, salts: Int = 8): DataFrame = {
-    val spark = index.bucketed.sparkSession
     val byId = queries.toMap
     val probes = probeCellsFor(index.centers, queries, nprobe)
       .map { case (qid, cell) => (qid, cell, byId(qid)) }
     val probeCells = probes.map(_._2).distinct
-    val queryCells = spark.createDataFrame(probes)
-      .toDF("query_id", "cell", "q_emb")
     val pruned = index.bucketed.filter($"cell".isin(probeCells: _*))
-    val scored = pruned
+    scoreProbes(pruned, probes, k, salts)
+  }
+
+  /** The shared candidate-scoring core of [[queryIvfIndex]] and the serving
+    * twin [[queryStandingIvf]]: the (query_id, cell, q_emb) probe rows are
+    * broadcast against the already-pruned candidate frame and scored with
+    * the codegen cosine. One code path → the serving stream cannot drift
+    * from the oracle-replayed batch scoring arithmetic. */
+  private def scoreCandidates(pruned: DataFrame,
+      queryCells: DataFrame): DataFrame =
+    pruned
       .join(broadcast(queryCells),
         pruned("cell") === queryCells("cell") && $"vec_id" =!= $"query_id")
       .withColumn("cosine", round(cosine($"embedding", $"q_emb"), 6))
       .select($"query_id", $"vec_id", $"cosine")
-    topKPerQuery(scored, k, salts)
+
+  private def scoreProbes(pruned: DataFrame,
+      probes: Seq[(Long, Int, Seq[Float])], k: Int, salts: Int): DataFrame =
+    topKPerQuery(scoreCandidates(pruned,
+      pruned.sparkSession.createDataFrame(probes)
+        .toDF("query_id", "cell", "q_emb")), k, salts)
+
+  /** Rank scored candidates via the MERGEABLE bounded top-k aggregate
+    * ([[graft.functions.TopKScoredAgg]]) — identical rows to
+    * [[topKPerQuery]] (same (cosine DESC, vec_id) total order, same
+    * row_number semantics; AnnStreamSpec pins the equality), but the
+    * candidates fold into k-slot buffers inside the scoring stage (map-side
+    * partial) and the shuffle carries O(queries × tasks) bounded states
+    * instead of sort-exchanging every scored candidate. The serving loop's
+    * ranking: a probe batch scores |queries| × nprobe × |cell| candidates
+    * per trigger, and the window form's full candidate sort-shuffle is its
+    * dominant cost. */
+  private def topKViaAggregate(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy($"query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKScored($"cosine", $"vec_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.vec_id".as("vec_id"),
+        $"col.cosine".as("cosine"), ($"pos" + 1).cast("long").as("rk"))
+
+  /** A PREPARED standing handle on a persisted IVF index — the serving
+    * loop's standing side (the [[graft.streaming.MonitorStream.prepareProfile]]
+    * shape): centers, corpus schema, and the filesystem handle are resolved
+    * ONCE at prepare time; each probe then lists ONLY its probed cell
+    * directories, freshly ([[queryStandingIvf]]). Fresh per-probe listing is
+    * what preserves the probe-while-ingest contract — vectors appended by a
+    * concurrent [[Similarity.appendToIvfIndex]] land as new files (or new
+    * cell directories) and the next probe's listing sees them — while the
+    * per-trigger cost drops from a full-corpus re-resolution (list all nlist
+    * directories + infer schema + compile a fresh `cell IN (...)` literal
+    * plan) to nprobe directory listings under a stable, literal-free plan
+    * shape. */
+  final case class StandingIvf(spark: SparkSession, corpusPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      centers: Array[Array[Double]]) {
+    @transient private lazy val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    /** A fresh frame over exactly `cells`: per-call listing cost is nprobe
+      * directories, not the corpus. Cells with no vectors yet (directory
+      * absent) are skipped — they contribute no candidates by definition. */
+    private[graft] def prunedCorpus(cells: Seq[Int]): DataFrame = {
+      val dirs = cells.distinct.sorted
+        .map(c => new org.apache.hadoop.fs.Path(corpusPath, s"cell=$c"))
+        .filter(fs.exists).map(_.toString)
+      if (dirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).option("basePath", corpusPath)
+        .parquet(dirs: _*)
+    }
+  }
+
+  /** Resolve a persisted index into a [[StandingIvf]] serving handle: one
+    * schema inference + one centers read, paid once per stream. */
+  def prepareIvfIndex(spark: SparkSession, path: String): StandingIvf = {
+    val corpus = s"$path/corpus"
+    StandingIvf(spark, corpus, spark.read.parquet(corpus).schema,
+      loadCenters(spark, path))
+  }
+
+  /** Probe a prepared [[StandingIvf]] with a query FRAME — the serving
+    * path, bit-identical rows to [[queryIvfIndex]] on the same index state
+    * (AnnStreamSpec pins it) but with every per-batch driver cost removed:
+    *
+    *  - probe cells are chosen IN-PLAN by the codegen
+    *    [[graft.functions.ProbeCellsExpr]] (same arithmetic as the
+    *    driver-side [[probeCellsRanked]]), so query embeddings are never
+    *    collected or re-encoded through the driver — the query batch no
+    *    longer needs to be driver-small;
+    *  - the candidate scan is built from the probed cell DIRECTORIES
+    *    directly ([[StandingIvf.prunedCorpus]]) — no whole-corpus listing,
+    *    no schema inference, no per-batch `IN` literals to recompile; the
+    *    only driver-side value is the distinct probed-cell set (bounded by
+    *    nlist);
+    *  - ranking is the mergeable bounded top-k aggregate
+    *    ([[topKViaAggregate]]) instead of the window sort — candidates fold
+    *    map-side in the scoring stage.
+    */
+  def queryStandingIvf(standing: StandingIvf, queryFrame: DataFrame,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probeCol = graft.functions.VectorExpressions
+      .probeCells($"embedding", standing.centers, nprobe)
+    val cells = queryFrame.select(explode(probeCol).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
+    val queryCells = queryFrame.select($"vec_id".as("query_id"),
+      $"embedding".as("q_emb"), explode(probeCol).as("cell"))
+    topKViaAggregate(
+      scoreCandidates(standing.prunedCorpus(cells), queryCells), k)
   }
 
   /** Driver-side nprobe-cell selection — squared-Euclidean argmin over the
@@ -466,6 +565,172 @@ object Similarity {
     val probes = probeCellsRanked(centers,
       fixtureQueryBatch(spark, sfDir, numQueries), maxNprobe)
     spark.createDataFrame(probes).toDF("query_id", "cell", "rk")
+  }
+
+  /** Re-fit the coarse quantizer over the CURRENT standing corpus of a
+    * persisted index and swap the index in place — the retrain half of the
+    * IVF ops loop. [[appendToIvfIndex]] assigns to FROZEN centroids, so
+    * cell geometry degrades as the ingested distribution drifts; the
+    * health table ([[graft.operators.Dedup.ivfQuantizationError]]'s shape,
+    * registered for the retrain fixture as `ivf_retrain_health`) is the
+    * watch signal, and THIS is the response: re-fit over everything
+    * ingested so far, re-encode, swap. After the swap, [[loadCenters]]
+    * callers ([[appendToIvfIndex]], [[prepareIvfIndex]]) pick up the new
+    * geometry on their next load — the ops loop closes without touching
+    * ingest code.
+    *
+    * Swap protocol: the retrained index is FULLY MATERIALIZED into a
+    * staging directory first (the refit reads the old corpus exactly once,
+    * during this write), then old corpus+centers move to `retired/` and
+    * staging moves into place — so a crash at any point leaves either the
+    * old or the new index recoverable, never a half-written mix. The
+    * two-rename window is not atomic for CONCURRENT probes: standing
+    * serving handles must be re-prepared after a retrain (their frozen
+    * centers are the old geometry; production would version the index root
+    * and flip a pointer — same protocol, one more directory level).
+    * IvfRetrainSpec pins post-swap consistency: assignments equal the
+    * nearest NEW centroid for every vector, and batch/serving probes of
+    * the swapped index agree. */
+  def retrainIvfIndex(spark: SparkSession, path: String,
+      nlist: Int = 16): Unit = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id", $"embedding")
+    val refit = buildIvfIndex(corpus, nlist)
+    val staging = s"$path/retrain_staging"
+    writeIvfIndex(refit, staging) // materializes before any old state moves
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(root, s)
+    fs.delete(p("retired"), true)
+    fs.mkdirs(p("retired"))
+    require(fs.rename(p("corpus"), p("retired/corpus")) &&
+      fs.rename(p("centers"), p("retired/centers")) &&
+      fs.rename(p("retrain_staging/corpus"), p("corpus")) &&
+      fs.rename(p("retrain_staging/centers"), p("centers")),
+      s"IVF retrain swap failed mid-way at $path — old index is under " +
+        s"$path/retired, retrained under $path/retrain_staging")
+    fs.delete(p("retrain_staging"), true)
+    fs.delete(p("retired"), true)
+  }
+
+  /** The planted-drift corpus behind the retrain fixture — a deterministic
+    * function of the embeddings table, so the DuckDB oracle reconstructs
+    * it exactly: EVEN vec_ids keep their embedding (the distribution the
+    * initial quantizer is fit on), ODD vec_ids arrive REVERSED — a second
+    * mode the even-fit centers have never seen. */
+  private def driftedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id",
+        when(pmod($"vec_id", lit(2)) === 0, $"embedding")
+          .otherwise(reverse($"embedding")).as("embedding"))
+
+  private final case class RetrainFixture(dir: String, indexPath: String,
+      preCenters: Array[Array[Double]])
+
+  /** The ONE retrain fixture per (process, sf dir) — the standing-model
+    * pattern of [[standingIndex]]: build the index on the even half,
+    * APPEND the drifted (reversed) odd half against frozen centers,
+    * snapshot the pre state (assignments parquet + centers in memory —
+    * the swap retires the files), then [[retrainIvfIndex]]. Every retrain
+    * entry reads this one lifecycle, so dumps and health rows can never
+    * come from different fits. */
+  private val retrainFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, RetrainFixture]
+
+  private def ensureRetrainFixture(spark: SparkSession,
+      sfDir: String): RetrainFixture =
+    retrainFixtures.getOrElseUpdate(sfDir, {
+      val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${graft.util.TmpDirs.perProcessDir("graft_ivf_retrain")}/$key"
+      val indexPath = s"$dir/index"
+      val corpus = driftedCorpus(spark, sfDir)
+      writeIvfIndex(
+        buildIvfIndex(corpus.filter(pmod($"vec_id", lit(2)) === 0)), indexPath)
+      appendToIvfIndex(corpus.filter(pmod($"vec_id", lit(2)) === 1), indexPath)
+      val pre = loadIvfIndex(spark, indexPath)
+      pre.bucketed.select($"vec_id", $"cell".cast("int").as("cell"))
+        .write.mode("overwrite").parquet(s"$dir/pre_assignments")
+      retrainIvfIndex(spark, indexPath)
+      RetrainFixture(dir, indexPath, pre.centers)
+    })
+
+  private[graft] def retrainFixturePath(spark: SparkSession,
+      sfDir: String): String = ensureRetrainFixture(spark, sfDir).indexPath
+
+  /** Float-cast (cell, centroid) frame — [[graft.operators.Dedup]]'s
+    * centersDf convention: the corpus embeddings are float, so scoring
+    * widens float → double exactly like the DuckDB replay over the
+    * stringified dump. */
+  private def centersFloatDf(spark: SparkSession,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Registered dump (it IS the oracle input): each fixture vector's cell
+    * BEFORE and AFTER the retrain — `phase` ∈ {pre, post}. Pre rows come
+    * from the snapshot written before the swap retired them; post rows are
+    * the live swapped index. */
+  def ivfRetrainAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = ensureRetrainFixture(spark, sfDir)
+    spark.read.parquet(s"${f.dir}/pre_assignments")
+      .select(lit("pre").as("phase"), $"vec_id", $"cell")
+      .unionByName(loadIvfIndex(spark, f.indexPath).bucketed
+        .select(lit("post").as("phase"), $"vec_id",
+          $"cell".cast("int").as("cell")))
+  }
+
+  /** Registered dump (it IS the oracle input): the pre and post coarse
+    * centroids, comma-joined DOUBLE strings (the proto_centroids
+    * convention — widen float→double before stringifying so the replay
+    * parses bit-identical scoring inputs). */
+  def ivfRetrainCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = ensureRetrainFixture(spark, sfDir)
+    def strings(centers: Array[Array[Double]], phase: String) =
+      centersFloatDf(spark, centers)
+        .select(lit(phase).as("phase"), $"cell",
+          expr("array_join(transform(centroid, x -> cast(cast(x AS double) AS string)), ',')")
+            .as("centroid"))
+    strings(f.preCenters, "pre")
+      .unionByName(strings(loadCenters(spark, f.indexPath), "post"))
+  }
+
+  /** Registered query (HASH-CHECKED): the retrain DECISION EVIDENCE — the
+    * per-cell index-health table ([[graft.operators.Dedup.ivfQuantizationError]]'s
+    * exact-integer arithmetic) for the planted-drift fixture, before and
+    * after [[retrainIvfIndex]]. `pre` shows the drift injury (reversed
+    * vectors assigned to frozen even-fit centers score poorly); `post`
+    * shows the cure (refit centers cover both modes — IvfRetrainSpec pins
+    * the corpus-weighted mean STRICTLY improves). DuckDB replays it fully:
+    * reconstruct the drifted corpus from the embeddings table (even = raw,
+    * odd = reversed), score each vector against its dumped phase/cell
+    * centroid, roll up in integer micros.
+    *
+    * Scale: centroids broadcast, one codegen cosine per (vector × phase),
+    * one partial-aggregated groupBy — the health probe a production index
+    * runs per append cycle, twice. */
+  def ivfRetrainHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = ensureRetrainFixture(spark, sfDir)
+    val corpus = driftedCorpus(spark, sfDir)
+    def health(assigned: DataFrame, centers: Array[Array[Double]],
+        phase: String) =
+      assigned.join(corpus, "vec_id")
+        .join(broadcast(centersFloatDf(spark, centers)), Seq("cell"))
+        .withColumn("cos_micros",
+          round(round(cosine($"embedding", $"centroid"), 6) * 1e6, 0)
+            .cast("long"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), sum($"cos_micros").as("sum_cos_micros"))
+        .select(lit(phase).as("phase"), $"cell", $"n_vecs", $"sum_cos_micros",
+          expr("sum_cos_micros DIV n_vecs").as("mean_cos_micros"))
+    health(spark.read.parquet(s"${f.dir}/pre_assignments"), f.preCenters, "pre")
+      .unionByName(health(
+        loadIvfIndex(spark, f.indexPath).bucketed
+          .select($"vec_id", $"cell".cast("int").as("cell")),
+        loadCenters(spark, f.indexPath), "post"))
+      .orderBy($"phase", $"cell")
   }
 
   /** Registered query: the ANN TUNING CURVE — recall@k of the IVF probe

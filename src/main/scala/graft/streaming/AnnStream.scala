@@ -12,42 +12,57 @@ import graft.operators.Similarity
   * index lifecycle the batch entries already pin — build → persist →
   * append ([[Similarity.appendToIvfIndex]]) → PROBE CONTINUOUSLY.
   *
-  * Topology per trigger: the query batch is collected to the driver
-  * (bounded by the trigger size — a query batch is driver-small by the
-  * same contract as [[Similarity.queryIvfIndex]]'s query set), its probe
-  * cells are chosen against the once-loaded centroid matrix, and the
-  * static `cell IN (...)` filter prunes the index scan to the probed
-  * DIRECTORIES — each micro-batch reads only nprobe/nlist of the corpus,
-  * exactly like the batch probe (PlanShapeSpec pins that plan). The index
-  * side never shuffles; only per-cell candidates × broadcast queries are
-  * scored.
+  * Topology per trigger: each query row picks its probe cells IN-PLAN
+  * (codegen [[graft.functions.ProbeCellsExpr]] against the once-prepared
+  * centroid matrix — query embeddings never pass through the driver, so
+  * the query batch need not be driver-small), the candidate scan is built
+  * over exactly the probed cell DIRECTORIES — each micro-batch lists and
+  * reads only nprobe/nlist of the corpus, exactly like the batch probe's
+  * partition pruning (PlanShapeSpec pins that plan) — and ranking folds
+  * map-side through the bounded top-k aggregate
+  * ([[graft.functions.TopKScoredAgg]]) instead of sort-exchanging every
+  * scored candidate. The index side never shuffles; only per-cell
+  * candidates × broadcast queries are scored.
   *
-  * The CENTERS are loaded once at configure time — they are FROZEN by the
-  * append contract ([[Similarity.appendToIvfIndex]] assigns to existing
-  * centroids, never moves them), so re-reading them per trigger would be
-  * pure overhead. The corpus frame IS re-read per batch (one cheap
-  * metadata/listing pass), so probes observe vectors appended by a
-  * concurrent ingest loop — probe-while-ingest, the standing contract of
-  * the dedup streams. */
+  * The STANDING side is a [[Similarity.prepareIvfIndex]] handle resolved
+  * once at configure time: centers (FROZEN by the append contract —
+  * [[Similarity.appendToIvfIndex]] assigns to existing centroids, never
+  * moves them), corpus schema, and filesystem handle. Per trigger the only
+  * metadata work is a fresh listing of the probed cell directories — which
+  * is precisely what keeps probe-while-ingest alive: vectors appended by a
+  * concurrent ingest loop land as new files (or new cell directories) and
+  * the next probe's listing sees them. Before r12 each trigger re-resolved
+  * the WHOLE corpus (`spark.read.parquet` = full directory listing + schema
+  * inference) and compiled a fresh `cell IN (...)` literal plan; the
+  * prepared handle removes all three per-trigger costs without freezing
+  * the corpus. */
 object AnnStream {
 
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val centers =
-      Similarity.loadCenters(queryStream.sparkSession, indexPath)
+    val spark = queryStream.sparkSession
+    val standing = Similarity.prepareIvfIndex(spark, indexPath)
+    // Configure-time plan warm-up — part of preparing the standing side:
+    // one synthetic single-query probe compiles the serving stages (probe
+    // expression, pruned scan + broadcast join + cosine, top-k aggregate)
+    // so the FIRST real trigger pays only its own data, not codegen. The
+    // per-trigger stages are structurally identical (paths and broadcast
+    // data live in references, not generated code), so every later trigger
+    // hits the codegen cache.
+    if (standing.centers.nonEmpty) {
+      import spark.implicits._
+      val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val _ = Similarity.queryStandingIvf(standing, warm, k, nprobe).count()
+    }
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val queries = batch.select($"vec_id", $"embedding")
-          .as[(Long, Seq[Float])].collect().toSeq
-        if (queries.nonEmpty)
-          sink(Similarity.queryIvfIndex(
-            Similarity.IvfIndex(
-              spark.read.parquet(s"$indexPath/corpus"), centers),
-            queries, k, nprobe),
-            batchId)
+        if (!batch.isEmpty)
+          sink(Similarity.queryStandingIvf(standing,
+            batch.select($"vec_id", $"embedding"), k, nprobe), batchId)
       }
   }
 }
