@@ -319,7 +319,7 @@ object SparkEntry {
     // full BPE tokenizer: driver-side learn over the bounded word-count
     // table, broadcast-rank apply; the iterative learn is a dump, the
     // usage rollup over it is the oracle-checked derivation
-    "bpe_merges" -> (Bpe.mergesEntry _), // rows-only (iterative learn has no SQL twin)
+    "bpe_merges" -> (Bpe.mergesEntry _), // HASH-CHECKED since r12 (recursive learn-loop replay)
     // apply is HASH-CHECKED (upgraded from a dump): greedy lowest-rank
     // merging over the STATIC rank table is a deterministic single-path
     // walk, so DuckDB replays it recursively from the bpe_merges dump
@@ -330,7 +330,7 @@ object SparkEntry {
     // longest-match-first apply. Stronger oracle than BPE's: the APPLY is
     // hash-checked — DuckDB replays the greedy walk with a recursive CTE
     // over the vocab dump and reassembles docs by word ordinal
-    "wordpiece_vocab" -> (Wordpiece.vocabEntry _), // rows-only (it IS the oracle input)
+    "wordpiece_vocab" -> (Wordpiece.vocabEntry _), // HASH-CHECKED since r12 (recursive learn-loop replay)
     "wordpiece_tokenized" -> (Wordpiece.tokenizedEntry _),
     "wordpiece_vocab_usage" -> (Wordpiece.vocabUsageEntry _),
     // Unigram-LM / SentencePiece (Kudo 2018) — the third subword family:
@@ -683,6 +683,51 @@ object SparkEntry {
   private val toksCte =
     "t AS (SELECT doc_id, CASE WHEN len(trim(coalesce(text,''))) = 0 THEN [] " +
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents)"
+
+  private val sepSql = "chr(31)"
+
+  /** Per-symbol corpus counts over the working table's wrapped states —
+    * the WordPiece likelihood denominator's inputs. */
+  private val symCountsSql =
+    "SELECT sym, CAST(sum(cnt) AS BIGINT) AS sc FROM " +
+      s"(SELECT cnt, unnest(string_split(trim(state, $sepSql), $sepSql || $sepSql)) AS sym FROM st) " +
+      "GROUP BY 1"
+
+  /** Recursive LEARN-loop skeleton shared by the BPE and WordPiece vocab
+    * replays — the round-12 upgrade that turned both learn stages from
+    * rows-only dumps into hash-checked derivations. Each word's current
+    * segmentation rides as a chr(31)-wrapped symbol string (every
+    * symbol individually wrapped, so a pair match is the six-part
+    * pattern SEP a SEP SEP b SEP): SQL `replace()` substitutes
+    * non-overlapping matches left-to-right, which is EXACTLY the Scala
+    * merge application (emit merged, skip both symbols, continue after) —
+    * and a merged symbol is strictly longer than its left part, so a
+    * just-merged token can never false-match as the next pair's left. One
+    * recursive round per merge, 50 rounds; the round's best pair `bp` is a
+    * scalar subquery over the working table (DuckDB supports aggregation
+    * and multiple self-references in the recursive term), and recursion
+    * stops early if no pairs remain (empty `bp` empties the cross join —
+    * the Scala pairCounts.isEmpty exit). The top-10000 word-count table
+    * replicates the fixture's (count DESC, word) driver collect. */
+  private def learnLoopCtes(contMark: String, mergedSql: String,
+      argmaxSql: String): String =
+    s"$toksCte, " +
+      "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word " +
+      "ORDER BY cnt DESC, word LIMIT 10000), " +
+      "init AS (SELECT word, cnt, " +
+      "array_to_string(list_transform(generate_series(1, len(word)), " +
+      s"i -> $sepSql || CASE WHEN i = 1 THEN '' ELSE '$contMark' END || word[i:i] || $sepSql), '') AS state " +
+      "FROM wc), " +
+      "st AS (SELECT 0 AS rnd, word, cnt, state, " +
+      "CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r, " +
+      "CAST(NULL AS VARCHAR) AS merged FROM init " +
+      "UNION ALL " +
+      s"SELECT rnd + 1, word, cnt, " +
+      s"replace(state, $sepSql || bp.a || $sepSql || $sepSql || bp.b || $sepSql, " +
+      s"$sepSql || $mergedSql || $sepSql), " +
+      s"bp.a, bp.b, $mergedSql " +
+      s"FROM st, ($argmaxSql) bp WHERE rnd < 50)"
 
   // Okapi BM25 replay, shared by its own entry and the RRF fusion: the tf
   // part exact-rational (k1=6/5, b=3/4 clear denominators), ln() micro-
@@ -2005,6 +2050,49 @@ object SparkEntry {
         "SELECT unnest(string_split(tokenized, ' ')) AS token " +
         "FROM read_parquet('{OUT}/bpe_tokenized/*.parquet')) " +
         "WHERE token <> '' GROUP BY token"),
+    // BPE LEARN replayed exactly (bpe_merges was rows-only until r12; see
+    // learnLoopCtes): 50 recursive rounds over the wrapped word states,
+    // argmax pair by (count DESC, left, right) — the Scala minBy
+    // (-c, a, b) — each round's pair carried on its rows
+    "bpe_merges" ->
+      (s"WITH RECURSIVE ${learnLoopCtes(
+        contMark = "",
+        mergedSql = "bp.a || bp.b",
+        argmaxSql = "SELECT s.syms[i] AS a, s.syms[i+1] AS b " +
+          s"FROM (SELECT cnt, string_split(trim(state, $sepSql), $sepSql || $sepSql) AS syms FROM st) s, " +
+          "unnest(generate_series(1, len(s.syms) - 1)) u(i) " +
+          "GROUP BY 1, 2 ORDER BY CAST(sum(s.cnt) AS BIGINT) DESC, a, b LIMIT 1")} " +
+        "SELECT DISTINCT CAST(rnd - 1 AS INTEGER) AS rank, l AS \"left\", r AS \"right\" " +
+        "FROM st WHERE rnd >= 1"),
+    // WordPiece LEARN replayed exactly (wordpiece_vocab was rows-only
+    // until r12): same skeleton, continuation symbols spelled ##, argmax
+    // by the LIKELIHOOD ratio pc/(sc_a*sc_b). The Scala compares ratios by
+    // exact BigInt cross-multiplication; here each ratio becomes
+    // floor(pc*10^30 / (sc_a*sc_b)) in HUGEINT — EXACT for the fixture's
+    // count range: with total tokens T, distinct ratios differ by at least
+    // 1/T^4, so the scaled floors differ by ≥ 10^30/T^4 − 2 (> 0 for any
+    // T ≤ 10^7), equal ratios floor equal, and pc*10^30 ≤ T·10^30 < 2^127.
+    // The vocab set = per-word alphabet (first char plain, rest ##) plus
+    // each round's merged symbol; output classification is textual
+    // (LIKE '##%'), matching the Scala's startsWith("##")
+    "wordpiece_vocab" ->
+      (s"WITH RECURSIVE ${learnLoopCtes(
+        contMark = "##",
+        mergedSql = "bp.a || CASE WHEN bp.b LIKE '##%' THEN substr(bp.b, 3) ELSE bp.b END",
+        argmaxSql = "SELECT p.a AS a, p.b AS b FROM " +
+          "(SELECT s.syms[i] AS a, s.syms[i+1] AS b, CAST(sum(s.cnt) AS BIGINT) AS pc " +
+          s"FROM (SELECT cnt, string_split(trim(state, $sepSql), $sepSql || $sepSql) AS syms FROM st) s, " +
+          "unnest(generate_series(1, len(s.syms) - 1)) u(i) GROUP BY 1, 2) p " +
+          s"JOIN ($symCountsSql) sa ON sa.sym = p.a " +
+          s"JOIN ($symCountsSql) sb ON sb.sym = p.b " +
+          "ORDER BY (p.pc::HUGEINT * '1000000000000000000000000000000'::HUGEINT) " +
+          "// (sa.sc::HUGEINT * sb.sc::HUGEINT) DESC, p.a, p.b LIMIT 1")}, " +
+        "alpha AS (SELECT DISTINCT CASE WHEN i = 1 THEN word[i:i] ELSE '##' || word[i:i] END AS sym " +
+        "FROM wc, unnest(generate_series(1, len(word))) u(i)), " +
+        "v AS (SELECT DISTINCT sym FROM (SELECT sym FROM alpha " +
+        "UNION ALL SELECT merged AS sym FROM st WHERE merged IS NOT NULL)) " +
+        "SELECT CASE WHEN sym LIKE '##%' THEN substr(sym, 3) ELSE sym END AS piece, " +
+        "CASE WHEN sym LIKE '##%' THEN 1 ELSE 0 END AS is_cont FROM v"),
     // BPE apply replayed exactly: per distinct word, one merge per
     // recursion step — the position list unnests, pairs join the dumped
     // rank table, QUALIFY keeps (lowest rank, leftmost) — and the word's

@@ -27,11 +27,12 @@ import graft.util.Cols.spread
   * max-count pair with lexicographic tie-break; top-V selection orders by
   * (count desc, word asc). No floats anywhere in learn or apply.
   *
-  * Oracle strategy: the LEARN loop is iterative over a mutating
-  * pair-count table and not SQL-expressible, so the merge table is a dump
-  * (the kmeans_assignments / ivf_assignments contract). APPLY, though, is
-  * a deterministic single-path walk over the STATIC rank table, so the
-  * per-doc tokenization is HASH-CHECKED: DuckDB replays the greedy
+  * Oracle strategy: BOTH stages are HASH-CHECKED. The LEARN loop is
+  * replayed by a recursive CTE over the wrapped per-word segmentation
+  * states (one round per merge, argmax pair by (count DESC, pair) — see
+  * SparkEntry.learnLoopCtes; rows-only until r12). APPLY is a
+  * deterministic single-path walk over the STATIC rank table, so the
+  * per-doc tokenization is also replayed: DuckDB replays the greedy
   * lowest-rank-leftmost merging with a recursive CTE per distinct word
   * and reassembles documents by word ordinal (the [[Wordpiece]] replay
   * shape). The vocab-usage rollup re-aggregates the tokenized table. The

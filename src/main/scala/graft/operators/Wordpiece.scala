@@ -37,8 +37,10 @@ import graft.util.Cols.spread
   * (the `ivf_assignments` contract) and DuckDB replays the exact greedy
   * walk with a recursive CTE (one row per (word, cursor), `QUALIFY` keeps
   * the longest matching piece), then reassembles documents by word
-  * ordinal. (The same replay shape upgraded [[Bpe]]'s apply; only the
-  * LEARN loops — argmax over mutating count tables — remain dumps.)
+  * ordinal. Since r12 the LEARN stage is hash-checked too: the merge loop
+  * replays round by round (SparkEntry.learnLoopCtes), with the BigInt
+  * likelihood comparison reproduced as an exact scaled-HUGEINT floor
+  * ratio (exactness argument at the wordpiece_vocab oracle).
   */
 object Wordpiece {
 
