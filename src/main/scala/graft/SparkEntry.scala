@@ -427,6 +427,10 @@ object SparkEntry {
     // bounded histogram (final epoch = whole corpus), training_order's
     // shard/reshuffle windows within each epoch slice
     "curriculum_order" -> ((s, d) => Sampling.curriculumOrder(s, d)),
+    // the dataloader contract: curriculum order × token counts × the
+    // packing rule — per (epoch, shard, pack) ordered doc spans, with
+    // exactly-once-per-epoch conservation pinned in SamplingSpec
+    "training_manifest" -> ((s, d) => Sampling.trainingManifest(s, d)),
     // per-shard audit of the 16-way md5-mod training-shard layout (the
     // write path is Sampling.writeTrainingShards; SamplingSpec pins both)
     "corpus_shards" -> ((s, d) => Sampling.corpusShards(s, d)),
@@ -685,6 +689,24 @@ object SparkEntry {
       "ELSE string_split_regex(trim(coalesce(text,'')), '\\s+') END AS toks FROM documents)"
 
   private val sepSql = "chr(31)"
+
+  // reproducible-curriculum CTE chain, shared by curriculum_order and
+  // training_manifest: quality histogram → cumulative-from-top per-epoch
+  // value threshold → gate → per-(epoch, doc) rows with the md5 shard and
+  // the epoch-salted reshuffle hash; all exact integers
+  private val curriculumCtes =
+    s"st AS ($textStatsSql), " +
+      "q AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS qm FROM st), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q), " +
+      "hh AS (SELECT qm, count(*) AS c FROM q GROUP BY qm), " +
+      "cum AS (SELECT qm, CAST(sum(c) OVER (ORDER BY qm DESC) AS BIGINT) AS cum FROM hh), " +
+      "ep AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS epoch), " +
+      "thr AS (SELECT ep.epoch, max(cum.qm) AS thr FROM ep, cum, n " +
+      "WHERE cum.cum >= (n.n * (ep.epoch + 1) + 2) // 3 GROUP BY ep.epoch), " +
+      "m AS (SELECT t.epoch, q.doc_id, q.qm, " +
+      "('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, " +
+      "md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(q.doc_id AS VARCHAR)) AS h " +
+      "FROM q JOIN thr t ON q.qm >= t.thr)"
 
   /** Per-symbol corpus counts over the working table's wrapped states —
     * the WordPiece likelihood denominator's inputs. */
@@ -2424,21 +2446,27 @@ object SparkEntry {
     // histogram → cumulative-from-top value threshold per epoch → gate →
     // the training_order shard/reshuffle windows; all exact integers
     "curriculum_order" ->
-      (s"WITH st AS ($textStatsSql), " +
-        "q AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS qm FROM st), " +
-        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q), " +
-        "hh AS (SELECT qm, count(*) AS c FROM q GROUP BY qm), " +
-        "cum AS (SELECT qm, CAST(sum(c) OVER (ORDER BY qm DESC) AS BIGINT) AS cum FROM hh), " +
-        "ep AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS epoch), " +
-        "thr AS (SELECT ep.epoch, max(cum.qm) AS thr FROM ep, cum, n " +
-        "WHERE cum.cum >= (n.n * (ep.epoch + 1) + 2) // 3 GROUP BY ep.epoch), " +
-        "m AS (SELECT t.epoch, q.doc_id, q.qm, " +
-        "('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, " +
-        "md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(q.doc_id AS VARCHAR)) AS h " +
-        "FROM q JOIN thr t ON q.qm >= t.thr) " +
+      (s"WITH $curriculumCtes " +
         "SELECT epoch, shard, " +
         "CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos, " +
         "doc_id, qm FROM m"),
+    // the dataloader contract: curriculum order + per-doc token counts +
+    // the packed_sequences running-count rule, all from the shared CTEs —
+    // start_tok is the per-(epoch, shard) cumulative before the doc, pack
+    // and offset its exact integer div/mod by the 256-token context
+    "training_manifest" ->
+      (s"WITH $curriculumCtes, $toksCte, " +
+        "ord AS (SELECT epoch, shard, " +
+        "CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos, " +
+        "doc_id FROM m), " +
+        "tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
+        "c AS (SELECT o.epoch, o.shard, o.pos, o.doc_id, tk.n_tokens, " +
+        "CAST(sum(tk.n_tokens) OVER (PARTITION BY o.epoch, o.shard ORDER BY o.pos " +
+        "ROWS UNBOUNDED PRECEDING) - tk.n_tokens AS BIGINT) AS start_tok " +
+        "FROM ord o JOIN tk USING (doc_id)) " +
+        "SELECT epoch, shard, CAST(start_tok // 256 AS BIGINT) AS pack_id, " +
+        "pos, doc_id, n_tokens, start_tok, " +
+        "CAST(start_tok % 256 AS BIGINT) AS pack_off FROM c"),
     "training_order" ->
       ("WITH e AS (SELECT doc_id, unnest(generate_series(0, 1)) AS epoch FROM documents), " +
         "s AS (SELECT doc_id, epoch, " +

@@ -202,6 +202,47 @@ object Sampling {
     * layout — document count and token volume per shard (what a release
     * pipeline checks for balance before handing shards to trainers). One
     * per-row hash + one small hash-agg; the corpus never shuffles. */
+  /** Registered query (HASH-CHECKED): the end-to-end TRAINING MANIFEST —
+    * the dataloader contract that composes the pipeline's last three
+    * stages: [[curriculumOrder]] picks WHICH docs each epoch sees and in
+    * WHAT order (per-epoch quality gate, per-(epoch, shard) hash
+    * reshuffle), the corpus token metric ([[corpusShards]]'s counter) says
+    * how LONG each doc is, and [[graft.operators.TextAnalysis.packedSequences]]'s
+    * packing rule (running token count, `div contextLen`) says which PACK
+    * each doc lands in. One row per (epoch, doc) occurrence:
+    * (epoch, shard, pack_id, pos, doc_id, n_tokens, start_tok, pack_off) —
+    * a trainer walks (epoch, shard, pos) and fills context windows;
+    * `start_tok div/mod contextLen` is exactly where the doc's tokens land.
+    *
+    * Conservation (pinned in SamplingSpec): every curriculum-selected doc
+    * is packed EXACTLY once per epoch, and per (epoch, shard) the packed
+    * token sum equals the docs' token sum — nothing dropped, nothing
+    * duplicated, no pack overlaps.
+    *
+    * Scale: the curriculum already ends hash-ordered per (epoch, shard);
+    * attaching n_tokens is one doc_id equi-join (in production the token
+    * count rides along from the stats pass — the join exists here because
+    * the chained entries are registered separately), and the running sum
+    * is a per-(epoch, shard) window — the [[TextAnalysis.packedSequences]]
+    * no-global-cumsum shape; nShards scales the window parallelism. */
+  def trainingManifest(spark: SparkSession, sfDir: String, nEpochs: Int = 3,
+      nShards: Int = 8, contextLen: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen >= 1)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curriculumOrder(spark, sfDir, nEpochs, nShards)
+      .join(toks, "doc_id")
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"epoch", $"shard", expr(s"start_tok div $contextLen").as("pack_id"),
+        $"pos", $"doc_id", $"n_tokens", $"start_tok",
+        ($"start_tok" % contextLen).as("pack_off"))
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
   def corpusShards(spark: SparkSession, sfDir: String,
       nShards: Int = 16): DataFrame =
     Tables.documents(spark, sfDir)

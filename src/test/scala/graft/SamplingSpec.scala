@@ -398,4 +398,33 @@ class SamplingSpec extends SparkTestBase {
         s"epoch $e shard $sh positions")
     }
   }
+
+  test("trainingManifest: every curriculum doc packed exactly once per epoch, tokens conserved") {
+    // (epoch, shard, pack_id, pos, doc_id, n_tokens, start_tok, pack_off)
+    val manifest = Sampling.trainingManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val curriculum = Sampling.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (epoch, doc_id)
+    // exactly-once-per-epoch conservation: the manifest's (epoch, doc)
+    // multiset IS the curriculum's — nothing dropped, nothing duplicated
+    val mDocs = manifest.map(t => (t._1, t._5))
+    assert(mDocs.length == mDocs.distinct.length, "a doc packed twice in an epoch")
+    assert(mDocs.toSet == curriculum.toSet,
+      "manifest (epoch, doc) set differs from the curriculum selection")
+    manifest.groupBy(t => (t._1, t._2)).foreach { case ((e, sh), rows) =>
+      val ordered = rows.sortBy(_._4)
+      // spans tile the shard stream: each doc starts where the previous
+      // ended (start_tok is the running token count), so pack spans never
+      // overlap and never leave holes
+      val starts = ordered.map(_._7)
+      val expected = ordered.map(_._6).scanLeft(0L)(_ + _).init
+      assert(starts.toSeq == expected.toSeq, s"epoch $e shard $sh spans")
+      // pack arithmetic is exactly div/mod of the running count
+      ordered.foreach { t =>
+        assert(t._3 == Math.floorDiv(t._7, 256L) && t._8 == t._7 % 256L,
+          s"epoch $e shard $sh pack arithmetic")
+      }
+    }
+  }
 }
