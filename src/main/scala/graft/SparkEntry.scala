@@ -467,6 +467,12 @@ object SparkEntry {
     // video leg: temporal hash — 8 frames × 8-bit luma-histogram signature
     "video_thash_dump" -> (graft.multimodal.Media.videoTHashDump _), // rows-only (it IS the oracle input)
     "video_thash_near_dup" -> (graft.multimodal.Media.videoTHashNearDup _),
+    // LAION-style cross-modal pair dedup: a (image, caption) pair is a dup
+    // iff the image is a perceptual near-dup AND the caption a text
+    // near-dup — the conjunction joins the two edge relations on the
+    // ordered pair key; quadrant resolution pinned in MediaSpec
+    "crossmodal_pair_sigs" -> (graft.multimodal.Media.crossModalPairSigs _), // rows-only (it IS the oracle input)
+    "crossmodal_dup_pairs" -> (graft.multimodal.Media.crossModalDupPairs(_, _)),
     // the image-firehose shape: arriving images probe a PERSISTED
     // (chunk,key)-bucketed signature index over the standing corpus —
     // zero index-side exchange, corpus×corpus never pairs
@@ -1402,6 +1408,31 @@ object SparkEntry {
         "CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming " +
         "FROM s a JOIN s b ON a.media_id < b.media_id " +
         "WHERE bit_count(xor(a.vhash, b.vhash)) <= 6"),
+    // cross-modal conjunction replayed in full from the pair-sigs dump:
+    // brute-force Hamming over the dumped aHashes, exact 3-gram Jaccard
+    // over the dumped captions, then the same ordered-pair equi-join
+    "crossmodal_dup_pairs" ->
+      ("WITH s AS (SELECT pair_id, ahash, caption FROM read_parquet('{OUT}/crossmodal_pair_sigs/*.parquet')), " +
+        "img AS (SELECT a.pair_id AS a_id, b.pair_id AS b_id, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM s a JOIN s b ON a.pair_id < b.pair_id " +
+        "WHERE bit_count(xor(a.ahash, b.ahash)) <= 6), " +
+        "tok AS (SELECT pair_id, CASE WHEN len(trim(coalesce(caption,''))) = 0 THEN [] " +
+        "ELSE string_split_regex(trim(coalesce(caption,'')), '\\s+') END AS toks FROM s), " +
+        "g AS (SELECT pair_id, CASE WHEN len(toks) < 3 THEN [] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM tok), " +
+        "ex AS (SELECT pair_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0), " +
+        "inter AS (SELECT a.pair_id AS a_id, b.pair_id AS b_id, count(*) AS i " +
+        "FROM ex a JOIN ex b ON a.gram = b.gram AND a.pair_id < b.pair_id GROUP BY 1, 2), " +
+        "sz AS (SELECT pair_id, len(grams) AS ng FROM g WHERE len(grams) > 0), " +
+        "cap AS (SELECT a_id, b_id, jaccard FROM (" +
+        "SELECT inter.a_id, inter.b_id, " +
+        "round(i::DOUBLE / (sa.ng + sb.ng - i), 4) AS jaccard " +
+        "FROM inter JOIN sz sa ON inter.a_id = sa.pair_id " +
+        "JOIN sz sb ON inter.b_id = sb.pair_id) WHERE jaccard >= 0.5) " +
+        "SELECT img.a_id AS a_pair_id, img.b_id AS b_pair_id, img.hamming, cap.jaccard " +
+        "FROM img JOIN cap ON img.a_id = cap.a_id AND img.b_id = cap.b_id"),
     // brute-force Hamming pairs over the SPARK-computed signatures (dumped
     // by the simhash_signatures entry; {OUT} → Verify's output dir): an
     // independent twin of the pigeonhole-chunk candidate join + verify

@@ -559,4 +559,86 @@ object Media {
           .as("n_scene_cuts"))
       .orderBy($"media_id")
   }
+
+  /** The cross-modal (image, caption) PAIR fixture — LAION-style rows
+    * where a training sample is the PAIR, not either modality alone, so
+    * dedup must consider both: dropping on image alone would collapse the
+    * same photo under different captions (distinct supervision signals);
+    * dropping on caption alone would collapse stock phrases over distinct
+    * images. 200 deterministic pairs over the [[synthesizeImageVariants]]
+    * image set and 12-token synthetic captions (a caption VARIANT swaps
+    * the last word: 3-gram Jaccard 9/11 ≈ 0.82, well over the 0.5 gate;
+    * different caption families share zero grams):
+    *
+    *  - pairs 0–99: base image b with caption family b (the corpus);
+    *  - pairs 100–139 (b = p−100 < 40): image VARIANT of b + caption
+    *    VARIANT of b → duplicate pair, the only true cross-modal dups;
+    *  - pairs 140–169 (b ∈ [40,70)): image variant of b + pair (b+1)'s
+    *    EXACT caption → image-dup/caption-distinct, kept (and an
+    *    identical-caption edge against pair b+1 whose image differs);
+    *  - pairs 170–199 (b ∈ [70,100)): caption variant of b + pair
+    *    ((b+1) mod 100)'s EXACT image → caption-dup/image-distinct, kept
+    *    (pair 199 reuses pair 0's image id byte-identically — the
+    *    same-underlying-asset case arrives as a Hamming-0 edge).
+    *
+    * One row per pair: (pair_id, media_id, ahash, caption) — the aHash
+    * computed per referenced image through the standard decode path. This
+    * dump IS the oracle input ([[imagePhashDump]] contract): the fake
+    * codec has no DuckDB twin, but everything DOWNSTREAM of the signatures
+    * — both edge relations and the pair-level conjunction — replays. */
+  def crossModalPairSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def baseCap(k: Long) = (0 until 12).map(j => s"c${k}w$j").mkString(" ")
+    def varCap(k: Long) =
+      ((0 until 11).map(j => s"c${k}w$j") :+ s"c${k}vx").mkString(" ")
+    val pairs = (0L until 200L).map { p =>
+      if (p < 100) (p, p, baseCap(p))
+      else {
+        val b = p - 100
+        if (b < 40) (p, p, varCap(b))
+        else if (b < 70) (p, p, baseCap(b + 1))
+        else (p, (b + 1) % 100, varCap(b))
+      }
+    }.toDF("pair_id", "media_id", "caption")
+    val sigs = imageAHash(synthesizeImageVariants(spark, nBase = 100)).toDF()
+    pairs.join(sigs, "media_id")
+      .select($"pair_id", $"media_id", $"ahash", $"caption")
+      .orderBy($"pair_id")
+  }
+
+  /** Registered query: CROSS-MODAL pair dedup — a pair duplicates another
+    * iff BOTH its image is a perceptual near-dup (Hamming ≤ 6 over aHash,
+    * the multi-index pigeonhole join of [[imagePhashNearDup]]) AND its
+    * caption is a text near-dup (3-gram Jaccard ≥ 0.5, the prefix-filtered
+    * exact verify of [[graft.operators.Dedup.tokenJaccardPairsOf]]). The
+    * conjunction is one equi-join of the two edge sets on the ordered
+    * (a, b) pair key — both relations emit a_id < b_id, so agreement is
+    * co-partitioned and no pair-level cartesian ever forms. Identity cases
+    * need no special path: byte-identical images meet at Hamming 0,
+    * identical captions at Jaccard 1.
+    *
+    * Scale: each edge set is a linear near-dup output (banded/pigeonholed,
+    * never all-pairs); the conjunction join keys on pair ids. MediaSpec
+    * pins the quadrants: image-dup/caption-distinct and
+    * caption-dup/image-distinct pairs appear in exactly one edge relation
+    * and never in the output. Fully hash-checked from the
+    * `crossmodal_pair_sigs` dump (Hamming brute-force + gram Jaccard +
+    * conjunction all replay in DuckDB). */
+  def crossModalDupPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val pairs = crossModalPairSigs(spark, sfDir)
+    val imgEdges = graft.operators.Dedup.hammingNearDup(
+      pairs.select($"pair_id", $"ahash"), "pair_id", "ahash",
+      numChunks = 8, maxHamming = maxHamming)
+    val capEdges = graft.operators.Dedup.tokenJaccardPairsOf(
+      pairs.select($"pair_id".as("doc_id"), $"caption".as("text")),
+      n = 3, threshold = threshold)
+    imgEdges.join(capEdges,
+        imgEdges("a_id") === capEdges("a_doc_id") &&
+          imgEdges("b_id") === capEdges("b_doc_id"))
+      .select($"a_id".as("a_pair_id"), $"b_id".as("b_pair_id"),
+        $"hamming", $"jaccard")
+      .orderBy($"a_pair_id", $"b_pair_id")
+  }
 }

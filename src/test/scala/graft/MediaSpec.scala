@@ -213,4 +213,37 @@ class MediaSpec extends SparkTestBase {
         numChunks = 4, maxHamming = 4)
     }
   }
+
+  test("crossModalDupPairs: only image-AND-caption dups; each single-modality quadrant resolves to keep") {
+    import spark.implicits._
+    val pairs = Media.crossModalPairSigs(spark, sf)
+    val dups = Media.crossModalDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the both-modality variants: pair b ~ pair b+100 for b < 40
+    assert(dups == (0L until 40L).map(b => (b, b + 100L)).toSet)
+    val imgEdges = graft.operators.Dedup.hammingNearDup(
+      pairs.select($"pair_id", $"ahash"), "pair_id", "ahash", 8, 6)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val capEdges = graft.operators.Dedup.tokenJaccardPairsOf(
+      pairs.select($"pair_id".as("doc_id"), $"caption".as("text")))
+      .select($"a_doc_id", $"b_doc_id").as[(Long, Long)].collect().toSet
+    // image-dup/caption-distinct (variants of bases 40-69): in the image
+    // relation, NOT in the output — same photo, different supervision
+    (40L until 70L).foreach { b =>
+      assert(imgEdges.contains((b, b + 100L)), s"image edge $b")
+      assert(!capEdges.contains((b, b + 100L)), s"caption edge $b")
+      assert(!dups.contains((b, b + 100L)), s"kept pair $b")
+    }
+    // caption-dup/image-distinct (variants of bases 70-99): in the caption
+    // relation, NOT in the output — stock phrase over different images
+    (70L until 100L).foreach { b =>
+      assert(capEdges.contains((b, b + 100L)), s"caption edge $b")
+      assert(!imgEdges.contains((b, b + 100L)), s"image edge $b")
+      assert(!dups.contains((b, b + 100L)), s"kept pair $b")
+    }
+    // the byte-identical-image case (pair 199 reuses pair 0's image):
+    // Hamming-0 edge, captions distinct, pair kept
+    assert(imgEdges.contains((0L, 199L)))
+    assert(!dups.contains((0L, 199L)))
+  }
 }
