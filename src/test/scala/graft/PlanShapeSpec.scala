@@ -330,7 +330,11 @@ class PlanShapeSpec extends SparkTestBase {
       // the broadcast build side is the nEpochs-row quality-threshold
       // table (3 rows) joined on qm >= thr — epoch-count-sized by
       // construction, the corpus side streams through unshuffled
-      "curriculum_order")
+      "curriculum_order",
+      // embeds curriculum_order as its selection stage — the same 3-row
+      // threshold broadcast; the token join and the packing window it
+      // adds are equi-keyed
+      "training_manifest")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
