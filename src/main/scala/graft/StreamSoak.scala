@@ -71,6 +71,9 @@ object StreamSoak {
       val decontamRate = 20000 * dedupScale
       val dc = Soak.decontamRun(spark, benchDocs = 2000 * dedupScale,
         decontamRate, soakMs = 20000)
+      val mixtureRate = 40000 * dedupScale
+      val mx = Soak.mixtureRun(spark, corpusDocs = 20000 * dedupScale,
+        mixtureRate, soakMs = 20000)
       // serving corpus fixed across geometries (the standing artifact);
       // only the offered query rate scales with cores
       val annRate = 500 * dedupScale
@@ -85,10 +88,12 @@ object StreamSoak {
         s""""dedup_probe":${Soak.json(d)},""" +
         s""""hash_dedup":${Soak.json(hd)},""" +
         s""""decontam":${Soak.json(dc)},""" +
+        s""""annealed_mixture":${Soak.json(mx)},""" +
         s""""ann_probe":${Soak.json(ann)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
-        s""""decontam_rate":$decontamRate,"ann_rate":$annRate}"""
+        s""""decontam_rate":$decontamRate,"mixture_rate":$mixtureRate,""" +
+        s""""ann_rate":$annRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

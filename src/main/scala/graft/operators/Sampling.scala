@@ -91,10 +91,19 @@ object Sampling {
     */
   def corpusMixture(spark: SparkSession, sfDir: String,
       budgets: Map[String, Long] = Map("en" -> 5000L, "fr" -> 2000000000L))
-      : DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+      : DataFrame =
+    corpusMixtureOf(Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
-        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens")),
+      budgets)
+
+  /** Core of [[corpusMixture]] over any (doc_id, lang, n_tokens) frame —
+    * also the batch twin the streaming annealed mixture
+    * ([[graft.streaming.SampleStream.annealedMixtureQuery]]) is
+    * parity-pinned against. */
+  def corpusMixtureOf(docs: DataFrame,
+      budgets: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
     val totals = docs.groupBy($"lang")
       .agg(sum($"n_tokens").as("lang_tokens"))
       .filter($"lang_tokens" > 0)

@@ -58,4 +58,83 @@ object SampleStream {
           .select(col("rk"), col("doc_id"), col("weight"),
             col("ln_u_micros")), batchId)
       }
+
+  /** The standing side of the ANNEALED-MIXTURE stream: per-language exact
+    * token totals plus the fixed budgets. Language count is small by
+    * definition (the same boundedness contract as the IVF centroid matrix),
+    * so the totals live as driver longs and the per-trigger update is one
+    * language-count-sized collect — never a corpus-side state store. */
+  final case class StandingMixture(budgets: Map[String, Long],
+      totals: scala.collection.mutable.Map[String, Long]) {
+    /** rate = min(1, budget / totals) — the [[Sampling.corpusMixture]]
+      * arithmetic verbatim (same IEEE double division), so the gate
+      * decisions are bit-identical to the batch twin's at equal totals. */
+    def rates: Map[String, Double] = totals.iterator.map { case (lang, t) =>
+      lang -> math.min(1.0,
+        budgets.getOrElse(lang, t).toDouble / t.toDouble)
+    }.toMap
+  }
+
+  /** Prepare the standing totals from the corpus already ingested:
+    * one hash-agg over (lang), language-count-sized result. */
+  def prepareMixture(corpus: DataFrame,
+      budgets: Map[String, Long]): StandingMixture = {
+    val totals = corpus
+      .select(col("lang"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    StandingMixture(budgets,
+      scala.collection.mutable.Map(totals.toIndexedSeq: _*))
+  }
+
+  /** Streaming ANNEALED MIXTURE — the per-trigger twin of
+    * [[Sampling.corpusMixture]] with keep-rates RE-DERIVED as the standing
+    * corpus grows: each micro-batch of (doc_id, lang, text) first folds its
+    * exact token counts into the standing per-language totals (so the
+    * batch anneals against totals INCLUDING itself — a language crossing
+    * its budget starts downsampling within the same trigger), then gates
+    * its documents at rate = min(1, budget/totals) through the
+    * deterministic [[Sampling.dynamicHashGate]]. Early batches of an
+    * under-budget language keep everything; as ingest accumulates past the
+    * budget the rate anneals toward budget/total — exactly the batch
+    * operator's rates evaluated on the corpus-so-far prefix
+    * (SampleStreamSpec pins per-batch equality with that batch twin).
+    *
+    * Scale per trigger: one map-side-combined hash-agg over the batch
+    * (language-count-sized collect), a driver map update, then a broadcast
+    * rates join + per-row md5 gate — the batch never shuffles and the
+    * standing side never materializes per-doc state. Output rows are the
+    * kept (doc_id, lang, n_tokens, rate). */
+  def annealedMixtureQuery(stream: DataFrame, standing: StandingMixture)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch
+          .select(col("doc_id"), col("lang"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("n_tokens"))
+          .persist() // scanned twice: totals, then the gate
+        try {
+          docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+            .collect().foreach { r =>
+              val lang = r.getString(0)
+              standing.totals(lang) =
+                standing.totals.getOrElse(lang, 0L) + r.getLong(1)
+            }
+          val rateRows = standing.rates.toSeq
+          if (rateRows.nonEmpty) {
+            import spark.implicits._
+            val rates = rateRows.toDF("lang", "rate")
+            sink(docs.join(broadcast(rates), "lang")
+              .filter(Sampling.dynamicHashGate(col("doc_id"), col("rate")))
+              .select(col("doc_id"), col("lang"), col("n_tokens"),
+                col("rate")),
+              batchId)
+          }
+        } finally { val _ = docs.unpersist() }
+      }
 }

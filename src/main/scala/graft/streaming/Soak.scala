@@ -180,6 +180,34 @@ object Soak {
     finally prepared.unpersist()
   }
 
+  /** Streaming ANNEALED-MIXTURE throughput — the corpus-composition row:
+    * a standing mixture profile is prepared from a synthesized corpus
+    * (untimed — the standing artifact), then a rate-source document stream
+    * (four languages, round-robin) folds each micro-batch's exact token
+    * counts into the standing totals and gates its rows at the re-derived
+    * keep-rates ([[SampleStream.annealedMixtureQuery]]). Budgets sit below
+    * the standing supply, so every batch runs the full anneal path: totals
+    * update, sub-1 rates, md5 gate. The sink counts kept rows so every
+    * batch pays tokenize + agg + gate. */
+  def mixtureRun(spark: SparkSession, corpusDocs: Int, docsRate: Int,
+      soakMs: Long = 20000): Result = {
+    val langs = array(Seq("en", "fr", "de", "ja").map(lit): _*)
+    def withLang(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("lang", element_at(langs, (col("doc_id") % 4 + 1).cast("int")))
+    val corpus = withLang(spark.range(corpusDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text")))
+    val standing = SampleStream.prepareMixture(corpus,
+      budgets = Map("en" -> 1000L, "fr" -> 1000L, "de" -> 1000L, "ja" -> 1000L))
+    val docs = withLang(spark.readStream.format("rate")
+      .option("rowsPerSecond", docsRate.toString).load()
+      .select((col("value") + corpusDocs).as("doc_id"),
+        synthText(col("value")).as("text")))
+    val q = SampleStream.annealedMixtureQuery(docs, standing) {
+      (kept, _) => val _ = kept.count()
+    }.start()
+    soak(q, soakMs)
+  }
+
   /** Streaming ANN-SERVING throughput — the query-side row: a synthetic
     * embedding corpus is IVF-fitted and persisted cell-partitioned ONCE
     * (untimed — the standing index), then a rate-source query-vector

@@ -51,4 +51,51 @@ class SampleStreamSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_test_reservoir")
     }
   }
+
+  test("annealedMixtureQuery: each batch equals the batch mixture at corpus-so-far rates; rates anneal down") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    // a budget small enough that the dominant language crosses it
+    // mid-stream: rates must anneal below 1 and keep falling
+    val budgets = Map("en" -> 2000L)
+    val standing = SampleStream.StandingMixture(budgets,
+      scala.collection.mutable.Map.empty)
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[Long], Map[String, Double])]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = SampleStream.annealedMixtureQuery(
+      ms.toDF().toDF("doc_id", "lang", "text"), standing) { (kept, _) =>
+      perBatch += ((kept.select($"doc_id").as[Long].collect().toSet,
+        standing.rates))
+    }.start()
+    try {
+      val thirds = docs.grouped(math.max(docs.length / 3 + 1, 1)).toSeq
+      thirds.foreach { part =>
+        ms.addData(part.toSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(perBatch.size == thirds.size)
+      // parity with the batch twin: batch k's kept set equals the batch
+      // operator run over the prefix up to and including batch k
+      // (identical rate arithmetic + md5 gate), restricted to batch k
+      thirds.zipWithIndex.foreach { case (part, k) =>
+        val prefix = thirds.take(k + 1).flatten
+        val prefixDf = prefix.toDF("doc_id", "lang", "text")
+          .select($"doc_id", $"lang",
+            size(graft.operators.TextAnalysis.tokens($"text"))
+              .cast("long").as("n_tokens"))
+        val ids = part.map(_._1).toSet
+        val expected = Sampling.corpusMixtureOf(prefixDf, budgets)
+          .select($"doc_id").as[Long].collect().toSet.intersect(ids)
+        assert(perBatch(k)._1 == expected, s"batch $k parity")
+      }
+      // annealing: once over budget, the gated language's rate strictly
+      // falls as its totals grow, and later batches actually drop docs
+      val enRates = perBatch.map(_._2("en"))
+      assert(enRates.last < 1.0)
+      assert(enRates.zip(enRates.tail).forall { case (a, b) => b <= a })
+      assert(enRates.head > enRates.last)
+    } finally q.stop()
+  }
 }

@@ -88,6 +88,18 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: annealed mixture sustains the composition gate") {
+    // per micro-batch: tokenize + language token agg (tiny collect) +
+    // standing-totals fold + broadcast rates join + md5 gate; budgets sit
+    // below supply so the full anneal path runs every batch
+    measureWithRetry { _ =>
+      Soak.mixtureRun(spark, corpusDocs = 20000, docsRate = 40000)
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 40000, d)
+      assert(d.rowsPerSec > 4000, s"mixture throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: perceptual hash dedup sustains the media firehose") {
     // the full decode → aHash → multi-index Hamming probe chain per
     // micro-batch; floor far below a healthy 4-core rate (CI-noise-proof)
