@@ -1691,36 +1691,31 @@ object Dedup {
     * geometry the index was built with: a mismatch shifts the (chunk, key)
     * layout, so equi-joins silently drop pairs instead of erroring —
     * exactly the failure the embedding band index's documented geometry
-    * contract exists to prevent. The build records [[NumChunksProperty]]
-    * and the recorded value is checked STRICTLY. An index written before
-    * the property existed has only the data to go on, and the data can
-    * only DISPROVE a geometry, not confirm one: an observed chunk id
-    * ≥ `numChunks` is impossible under the probe's layout (definite
-    * mismatch → throw), while max(chunk)+1 < `numChunks` may just mean the
-    * high chunks happen to be empty, and an empty table disproves nothing
-    * — the legacy check is advisory-by-construction, never a spurious
-    * failure. */
+    * contract exists to prevent. The build records [[NumChunksProperty]];
+    * for an index written before the property existed, `max(chunk)+1` of
+    * the standing table is checked instead — and that inference is EXACT,
+    * not a heuristic: `chunkedSigs` explodes every signature into ALL of
+    * its geometry's chunks, so any non-empty index populates every chunk
+    * id 0..numChunks−1 and `max(chunk)+1` IS the build geometry (a partly
+    * populated chunk range cannot occur by construction, so the check can
+    * never throw spuriously). An EMPTY legacy table genuinely records
+    * nothing to check against — it passes deliberately: whatever geometry
+    * first appends to it becomes the (consistent) geometry of every row it
+    * will ever hold. */
   private def requireChunkGeometry(spark: SparkSession, table: String,
       numChunks: Int): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    meta.properties.get(NumChunksProperty).map(_.toInt) match {
-      case Some(b) =>
-        if (b != numChunks) throw new IllegalArgumentException(
-          s"hash index $table was built with numChunks=$b but this " +
-            s"probe/append uses numChunks=$numChunks — a mismatched chunk " +
-            "geometry silently drops pairs; match the build or rebuild " +
-            "the index")
-      case None =>
-        Option(spark.table(table).agg(max(col("chunk"))).head.get(0))
-          .map(_.asInstanceOf[Int]).filter(_ >= numChunks).foreach { m =>
-            throw new IllegalArgumentException(
-              s"hash index $table (no recorded chunk geometry) contains " +
-                s"chunk id $m, impossible under this probe/append's " +
-                s"numChunks=$numChunks — the index was built with a " +
-                "different chunk geometry; match the build or rebuild " +
-                "the index")
-          }
+    val built = meta.properties.get(NumChunksProperty).map(_.toInt)
+      .orElse(Option(spark.table(table)
+        .agg(max(col("chunk"))).head.get(0))
+        .map(_.asInstanceOf[Int] + 1))
+    built.filter(_ != numChunks).foreach { b =>
+      throw new IllegalArgumentException(
+        s"hash index $table was built with numChunks=$b but this " +
+          s"probe/append uses numChunks=$numChunks — a mismatched chunk " +
+          "geometry silently drops pairs; match the build or rebuild " +
+          "the index")
     }
   }
 
