@@ -288,7 +288,8 @@ object Similarity {
     * shape. */
   final case class StandingIvf(spark: SparkSession, corpusPath: String,
       schema: org.apache.spark.sql.types.StructType,
-      centers: Array[Array[Double]]) {
+      centers: Array[Array[Double]],
+      centersSig: Seq[(String, Long, Long)] = Nil) {
     @transient private lazy val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -306,12 +307,30 @@ object Similarity {
     }
   }
 
+  /** Cheap change signature of a persisted index's CENTERS directory —
+    * (name, length, mtime) per file, one listing. A [[retrainIvfIndex]]
+    * swap replaces the directory with freshly written files (new part-file
+    * names), so the signature always changes across a retrain; appends
+    * never touch centers, so it never changes under plain ingest. The
+    * serving loop compares this per trigger to survive retrains. */
+  private[graft] def centersSignature(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centers")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
   /** Resolve a persisted index into a [[StandingIvf]] serving handle: one
-    * schema inference + one centers read, paid once per stream. */
+    * schema inference + one centers read, paid once per stream (or once
+    * per detected retrain — the signature is read FIRST, so if a swap
+    * lands mid-prepare the stale pairing is caught and re-prepared on the
+    * next signature check). */
   def prepareIvfIndex(spark: SparkSession, path: String): StandingIvf = {
+    val sig = centersSignature(spark, path)
     val corpus = s"$path/corpus"
     StandingIvf(spark, corpus, spark.read.parquet(corpus).schema,
-      loadCenters(spark, path))
+      loadCenters(spark, path), sig)
   }
 
   /** Probe a prepared [[StandingIvf]] with a query FRAME — the serving
@@ -587,7 +606,11 @@ object Similarity {
     * two-rename window is not atomic for CONCURRENT probes: standing
     * serving handles must be re-prepared after a retrain (their frozen
     * centers are the old geometry; production would version the index root
-    * and flip a pointer — same protocol, one more directory level).
+    * and flip a pointer — same protocol, one more directory level). The
+    * serving loop does this ITSELF: [[graft.streaming.AnnStream]] compares
+    * [[centersSignature]] per trigger and re-prepares on change, so a
+    * retrain never requires touching a running stream (AnnStreamSpec pins
+    * post-swap stream≡batch agreement).
     * IvfRetrainSpec pins post-swap consistency: assignments equal the
     * nearest NEW centroid for every vector, and batch/serving probes of
     * the swapped index agree. */

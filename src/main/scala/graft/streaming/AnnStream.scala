@@ -41,7 +41,7 @@ object AnnStream {
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = queryStream.sparkSession
-    val standing = Similarity.prepareIvfIndex(spark, indexPath)
+    var standing = Similarity.prepareIvfIndex(spark, indexPath)
     // Configure-time plan warm-up — part of preparing the standing side:
     // one synthetic single-query probe compiles the serving stages (probe
     // expression, pruned scan + broadcast join + cosine, top-k aggregate)
@@ -60,6 +60,22 @@ object AnnStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // Survive a concurrent [[Similarity.retrainIvfIndex]]: one
+        // centers-directory listing per trigger (the only standing-side
+        // metadata the probe doesn't already touch); a changed signature
+        // means the index was swapped under us, so re-prepare the handle —
+        // the NEXT probe then uses the new geometry, which is the
+        // freshest-available contract probe-while-ingest already gives
+        // appends. Both steps are Try-guarded: inside the swap's
+        // two-rename window a listing or prepare can fail transiently, in
+        // which case this trigger serves from the old handle and the next
+        // one retries — serving never goes down for a retrain.
+        scala.util.Try(Similarity.centersSignature(spark, indexPath))
+          .foreach { sig =>
+            if (sig != standing.centersSig)
+              scala.util.Try(Similarity.prepareIvfIndex(spark, indexPath))
+                .foreach(standing = _)
+          }
         if (!batch.isEmpty)
           sink(Similarity.queryStandingIvf(standing,
             batch.select($"vec_id", $"embedding"), k, nprobe), batchId)

@@ -52,4 +52,41 @@ class AnnStreamSpec extends SparkTestBase {
         s"appended vector not surfaced: ${results.toSeq.sortBy(_._4).take(3)}")
     } finally q.stop()
   }
+
+  test("serving survives a retrain: the next trigger probes the swapped geometry") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-retrain-stream").toString
+    // build on half the corpus so the later retrain (over the grown
+    // corpus) produces materially different centers
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0)), path)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      ms.addData(queries.head)
+      q.processAllAvailable() // handle is now warm on the OLD geometry
+      // grow the corpus, then retrain + swap while the stream is up
+      Similarity.appendToIvfIndex(
+        emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding"), path)
+      Similarity.retrainIvfIndex(spark, path)
+      results.clear()
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      // the trigger after the swap must agree with the batch probe of the
+      // RETRAINED index — the stream re-prepared its handle by itself
+      val expected = Similarity.queryIvfIndex(
+        Similarity.loadIvfIndex(spark, path), queries)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expected)
+      assert(results.nonEmpty)
+    } finally q.stop()
+  }
 }
