@@ -208,6 +208,10 @@ object SparkEntry {
     // D4 = SemDeDup then prototype-prune the survivors (quotas on survivor
     // cell sizes); both stage decisions in the audit output
     "d4_pruned" -> ((s, d) => Dedup.d4Pruned(s, d)),
+    // cluster-balanced diversity sampling: cap every coarse cell at
+    // perCell members by md5 order (unbiased, membership-pure); salted
+    // two-phase rank so a giant cluster never funnels one window task
+    "cluster_balanced_sample" -> ((s, d) => Dedup.clusterBalancedSample(s, d)),
     // IVF retrain-on-drift (the ops response to ivf_quantization_error):
     // planted-drift fixture (even half fit, reversed odd half appended to
     // frozen centers), then refit + staged atomic swap; the health table
@@ -1648,6 +1652,14 @@ object SparkEntry {
         "FROM (SELECT phase, cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
         "CAST(sum(CAST(round(proto_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_micros " +
         "FROM e GROUP BY phase, cell)"),
+    // per-cell md5 ranking replayed from the assignments dump — both
+    // engines hash the decimal vec_id string to the same lowercase hex
+    "cluster_balanced_sample" ->
+      ("WITH a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')) " +
+        "SELECT cell, rk, vec_id FROM (" +
+        "SELECT cell, vec_id, CAST(row_number() OVER (PARTITION BY cell " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk FROM a) " +
+        "WHERE rk <= 40"),
     // per-cell rollup of the same scored frame: micro-quantized cosine
     // sums and truncating integer mean (DuckDB // and Spark DIV both
     // truncate toward zero)

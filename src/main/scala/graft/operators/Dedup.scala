@@ -1334,6 +1334,40 @@ object Dedup {
           .when($"proto_dropped" === 1, 0).otherwise(1).as("is_kept"))
   }
 
+  /** Cluster-BALANCED sampling — the diversity-selection member of the
+    * cluster-scoped curation family ([[semdedupPruned]] drops semantic
+    * twins, [[prototypePruned]] drops the too-easy center mass; THIS caps
+    * every cluster at `perCell` members so dominant modes cannot flood a
+    * training mix): per coarse cell, keep the `perCell` vectors with the
+    * smallest md5(vec_id) — an unbiased within-cell sample that is a pure
+    * function of the membership set (the group-level
+    * [[graft.functions.Aggregators.BottomKByHash]] semantics at a fixed
+    * per-cluster quota), so it is stable across runs, partitionings, and
+    * engines. Cells below the quota keep everything.
+    *
+    * Scale: the rank is the salted two-phase top-k
+    * ([[Similarity]]'s `topKPerQuery` shape) — a local rank within
+    * (cell, salt) prunes each bucket to `perCell`, then the global rank
+    * sees ≤ salts×perCell rows per cell, so one giant cluster never
+    * funnels through a single window task. Fully oracle-checked: DuckDB
+    * replays the md5 ranking from the `ivf_assignments` dump. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String,
+      perCell: Int = 40, salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = standingAssigned(spark, sfDir)
+      .select($"vec_id", $"cell",
+        md5($"vec_id".cast("string")).as("__h"))
+    val localW = Window.partitionBy($"cell", pmod($"vec_id", lit(salts)))
+      .orderBy($"__h", $"vec_id")
+    val globalW = Window.partitionBy($"cell").orderBy($"__h", $"vec_id")
+    assigned
+      .withColumn("lrk", row_number().over(localW))
+      .filter($"lrk" <= perCell)
+      .withColumn("rk", row_number().over(globalW).cast("long"))
+      .filter($"rk" <= perCell)
+      .select($"cell", $"rk", $"vec_id")
+  }
+
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

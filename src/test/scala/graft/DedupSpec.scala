@@ -387,6 +387,31 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_._4 == 0) && got.exists(_._4 == 1))
   }
 
+  test("clusterBalancedSample: exact md5-smallest quota per cell; salted rank equals the naive window") {
+    val perCell = 40
+    val got = Dedup.clusterBalancedSample(spark, sf, perCell).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val members = graft.operators.Similarity.standingIndex(spark, sf)
+      .bucketed.select($"cell".cast("int"), $"vec_id")
+      .as[(Int, Long)].collect().groupBy(_._1)
+    def md5hex(v: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      val all = members(cell).map(_._2)
+      // quota: min(perCell, |cell|), under-quota cells keep everything
+      assert(rows.length == math.min(perCell, all.length), s"cell $cell size")
+      // positions are 1..k and the kept set is exactly the md5-smallest
+      // prefix of the membership (the naive single-window semantics the
+      // salted two-phase rank must reproduce)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      val expected = all.sortBy(v => (md5hex(v), v)).take(perCell).toSet
+      assert(rows.map(_._3).toSet == expected, s"cell $cell kept set")
+    }
+    // every standing cell is represented
+    assert(got.map(_._1).toSet == members.keySet)
+  }
+
   test("ivfQuantizationError: conserves membership, means bracket the per-cell cosines") {
     val idx = graft.operators.Similarity.standingIndex(spark, sf)
     val got = Dedup.ivfQuantizationError(spark, sf).collect()
