@@ -464,8 +464,14 @@ final class TopKScoredBuf(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // java.lang.Double.compare IS Spark's nanSafeCompareDoubles: NaN ranks
+  // above every value and equal to itself, -0.0 < 0.0 — so the buffer's
+  // total order matches the window form's ORDER BY even on degenerate
+  // scores (a zero-norm embedding cosines to NaN), keeping stream ≡ batch
+  private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !beats(s, id, k - 1)) return // O(1) reject once saturated
@@ -503,8 +509,10 @@ final class TopKScoredBuf(val k: Int) {
   * ScalaAggregator path pays an encoder round-trip per input row (measured
   * ~2.5 s per 10 M-candidate probe batch — slower than the window it was
   * meant to replace); this operates on the unsafe row directly, ~zero
-  * allocation per update. Scores must be finite (the r6-rounded cosine is;
-  * NaN would break the comparator's total order). */
+  * allocation per update. The comparator is `java.lang.Double.compare` —
+  * Spark's own nanSafeCompareDoubles order — so even degenerate scores
+  * (NaN from a zero-norm embedding's cosine) rank identically to the
+  * window form. */
 case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate

@@ -1352,21 +1352,12 @@ object Dedup {
     * funnels through a single window task. Fully oracle-checked: DuckDB
     * replays the md5 ranking from the `ivf_assignments` dump. */
   def clusterBalancedSample(spark: SparkSession, sfDir: String,
-      perCell: Int = 40, salts: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = standingAssigned(spark, sfDir)
-      .select($"vec_id", $"cell",
-        md5($"vec_id".cast("string")).as("__h"))
-    val localW = Window.partitionBy($"cell", pmod($"vec_id", lit(salts)))
-      .orderBy($"__h", $"vec_id")
-    val globalW = Window.partitionBy($"cell").orderBy($"__h", $"vec_id")
-    assigned
-      .withColumn("lrk", row_number().over(localW))
-      .filter($"lrk" <= perCell)
-      .withColumn("rk", row_number().over(globalW).cast("long"))
-      .filter($"rk" <= perCell)
+      perCell: Int = 40, salts: Int = 8): DataFrame =
+    graft.util.Cols.saltedTopK(
+      standingAssigned(spark, sfDir)
+        .select($"vec_id", $"cell", md5($"vec_id".cast("string")).as("__h")),
+      Seq($"cell"), Seq($"__h", $"vec_id"), $"vec_id", perCell, salts)
       .select($"cell", $"rk", $"vec_id")
-  }
 
   /** Seeded Gaussian hyperplanes — deterministic across runs and engines. */
   private def gaussianPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -455,20 +455,12 @@ object Sampling {
     * through a single window task.
     */
   def sourceCappedCorpus(spark: SparkSession, sfDir: String,
-      cap: Int = 10, salts: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val stats = TextAnalysis
-      .textStatsOf(Tables.documents(spark, sfDir), carry = Seq("source"))
-      .select($"doc_id", $"source", $"quality_score")
-    val localW = Window.partitionBy($"source", pmod($"doc_id", lit(salts)))
-      .orderBy($"quality_score".desc, $"doc_id")
-    val globalW = Window.partitionBy($"source")
-      .orderBy($"quality_score".desc, $"doc_id")
-    stats
-      .withColumn("lrk", row_number().over(localW))
-      .filter($"lrk" <= cap)
-      .withColumn("rk", row_number().over(globalW).cast("long"))
-      .filter($"rk" <= cap)
+      cap: Int = 10, salts: Int = 8): DataFrame =
+    graft.util.Cols.saltedTopK(
+      TextAnalysis
+        .textStatsOf(Tables.documents(spark, sfDir), carry = Seq("source"))
+        .select($"doc_id", $"source", $"quality_score"),
+      Seq($"source"), Seq($"quality_score".desc, $"doc_id"), $"doc_id",
+      cap, salts)
       .select($"doc_id", $"source", $"quality_score", $"rk")
-  }
 }

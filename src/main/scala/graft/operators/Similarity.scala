@@ -63,19 +63,13 @@ object Similarity {
 
   /** Shared ranking core: best-first by `scoreCol` (descending for
     * similarities, ascending for distances — [[graft.operators.Pq]]'s ADC
-    * path), vec_id tiebreak, same salted two-phase shape. */
+    * path), vec_id tiebreak, the one salted two-phase rank
+    * ([[graft.util.Cols.saltedTopK]]). */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int, salts: Int,
       scoreCol: String, asc: Boolean): DataFrame = {
     val best = if (asc) col(scoreCol).asc else col(scoreCol).desc
-    val localW = Window.partitionBy($"query_id", pmod($"vec_id", lit(salts)))
-      .orderBy(best, $"vec_id")
-    val globalW = Window.partitionBy($"query_id")
-      .orderBy(best, $"vec_id")
-    scored
-      .withColumn("lrk", row_number().over(localW))
-      .filter($"lrk" <= k)
-      .withColumn("rk", row_number().over(globalW).cast("long"))
-      .filter($"rk" <= k)
+    graft.util.Cols.saltedTopK(scored, Seq($"query_id"),
+        Seq(best, $"vec_id"), $"vec_id", k, salts)
       .select($"query_id", $"vec_id", col(scoreCol), $"rk")
   }
 
@@ -615,10 +609,16 @@ object Similarity {
     * nearest NEW centroid for every vector, and batch/serving probes of
     * the swapped index agree. */
   def retrainIvfIndex(spark: SparkSession, path: String,
-      nlist: Int = 16): Unit = {
+      nlist: Int = 0): Unit = {
     val corpus = spark.read.parquet(s"$path/corpus")
       .select($"vec_id", $"embedding")
-    val refit = buildIvfIndex(corpus, nlist)
+    // nlist ≤ 0 (the default) KEEPS the index's current center count — a
+    // hardcoded default here would silently collapse the cell geometry of
+    // any index built at a different nlist (a retrain re-fits centers, it
+    // does not re-decide capacity; pass nlist explicitly to resize)
+    val cells =
+      if (nlist > 0) nlist else loadCenters(spark, path).length
+    val refit = buildIvfIndex(corpus, cells)
     val staging = s"$path/retrain_staging"
     writeIvfIndex(refit, staging) // materializes before any old state moves
     val root = new org.apache.hadoop.fs.Path(path)

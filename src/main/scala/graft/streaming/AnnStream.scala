@@ -68,17 +68,31 @@ object AnnStream {
         // freshest-available contract probe-while-ingest already gives
         // appends. Both steps are Try-guarded: inside the swap's
         // two-rename window a listing or prepare can fail transiently, in
-        // which case this trigger serves from the old handle and the next
-        // one retries — serving never goes down for a retrain.
+        // which case this trigger serves from the old handle.
         scala.util.Try(Similarity.centersSignature(spark, indexPath))
           .foreach { sig =>
             if (sig != standing.centersSig)
               scala.util.Try(Similarity.prepareIvfIndex(spark, indexPath))
                 .foreach(standing = _)
           }
-        if (!batch.isEmpty)
-          sink(Similarity.queryStandingIvf(standing,
-            batch.select($"vec_id", $"embedding"), k, nprobe), batchId)
+        if (!batch.isEmpty) {
+          val queries = batch.select($"vec_id", $"embedding")
+          // The probe itself can also lose the race: a swap landing AFTER
+          // the signature check renames corpus files out from under the
+          // scoring job (FileNotFound mid-scan). One retry against a
+          // freshly prepared handle covers the whole swap window — the
+          // retrained index is fully materialized before any old file
+          // moves, so the second attempt always has a consistent index to
+          // read; anything that still fails is a real fault and propagates.
+          try sink(Similarity.queryStandingIvf(standing, queries, k, nprobe),
+            batchId)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              standing = Similarity.prepareIvfIndex(spark, indexPath)
+              sink(Similarity.queryStandingIvf(standing, queries, k, nprobe),
+                batchId)
+          }
+        }
       }
   }
 }

@@ -66,6 +66,14 @@ object SampleStream {
     * language-count-sized collect — never a corpus-side state store. */
   final case class StandingMixture(budgets: Map[String, Long],
       totals: scala.collection.mutable.Map[String, Long]) {
+    /** Highest batchId already folded into [[totals]] — foreachBatch is
+      * at-least-once, and the totals fold is a side effect: without this
+      * guard a crash-replayed micro-batch would count its tokens twice and
+      * permanently depress every later keep-rate. A replayed id skips the
+      * fold and re-gates at the rates the original delivery produced —
+      * the same idempotent-replay contract as the reservoir stream. */
+    private[streaming] var lastFoldedBatch: Long = -1L
+
     /** rate = min(1, budget / totals) — the [[Sampling.corpusMixture]]
       * arithmetic verbatim (same IEEE double division), so the gate
       * decisions are bit-identical to the batch twin's at equal totals. */
@@ -112,29 +120,43 @@ object SampleStream {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val docs = batch
-          .select(col("doc_id"), col("lang"),
-            size(graft.operators.TextAnalysis.tokens(col("text")))
-              .cast("long").as("n_tokens"))
-          .persist() // scanned twice: totals, then the gate
-        try {
-          docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
-            .collect().foreach { r =>
-              val lang = r.getString(0)
-              standing.totals(lang) =
-                standing.totals.getOrElse(lang, 0L) + r.getLong(1)
-            }
-          val rateRows = standing.rates.toSeq
-          if (rateRows.nonEmpty) {
-            import spark.implicits._
-            val rates = rateRows.toDF("lang", "rate")
-            sink(docs.join(broadcast(rates), "lang")
-              .filter(Sampling.dynamicHashGate(col("doc_id"), col("rate")))
-              .select(col("doc_id"), col("lang"), col("n_tokens"),
-                col("rate")),
-              batchId)
-          }
-        } finally { val _ = docs.unpersist() }
+        processMixtureBatch(standing, batch, batchId)(sink)
       }
+
+  /** One annealed-mixture micro-batch — the foreachBatch body, exposed so
+    * the idempotent-replay contract is directly testable: the totals fold
+    * runs only for a batchId not yet folded (see
+    * [[StandingMixture.lastFoldedBatch]]); a replay re-derives the SAME
+    * rates and therefore re-emits the SAME kept rows. */
+  private[graft] def processMixtureBatch(standing: StandingMixture,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch
+      .select(col("doc_id"), col("lang"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .persist() // scanned twice: totals, then the gate
+    try {
+      if (batchId > standing.lastFoldedBatch) {
+        docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+          .collect().foreach { r =>
+            val lang = r.getString(0)
+            standing.totals(lang) =
+              standing.totals.getOrElse(lang, 0L) + r.getLong(1)
+          }
+        standing.lastFoldedBatch = batchId
+      }
+      val rateRows = standing.rates.toSeq
+      if (rateRows.nonEmpty) {
+        import spark.implicits._
+        val rates = rateRows.toDF("lang", "rate")
+        sink(docs.join(broadcast(rates), "lang")
+          .filter(Sampling.dynamicHashGate(col("doc_id"), col("rate")))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("rate")),
+          batchId)
+      }
+    } finally { val _ = docs.unpersist() }
+  }
 }

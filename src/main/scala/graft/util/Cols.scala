@@ -27,4 +27,29 @@ object Cols {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** THE salted two-phase top-k rank — the one ranking core behind every
+    * per-group cut (similarity top-k, per-source quality caps,
+    * cluster-balanced quotas): a local `row_number` within
+    * (group, saltKey mod salts) prunes each salt bucket to k, then the
+    * global rank sees ≤ salts×k rows per group — so one giant group never
+    * funnels the whole input through a single window task (the
+    * skew-by-construction a single `Window.partitionBy(group)` would
+    * plan). Appends an `rk` LongType column (1..k best-first by `order`,
+    * row_number semantics) and drops everything past k; `order` must be a
+    * total order over the group for the result to be deterministic. */
+  def saltedTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      saltKey: Column, k: Int, salts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, pmod, row_number}
+    val localW = Window
+      .partitionBy(group :+ pmod(saltKey, lit(salts)): _*)
+      .orderBy(order: _*)
+    val globalW = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("__lrk", row_number().over(localW))
+      .filter(col("__lrk") <= k)
+      .drop("__lrk")
+      .withColumn("rk", row_number().over(globalW).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -96,6 +96,18 @@ class SampleStreamSpec extends SparkTestBase {
       assert(enRates.last < 1.0)
       assert(enRates.zip(enRates.tail).forall { case (a, b) => b <= a })
       assert(enRates.head > enRates.last)
+      // at-least-once replay idempotence: re-processing an already-folded
+      // batchId must not double-count its tokens (rates unchanged) and
+      // must emit exactly the rows the original delivery emitted
+      val totalsBefore = standing.totals.toMap
+      val lastId = perBatch.size - 1L
+      var replayKept: Set[Long] = Set.empty
+      SampleStream.processMixtureBatch(standing,
+        thirds.last.toSeq.toDF("doc_id", "lang", "text"), lastId) { (kept, _) =>
+        replayKept = kept.select($"doc_id").as[Long].collect().toSet
+      }
+      assert(standing.totals.toMap == totalsBefore, "replay folded twice")
+      assert(replayKept == perBatch.last._1, "replay emitted different rows")
     } finally q.stop()
   }
 }
