@@ -245,4 +245,42 @@ class PropertySpec extends SparkTestBase {
     // learn determinism: same corpus → same merges
     assert(Bpe.learnMerges(corpus, numMerges = 30) == merges)
   }
+
+  test("TopKScoredBuf equals the nanSafe sort prefix under any insertion order, incl. NaN/-0.0/dups") {
+    import graft.functions.TopKScoredBuf
+    // scores drawn from a degenerate-heavy pool: NaN, ±0.0, infinities,
+    // exact ties — the cases a hand-rolled double comparator gets wrong
+    val score: Gen[Double] = Gen.oneOf(
+      Gen.oneOf(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.5, -0.5),
+      Gen.choose(-1.0, 1.0))
+    val entry: Gen[(Double, Long)] =
+      for { s <- score; id <- Gen.choose(0L, 20L) } yield (s, id)
+    // the window form's order: ORDER BY score DESC (nanSafe: NaN above
+    // everything, -0.0 < 0.0), id ASC — row_number keeps the first k
+    val ord = Ordering.fromLessThan[(Double, Long)] { (a, b) =>
+      val c = java.lang.Double.compare(b._1, a._1) // desc
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+    (1 to 50).foreach { i =>
+      val entries = sample(entry, 1 + i % 37)
+      val k = 1 + i % 7
+      val expected = entries.sorted(ord).take(k)
+      // any split into partial buffers + any merge order must agree
+      val whole = new TopKScoredBuf(k)
+      entries.foreach { case (s, id) => whole.insert(s, id) }
+      def contents(b: TopKScoredBuf) =
+        (0 until b.n).map(j => (b.scores(j), b.ids(j))).toList
+      assert(contents(whole).map(t => (t._1.toString, t._2)) ==
+        expected.map(t => (t._1.toString, t._2)), s"case $i whole-buffer")
+      val (l, r) = entries.splitAt(entries.length / 2)
+      val a = new TopKScoredBuf(k)
+      val b = new TopKScoredBuf(k)
+      l.foreach { case (s, id) => a.insert(s, id) }
+      r.reverse.foreach { case (s, id) => b.insert(s, id) }
+      a.mergeFrom(b)
+      assert(contents(a).map(t => (t._1.toString, t._2)) ==
+        expected.map(t => (t._1.toString, t._2)), s"case $i merged")
+    }
+  }
 }
