@@ -228,11 +228,20 @@ object VectorHashImpl {
     val used = new Array[Boolean](m)
     var r = 0
     while (r < n) {
+      // Double.compare, not `<`: the driver path's sortBy uses Scala
+      // 2.13's TotalOrdering (NaN sorts LAST, never wins over a finite
+      // distance), and a strict `<` argmin would leave best = -1 when
+      // every remaining distance is NaN (a NaN query embedding) and
+      // crash on used(-1); first-unused seeding reproduces the stable
+      // sort's tie order for equal (incl. all-NaN) distances
       var best = -1
-      var bd = Double.PositiveInfinity
+      var bd = 0.0
       var ii = 0
       while (ii < m) {
-        if (!used(ii) && d(ii) < bd) { bd = d(ii); best = ii }
+        if (!used(ii) &&
+            (best == -1 || java.lang.Double.compare(d(ii), bd) < 0)) {
+          bd = d(ii); best = ii
+        }
         ii += 1
       }
       used(best) = true
@@ -464,12 +473,16 @@ final class TopKScoredBuf(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  // java.lang.Double.compare IS Spark's nanSafeCompareDoubles: NaN ranks
-  // above every value and equal to itself, -0.0 < 0.0 — so the buffer's
-  // total order matches the window form's ORDER BY even on degenerate
-  // scores (a zero-norm embedding cosines to NaN), keeping stream ≡ batch
+  // Spark's window ORDER BY compares doubles via SQLOrderingUtil
+  // .compareDoubles: primitive == first (so -0.0 EQUALS 0.0 and the tie
+  // falls to the id), java.lang.Double.compare only past that (so NaN
+  // still ranks above every value and equal to itself). Mirroring both
+  // branches keeps the buffer's total order identical to the window
+  // form's even on degenerate scores (±0.0, or NaN from a zero-norm
+  // embedding's cosine), keeping stream ≡ batch
   private def beats(s: Double, id: Long, i: Int): Boolean = {
-    val c = java.lang.Double.compare(s, scores(i))
+    val c =
+      if (s == scores(i)) 0 else java.lang.Double.compare(s, scores(i))
     c > 0 || (c == 0 && id < ids(i))
   }
 
@@ -509,10 +522,10 @@ final class TopKScoredBuf(val k: Int) {
   * ScalaAggregator path pays an encoder round-trip per input row (measured
   * ~2.5 s per 10 M-candidate probe batch — slower than the window it was
   * meant to replace); this operates on the unsafe row directly, ~zero
-  * allocation per update. The comparator is `java.lang.Double.compare` —
-  * Spark's own nanSafeCompareDoubles order — so even degenerate scores
-  * (NaN from a zero-norm embedding's cosine) rank identically to the
-  * window form. */
+  * allocation per update. The comparator mirrors Spark's own
+  * `SQLOrderingUtil.compareDoubles` (primitive `==` first, so ±0.0 tie
+  * to the id; `Double.compare` past that, so NaN ranks top) — degenerate
+  * scores rank identically to the window form. */
 case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate

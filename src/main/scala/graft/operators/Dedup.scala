@@ -691,6 +691,46 @@ object Dedup {
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
   }
 
+  /** Re-band the standing corpus at NEW geometry and swap the result into
+    * the serving table name — the band-index twin of
+    * [[graft.operators.Similarity.retrainIvfIndex]], closing the same ops
+    * loop: [[appendToBandIndex]] appends at the geometry the index was
+    * BUILT with, so changing shingle length, band count, or the hot-bucket
+    * cap (recall/fan-out retuning as the ingested distribution drifts)
+    * requires a rebuild, and a rebuild must not interrupt the probes.
+    *
+    * Swap protocol ([[graft.util.IndexSwap]]): the rebuilt index is fully
+    * materialized as a STAGING table at the ping-pong sibling of the
+    * current data location, then swapped in at the metastore (drop +
+    * rename — external locations survive both) and the old data directory
+    * retired. Probes resolve the table name per call
+    * ([[incrementalNearDupIndexed]] reads the catalog each micro-batch),
+    * so the next probe serves from the new geometry with no re-register;
+    * a probe racing the drop-rename gap retries once — the same contract
+    * as the IVF serving loop. BucketingSpec pins probe-through-rebuild:
+    * correct pairs at the new geometry, index side still zero-Exchange,
+    * and a second rebuild ping-pongs back without nesting locations. */
+  def rebuildBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
+      numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = docs.sparkSession
+    val current = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val stagingLoc = graft.util.IndexSwap.pingPongLocation(current)
+    val stagingTable = s"${table}_staging"
+    // leftovers from a crashed rebuild: the staging table name and the
+    // ping-pong location are both deterministic, so drop and overwrite
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    writeBandIndex(docs, stagingTable, shingleLen, numBands, rowsPerBand,
+      buckets, maxBucketSize, location = Some(stagingLoc))
+    graft.util.IndexSwap.swapTable(spark, table, stagingTable)
+    // retire the old data directory (external: the drop left it in place);
+    // in-flight probes that planned against it are covered by retry-once
+    val p = new org.apache.hadoop.fs.Path(current)
+    val _ = p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   /** Append a verified batch's bands to an existing bucketed band index —
     * the append-many half of the [[writeBandIndex]] ingest contract (build
     * once, then each day's verified batch lands here after its

@@ -621,19 +621,8 @@ object Similarity {
     val refit = buildIvfIndex(corpus, cells)
     val staging = s"$path/retrain_staging"
     writeIvfIndex(refit, staging) // materializes before any old state moves
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    def p(s: String) = new org.apache.hadoop.fs.Path(root, s)
-    fs.delete(p("retired"), true)
-    fs.mkdirs(p("retired"))
-    require(fs.rename(p("corpus"), p("retired/corpus")) &&
-      fs.rename(p("centers"), p("retired/centers")) &&
-      fs.rename(p("retrain_staging/corpus"), p("corpus")) &&
-      fs.rename(p("retrain_staging/centers"), p("centers")),
-      s"IVF retrain swap failed mid-way at $path — old index is under " +
-        s"$path/retired, retrained under $path/retrain_staging")
-    fs.delete(p("retrain_staging"), true)
-    fs.delete(p("retired"), true)
+    graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+      Seq("corpus", "centers"))
   }
 
   /** The planted-drift corpus behind the retrain fixture — a deterministic

@@ -84,14 +84,23 @@ object AnnStream {
           // retrained index is fully materialized before any old file
           // moves, so the second attempt always has a consistent index to
           // read; anything that still fails is a real fault and propagates.
-          try sink(Similarity.queryStandingIvf(standing, queries, k, nprobe),
-            batchId)
-          catch {
-            case scala.util.control.NonFatal(_) =>
-              standing = Similarity.prepareIvfIndex(spark, indexPath)
-              sink(Similarity.queryStandingIvf(standing, queries, k, nprobe),
-                batchId)
-          }
+          // The retry wraps ONLY the probe action: the result is
+          // materialized eagerly (localCheckpoint — queries × k rows,
+          // bounded) BEFORE the sink runs, so a genuine sink failure is
+          // never swallowed into a doubled sink invocation after partial
+          // side effects — the sink executes exactly once per delivery,
+          // against a result that can no longer hit the swapped index.
+          def probe(): DataFrame =
+            Similarity.queryStandingIvf(standing, queries, k, nprobe)
+              .localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                standing = Similarity.prepareIvfIndex(spark, indexPath)
+                probe()
+            }
+          sink(result, batchId)
         }
       }
   }

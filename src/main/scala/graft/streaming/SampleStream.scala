@@ -76,10 +76,15 @@ object SampleStream {
 
     /** rate = min(1, budget / totals) — the [[Sampling.corpusMixture]]
       * arithmetic verbatim (same IEEE double division), so the gate
-      * decisions are bit-identical to the batch twin's at equal totals. */
-    def rates: Map[String, Double] = totals.iterator.map { case (lang, t) =>
-      lang -> math.min(1.0,
-        budgets.getOrElse(lang, t).toDouble / t.toDouble)
+      * decisions are bit-identical to the batch twin's at equal totals.
+      * Languages with total <= 0 are SKIPPED — the exact analogue of the
+      * batch twin's `lang_tokens > 0` filter + inner join, which drops
+      * every doc of a zero-total language (budget/0 would otherwise gate
+      * at Infinity→1.0 for budgeted, NaN for unbudgeted languages). */
+    def rates: Map[String, Double] = totals.iterator.collect {
+      case (lang, t) if t > 0L =>
+        lang -> math.min(1.0,
+          budgets.getOrElse(lang, t).toDouble / t.toDouble)
     }.toMap
   }
 

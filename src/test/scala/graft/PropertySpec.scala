@@ -256,12 +256,19 @@ class PropertySpec extends SparkTestBase {
       Gen.choose(-1.0, 1.0))
     val entry: Gen[(Double, Long)] =
       for { s <- score; id <- Gen.choose(0L, 20L) } yield (s, id)
-    // the window form's order: ORDER BY score DESC (nanSafe: NaN above
-    // everything, -0.0 < 0.0), id ASC — row_number keeps the first k
+    // the window form's order: Spark's SQLOrderingUtil.compareDoubles —
+    // primitive == first (so -0.0 EQUALS 0.0 and the tie falls to id),
+    // Double.compare past that (NaN above everything) — score DESC,
+    // id ASC; row_number keeps the first k
     val ord = Ordering.fromLessThan[(Double, Long)] { (a, b) =>
-      val c = java.lang.Double.compare(b._1, a._1) // desc
+      val c =
+        if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1) // desc
       c < 0 || (c == 0 && a._2 < b._2)
     }
+    // ±0.0 are ORDER-BY-equal, so which sign survives a full (score, id)
+    // tie is insertion-order arbitrary (as it is among Spark's tied rows);
+    // canonicalize the zero sign before comparing
+    def canon(x: Double): Double = if (x == 0.0) 0.0 else x
     (1 to 50).foreach { i =>
       val entries = sample(entry, 1 + i % 37)
       val k = 1 + i % 7
@@ -271,16 +278,17 @@ class PropertySpec extends SparkTestBase {
       entries.foreach { case (s, id) => whole.insert(s, id) }
       def contents(b: TopKScoredBuf) =
         (0 until b.n).map(j => (b.scores(j), b.ids(j))).toList
-      assert(contents(whole).map(t => (t._1.toString, t._2)) ==
-        expected.map(t => (t._1.toString, t._2)), s"case $i whole-buffer")
+      assert(contents(whole).map(t => (canon(t._1).toString, t._2)) ==
+        expected.map(t => (canon(t._1).toString, t._2)),
+        s"case $i whole-buffer")
       val (l, r) = entries.splitAt(entries.length / 2)
       val a = new TopKScoredBuf(k)
       val b = new TopKScoredBuf(k)
       l.foreach { case (s, id) => a.insert(s, id) }
       r.reverse.foreach { case (s, id) => b.insert(s, id) }
       a.mergeFrom(b)
-      assert(contents(a).map(t => (t._1.toString, t._2)) ==
-        expected.map(t => (t._1.toString, t._2)), s"case $i merged")
+      assert(contents(a).map(t => (canon(t._1).toString, t._2)) ==
+        expected.map(t => (canon(t._1).toString, t._2)), s"case $i merged")
     }
   }
 }
