@@ -174,6 +174,73 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("band index rebuild: new geometry swaps under the serving name, probes survive") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val loc = s"${graft.util.TmpDirs.perProcessDir("graft_rebuild_band")}/idx"
+    Dedup.writeBandIndex(corpus, "band_idx_rebuild", buckets = 4,
+      location = Some(loc))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val before = Dedup
+        .incrementalNearDupIndexed(corpus, "band_idx_rebuild", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(before.nonEmpty)
+      // retune to a COARSER geometry (fewer, wider bands — lower fan-out,
+      // stricter candidate recall) and swap it in under live probes
+      Dedup.rebuildBandIndex(corpus, "band_idx_rebuild", numBands = 64,
+        rowsPerBand = 16, buckets = 4)
+      // the next probe (same serving name, no re-register) must agree with
+      // a from-scratch in-plan run at the NEW geometry
+      val after = Dedup
+        .incrementalNearDupIndexed(corpus, "band_idx_rebuild", batch,
+          numBands = 64, rowsPerBand = 16)
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = Dedup
+        .incrementalNearDupOf(corpus, batch, numBands = 64, rowsPerBand = 16)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after == expected)
+      // the rebuilt table still reads co-located: zero Exchange between the
+      // index scan and the candidate join, same as a fresh build
+      val bandJoin = Dedup
+        .bandIndexCandidates("band_idx_rebuild", batch, numBands = 64,
+          rowsPerBand = 16)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if j.left.toString.contains("band_idx_rebuild") ||
+                j.right.toString.contains("band_idx_rebuild") => j
+        }.last
+      val idxSide = if (bandJoin.left.toString.contains("band_idx_rebuild"))
+        bandJoin.left else bandJoin.right
+      val shuffled = idxSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffled.isEmpty,
+        s"rebuilt band index re-exchanged before the candidate join: $shuffled")
+      // a second rebuild ping-pongs the data location back — suffixes never
+      // nest — and restores the original geometry's probe results exactly
+      Dedup.rebuildBandIndex(corpus, "band_idx_rebuild", buckets = 4)
+      val loc2 = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("band_idx_rebuild"))
+        .location.toString
+      assert(loc2.endsWith("_swapa") || loc2.endsWith("_swapb"))
+      assert(!loc2.contains("_swapa_swap") && !loc2.contains("_swapb_swap"),
+        s"rebuild locations must ping-pong, not nest: $loc2")
+      val again = Dedup
+        .incrementalNearDupIndexed(corpus, "band_idx_rebuild", batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(again == before)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS band_idx_rebuild")
+    }
+  }
+
   test("hash index probe: persisted signature index side never shuffles") {
     import spark.implicits._
     val sigs = graft.multimodal.Media.imageAHash(
