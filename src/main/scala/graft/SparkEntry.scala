@@ -217,6 +217,10 @@ object SparkEntry {
     // frozen centers), then refit + staged atomic swap; the health table
     // pre/post is fully replayed by DuckDB from the two dumps below
     "ivf_retrain_health" -> ((s, d) => Similarity.ivfRetrainHealth(s, d)),
+    // the drift-ALARM decision the auto-retrain loop fires on: per-phase
+    // corpus-weighted health rollup + strict-below-floor comparison, the
+    // floor being the refit geometry's own mean (scale-stable)
+    "ivf_drift_alarm" -> ((s, d) => Similarity.ivfDriftAlarm(s, d)),
     "ivf_retrain_assignments" -> ((s, d) => Similarity.ivfRetrainAssignments(s, d)), // rows-only (it IS the oracle input)
     "ivf_retrain_centroids" -> ((s, d) => Similarity.ivfRetrainCentroids(s, d)), // rows-only (it IS the oracle input)
     // semantic dedup's daily-ingestion path: batch sign-LSH bands probe a
@@ -1652,6 +1656,23 @@ object SparkEntry {
         "FROM (SELECT phase, cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
         "CAST(sum(CAST(round(proto_cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_micros " +
         "FROM e GROUP BY phase, cell)"),
+    // weighted per-phase rollup of the retrain-health replay; alarm is a
+    // strict `<` against the post phase's own mean via a scalar subquery
+    "ivf_drift_alarm" ->
+      ("WITH a AS (SELECT phase, vec_id, cell FROM read_parquet('{OUT}/ivf_retrain_assignments/*.parquet')), " +
+        "c AS (SELECT phase, cell, list_transform(string_split(centroid, ','), x -> CAST(x AS DOUBLE)) AS centroid " +
+        "FROM read_parquet('{OUT}/ivf_retrain_centroids/*.parquet')), " +
+        "v AS (SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN embedding ELSE list_reverse(embedding) END AS embedding " +
+        "FROM embeddings), " +
+        "e AS (SELECT a.phase, " +
+        "round(list_cosine_similarity(v.embedding::DOUBLE[], c.centroid), 6) AS proto_cos " +
+        "FROM a JOIN v USING (vec_id) JOIN c ON c.phase = a.phase AND c.cell = a.cell), " +
+        "r AS (SELECT phase, CAST(count(*) AS BIGINT) AS total_vecs, " +
+        "CAST(sum(CAST(round(proto_cos * 1000000) AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS weighted_mean_micros " +
+        "FROM e GROUP BY phase) " +
+        "SELECT phase, total_vecs, weighted_mean_micros, " +
+        "weighted_mean_micros < (SELECT weighted_mean_micros FROM r WHERE phase = 'post') AS alarm " +
+        "FROM r ORDER BY phase"),
     // per-cell md5 ranking replayed from the assignments dump — both
     // engines hash the decimal vec_id string to the same lowercase hex
     "cluster_balanced_sample" ->

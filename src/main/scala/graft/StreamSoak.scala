@@ -79,6 +79,11 @@ object StreamSoak {
       val annRate = 500 * dedupScale
       val ann = Soak.annRun(spark, corpusVecs = 20000,
         annRate, tag = s"c$cores", soakMs = 20000)
+      // ops-hardening row: same serving loop with a corpus append + full
+      // retrain swapped under it at mid-soak — reported over the whole
+      // soak, swap window included
+      val annRetrain = Soak.annRetrainRun(spark, corpusVecs = 20000,
+        annRate, tag = s"c$cores", soakMs = 20000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -89,7 +94,8 @@ object StreamSoak {
         s""""hash_dedup":${Soak.json(hd)},""" +
         s""""decontam":${Soak.json(dc)},""" +
         s""""annealed_mixture":${Soak.json(mx)},""" +
-        s""""ann_probe":${Soak.json(ann)},"cores":$cores,""" +
+        s""""ann_probe":${Soak.json(ann)},""" +
+        s""""ann_probe_retrain":${Soak.json(annRetrain)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
         s""""decontam_rate":$decontamRate,"mixture_rate":$mixtureRate,""" +

@@ -673,7 +673,7 @@ object Similarity {
     * centersDf convention: the corpus embeddings are float, so scoring
     * widens float → double exactly like the DuckDB replay over the
     * stringified dump. */
-  private def centersFloatDf(spark: SparkSession,
+  private[graft] def centersFloatDf(spark: SparkSession,
       centers: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     centers.zipWithIndex
@@ -743,6 +743,29 @@ object Similarity {
           .select($"vec_id", $"cell".cast("int").as("cell")),
         loadCenters(spark, f.indexPath), "post"))
       .orderBy($"phase", $"cell")
+  }
+
+  /** Registered query (HASH-CHECKED): the drift-ALARM DECISION over the
+    * retrain fixture — the corpus-weighted rollup of [[ivfRetrainHealth]]
+    * per phase, with `alarm` evaluated exactly as the streaming watcher
+    * evaluates it ([[graft.streaming.AnnStream.RetrainMonitor]]): weighted
+    * mean = Σ sum_cos_micros / Σ n_vecs in truncating integer division
+    * (Spark `DIV` ≡ DuckDB `//`), alarm = mean strictly below the floor.
+    * The floor is ENDOGENOUS — the refit (post) geometry's own weighted
+    * mean — so the row set is scale-stable: `pre` must alarm at every sf
+    * (IvfRetrainSpec pins the strict improvement this encodes) and `post`,
+    * strictly-below itself being false, never does. One bounded collect
+    * for the floor scalar (phase-count-sized input). */
+  def ivfDriftAlarm(spark: SparkSession, sfDir: String): DataFrame = {
+    val rolled = ivfRetrainHealth(spark, sfDir)
+      .groupBy($"phase")
+      .agg(sum($"n_vecs").as("total_vecs"),
+        expr("sum(sum_cos_micros) DIV sum(n_vecs)").as("weighted_mean_micros"))
+    val floor = rolled.filter($"phase" === "post")
+      .head().getLong(2)
+    rolled.select($"phase", $"total_vecs", $"weighted_mean_micros",
+        ($"weighted_mean_micros" < floor).as("alarm"))
+      .orderBy($"phase")
   }
 
   /** Registered query: the ANN TUNING CURVE — recall@k of the IVF probe

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.operators.Similarity
@@ -37,6 +38,177 @@ import graft.operators.Similarity
   * prepared handle removes all three per-trigger costs without freezing
   * the corpus. */
 object AnnStream {
+
+  /** Standing state of the DRIFT WATCHER — the monitoring half of the IVF
+    * ops loop ([[autoRetrainIngestQuery]]): cumulative per-cell health
+    * totals since the last retrain (nlist-bounded driver maps — the same
+    * boundedness contract as the centroid matrix itself) plus the centers
+    * the totals were scored against. `healthFloorMicros` is the alarm
+    * threshold on the corpus-weighted mean centroid-cosine (micro-quantized
+    * — [[graft.operators.Similarity.ivfRetrainHealth]]'s exact arithmetic);
+    * `minVecsForAlarm` is the warm-up: no alarm until that many vectors
+    * have been scored against the current geometry, so a single early
+    * micro-batch can't trigger a retrain on noise (and the count restarts
+    * at every retrain, bounding retrain frequency by ingest volume). */
+  final class RetrainMonitor private[streaming] (
+      val indexPath: String,
+      val healthFloorMicros: Long,
+      val minVecsForAlarm: Long) {
+    private[streaming] var centers: Array[Array[Double]] = Array.empty
+    private[streaming] var centersSig: Seq[(String, Long, Long)] = Nil
+    private[streaming] val cellN =
+      scala.collection.mutable.Map.empty[Int, Long]
+    private[streaming] val cellSum =
+      scala.collection.mutable.Map.empty[Int, Long]
+    private[streaming] var lastFoldedBatch: Long = -1L
+    /** Retrains fired by this monitor since prepare — the ops counter. */
+    private[graft] var retrains: Long = 0L
+
+    def totalVecs: Long = cellN.values.sum
+
+    /** Corpus-weighted mean health since the last retrain: Σsum / Σn in
+      * Long division (truncates toward zero — Spark `DIV` and DuckDB `//`
+      * agree). None until any vector has been scored. */
+    def weightedMeanMicros: Option[Long] = {
+      val n = totalVecs
+      if (n == 0L) None else Some(cellSum.values.sum / n)
+    }
+
+    private[streaming] def resetTotals(): Unit = { cellN.clear(); cellSum.clear() }
+
+    /** Re-sync the scored-against geometry with the index on disk: if the
+      * centers signature changed (a retrain — ours or an external one —
+      * swapped the index), reload centers and DROP the accumulated totals:
+      * they measured the retired geometry and would poison the next alarm
+      * decision. The same freshest-available contract as the serving
+      * loop's per-trigger signature check. */
+    private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val sig = Similarity.centersSignature(spark, indexPath)
+      if (sig != centersSig) {
+        centers = Similarity.loadCenters(spark, indexPath)
+        centersSig = sig
+        resetTotals()
+      }
+    }
+  }
+
+  /** Resolve the standing side of the auto-retrain loop once: centers +
+    * signature + empty health totals. */
+  def prepareRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, healthFloorMicros: Long,
+      minVecsForAlarm: Long = 0L): RetrainMonitor = {
+    val m = new RetrainMonitor(indexPath, healthFloorMicros, minVecsForAlarm)
+    m.resync(spark)
+    m
+  }
+
+  /** The COMPOSED IVF ops loop — ingest → drift alarm → retrain — as one
+    * standing stream, closing the lifecycle whose parts the batch entries
+    * pin separately (health: `ivf_retrain_health`; response:
+    * [[Similarity.retrainIvfIndex]]; retrain-surviving serving:
+    * [[ivfSearchQuery]]'s signature check). Per micro-batch of
+    * (vec_id, embedding):
+    *
+    *  1. APPEND against the frozen centroids
+    *     ([[Similarity.appendToIvfIndex]] — new files under the cell
+    *     directories; concurrent probes see them at their next listing);
+    *  2. SCORE the batch's health against the same frozen centers it was
+    *     just encoded with (in-plan nearest-center + broadcast-centroid
+    *     cosine, micro-quantized — the `ivf_retrain_health` arithmetic),
+    *     one nlist-bounded per-cell rollup collected and folded into the
+    *     monitor's standing totals;
+    *  3. ALARM when the cumulative corpus-weighted mean drops below
+    *     `healthFloorMicros` (after the `minVecsForAlarm` warm-up), firing
+    *     [[Similarity.retrainIvfIndex]] — full refit over everything
+    *     ingested so far, staged-then-swapped — after which the totals
+    *     reset and the centers reload; a standing [[ivfSearchQuery]]
+    *     serving the same index picks the swap up at its own next trigger
+    *     with no restart (IvfAutoRetrainSpec pins the whole lifecycle).
+    *
+    * Every monitor decision goes to `sink` as one row per delivered batch:
+    * (batch_id, batch_vecs, total_vecs, weighted_mean_micros, alarm,
+    * retrained) — the ops audit trail.
+    *
+    * At-least-once: append, fold, and retrain are side effects, so all
+    * three are guarded by the monitor's highest-folded batch id — a
+    * crash-replayed micro-batch skips them and re-emits a row from the
+    * already-folded state (retrained=false), never double-appending or
+    * double-counting.
+    *
+    * Scale per trigger: the append is a partitioned write of the batch;
+    * the health probe is one broadcast join + partial-aggregated rollup
+    * over the batch (never the corpus); driver state is two
+    * nlist-bounded maps. The retrain itself reads the full corpus — that
+    * is its semantic — but fires only on alarm, and the warm-up bounds
+    * its frequency by ingest volume. */
+  def autoRetrainIngestQuery(vecStream: DataFrame, monitor: RetrainMonitor)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIngestBatch(monitor, batch, batchId)(sink)
+      }
+
+  /** One auto-retrain micro-batch — the foreachBatch body, exposed so the
+    * lifecycle and the replay guard are directly testable. */
+  private[graft] def processIngestBatch(monitor: RetrainMonitor,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    var batchVecs = 0L
+    var retrained = false
+    var alarm = false
+    var totalAtDecision = 0L
+    var meanAtDecision = Long.MinValue
+    if (batchId > monitor.lastFoldedBatch) {
+      monitor.resync(spark) // pick up an EXTERNAL swap before scoring
+      val vecs = batch.select(col("vec_id"), col("embedding"))
+        .persist() // scanned twice: append, then the health rollup
+      try {
+        Similarity.appendToIvfIndex(vecs, monitor.indexPath)
+        val health = vecs
+          .select(col("embedding"),
+            graft.functions.VectorExpressions
+              .nearestCenter(col("embedding"), monitor.centers).as("cell"))
+          .join(org.apache.spark.sql.functions.broadcast(
+            Similarity.centersFloatDf(spark, monitor.centers)), Seq("cell"))
+          .withColumn("cos_micros",
+            round(round(Similarity.cosine(col("embedding"), col("centroid")),
+              6) * 1e6, 0).cast("long"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
+          .collect() // nlist-bounded
+        health.foreach { r =>
+          val cell = r.getInt(0)
+          batchVecs += r.getLong(1)
+          monitor.cellN(cell) = monitor.cellN.getOrElse(cell, 0L) + r.getLong(1)
+          monitor.cellSum(cell) =
+            monitor.cellSum.getOrElse(cell, 0L) + r.getLong(2)
+        }
+        monitor.lastFoldedBatch = batchId
+        alarm = monitor.totalVecs >= monitor.minVecsForAlarm &&
+          monitor.weightedMeanMicros.exists(_ < monitor.healthFloorMicros)
+        // the emitted row carries the DECISION-TIME evidence — a fired
+        // retrain resets the totals, but the row must still show the mean
+        // and volume that crossed the floor
+        totalAtDecision = monitor.totalVecs
+        meanAtDecision = monitor.weightedMeanMicros.getOrElse(Long.MinValue)
+        if (alarm) {
+          Similarity.retrainIvfIndex(spark, monitor.indexPath)
+          monitor.resync(spark) // reloads the new centers, resets totals
+          monitor.retrains += 1L
+          retrained = true
+        }
+      } finally { val _ = vecs.unpersist() }
+    } else {
+      totalAtDecision = monitor.totalVecs
+      meanAtDecision = monitor.weightedMeanMicros.getOrElse(Long.MinValue)
+    }
+    sink(Seq((batchId, batchVecs, totalAtDecision, meanAtDecision, alarm,
+      retrained)).toDF("batch_id", "batch_vecs", "total_vecs",
+      "weighted_mean_micros", "alarm", "retrained"), batchId)
+  }
 
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

@@ -12,31 +12,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object Soak {
 
   final case class Result(totalRows: Long, batches: Int, rowsPerSec: Long,
-      meanBatchMs: Long, maxBatchMs: Long)
+      meanBatchMs: Long, maxBatchMs: Long, p50BatchMs: Long = 0L,
+      p95BatchMs: Long = 0L, p99BatchMs: Long = 0L)
+
+  /** Nearest-rank percentile over trigger durations — the serving-SLO
+    * latency summary (a mean hides the stall a p95/p99 shows; max alone
+    * can't tell one outlier from a tail). */
+  private def pct(sorted: IndexedSeq[Long], q: Double): Long =
+    if (sorted.isEmpty) 0L
+    else sorted(math.min(sorted.length - 1,
+      math.ceil(q * sorted.length).toInt - 1).max(0))
 
   /** Let the query soak, then summarize its non-empty micro-batches:
     * processing throughput (rows over trigger-execution time, idle waits
-    * excluded) and batch latency. The query is stopped BEFORE the progress
-    * snapshot — a micro-batch completing between a snapshot and stop()
-    * would be sunk but unreported, breaking rows-accounting at the sink.
+    * excluded) and batch latency — mean, max, and p50/p95/p99 trigger
+    * percentiles. The query is stopped BEFORE the progress snapshot — a
+    * micro-batch completing between a snapshot and stop() would be sunk
+    * but unreported, breaking rows-accounting at the sink.
     */
   def soak(q: StreamingQuery, soakMs: Long): Result = {
     Thread.sleep(soakMs)
     q.stop()
     q.awaitTermination()
+    summarize(q)
+  }
+
+  /** The progress rollup of [[soak]], on an already-stopped query — split
+    * out so multi-phase soaks (e.g. [[annRetrainRun]]'s mid-soak swap) can
+    * sleep/act on their own schedule and still report identically. */
+  def summarize(q: StreamingQuery): Result = {
     val progress = q.recentProgress.toSeq
     val busy = progress.filter(_.numInputRows > 0)
     val durs = busy.map(_.durationMs.get("triggerExecution").toLong)
     val rows = busy.map(_.numInputRows).sum
     val durMs = math.max(durs.sum, 1L)
+    val sorted = durs.sorted.toIndexedSeq
     Result(rows, busy.size, rows * 1000L / durMs,
-      if (busy.isEmpty) 0L else durs.sum / busy.size, (0L +: durs).max)
+      if (busy.isEmpty) 0L else durs.sum / busy.size, (0L +: durs).max,
+      pct(sorted, 0.50), pct(sorted, 0.95), pct(sorted, 0.99))
   }
 
   def json(s: Result): String =
     s"""{"total_rows":${s.totalRows},"batches":${s.batches},""" +
       s""""rows_per_sec":${s.rowsPerSec},"mean_batch_ms":${s.meanBatchMs},""" +
-      s""""max_batch_ms":${s.maxBatchMs}}"""
+      s""""max_batch_ms":${s.maxBatchMs},"p50_batch_ms":${s.p50BatchMs},""" +
+      s""""p95_batch_ms":${s.p95BatchMs},"p99_batch_ms":${s.p99BatchMs}}"""
 
   /** Deterministic pseudo-document text from a numeric seed column: 12
     * "words" per doc, enough length to shingle — the per-row cost of a real
@@ -240,6 +260,47 @@ object Soak {
     }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
       .start()
     soak(q, soakMs)
+  }
+
+  /** [[annRun]] with a RETRAIN SWAPPED UNDER the live serving stream at
+    * mid-soak — the ops-hardening row: the driver grows the corpus (an
+    * append of drifted vectors, so the refit materially moves the
+    * centers), fires [[graft.operators.Similarity.retrainIvfIndex]], and
+    * the stream must keep sustaining the offered query rate THROUGH the
+    * swap window — the signature re-prepare and the probe retry-once are
+    * what it exercises ([[AnnStream.ivfSearchQuery]]). Reported over the
+    * WHOLE soak, retrain window included. */
+  def annRetrainRun(spark: SparkSession, corpusVecs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 20000): Result = {
+    import graft.operators.Similarity
+    def vecs(offset: Int, reversed: Boolean) = {
+      val e = s"transform(sequence(0, 63), j -> cast(pmod((id + $offset) * 31 + j * 17, 997) / 997.0 as float))"
+      spark.range(corpusVecs.toLong)
+        .select((col("id") + offset).as("vec_id"),
+          expr(if (reversed) s"reverse($e)" else e).as("embedding"))
+    }
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_annretrain")}/$tag"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(vecs(0, reversed = false), nlist = 64), path)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + 2L * corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = AnnStream.ivfSearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    Thread.sleep(soakMs / 2)
+    // the drift mode arrives and the index retrains mid-serve: append the
+    // reversed twin corpus (frozen-center encode), then refit-and-swap
+    Similarity.appendToIvfIndex(vecs(corpusVecs, reversed = true), path)
+    Similarity.retrainIvfIndex(spark, path)
+    Thread.sleep(soakMs - soakMs / 2)
+    q.stop()
+    q.awaitTermination()
+    summarize(q)
   }
 
   /** Drive the two always-on pipelines — the collection sink (track filter →

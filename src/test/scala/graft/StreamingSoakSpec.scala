@@ -85,6 +85,27 @@ class StreamingSoakSpec extends SparkTestBase {
     } { d =>
       assert(d.batches >= 2 && d.totalRows > 2000, d)
       assert(d.rowsPerSec > 300, s"ann probe throughput degenerate: $d")
+      // serving-SLO latency floor: at a 4 s trigger, a healthy probe batch
+      // completes well inside its interval even at p95 — a tail past 2
+      // intervals means the loop is falling behind, whatever the mean says
+      assert(d.p95BatchMs > 0 && d.p95BatchMs < 8000,
+        s"ann probe p95 trigger latency degenerate: $d")
+      assert(d.p50BatchMs <= d.p95BatchMs && d.p95BatchMs <= d.p99BatchMs &&
+        d.p99BatchMs <= d.maxBatchMs, s"percentiles not monotone: $d")
+    }
+  }
+
+  test("rate-source soak: ANN serving sustains through a mid-soak retrain") {
+    // the full ops-hardening path: corpus append + refit + staged swap land
+    // while the stream serves; the signature re-prepare and the retry-once
+    // must hold throughput over the WHOLE soak, swap window included
+    measureWithRetry { i =>
+      Soak.annRetrainRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300,
+        s"ann probe throughput degenerate through retrain: $d")
     }
   }
 
