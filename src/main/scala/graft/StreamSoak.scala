@@ -19,7 +19,8 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.contains("ann")) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain"))) {
+      val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
@@ -33,10 +34,16 @@ object StreamSoak {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val annRate = 500 * math.min(cores / 4, 4)
-      val ann = Soak.annRun(spark, corpusVecs = 20000, annRate,
-        tag = s"only$cores", soakMs = 20000)
+      val run = which match {
+        case "pq" => Soak.pqRun(spark, corpusVecs = 20000, annRate,
+          tag = s"only$cores", soakMs = 20000)
+        case "annretrain" => Soak.annRetrainRun(spark, corpusVecs = 20000,
+          annRate, tag = s"only$cores", soakMs = 20000)
+        case _ => Soak.annRun(spark, corpusVecs = 20000, annRate,
+          tag = s"only$cores", soakMs = 20000)
+      }
       spark.stop()
-      println(s"""{"ann_probe":${Soak.json(ann)},"cores":$cores,"ann_rate":$annRate}""")
+      println(s"""{"${which}_probe":${Soak.json(run)},"cores":$cores,"ann_rate":$annRate}""")
       return
     }
     val geoms = Seq(4, 32).map { cores =>
@@ -84,6 +91,9 @@ object StreamSoak {
       // soak, swap window included
       val annRetrain = Soak.annRetrainRun(spark, corpusVecs = 20000,
         annRate, tag = s"c$cores", soakMs = 20000)
+      // compressed-tier serving twin: same offered rate, full-codes ADC scan
+      val pq = Soak.pqRun(spark, corpusVecs = 20000, annRate,
+        tag = s"c$cores", soakMs = 20000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -95,7 +105,8 @@ object StreamSoak {
         s""""decontam":${Soak.json(dc)},""" +
         s""""annealed_mixture":${Soak.json(mx)},""" +
         s""""ann_probe":${Soak.json(ann)},""" +
-        s""""ann_probe_retrain":${Soak.json(annRetrain)},"cores":$cores,""" +
+        s""""ann_probe_retrain":${Soak.json(annRetrain)},""" +
+        s""""pq_probe":${Soak.json(pq)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
         s""""decontam_rate":$decontamRate,"mixture_rate":$mixtureRate,""" +

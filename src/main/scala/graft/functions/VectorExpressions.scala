@@ -165,6 +165,19 @@ object VectorHashImpl {
     d
   }
 
+  /** Spark's `round(col, 6)` for doubles, callable per value: NaN/±Inf
+    * pass through (the Catalyst Round guard), everything else takes the
+    * same shortest-decimal HALF_UP path (`BigDecimal.valueOf` IS
+    * `Double.toString`-based, exactly what Catalyst evaluates) — so a
+    * hand-rolled scoring loop that must match a `round(...)`-ed plan can
+    * round identically (PropertySpec pins equality against the plan form).
+    * It is EXPENSIVE (a string format per call) — callers bound or
+    * pre-filter before rounding. */
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Scalar (SQ8) quantization codes: dimension d of the embedding maps to
     * round((x_d − min_d)·scale_d) clamped to [0, 255] — one uniform 8-bit
     * grid per dimension. Math.round = half-up, deterministic; a constant
@@ -468,7 +481,7 @@ case class IntL2Expr(left: Expression, right: Expression)
   * incumbent loses (an equal entry yields the identical output row, so the
   * result is insertion-order independent). Arrays, not objects: one buffer
   * per group lives for millions of updates. */
-final class TopKScoredBuf(val k: Int) {
+final class TopKScoredBuf(val k: Int, val asc: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0
@@ -479,10 +492,13 @@ final class TopKScoredBuf(val k: Int) {
   // still ranks above every value and equal to itself). Mirroring both
   // branches keeps the buffer's total order identical to the window
   // form's even on degenerate scores (±0.0, or NaN from a zero-norm
-  // embedding's cosine), keeping stream ≡ batch
+  // embedding's cosine), keeping stream ≡ batch. `asc` flips the score
+  // direction only (distances — the ADC path): NaN then ranks LAST,
+  // exactly like a window's ORDER BY score ASC under nanSafe ordering.
   private def beats(s: Double, id: Long, i: Int): Boolean = {
-    val c =
+    val raw =
       if (s == scores(i)) 0 else java.lang.Double.compare(s, scores(i))
+    val c = if (asc) -raw else raw
     c > 0 || (c == 0 && id < ids(i))
   }
 
@@ -527,6 +543,7 @@ final class TopKScoredBuf(val k: Int) {
   * to the id; `Double.compare` past that, so NaN ranks top) — degenerate
   * scores rank identically to the window form. */
 case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
+    asc: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate
       .TypedImperativeAggregate[TopKScoredBuf] {
@@ -541,7 +558,8 @@ case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
         org.apache.spark.sql.types.LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKScoredBuf = new TopKScoredBuf(k)
+  override def createAggregationBuffer(): TopKScoredBuf =
+    new TopKScoredBuf(k, asc)
 
   override def update(buf: TopKScoredBuf,
       input: org.apache.spark.sql.catalyst.InternalRow): TopKScoredBuf = {
@@ -572,7 +590,9 @@ case class TopKScoredAgg(score: Expression, id: Expression, k: Int,
 
   override def deserialize(bytes: Array[Byte]): TopKScoredBuf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new TopKScoredBuf(bb.getInt())
+    // direction comes from THIS aggregate instance, not the wire — a
+    // buffer only ever round-trips within the aggregate that wrote it
+    val buf = new TopKScoredBuf(bb.getInt(), asc)
     val n = bb.getInt()
     var i = 0
     while (i < n) {
@@ -598,11 +618,13 @@ object VectorExpressions {
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Column wrapper: bounded top-k of (score, id) pairs per group —
-    * `array<struct<cosine, vec_id>>` best-first. */
-  def topKScored(score: Column, id: Column, k: Int): Column =
+    * `array<struct<cosine, vec_id>>` best-first (`asc = true` for
+    * distance scores — best = smallest, NaN last). */
+  def topKScored(score: Column, id: Column, k: Int,
+      asc: Boolean = false): Column =
     GraftSqlBridge.column(
       TopKScoredAgg(GraftSqlBridge.expression(score),
-        GraftSqlBridge.expression(id), k).toAggregateExpression())
+        GraftSqlBridge.expression(id), k, asc).toAggregateExpression())
 
   /** Column wrapper: sign-LSH band keys of an `array<float>` column. */
   def signLshBands(emb: Column, planes: Array[Array[Double]],

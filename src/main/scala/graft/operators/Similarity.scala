@@ -261,12 +261,20 @@ object Similarity {
     * per trigger, and the window form's full candidate sort-shuffle is its
     * dominant cost. */
   private def topKViaAggregate(scored: DataFrame, k: Int): DataFrame =
+    topKViaAggregate(scored, k, "cosine", asc = false)
+
+  /** The serving twins' shared ranking: best-first by `scoreCol`
+    * (descending for similarities, ascending for distances — the PQ ADC
+    * serving path), vec_id tiebreak — the aggregate form of
+    * [[topKPerQuery]] with the same output columns. */
+  private[operators] def topKViaAggregate(scored: DataFrame, k: Int,
+      scoreCol: String, asc: Boolean): DataFrame =
     scored.groupBy($"query_id")
       .agg(graft.functions.VectorExpressions
-        .topKScored($"cosine", $"vec_id", k).as("top"))
+        .topKScored(col(scoreCol), $"vec_id", k, asc).as("top"))
       .select($"query_id", posexplode($"top"))
       .select($"query_id", $"col.vec_id".as("vec_id"),
-        $"col.cosine".as("cosine"), ($"pos" + 1).cast("long").as("rk"))
+        $"col.cosine".as(scoreCol), ($"pos" + 1).cast("long").as("rk"))
 
   /** A PREPARED standing handle on a persisted IVF index — the serving
     * loop's standing side (the [[graft.streaming.MonitorStream.prepareProfile]]

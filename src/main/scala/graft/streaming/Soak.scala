@@ -303,6 +303,36 @@ object Soak {
     summarize(q)
   }
 
+  /** Streaming PQ-ADC serving throughput — the memory-bound twin of
+    * [[annRun]]: the same synthetic corpus is PQ-trained and persisted as
+    * codes + codebooks ONCE (untimed), then the rate-source query stream
+    * ADC-probes it per micro-batch via [[AnnStream.pqSearchQuery]]
+    * (in-plan distance tables, broadcast queries × full codes scan, the
+    * ascending bounded top-k aggregate). Unlike the IVF row this scans
+    * 100% of the (32× smaller) index per query — the compressed-tier
+    * trade the row exists to price. */
+  def pqRun(spark: SparkSession, corpusVecs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 20000): Result = {
+    import graft.operators.Pq
+    val corpus = spark.range(corpusVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_pqidx")}/$tag"
+    Pq.writePqIndex(corpus, Pq.train(corpus), path)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = AnnStream.pqSearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    soak(q, soakMs)
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

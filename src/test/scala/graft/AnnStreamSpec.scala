@@ -89,4 +89,58 @@ class AnnStreamSpec extends SparkTestBase {
       assert(results.nonEmpty)
     } finally q.stop()
   }
+
+  test("PQ serving: micro-batch ADC probes equal the batch ADC top-k; appends and codebook refreshes visible") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-stream").toString
+    Pq.writePqIndex(corpus, Pq.train(corpus), path)
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1).take(6)
+    def batchTopK(qs: Seq[(Long, Seq[Float])]) = {
+      val model = Pq.loadPqModel(spark, path)
+      Pq.adcTopK(spark.read.parquet(s"$path/codes"), model, qs)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.pqSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      // split delivery must union to the one-shot batch ADC ranking —
+      // in-plan dtabs ≡ driver dtabs, aggregate rank ≡ salted window rank
+      val (first, second) = queries.splitAt(3)
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+      assert(results.toSet == batchTopK(queries))
+      assert(results.nonEmpty)
+      // frozen-codebook append: a vector encoded to the query's own codes
+      // has ADC distance 0 — the next micro-batch must surface it first
+      val (qid, qemb) = queries.head
+      Pq.appendToPqIndex(Seq((990000L, qemb)).toDF("vec_id", "embedding"),
+        path)
+      results.clear()
+      ms.addData((qid, qemb))
+      q.processAllAvailable()
+      assert(results.exists(r => r._2 == 990000L && r._4 == 1L),
+        s"appended vector not surfaced first: ${results.toSeq.sortBy(_._4).take(3)}")
+      // codebook REFRESH under the live stream (a retrain: new seed, new
+      // codewords, re-encoded corpus): the signature check re-prepares the
+      // handle and the next trigger must equal the batch ranking of the
+      // refreshed index
+      Pq.writePqIndex(corpus, Pq.train(corpus, seed = 1043L), path)
+      results.clear()
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      assert(results.toSet == batchTopK(queries))
+      assert(results.nonEmpty)
+    } finally q.stop()
+  }
 }

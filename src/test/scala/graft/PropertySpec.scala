@@ -246,6 +246,30 @@ class PropertySpec extends SparkTestBase {
     assert(Bpe.learnMerges(corpus, numMerges = 30) == merges)
   }
 
+  test("round6 equals Spark's round(col, 6) on degenerate, boundary, and random doubles") {
+    import graft.functions.VectorHashImpl.round6
+    // the values a hand-rolled scorer must agree on: specials, exact
+    // half-boundary neighborhoods at 6 dp (HALF_UP's decision points,
+    // including ulp-adjacent doubles on both sides), and random magnitudes
+    val boundary = (0 until 40).flatMap { i =>
+      val base = (i * 7 + 1) * 5e-7 + i.toDouble // …x.xxxxx5-ish points
+      Seq(base, Math.nextUp(base), Math.nextDown(base), -base)
+    }
+    val specials = Seq(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, 1e-7, -1e-7,
+      123.4567895, -123.4567895, 1e15, 1e16, -1e16)
+    val rnd = sample(Gen.choose(-1e6, 1e6), 300) ++
+      sample(Gen.choose(-10.0, 10.0), 300)
+    val vals = (specials ++ boundary ++ rnd).toSeq
+    val viaPlan = vals.toDF("x").select(round($"x", 6).as("r"))
+      .as[Double].collect()
+    vals.zip(viaPlan).foreach { case (x, r) =>
+      assert(java.lang.Double.compare(round6(x), r) == 0 ||
+        (r.isNaN && round6(x).isNaN),
+        s"round6($x) = ${round6(x)} but Spark round gives $r")
+    }
+  }
+
   test("TopKScoredBuf equals the nanSafe sort prefix under any insertion order, incl. NaN/-0.0/dups") {
     import graft.functions.TopKScoredBuf
     // scores drawn from a degenerate-heavy pool: NaN, ±0.0, infinities,

@@ -95,6 +95,19 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: PQ ADC serving sustains the query stream") {
+    // per micro-batch: in-plan distance tables + broadcast ADC join over
+    // the FULL codes artifact + ascending bounded top-k — the compressed
+    // tier reads everything, so the floor prices the 32×-smaller scan
+    measureWithRetry { i =>
+      Soak.pqRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"pq probe throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: ANN serving sustains through a mid-soak retrain") {
     // the full ops-hardening path: corpus append + refit + staged swap land
     // while the stream serves; the signature re-prepare and the retry-once
