@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Streaming TRAINING MANIFEST — the append-only twin of the batch
+  * manifest's pack arithmetic ([[Sampling.trainingManifest]]): as verified
+  * documents land, each micro-batch's rows are assigned their final
+  * (epoch, shard, pos, start_tok, pack_id, pack_off) by CONTINUING the
+  * standing per-(epoch, shard) running totals — history is never rewritten
+  * (a row, once emitted, is the training job's address for that document
+  * forever), and the token tiling stays gap-free across every batch
+  * boundary, so context packing can consume the manifest while ingest is
+  * still running.
+  *
+  * Semantics: every arriving document enters EVERY epoch (the
+  * [[Sampling.trainingOrder]] contract — the curriculum'd variant is a
+  * corpus-global quality cut and stays batch); within a batch, order per
+  * (epoch, shard) is the same md5(epoch:doc_id) reshuffle as the batch
+  * operator, so each epoch sees a different (deterministic) order. Shard
+  * membership is the value-stable [[Sampling.shardOf]] hash — a document's
+  * shard never depends on when it arrived. Pack arithmetic is the batch
+  * twin's verbatim: start_tok = running-sum − n_tokens,
+  * pack_id = start_tok div contextLen, pack_off = start_tok mod contextLen.
+  *
+  * Standing state is two (epoch, shard)-keyed driver maps (docs emitted,
+  * tokens emitted — bounded by nEpochs × nShards, the [[SampleStream]]
+  * boundedness contract) plus a pre-fold SNAPSHOT of the last delivered
+  * batch: foreachBatch is at-least-once, and Structured Streaming only ever
+  * replays the LAST batch, so a crash-replay recomputes from the snapshot
+  * and re-emits bit-identical rows instead of double-advancing the tiling
+  * (ManifestStreamSpec pins it).
+  *
+  * Scale per trigger: one window per (epoch, shard) over the BATCH (never
+  * the corpus), a broadcast join against the (nEpochs × nShards)-row
+  * offsets frame, and one bounded rollup collect for the fold. */
+object ManifestStream {
+
+  final class StandingManifest private[streaming] (
+      val nEpochs: Int, val nShards: Int, val contextLen: Int) {
+    private[streaming] val pos =
+      scala.collection.mutable.Map.empty[(Long, Long), Long]
+    private[streaming] val tok =
+      scala.collection.mutable.Map.empty[(Long, Long), Long]
+    private[streaming] var lastFoldedBatch: Long = -1L
+    // pre-fold snapshot of the last folded batch — the replay source
+    private[streaming] var snapPos: Map[(Long, Long), Long] = Map.empty
+    private[streaming] var snapTok: Map[(Long, Long), Long] = Map.empty
+
+    /** Total documents addressed so far (per epoch each). */
+    def docsPerEpoch: Long =
+      pos.collect { case ((e, _), n) if e == 0L => n }.sum
+  }
+
+  /** Fresh standing totals — an empty manifest. */
+  def prepareManifest(nEpochs: Int, nShards: Int,
+      contextLen: Int = 256): StandingManifest = {
+    require(nEpochs >= 1 && nShards >= 1 && contextLen >= 1)
+    new StandingManifest(nEpochs, nShards, contextLen)
+  }
+
+  /** Standing totals seeded from an already-manifested corpus — restart
+    * support: one bounded agg over (doc_id, text), nEpochs × nShards rows
+    * collected. The stream then continues the tiling exactly where the
+    * batch manifest left off. */
+  def prepareManifest(corpus: DataFrame, nEpochs: Int, nShards: Int,
+      contextLen: Int): StandingManifest = {
+    val m = prepareManifest(nEpochs, nShards, contextLen)
+    corpus
+      .select(Sampling.shardOf(col("doc_id"), nShards).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().foreach { r =>
+        val (shard, n, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (0 until nEpochs).foreach { e =>
+          m.pos((e.toLong, shard)) = n
+          m.tok((e.toLong, shard)) = t
+        }
+      }
+    m
+  }
+
+  /** Configure (not start) the manifest stream over micro-batches of
+    * (doc_id, text); each delivered batch's manifest rows go to `sink`. */
+  def manifestQuery(stream: DataFrame, standing: StandingManifest)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processManifestBatch(standing, batch, batchId)(sink)
+      }
+
+  /** One manifest micro-batch — exposed so the replay contract is directly
+    * testable. A batch id seen before recomputes from the pre-fold
+    * snapshot (same offsets, same deterministic within-batch order → the
+    * SAME rows); a new id assigns from the live totals and folds. */
+  private[graft] def processManifestBatch(standing: StandingManifest,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val replay = batchId <= standing.lastFoldedBatch
+    if (replay && batchId != standing.lastFoldedBatch) {
+      // only the last batch is ever replayed by the engine; anything older
+      // means the caller is driving by hand — emit nothing rather than a
+      // wrong tiling
+      return
+    }
+    val (basePos, baseTok) =
+      if (replay) (standing.snapPos, standing.snapTok)
+      else (standing.pos.toMap, standing.tok.toMap)
+    val offsets = {
+      import spark.implicits._
+      val rows = for {
+        e <- 0L until standing.nEpochs.toLong
+        s <- 0L until standing.nShards.toLong
+      } yield (e, s, basePos.getOrElse((e, s), 0L),
+        baseTok.getOrElse((e, s), 0L))
+      rows.toDF("epoch", "shard", "pos0", "tok0")
+    }
+    val h = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    val assigned = batch
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), lit(standing.nEpochs - 1L))).as("epoch"))
+      .withColumn("shard", Sampling.shardOf(col("doc_id"), standing.nShards))
+      .withColumn("__h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("csum", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"),
+        (col("pos0") + col("rk")).as("pos"), col("doc_id"), col("n_tokens"),
+        (col("tok0") + col("csum") - col("n_tokens")).as("start_tok"))
+      .withColumn("pack_id", expr(s"start_tok div ${standing.contextLen}"))
+      .withColumn("pack_off", col("start_tok") % standing.contextLen)
+      .persist() // scanned twice: the fold rollup, then the sink
+    try {
+      if (!replay) {
+        standing.snapPos = basePos
+        standing.snapTok = baseTok
+        assigned.groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+          .collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            standing.pos(key) = standing.pos.getOrElse(key, 0L) + r.getLong(2)
+            standing.tok(key) = standing.tok.getOrElse(key, 0L) + r.getLong(3)
+          }
+        standing.lastFoldedBatch = batchId
+      }
+      sink(assigned.select(col("epoch"), col("shard"), col("pack_id"),
+        col("pos"), col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("pack_off")), batchId)
+    } finally { val _ = assigned.unpersist() }
+  }
+}
