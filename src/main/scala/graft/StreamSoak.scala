@@ -73,6 +73,10 @@ object StreamSoak {
       val (c, sunk, h) = Soak.run(spark, collectorRate, eventsRate, out.toString)
       val d = Soak.dedupRun(spark, corpusDocs = 20000 * dedupScale, docsRate,
         tag = s"c$cores", soakMs = 30000)
+      // skew-adversarial twin: planted hot key at 2× the bucket cap + a
+      // warm key below it — the capped paths must hold the same offered rate
+      val dskew = Soak.skewedDedupRun(spark, corpusDocs = 20000 * dedupScale,
+        docsRate, tag = s"c$cores", soakMs = 30000)
       val hd = Soak.hashDedupRun(spark, corpusItems = 20000 * dedupScale,
         itemsRate, tag = s"c$cores", soakMs = 30000)
       val decontamRate = 20000 * dedupScale
@@ -101,6 +105,7 @@ object StreamSoak {
       s""""local_$cores":{"collector":${Soak.json(c)},""" +
         s""""hourly_type_counts":${Soak.json(h)},""" +
         s""""dedup_probe":${Soak.json(d)},""" +
+        s""""dedup_probe_skewed":${Soak.json(dskew)},""" +
         s""""hash_dedup":${Soak.json(hd)},""" +
         s""""decontam":${Soak.json(dc)},""" +
         s""""annealed_mixture":${Soak.json(mx)},""" +

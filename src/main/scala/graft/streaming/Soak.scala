@@ -121,6 +121,54 @@ object Soak {
     }
   }
 
+  /** SKEW-ADVERSARIAL [[dedupRun]]: the feed and the standing corpus both
+    * carry a planted HOT KEY — one text standing at 2× the hot-bucket cap
+    * (so the build DROPPED its band and hash buckets; without the cap,
+    * every hot re-fetch would fan out against every standing copy and the
+    * probe would go quadratic in the skew) and 40% of the offered stream
+    * re-fetches it. A WARM text stands below the cap (50 copies), so real
+    * pairing still flows at full fan-out for its 10% of the feed. The row
+    * exists to show the capped paths HOLD offered throughput under the
+    * skew a crawl firehose actually has (boilerplate pages, error stubs),
+    * not just on the uniform fixture. */
+  def skewedDedupRun(spark: SparkSession, corpusDocs: Int, docsRate: Int,
+      tag: String, soakMs: Long = 30000): Result = {
+    val hotText = "server error page not found please try again later soon"
+    val warmText = "cookie consent banner accept all reject all manage choices"
+    val normal = spark.range(corpusDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    val hot = spark.range(2000L)
+      .select((col("id") + corpusDocs).as("doc_id"), lit(hotText).as("text"))
+    val warm = spark.range(50L)
+      .select((col("id") + corpusDocs + 2000L).as("doc_id"),
+        lit(warmText).as("text"))
+    val corpus = normal.unionAll(hot).unionAll(warm)
+    val table = s"graft_soak_skew_band_$tag"
+    val exact = s"graft_soak_skew_exact_$tag"
+    graft.operators.Dedup.writeBandIndex(corpus, table, location = Some(
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_skewband")}/$tag"))
+    graft.operators.Dedup.writeExactIndex(corpus, exact, location = Some(
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_skewexact")}/$tag"))
+    // 40% hot (capped-out: must cost banding only), 10% warm (pairs with
+    // all 50 standing twins), 25% standing re-fetches, 25% novel
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", docsRate.toString).load()
+      .select((col("value") + corpusDocs + 3000L).as("doc_id"),
+        when(col("value") % 10 < 4, lit(hotText))
+          .when(col("value") % 10 === 4, lit(warmText))
+          .when(col("value") % 10 < 7, synthText(col("value") * 7 + 3))
+          .otherwise(synthTextNovel(col("value") * 7 + 3)).as("text"))
+    val q = DedupStream.incrementalDedupQuery(docs, corpus, table,
+      exactTable = Some(exact)) {
+      (pairs, _) => val _ = pairs.count()
+    }.start()
+    try soak(q, soakMs)
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $exact")
+    }
+  }
+
   /** Streaming PERCEPTUAL dedup throughput — the media-firehose twin of
     * [[dedupRun]]: a standing corpus of synthesized images is hashed
     * (decode → 8×8 aHash, [[graft.multimodal.Media.imageAHash]]) into a

@@ -64,6 +64,21 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: skewed dedup probe holds throughput under a planted hot key") {
+    // 40% of the feed re-fetches ONE text standing at 2× the bucket cap
+    // (band + hash buckets dropped at build — the cap is what keeps this
+    // from going quadratic) and 10% hits a warm below-cap key that pairs
+    // with all its standing twins; the same floor as the uniform probe
+    measureWithRetry { i =>
+      Soak.skewedDedupRun(spark, corpusDocs = 20000, docsRate = 5000,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 5000, d)
+      assert(d.rowsPerSec > 500,
+        s"skewed dedup probe throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: streaming decontamination sustains the sweep") {
     // per micro-batch: 8-gram explode + broadcast probe of the prepared
     // benchmark + pair group-by; half the feed is all-hits (worst case for
