@@ -706,8 +706,11 @@ object Dedup {
     * retired. Probes resolve the table name per call
     * ([[incrementalNearDupIndexed]] reads the catalog each micro-batch),
     * so the next probe serves from the new geometry with no re-register;
-    * a probe racing the drop-rename gap retries once — the same contract
-    * as the IVF serving loop. BucketingSpec pins probe-through-rebuild:
+    * the STREAMING probe loop retries once on a trigger that raced the
+    * drop-rename gap or the directory retirement
+    * ([[graft.streaming.DedupStream.incrementalDedupQuery]] — the IVF
+    * serving loop's contract; direct batch callers sequence rebuilds
+    * themselves). BucketingSpec pins probe-through-rebuild:
     * correct pairs at the new geometry, index side still zero-Exchange,
     * and a second rebuild ping-pongs back without nesting locations. */
   def rebuildBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
@@ -720,8 +723,13 @@ object Dedup {
     val stagingLoc = graft.util.IndexSwap.pingPongLocation(current)
     val stagingTable = s"${table}_staging"
     // leftovers from a crashed rebuild: the staging table name and the
-    // ping-pong location are both deterministic, so drop and overwrite
+    // ping-pong location are both deterministic — drop the catalog entry
+    // AND delete the (external) staging files, since saveAsTable into a
+    // non-empty explicit location is a CTAS error, not an overwrite
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    val sp = new org.apache.hadoop.fs.Path(stagingLoc)
+    val _ = sp.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(sp, true)
     writeBandIndex(docs, stagingTable, shingleLen, numBands, rowsPerBand,
       buckets, maxBucketSize, location = Some(stagingLoc))
     graft.util.IndexSwap.swapTable(spark, table, stagingTable)

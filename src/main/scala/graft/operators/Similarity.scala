@@ -765,15 +765,23 @@ object Similarity {
     * strictly-below itself being false, never does. One bounded collect
     * for the floor scalar (phase-count-sized input). */
   def ivfDriftAlarm(spark: SparkSession, sfDir: String): DataFrame = {
+    // one pass: the rollup is phase-count-sized, so collect it and derive
+    // both the floor scalar and the result rows from the same two rows —
+    // a lazy floor lookup would re-run the corpus-scale health scoring
+    // once for the head() and again when the caller acts on the frame
     val rolled = ivfRetrainHealth(spark, sfDir)
       .groupBy($"phase")
       .agg(sum($"n_vecs").as("total_vecs"),
         expr("sum(sum_cos_micros) DIV sum(n_vecs)").as("weighted_mean_micros"))
-    val floor = rolled.filter($"phase" === "post")
-      .head().getLong(2)
-    rolled.select($"phase", $"total_vecs", $"weighted_mean_micros",
-        ($"weighted_mean_micros" < floor).as("alarm"))
-      .orderBy($"phase")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val floor = rolled.collectFirst { case ("post", _, m) => m }
+      .getOrElse(throw new IllegalStateException(
+        "retrain fixture produced no post phase"))
+    spark.createDataFrame(rolled.toSeq
+        .map { case (p, n, m) => (p, n, m, m < floor) }
+        .sortBy(_._1))
+      .toDF("phase", "total_vecs", "weighted_mean_micros", "alarm")
   }
 
   /** Registered query: the ANN TUNING CURVE — recall@k of the IVF probe

@@ -131,9 +131,14 @@ object AnnStream {
     *
     * At-least-once: append, fold, and retrain are side effects, so all
     * three are guarded by the monitor's highest-folded batch id — a
-    * crash-replayed micro-batch skips them and re-emits a row from the
-    * already-folded state (retrained=false), never double-appending or
-    * double-counting.
+    * SAME-PROCESS redelivery (a sink retry, or driving the exposed batch
+    * body twice) skips them and re-emits a row from the already-folded
+    * state (retrained=false), never double-appending or double-counting.
+    * The guard lives in driver memory: across a full crash-RESTART a
+    * freshly prepared monitor would re-append the replayed batch —
+    * production persists `lastFoldedBatch` next to the query checkpoint
+    * (or appends under a per-batch partition, the
+    * [[DedupStream.incrementalDedupQuery]] idempotent-append note).
     *
     * Scale per trigger: the append is a partitioned write of the batch;
     * the health probe is one broadcast join + partial-aggregated rollup
@@ -281,15 +286,16 @@ object AnnStream {
     * query vectors ADC-probes a persisted PQ index
     * ([[graft.operators.Pq.writePqIndex]]) per micro-batch and the
     * per-query top-k goes to `sink`. Same prepared-handle shape —
-    * codebooks + codes schema resolved once ([[Pq.preparePqIndex]]), the
-    * per-query distance table computed IN-PLAN (codegen
-    * [[graft.functions.PqDtabExpr]] — query embeddings never pass through
-    * the driver), codes scanned fresh per trigger (one directory listing;
-    * frozen-codebook appends stay visible), ranking folded map-side
-    * through the bounded top-k aggregate in ascending mode. Where the IVF
-    * twin prunes candidates (reads nprobe/nlist of full vectors), this
-    * twin compresses them (reads 100% of an ~32×-smaller artifact) — the
-    * two standard memory/recall trade points, now both served.
+    * codebooks + codes schema resolved once ([[Pq.preparePqIndex]]); per
+    * trigger, the query batch collects to the driver and its distance
+    * tables broadcast (the query side is driver-small by the same
+    * contract as the batch path's broadcast build side), the codes scan
+    * re-lists one directory (frozen-codebook appends stay visible), and
+    * scoring + ranking run as [[Pq.queryStandingPq]]'s partition-local
+    * fold into the bounded top-k buffer. Where the IVF twin prunes
+    * candidates (reads nprobe/nlist of full vectors), this twin
+    * compresses them (reads 100% of an ~32×-smaller artifact) — the two
+    * standard memory/recall trade points, now both served.
     *
     * A codebook refresh ([[Pq.writePqIndex]] overwrite) is survived the
     * same way as an IVF retrain: per-trigger signature check, Try-guarded

@@ -59,13 +59,27 @@ object DedupStream {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = exactTable match {
+        // Survive a concurrent [[Dedup.rebuildBandIndex]]: the probe's
+        // candidate stage materializes eagerly (localCheckpoint inside
+        // incrementalNearDupIndexed / the tiered form), so every index
+        // read — catalog resolution AND the bucketed scan — happens
+        // inside this call; a trigger racing the metastore drop-rename
+        // gap (TABLE_NOT_FOUND) or the old data directory's retirement
+        // (FileNotFound mid-scan) retries ONCE against the re-resolved
+        // table, which the swap protocol guarantees is fully materialized
+        // — the same retry-once contract as the IVF serving loop. The
+        // lazy remainder (the exact-Jaccard verify) joins only the
+        // caller's corpus/batch frames, never the swapped table.
+        def probe(): DataFrame = exactTable match {
           case Some(et) => Dedup.tieredIncrementalNearDupIndexed(corpus,
             indexTable, et, batch, shingleLen, numBands, rowsPerBand,
             threshold)
           case None => Dedup.incrementalNearDupIndexed(corpus, indexTable,
             batch, shingleLen, numBands, rowsPerBand, threshold)
         }
+        val pairs =
+          try probe()
+          catch { case scala.util.control.NonFatal(_) => probe() }
         sink(pairs, batchId)
         if (appendAfterProbe) {
           Dedup.appendToBandIndex(batch, indexTable, shingleLen, numBands,

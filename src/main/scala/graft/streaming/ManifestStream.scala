@@ -29,10 +29,15 @@ import graft.operators.{Sampling, TextAnalysis}
   * Standing state is two (epoch, shard)-keyed driver maps (docs emitted,
   * tokens emitted — bounded by nEpochs × nShards, the [[SampleStream]]
   * boundedness contract) plus a pre-fold SNAPSHOT of the last delivered
-  * batch: foreachBatch is at-least-once, and Structured Streaming only ever
-  * replays the LAST batch, so a crash-replay recomputes from the snapshot
-  * and re-emits bit-identical rows instead of double-advancing the tiling
-  * (ManifestStreamSpec pins it).
+  * batch: foreachBatch is at-least-once, and a SAME-PROCESS redelivery of
+  * the last batch (a sink retry) recomputes from the snapshot and re-emits
+  * bit-identical rows instead of double-advancing the tiling
+  * (ManifestStreamSpec pins it). Snapshot and totals live in driver
+  * memory: across a full crash-RESTART, production re-seeds the standing
+  * totals from the already-written manifest rows (the
+  * [[prepareManifest(corpus*]] shape over the sunk output, keyed under the
+  * query checkpoint) before restarting the query — a fresh empty standing
+  * would restart the tiling at zero.
   *
   * Scale per trigger: one window per (epoch, shard) over the BATCH (never
   * the corpus), a broadcast join against the (nEpochs × nShards)-row

@@ -150,7 +150,7 @@ object Soak {
     graft.operators.Dedup.writeExactIndex(corpus, exact, location = Some(
       s"${graft.util.TmpDirs.perProcessDir("graft_soak_skewexact")}/$tag"))
     // 40% hot (capped-out: must cost banding only), 10% warm (pairs with
-    // all 50 standing twins), 25% standing re-fetches, 25% novel
+    // all 50 standing twins), 20% standing re-fetches, 30% novel
     val docs = spark.readStream.format("rate")
       .option("rowsPerSecond", docsRate.toString).load()
       .select((col("value") + corpusDocs + 3000L).as("doc_id"),

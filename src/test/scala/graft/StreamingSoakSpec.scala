@@ -111,9 +111,10 @@ class StreamingSoakSpec extends SparkTestBase {
   }
 
   test("rate-source soak: PQ ADC serving sustains the query stream") {
-    // per micro-batch: in-plan distance tables + broadcast ADC join over
-    // the FULL codes artifact + ascending bounded top-k — the compressed
-    // tier reads everything, so the floor prices the 32×-smaller scan
+    // per micro-batch: broadcast distance tables + the partition-local
+    // ADC fold over the FULL codes artifact + ascending bounded top-k —
+    // the compressed tier reads everything, so the floor prices the
+    // 32×-smaller scan
     measureWithRetry { i =>
       Soak.pqRun(spark, corpusVecs = 20000, queriesRate = 500,
         tag = s"spec$i")
