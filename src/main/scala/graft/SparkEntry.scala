@@ -287,6 +287,11 @@ object SparkEntry {
     // codebooks (build absorbed by warmup); same oracle as pq_adc_topk —
     // the index is an execution layout, not a semantic
     "pq_adc_topk_indexed" -> ((s, d) => Pq.pqAdcTopKIndexed(s, d)),
+    "pq_codebooks" -> ((s, d) => Pq.pqCodebooksEntry(s, d)), // rows-only (it IS the oracle input)
+    // the compressed tier's index-health watch signal: per-subspace
+    // reconstruction error vs the assigned codeword, exact integer micros —
+    // the retrain trigger of the PQ ops loop
+    "pq_quant_error" -> ((s, d) => Pq.pqQuantError(s, d)),
     // IVF cells × PQ codes — the billion-scale ANN composition: prune
     // cells, scan 8-byte codes. Oracle-checked: built on the STANDING
     // coarse index, so the ivf_* + pq_* dumps replay the whole
@@ -1925,6 +1930,26 @@ object SparkEntry {
         "SELECT query_id, vec_id, adc, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // reconstruction error replayed from the codes + codebooks dumps and
+    // the raw embeddings: per-subspace slice, squared L2 to the assigned
+    // codeword (left-to-right double sum), micro-quantized integer rollup
+    "pq_quant_error" ->
+      ("WITH c AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
+        "FROM read_parquet('{OUT}/pq_codes/*.parquet')), " +
+        "cb AS (SELECT subspace, codeword, " +
+        "list_transform(string_split(center, ','), x -> CAST(x AS DOUBLE)) AS w " +
+        "FROM read_parquet('{OUT}/pq_codebooks/*.parquet')), " +
+        "e AS (SELECT c.vec_id, cb.subspace, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "j -> (emb.embedding[cb.subspace * 8 + j]::DOUBLE - cb.w[j]) * " +
+        "(emb.embedding[cb.subspace * 8 + j]::DOUBLE - cb.w[j]))), 6) AS err " +
+        "FROM c JOIN embeddings emb USING (vec_id) " +
+        "JOIN cb ON cb.codeword = c.codes[cb.subspace + 1]) " +
+        "SELECT subspace, n_vecs, sum_err_micros, " +
+        "sum_err_micros // n_vecs AS mean_err_micros " +
+        "FROM (SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(round(err * 1000000) AS BIGINT)) AS BIGINT) AS sum_err_micros " +
+        "FROM e GROUP BY subspace) ORDER BY subspace"),
     // layout change, not semantic: the persisted-index probe returns the
     // same rows as the in-memory ADC ranking
     "pq_adc_topk_indexed" ->

@@ -165,6 +165,49 @@ object VectorHashImpl {
     d
   }
 
+  /** PER-SUBSPACE PQ reconstruction error of an embedding under the
+    * codebooks: entry m is the squared L2 distance from subvector m to its
+    * ASSIGNED (argmin) codeword — exactly the distortion [[pqCodes]]'s
+    * encode accepts, in one fused pass (same first-minimum rule and
+    * float→double element order, so each entry is bit-identical to what a
+    * decode of the stored code would measure). This is the PQ index-health
+    * signal: codebooks are frozen after training, so these errors RISE as
+    * the ingested distribution drifts — the retrain trigger. Per-subspace
+    * (not a fused total) so health rolls up in order-free integer micros
+    * per subspace, the same cross-engine convention as the IVF per-cell
+    * health table. */
+  def pqReconErrs(emb: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = if (m > 0) codebooks(0)(0).length else 0
+    if (emb.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ geometry $m×$dsub != embedding dim ${emb.numElements()}")
+    val errs = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = emb.getFloat(off + j) - w(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      errs(s) = bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(errs)
+  }
+
   /** Spark's `round(col, 6)` for doubles, callable per value: NaN/±Inf
     * pass through (the Catalyst Round guard), everything else takes the
     * same shortest-decimal HALF_UP path (`BigDecimal.valueOf` IS
@@ -439,6 +482,24 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-subspace PQ reconstruction errors of an `array<float>` embedding
+  * under the codebook tensor (codegen reference object) — the PQ
+  * index-health probe ([[VectorHashImpl.pqReconErrs]]): one fused
+  * argmin-and-accumulate pass, no codes materialized. */
+case class PqReconErrExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.pqReconErrs(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.pqReconErrs($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqReconErrExpr =
+    copy(child = c)
+}
+
 /** Scalar-quantization (SQ8) encode of an `array<float>` embedding: one
   * 8-bit code per DIMENSION on a per-dim uniform grid — the 4× scan-byte
   * compression tier below [[PqCodesExpr]]'s ~32× (coarser codes, but the
@@ -653,6 +714,12 @@ object VectorExpressions {
   def pqCodes(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(
       PqCodesExpr(GraftSqlBridge.expression(emb), codebooks))
+
+  /** Column wrapper: per-subspace PQ reconstruction errors of an
+    * `array<float>` embedding column under the codebook tensor. */
+  def pqReconErrs(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(
+      PqReconErrExpr(GraftSqlBridge.expression(emb), codebooks))
 
   /** Column wrapper: ADC distance of a codes column against a per-query
     * distance-table column (flattened M×k). */

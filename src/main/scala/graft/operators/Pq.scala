@@ -439,6 +439,75 @@ object Pq {
     encode(spread(newVecs), model).write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Registered dump (it IS the oracle input): the fixture model's codebook
+    * tensor, comma-joined DOUBLE strings per codeword — the PQ analogue of
+    * the `proto_centroids`/`ivf_retrain_centroids` convention, consumed by
+    * the `pq_quant_error` replay. */
+  def pqCodebooksEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, model) = fixtureModel(spark, sfDir)
+    val flat = for {
+      m <- model.codebooks.indices
+      c <- model.codebooks(m).indices
+    } yield (m.toLong, c.toLong,
+      model.codebooks(m)(c).map(_.toString).mkString(","))
+    spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
+  }
+
+  /** Registered query (HASH-CHECKED): the PQ index-HEALTH table — the
+    * compressed tier's analogue of `ivf_quantization_error`: per SUBSPACE,
+    * the corpus's reconstruction error against the assigned (argmin)
+    * codeword, micro-quantized and rolled up as exact integers
+    * (n_vecs, sum_err_micros, truncating integer mean). Codebooks are
+    * FROZEN after training ([[appendToPqIndex]] encodes against them), so
+    * this is the watch signal whose rise triggers a codebook retrain
+    * ([[retrainPqIndex]]; the streaming loop is
+    * [[graft.streaming.AnnStream.autoRetrainPqIngestQuery]]). DuckDB
+    * replays it fully from the `pq_codes` + `pq_codebooks` dumps and the
+    * raw embeddings table: slice each embedding per subspace, squared L2
+    * to the dumped codeword's center (left-to-right double sum — the
+    * rerank replay's list_sum technique), quantize, roll up.
+    *
+    * Scale: one codegen pass over the corpus (the codebook tensor rides as
+    * a codegen reference), one partial-aggregated m-row rollup. */
+  def pqQuantError(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, model) = fixtureModel(spark, sfDir)
+    emb
+      .select($"vec_id",
+        posexplode(VectorExpressions.pqReconErrs($"embedding", model.codebooks))
+          .as(Seq("subspace", "err")))
+      .withColumn("err_micros",
+        round(round($"err", 6) * 1e6, 0).cast("long"))
+      .groupBy($"subspace".cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"err_micros").as("sum_err_micros"))
+      .select($"subspace", $"n_vecs", $"sum_err_micros",
+        expr("sum_err_micros DIV n_vecs").as("mean_err_micros"))
+      .orderBy($"subspace")
+  }
+
+  /** Re-train the codebooks over a CURRENT raw corpus and swap the
+    * persisted index in place — the PQ half of the retrain-on-drift ops
+    * loop ([[graft.operators.Similarity.retrainIvfIndex]]'s protocol,
+    * same shared [[graft.util.IndexSwap]] staging → retired → two-rename
+    * swap). [[appendToPqIndex]] encodes against FROZEN codebooks, so
+    * reconstruction error ([[pqQuantError]]'s arithmetic) degrades as the
+    * ingested distribution drifts; this refits on `emb` (the raw vectors —
+    * the index stores only codes, so production keeps the rerank-tier raw
+    * corpus next to it, which is exactly what the streaming ingest loop
+    * maintains under `$path/raw`), re-encodes everything, and swaps codes
+    * + codebooks together. Serving ([[graft.streaming.AnnStream
+    * .pqSearchQuery]]) picks the swap up via its per-trigger codebook
+    * signature check — no restart. */
+  def retrainPqIndex(emb: DataFrame, path: String,
+      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val staging = s"$path/retrain_staging"
+    writePqIndex(spread(emb).select($"vec_id", $"embedding"),
+      train(spread(emb).select($"vec_id", $"embedding"), seed = seed),
+      staging) // fully materialized before any old state moves
+    graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+      Seq("codes", "codebooks"))
+  }
+
   /** tmpdir slot for the registered standing-index entry (same scheme as
     * [[Similarity.ivfIndexPath]]: sanitized sf-dir key under a per-process
     * root removed on exit; production uses a warehouse path). */

@@ -215,6 +215,140 @@ object AnnStream {
       "weighted_mean_micros", "alarm", "retrained"), batchId)
   }
 
+  /** Standing state of the PQ drift watcher — the compressed tier's
+    * [[RetrainMonitor]]: cumulative reconstruction-error totals since the
+    * last retrain (two driver longs — even smaller than the IVF monitor's
+    * per-cell maps) plus the frozen codebooks the errors were measured
+    * against. Reconstruction error RISES under drift, so the alarm is a
+    * CEILING on the per-vector mean (micros — `pq_quant_error`'s exact
+    * integer arithmetic), where the IVF monitor's cosine health used a
+    * floor. */
+  final class PqRetrainMonitor private[streaming] (
+      val indexPath: String,
+      val errCeilingMicros: Long,
+      val minVecsForAlarm: Long) {
+    private[streaming] var model: graft.operators.Pq.PqModel = _
+    private[streaming] var modelSig: Seq[(String, Long, Long)] = Nil
+    private[streaming] var nVecs: Long = 0L
+    private[streaming] var sumErrMicros: Long = 0L
+    private[streaming] var lastFoldedBatch: Long = -1L
+    /** Retrains fired by this monitor since prepare — the ops counter. */
+    private[graft] var retrains: Long = 0L
+
+    def totalVecs: Long = nVecs
+
+    /** Cumulative per-vector mean reconstruction error since the last
+      * retrain (truncating Long division — Spark `DIV` ≡ DuckDB `//`). */
+    def meanErrMicros: Option[Long] =
+      if (nVecs == 0L) None else Some(sumErrMicros / nVecs)
+
+    private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val sig = graft.operators.Pq.codebooksSignature(spark, indexPath)
+      if (sig != modelSig) {
+        model = graft.operators.Pq.loadPqModel(spark, indexPath)
+        modelSig = sig
+        nVecs = 0L
+        sumErrMicros = 0L
+      }
+    }
+  }
+
+  /** Resolve the standing side of the PQ auto-retrain loop once. */
+  def preparePqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, errCeilingMicros: Long,
+      minVecsForAlarm: Long = 0L): PqRetrainMonitor = {
+    val m = new PqRetrainMonitor(indexPath, errCeilingMicros, minVecsForAlarm)
+    m.resync(spark)
+    m
+  }
+
+  /** The PQ tier's COMPOSED ops loop — ingest → reconstruction-error alarm
+    * → codebook retrain — [[autoRetrainIngestQuery]]'s twin for the
+    * compressed index. Per micro-batch of (vec_id, embedding):
+    *
+    *  1. the RAW vectors append under `$indexPath/raw` — the rerank-tier
+    *     raw corpus a PQ deployment keeps anyway, and what the retrain
+    *     refits over (the index itself stores only codes);
+    *  2. the batch encodes against the FROZEN codebooks into the codes dir
+    *     ([[graft.operators.Pq.appendToPqIndex]]);
+    *  3. the batch's per-subspace reconstruction errors
+    *     ([[graft.functions.PqReconErrExpr]] — `pq_quant_error`'s exact
+    *     integer-micro arithmetic) fold into the monitor; when the
+    *     cumulative per-vector mean EXCEEDS `errCeilingMicros` (after the
+    *     warm-up), [[graft.operators.Pq.retrainPqIndex]] refits over
+    *     `$indexPath/raw` and swaps codes + codebooks
+    *     ([[graft.util.IndexSwap]]); a standing [[pqSearchQuery]] serving
+    *     the same index picks the swap up at its own next trigger with no
+    *     restart (PqAutoRetrainSpec pins the lifecycle).
+    *
+    * Monitor rows to `sink`, one per delivered batch: (batch_id,
+    * batch_vecs, total_vecs, mean_err_micros, alarm, retrained).
+    * At-least-once: same contract as the IVF loop — append/fold/retrain
+    * are guarded by the highest-folded batch id for SAME-PROCESS
+    * redeliveries; production persists the id next to the checkpoint. */
+  def autoRetrainPqIngestQuery(vecStream: DataFrame,
+      monitor: PqRetrainMonitor)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPqIngestBatch(monitor, batch, batchId)(sink)
+      }
+
+  /** One PQ auto-retrain micro-batch — exposed for direct lifecycle
+    * testing, like [[processIngestBatch]]. */
+  private[graft] def processPqIngestBatch(monitor: PqRetrainMonitor,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Pq
+    val spark = batch.sparkSession
+    import spark.implicits._
+    var batchVecs = 0L
+    var retrained = false
+    var alarm = false
+    var totalAtDecision = 0L
+    var meanAtDecision = Long.MinValue
+    if (batchId > monitor.lastFoldedBatch) {
+      monitor.resync(spark) // pick up an EXTERNAL swap before scoring
+      val vecs = batch.select(col("vec_id"), col("embedding"))
+        .persist() // scanned thrice: raw append, encode-append, health
+      try {
+        vecs.write.mode("append").parquet(s"${monitor.indexPath}/raw")
+        Pq.appendToPqIndex(vecs, monitor.indexPath)
+        val h = vecs
+          .select(posexplode(graft.functions.VectorExpressions
+            .pqReconErrs(col("embedding"), monitor.model.codebooks))
+            .as(Seq("subspace", "err")))
+          .select(round(round(col("err"), 6) * 1e6, 0).cast("long")
+            .as("err_micros"))
+          .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+          .head()
+        batchVecs = h.getLong(0) / math.max(monitor.model.numSubspaces, 1)
+        monitor.nVecs += batchVecs
+        monitor.sumErrMicros += h.getLong(1)
+        monitor.lastFoldedBatch = batchId
+        alarm = monitor.totalVecs >= monitor.minVecsForAlarm &&
+          monitor.meanErrMicros.exists(_ > monitor.errCeilingMicros)
+        totalAtDecision = monitor.totalVecs
+        meanAtDecision = monitor.meanErrMicros.getOrElse(Long.MinValue)
+        if (alarm) {
+          Pq.retrainPqIndex(
+            spark.read.parquet(s"${monitor.indexPath}/raw"),
+            monitor.indexPath)
+          monitor.resync(spark) // reloads the new codebooks, resets totals
+          monitor.retrains += 1L
+          retrained = true
+        }
+      } finally { val _ = vecs.unpersist() }
+    } else {
+      totalAtDecision = monitor.totalVecs
+      meanAtDecision = monitor.meanErrMicros.getOrElse(Long.MinValue)
+    }
+    sink(Seq((batchId, batchVecs, totalAtDecision, meanAtDecision, alarm,
+      retrained)).toDF("batch_id", "batch_vecs", "total_vecs",
+      "mean_err_micros", "alarm", "retrained"), batchId)
+  }
+
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = queryStream.sparkSession
