@@ -715,28 +715,76 @@ object Dedup {
     * and a second rebuild ping-pongs back without nesting locations. */
   def rebuildBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
-      maxBucketSize: Int = 1000): Unit = {
-    val spark = docs.sparkSession
+      maxBucketSize: Int = 1000): Unit =
+    rebuildIndexTable(docs.sparkSession, table) { (stagingTable, loc) =>
+      writeBandIndex(docs, stagingTable, shingleLen, numBands, rowsPerBand,
+        buckets, maxBucketSize, location = Some(loc))
+    }
+
+  /** Re-band the standing EMBEDDING corpus at new sign-LSH geometry
+    * (plane count, rows per band, seed — the recall/fan-out dials of the
+    * semantic tier) and swap it under the serving name — the embedding
+    * twin of [[rebuildBandIndex]], same shared protocol and the same
+    * probe-survival contract (BucketingSpec pins it). Probe geometry
+    * params must move WITH the rebuild — the planes are derived from
+    * (numBands, rowsPerBand, dim, seed) on both sides. */
+  def rebuildEmbeddingBandIndex(embeddings: DataFrame, table: String,
+      numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
+      seed: Long = 7L, buckets: Int = 32, maxBucketSize: Int = 1000): Unit =
+    rebuildIndexTable(embeddings.sparkSession, table) { (stagingTable, loc) =>
+      writeEmbeddingBandIndex(embeddings, stagingTable, numBands,
+        rowsPerBand, dim, seed, buckets, maxBucketSize,
+        location = Some(loc))
+    }
+
+  /** Re-hash the standing corpus's exact index (shingleLen / cap retune —
+    * an append-time cap drifts conservatively, a rebuild re-applies it
+    * cleanly) and swap — same protocol. */
+  def rebuildExactIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
+      buckets: Int = 32, maxBucketSize: Int = 1000): Unit =
+    rebuildIndexTable(docs.sparkSession, table) { (stagingTable, loc) =>
+      writeExactIndex(docs, stagingTable, shingleLen, buckets,
+        maxBucketSize, location = Some(loc))
+    }
+
+  /** Re-chunk the standing perceptual-hash index at a new `numChunks`
+    * (the Hamming-budget pigeonhole dial) and swap — same protocol; the
+    * chunk-geometry table property rides the staging table through the
+    * rename, so post-rebuild probes keep their geometry check. */
+  def rebuildHashIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      table: String, numChunks: Int, buckets: Int = 32,
+      maxBucketSize: Int = 1000): Unit =
+    rebuildIndexTable(sigs.sparkSession, table) { (stagingTable, loc) =>
+      writeHashIndex(sigs, idCol, sigCol, stagingTable, numChunks, buckets,
+        maxBucketSize, location = Some(loc))
+    }
+
+  /** The ONE rebuild scaffold for every bucketed standing index (text
+    * band, embedding band, exact hash, perceptual hash): resolve the
+    * current external location, clear a crashed attempt's leftovers (the
+    * staging table name and the ping-pong location are deterministic —
+    * drop the catalog entry AND delete the staging files, since
+    * saveAsTable into a non-empty explicit location is a CTAS error, not
+    * an overwrite), materialize the rebuilt index fully via `build`, swap
+    * at the metastore ([[graft.util.IndexSwap.swapTable]]), and retire the
+    * old data directory. In-flight probes that planned against the old
+    * files are covered by the streaming loop's retry-once. */
+  private def rebuildIndexTable(spark: SparkSession, table: String)
+      (build: (String, String) => Unit): Unit = {
     val current = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location.toString
     val stagingLoc = graft.util.IndexSwap.pingPongLocation(current)
     val stagingTable = s"${table}_staging"
-    // leftovers from a crashed rebuild: the staging table name and the
-    // ping-pong location are both deterministic — drop the catalog entry
-    // AND delete the (external) staging files, since saveAsTable into a
-    // non-empty explicit location is a CTAS error, not an overwrite
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
     val sp = new org.apache.hadoop.fs.Path(stagingLoc)
     val _ = sp.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(sp, true)
-    writeBandIndex(docs, stagingTable, shingleLen, numBands, rowsPerBand,
-      buckets, maxBucketSize, location = Some(stagingLoc))
+    build(stagingTable, stagingLoc)
     graft.util.IndexSwap.swapTable(spark, table, stagingTable)
-    // retire the old data directory (external: the drop left it in place);
-    // in-flight probes that planned against it are covered by retry-once
     val p = new org.apache.hadoop.fs.Path(current)
-    val _ = p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val __ = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(p, true)
   }
 
   /** Append a verified batch's bands to an existing bucketed band index —

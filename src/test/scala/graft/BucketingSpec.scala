@@ -377,4 +377,67 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS emb_idx_bspec_fresh")
     }
   }
+
+  test("embedding band index rebuild: new LSH geometry swaps under the serving name") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val loc = s"${graft.util.TmpDirs.perProcessDir("graft_rebuild_emb")}/idx"
+    Dedup.writeEmbeddingBandIndex(corpus, "emb_idx_rebuild", buckets = 4,
+      location = Some(loc))
+    try {
+      assert(Dedup.incrementalEmbeddingNearDupIndexed(
+        corpus, "emb_idx_rebuild", batch)
+        .as[(Long, Long, Double)].collect().nonEmpty)
+      // retune: fewer, wider bands AND a new plane seed — a probe at the
+      // matching geometry must equal one against a fresh same-geometry
+      // build (the rebuild is a layout+geometry swap, not a semantic)
+      Dedup.rebuildEmbeddingBandIndex(corpus, "emb_idx_rebuild",
+        numBands = 32, rowsPerBand = 4, seed = 23L, buckets = 4)
+      val got = Dedup.incrementalEmbeddingNearDupIndexed(
+        corpus, "emb_idx_rebuild", batch, numBands = 32, rowsPerBand = 4,
+        seed = 23L)
+        .as[(Long, Long, Double)].collect().toSet
+      Dedup.writeEmbeddingBandIndex(corpus, "emb_idx_rebuild_fresh",
+        numBands = 32, rowsPerBand = 4, seed = 23L, buckets = 4)
+      val expected = Dedup.incrementalEmbeddingNearDupIndexed(
+        corpus, "emb_idx_rebuild_fresh", batch, numBands = 32,
+        rowsPerBand = 4, seed = 23L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_idx_rebuild")
+      spark.sql("DROP TABLE IF EXISTS emb_idx_rebuild_fresh")
+    }
+  }
+
+  test("hash index rebuild: new chunk geometry swaps in and the property guard follows") {
+    import spark.implicits._
+    val sigs = graft.multimodal.Media.imageAHash(
+      graft.multimodal.Media.synthesizeImageVariants(spark, 150)).toDF()
+    val loc = s"${graft.util.TmpDirs.perProcessDir("graft_rebuild_hash")}/idx"
+    Dedup.writeHashIndex(sigs, "media_id", "ahash", "hash_idx_rebuild",
+      numChunks = 8, buckets = 4, location = Some(loc))
+    try {
+      // rebuild at a tighter pigeonhole budget (numChunks 8 → 4)
+      Dedup.rebuildHashIndex(sigs, "media_id", "ahash", "hash_idx_rebuild",
+        numChunks = 4, buckets = 4)
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("hash_idx_rebuild"))
+        .properties
+      assert(props.get(Dedup.NumChunksProperty).contains("4"),
+        s"chunk-geometry property did not follow the rebuild: $props")
+      // probes at the NEW geometry work; the OLD geometry fails loudly
+      val got = Dedup.hammingIndexProbe("hash_idx_rebuild", sigs,
+        "media_id", "ahash", numChunks = 4, maxHamming = 3)
+        .as[(Long, Long, Int)].collect()
+      assert(got.nonEmpty)
+      val _ = intercept[IllegalArgumentException] {
+        Dedup.hammingIndexProbe("hash_idx_rebuild", sigs,
+          "media_id", "ahash", numChunks = 8, maxHamming = 6).count()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS hash_idx_rebuild")
+  }
 }
