@@ -1378,8 +1378,7 @@ object Dedup {
     standingAssigned(spark, sfDir)
       .join(broadcast(centersDf(spark, idx.centers)), Seq("cell"))
       .withColumn("cos_micros",
-        round(round(Similarity.cosine($"embedding", $"centroid"), 6) * 1e6, 0)
-          .cast("long"))
+        graft.util.Cols.micros6(Similarity.cosine($"embedding", $"centroid")))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"), sum($"cos_micros").as("sum_cos_micros"))
       .select($"cell", $"n_vecs", $"sum_cos_micros",

@@ -475,8 +475,7 @@ object Pq {
       .select($"vec_id",
         posexplode(VectorExpressions.pqReconErrs($"embedding", model.codebooks))
           .as(Seq("subspace", "err")))
-      .withColumn("err_micros",
-        round(round($"err", 6) * 1e6, 0).cast("long"))
+      .withColumn("err_micros", graft.util.Cols.micros6($"err"))
       .groupBy($"subspace".cast("long").as("subspace"))
       .agg(count(lit(1)).as("n_vecs"), sum($"err_micros").as("sum_err_micros"))
       .select($"subspace", $"n_vecs", $"sum_err_micros",
@@ -500,12 +499,32 @@ object Pq {
   def retrainPqIndex(emb: DataFrame, path: String,
       seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
-    val staging = s"$path/retrain_staging"
-    writePqIndex(spread(emb).select($"vec_id", $"embedding"),
-      train(spread(emb).select($"vec_id", $"embedding"), seed = seed),
-      staging) // fully materialized before any old state moves
-    graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
-      Seq("codes", "codebooks"))
+    // a retrain re-fits codewords, it does not re-decide geometry: derive
+    // (numSubspaces, k) from the index's OWN codebooks — a hardcoded
+    // default here would silently collapse a non-default index's
+    // compression/recall geometry on its first retrain (the same guard as
+    // the IVF retrain's nlist derivation)
+    val current = loadPqModel(spark, path)
+    val base = spread(emb).select($"vec_id", $"embedding")
+      .persist() // scanned thrice otherwise: train's count + sample, encode
+    try {
+      // the raw corpus must COVER the index — refitting over a partial raw
+      // dir would swap in an index that silently forgot the rest (the
+      // seeding contract: writePqIndex callers also write $path/raw, the
+      // ingest loop appends to it per batch)
+      val rawCount = base.count()
+      val codesCount = spark.read.parquet(s"$path/codes").count()
+      require(rawCount >= codesCount,
+        s"retrainPqIndex: raw corpus ($rawCount vecs) does not cover the " +
+          s"index ($codesCount codes) at $path — was $path/raw seeded with " +
+          "the initial corpus?")
+      val staging = s"$path/retrain_staging"
+      writePqIndex(base,
+        train(base, current.numSubspaces, current.k, seed = seed),
+        staging) // fully materialized before any old state moves
+      graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+        Seq("codes", "codebooks"))
+    } finally { val _ = base.unpersist() }
   }
 
   /** tmpdir slot for the registered standing-index entry (same scheme as

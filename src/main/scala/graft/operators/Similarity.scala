@@ -739,8 +739,7 @@ object Similarity {
       assigned.join(corpus, "vec_id")
         .join(broadcast(centersFloatDf(spark, centers)), Seq("cell"))
         .withColumn("cos_micros",
-          round(round(cosine($"embedding", $"centroid"), 6) * 1e6, 0)
-            .cast("long"))
+          graft.util.Cols.micros6(cosine($"embedding", $"centroid")))
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_vecs"), sum($"cos_micros").as("sum_cos_micros"))
         .select(lit(phase).as("phase"), $"cell", $"n_vecs", $"sum_cos_micros",

@@ -319,8 +319,7 @@ object AnnStream {
           .select(posexplode(graft.functions.VectorExpressions
             .pqReconErrs(col("embedding"), monitor.model.codebooks))
             .as(Seq("subspace", "err")))
-          .select(round(round(col("err"), 6) * 1e6, 0).cast("long")
-            .as("err_micros"))
+          .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
           .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
           .head()
         batchVecs = h.getLong(0) / math.max(monitor.model.numSubspaces, 1)

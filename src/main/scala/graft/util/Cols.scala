@@ -11,6 +11,18 @@ object Cols {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
 
+  /** THE pinned cross-engine micro-quantization: round to 6 dp (Spark's
+    * shortest-decimal HALF_UP), scale to integer micros, cast long — so
+    * rollups are exact integers on both engines (Spark `DIV` ≡ DuckDB
+    * `//`). One definition: the oracle-checked health tables
+    * (`ivf_retrain_health`, `pq_quant_error`, …) and the streaming
+    * monitors' alarm folds must quantize identically, or a drifted copy
+    * would skew alarm decisions against the oracle-pinned arithmetic. */
+  def micros6(c: Column): Column = {
+    import org.apache.spark.sql.functions.round
+    round(round(c, 6) * 1e6, 0).cast("long")
+  }
+
   /** Fan a narrow frame out to the session's shuffle parallelism before
     * compute-dense per-row work (shingling, MinHash, featurization, vector
     * scoring) — but ONLY when the input is under-split. The scan's split

@@ -28,8 +28,7 @@ class IvfAutoRetrainSpec extends SparkTestBase {
           .nearestCenter($"embedding", centers).as("cell"))
       .join(broadcast(Similarity.centersFloatDf(spark, centers)), Seq("cell"))
       .withColumn("cos_micros",
-        round(round(Similarity.cosine($"embedding", $"centroid"), 6) * 1e6, 0)
-          .cast("long"))
+        graft.util.Cols.micros6(Similarity.cosine($"embedding", $"centroid")))
       .agg(count(lit(1)), sum($"cos_micros")).head()
     (r.getLong(0), r.getLong(1))
   }

@@ -23,7 +23,7 @@ class PqAutoRetrainSpec extends SparkTestBase {
     val r = vecs
       .select(posexplode(graft.functions.VectorExpressions
         .pqReconErrs($"embedding", model.codebooks)).as(Seq("subspace", "err")))
-      .select(round(round($"err", 6) * 1e6, 0).cast("long").as("err_micros"))
+      .select(graft.util.Cols.micros6($"err").as("err_micros"))
       .agg(count(lit(1)), coalesce(sum($"err_micros"), lit(0L))).head()
     (r.getLong(0) / model.numSubspaces, r.getLong(1))
   }
