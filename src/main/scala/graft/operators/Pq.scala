@@ -407,10 +407,22 @@ object Pq {
             var d = 0.0
             var s = 0
             while (s < m) { d += tab(off + s * kk + flat(ci * m + s)); s += 1 }
-            // exact rounding only past the cheap bound: a saturated
-            // buffer's worst kept (rounded) score w rejects any raw
-            // d > w + 1e-6, since round6 moves d by at most 5e-7
-            if (buf.n < k || d <= buf.scores(k - 1) + 1e-6)
+            // exact rounding only past the cheap bound: with the buffer
+            // saturated at worst kept (rounded) score w, reject d only when
+            // round6(d) provably exceeds w — round6 moves d by at most 5e-7
+            // (decimal HALF_UP) plus ~one ulp (the BigDecimal→double
+            // re-representation, which dominates once |d| ≳ 1e10), so
+            // d > w + 1e-6 + ulp(d) is safe at every magnitude. A NaN worst
+            // (an all-NaN query saturates the buffer with NaN) skips the
+            // prune entirely so later smaller-vec_id NaN ties still insert
+            // — the pinned NaN-last, id-tiebreak order; a NaN candidate
+            // against a finite worst compares false and is rejected,
+            // exactly as the unpruned insert would have dropped it.
+            val keep = buf.n < k || {
+              val w = buf.scores(k - 1)
+              java.lang.Double.isNaN(w) || d <= w + 1e-6 + Math.ulp(d)
+            }
+            if (keep)
               buf.insert(graft.functions.VectorHashImpl.round6(d), vids(ci))
           }
           ci += 1

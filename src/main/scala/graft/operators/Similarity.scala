@@ -757,7 +757,10 @@ object Similarity {
     * per phase, with `alarm` evaluated exactly as the streaming watcher
     * evaluates it ([[graft.streaming.AnnStream.RetrainMonitor]]): weighted
     * mean = Σ sum_cos_micros / Σ n_vecs in truncating integer division
-    * (Spark `DIV` ≡ DuckDB `//`), alarm = mean strictly below the floor.
+    * (Spark `DIV` ≡ DuckDB `//` — both truncate toward zero even for
+    * negative numerators, verified on the oracle engine, so a
+    * negative-sum drifted corpus agrees too), alarm = mean strictly below
+    * the floor.
     * The floor is ENDOGENOUS — the refit (post) geometry's own weighted
     * mean — so the row set is scale-stable: `pre` must alarm at every sf
     * (IvfRetrainSpec pins the strict improvement this encodes) and `post`,

@@ -67,8 +67,12 @@ object AnnStream {
     def totalVecs: Long = cellN.values.sum
 
     /** Corpus-weighted mean health since the last retrain: Σsum / Σn in
-      * Long division (truncates toward zero — Spark `DIV` and DuckDB `//`
-      * agree). None until any vector has been scored. */
+      * Long division (truncates toward zero — Spark `DIV`, Scala Long `/`,
+      * and the oracle's DuckDB `//` all truncate; verified on the oracle
+      * engine for the negative-numerator case too: `-7 // 2 = -3`, not the
+      * floored -4 — so a drifted corpus whose weighted cosine sum goes
+      * negative still folds identically on all three).
+      * None until any vector has been scored. */
     def weightedMeanMicros: Option[Long] = {
       val n = totalVecs
       if (n == 0L) None else Some(cellSum.values.sum / n)
@@ -179,8 +183,8 @@ object AnnStream {
           .join(org.apache.spark.sql.functions.broadcast(
             Similarity.centersFloatDf(spark, monitor.centers)), Seq("cell"))
           .withColumn("cos_micros",
-            round(round(Similarity.cosine(col("embedding"), col("centroid")),
-              6) * 1e6, 0).cast("long"))
+            graft.util.Cols.micros6(
+              Similarity.cosine(col("embedding"), col("centroid"))))
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
           .collect() // nlist-bounded
@@ -238,7 +242,8 @@ object AnnStream {
     def totalVecs: Long = nVecs
 
     /** Cumulative per-vector mean reconstruction error since the last
-      * retrain (truncating Long division — Spark `DIV` ≡ DuckDB `//`). */
+      * retrain (truncating Long division — Spark `DIV` ≡ DuckDB `//`,
+      * negative numerators included; see [[RetrainMonitor.weightedMeanMicros]]). */
     def meanErrMicros: Option[Long] =
       if (nVecs == 0L) None else Some(sumErrMicros / nVecs)
 

@@ -14,7 +14,9 @@ object Cols {
   /** THE pinned cross-engine micro-quantization: round to 6 dp (Spark's
     * shortest-decimal HALF_UP), scale to integer micros, cast long — so
     * rollups are exact integers on both engines (Spark `DIV` ≡ DuckDB
-    * `//`). One definition: the oracle-checked health tables
+    * `//`: both truncate toward zero, negative numerators included —
+    * verified on the oracle engine, `-7 // 2 = -3`). One definition: the
+    * oracle-checked health tables
     * (`ivf_retrain_health`, `pq_quant_error`, …) and the streaming
     * monitors' alarm folds must quantize identically, or a drifted copy
     * would skew alarm decisions against the oracle-pinned arithmetic. */

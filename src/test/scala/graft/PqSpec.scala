@@ -129,6 +129,31 @@ class PqSpec extends SparkTestBase {
     assert(viaIndex == inMem)
   }
 
+  test("standing probe prune: an all-NaN query keeps the batch NaN-last, id-tiebreak order") {
+    // every ADC distance of an all-NaN query is NaN, so the serving fold's
+    // reject bound sees a NaN worst-kept score the moment the buffer
+    // saturates — the prune must stand aside (NaN comparisons are all
+    // false) and let the id tiebreak decide, or the serving rows diverge
+    // from the batch path's pinned (adc NaN-last, vec_id) order
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_nan").toString
+    Pq.writePqIndex(emb, model, dir)
+    val standing = Pq.preparePqIndex(spark, dir)
+    val nanQ = Seq((7777777L, Seq.fill(64)(Float.NaN).toSeq))
+    // NaN breaks tuple equality (primitive NaN != NaN), so compare on the
+    // canonical bit pattern — the scores here are EXPECTED to all be NaN
+    def norm(rows: Array[(Long, Long, Double, Long)]) = rows
+      .map { case (q, v, a, r) =>
+        (q, v, java.lang.Double.doubleToLongBits(a), r) }.toSet
+    val batch = norm(Pq.adcTopK(spark.read.parquet(s"$dir/codes"), model, nanQ)
+      .as[(Long, Long, Double, Long)].collect())
+    val serving = norm(Pq.queryStandingPq(standing,
+      nanQ.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double, Long)].collect())
+    assert(serving == batch)
+    assert(serving.size == 10,
+      s"NaN query must still fill k by id tiebreak, got ${serving.size}")
+  }
+
   test("IVF×PQ top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
     val rows = Pq.ivfPqTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
     assert(rows.forall { case (q, v, _, _) => q != v })
