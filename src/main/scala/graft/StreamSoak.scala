@@ -19,7 +19,7 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.exists(Set("ann", "pq", "annretrain"))) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart"))) {
       val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
@@ -39,6 +39,9 @@ object StreamSoak {
           tag = s"only$cores", soakMs = 20000)
         case "annretrain" => Soak.annRetrainRun(spark, corpusVecs = 20000,
           annRate, tag = s"only$cores", soakMs = 20000)
+        case "ingestrestart" => Soak.annIngestRestartRun(spark,
+          corpusVecs = 20000, 5000 * math.min(cores / 4, 4),
+          tag = s"only$cores", soakMs = 20000)
         case _ => Soak.annRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores", soakMs = 20000)
       }
@@ -98,6 +101,12 @@ object StreamSoak {
       // compressed-tier serving twin: same offered rate, full-codes ADC scan
       val pq = Soak.pqRun(spark, corpusVecs = 20000, annRate,
         tag = s"c$cores", soakMs = 20000)
+      // durability row: the ingest loop crash-killed and restarted from
+      // checkpoint + persisted monitor state mid-soak; the run itself
+      // REQUIRES zero duplicate vec_ids across the restart
+      val ingestRate = 5000 * dedupScale
+      val ingestRestart = Soak.annIngestRestartRun(spark, corpusVecs = 20000,
+        ingestRate, tag = s"c$cores", soakMs = 20000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -111,11 +120,12 @@ object StreamSoak {
         s""""annealed_mixture":${Soak.json(mx)},""" +
         s""""ann_probe":${Soak.json(ann)},""" +
         s""""ann_probe_retrain":${Soak.json(annRetrain)},""" +
-        s""""pq_probe":${Soak.json(pq)},"cores":$cores,""" +
+        s""""pq_probe":${Soak.json(pq)},""" +
+        s""""ann_ingest_restart":${Soak.json(ingestRestart)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
         s""""decontam_rate":$decontamRate,"mixture_rate":$mixtureRate,""" +
-        s""""ann_rate":$annRate}"""
+        s""""ann_rate":$annRate,"ingest_rate":$ingestRate}"""
     }
     val line = geoms.mkString("{", ",", "}\n")
     Files.writeString(Paths.get("STREAMBENCH.json"), line)

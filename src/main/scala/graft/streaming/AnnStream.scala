@@ -39,8 +39,114 @@ import graft.operators.Similarity
   * the corpus. */
 object AnnStream {
 
-  /** Standing state of the DRIFT WATCHER — the monitoring half of the IVF
-    * ops loop ([[autoRetrainIngestQuery]]): cumulative per-cell health
+  /** The ONE drift-monitor lifecycle shared by the IVF and PQ ops loops —
+    * the standing driver state of an auto-retrain ingest stream, written
+    * once so durability, replay fencing, and the alarm protocol cannot
+    * drift apart between the two tiers. A monitor holds: the highest
+    * FOLDED batch id (the at-least-once fence), the retrain ops counter,
+    * bounded health totals since the last retrain, and the frozen geometry
+    * (centers / codebooks) the totals were scored against. Subclasses
+    * supply the tier-specific pieces: how a batch appends (idempotently),
+    * how its health folds, which direction of the threshold is "drifted",
+    * and how a retrain fires.
+    *
+    * DURABILITY: with a `stateDir` (production passes a directory next to
+    * the query checkpoint), every fold persists the monitor's state as one
+    * small generation-named JSON ([[graft.util.AtomicState]]) and
+    * [[seedState]] restores it at prepare time — so a crash-RESTART keeps
+    * the batch fence (no double fold), the retrain counter, and (when the
+    * index geometry is unchanged) the accumulated health totals, i.e. the
+    * alarm decision sequence continues exactly where the dead process
+    * left it. Appends are replay-safe independently of the state file:
+    * every side-effecting write goes through [[graft.util.BatchAppend]]'s
+    * stage → clean → publish protocol keyed by the batch id, so the
+    * replayed batch that a crash forces through foreachBatch re-publishes
+    * the SAME files instead of duplicating rows (MonitorDurabilitySpec
+    * pins both loops). Without a `stateDir` the monitor degrades to the
+    * r13 in-memory contract: same-process replays are fenced, a full
+    * restart starts fresh (appends are still idempotent per batch id).
+    *
+    * State is bounded by construction: nlist-sized maps (IVF) or two longs
+    * (PQ) plus one listing-sized signature — the JSON is KBs at production
+    * geometry, written once per trigger next to a checkpoint that already
+    * takes a per-trigger write. */
+  sealed abstract class DriftMonitor private[streaming] (
+      val indexPath: String,
+      val minVecsForAlarm: Long,
+      val stateDir: Option[String]) {
+    private[graft] var lastFoldedBatch: Long = -1L
+    /** Retrains fired by this monitor since prepare — the ops counter
+      * (persisted, so it survives a restart). */
+    private[graft] var retrains: Long = 0L
+
+    def totalVecs: Long
+    /** The cumulative decision metric in integer micros (weighted mean
+      * cosine for IVF, mean reconstruction error for PQ); None until any
+      * vector has been scored against the current geometry. */
+    private[streaming] def decisionMetric: Option[Long]
+    /** True when `metric` is past the threshold in the DRIFT direction
+      * (strictly below the floor for IVF health, strictly above the
+      * ceiling for PQ reconstruction error). */
+    private[streaming] def crossed(metric: Long): Boolean
+    /** The emitted monitor-row column name for the metric. */
+    private[streaming] def metricName: String
+    /** Reload geometry + drop totals if the on-disk signature changed. */
+    private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit
+    /** The signature of the geometry the current totals were scored
+      * against (set by [[resync]]). */
+    private[streaming] def storedSig: Seq[(String, Long, Long)]
+    /** Idempotently publish one batch's index side effects under the tag
+      * ([[graft.util.BatchAppend]]); must use the monitor's OWN resynced
+      * geometry so append and fold can never see different centers. */
+    private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
+        batchTag: String): Unit
+    /** Score the batch's health against the monitor's geometry and fold it
+      * into the totals; returns the batch's vector count. */
+    private[streaming] def foldBatch(vecs: org.apache.spark.sql.DataFrame): Long
+    /** Full refit + staged swap over everything ingested so far. */
+    private[streaming] def fireRetrain(spark: org.apache.spark.sql.SparkSession): Unit
+    /** Tier-specific totals as a JSON fragment (longs as strings). */
+    private[streaming] def totalsJson: String
+    /** Restore tier-specific totals from a parsed [[totalsJson]]. */
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit
+
+    private[streaming] final def persistState(
+        spark: org.apache.spark.sql.SparkSession, gen: Long): Unit =
+      stateDir.foreach { dir =>
+        val sig = storedSig
+          .map { case (n, l, t) => s"""["$n","$l","$t"]""" }
+          .mkString("[", ",", "]")
+        graft.util.AtomicState.write(spark, dir, gen,
+          s"""{"last_folded_batch":"$lastFoldedBatch",""" +
+            s""""retrains":"$retrains","sig":$sig,"totals":$totalsJson}""")
+      }
+
+    /** Seed from the persisted state, called AFTER the first [[resync]]
+      * (so [[storedSig]] reflects the index on disk): the batch fence and
+      * retrain counter restore unconditionally; the health totals restore
+      * only when the persisted signature still matches the disk — an index
+      * swapped while the process was down retires them exactly like a
+      * live-observed swap would have. */
+    private[streaming] final def seedState(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      stateDir.flatMap(graft.util.AtomicState.readLatest(spark, _))
+        .foreach { body =>
+          val m = graft.util.MiniJson.parse(body)
+            .asInstanceOf[Map[String, Any]]
+          lastFoldedBatch = m("last_folded_batch").asInstanceOf[String].toLong
+          retrains = m("retrains").asInstanceOf[String].toLong
+          val sig = m("sig").asInstanceOf[List[Any]].map { e =>
+            val l = e.asInstanceOf[List[Any]]
+            (l(0).asInstanceOf[String], l(1).asInstanceOf[String].toLong,
+              l(2).asInstanceOf[String].toLong)
+          }
+          if (sig == storedSig)
+            restoreTotals(m("totals").asInstanceOf[Map[String, Any]])
+        }
+  }
+
+  /** Standing state of the IVF DRIFT WATCHER — the monitoring half of the
+    * IVF ops loop ([[autoRetrainIngestQuery]]): cumulative per-cell health
     * totals since the last retrain (nlist-bounded driver maps — the same
     * boundedness contract as the centroid matrix itself) plus the centers
     * the totals were scored against. `healthFloorMicros` is the alarm
@@ -51,18 +157,17 @@ object AnnStream {
     * micro-batch can't trigger a retrain on noise (and the count restarts
     * at every retrain, bounding retrain frequency by ingest volume). */
   final class RetrainMonitor private[streaming] (
-      val indexPath: String,
+      indexPath: String,
       val healthFloorMicros: Long,
-      val minVecsForAlarm: Long) {
+      minVecsForAlarm: Long,
+      stateDir: Option[String])
+      extends DriftMonitor(indexPath, minVecsForAlarm, stateDir) {
     private[streaming] var centers: Array[Array[Double]] = Array.empty
     private[streaming] var centersSig: Seq[(String, Long, Long)] = Nil
     private[streaming] val cellN =
       scala.collection.mutable.Map.empty[Int, Long]
     private[streaming] val cellSum =
       scala.collection.mutable.Map.empty[Int, Long]
-    private[streaming] var lastFoldedBatch: Long = -1L
-    /** Retrains fired by this monitor since prepare — the ops counter. */
-    private[graft] var retrains: Long = 0L
 
     def totalVecs: Long = cellN.values.sum
 
@@ -77,6 +182,12 @@ object AnnStream {
       val n = totalVecs
       if (n == 0L) None else Some(cellSum.values.sum / n)
     }
+
+    private[streaming] def decisionMetric: Option[Long] = weightedMeanMicros
+    private[streaming] def crossed(metric: Long): Boolean =
+      metric < healthFloorMicros
+    private[streaming] def metricName: String = "weighted_mean_micros"
+    private[streaming] def storedSig: Seq[(String, Long, Long)] = centersSig
 
     private[streaming] def resetTotals(): Unit = { cellN.clear(); cellSum.clear() }
 
@@ -94,15 +205,80 @@ object AnnStream {
         resetTotals()
       }
     }
+
+    /** APPEND against the monitor's resynced centers — in-plan nearest
+      * center, cell-partitioned idempotent publish. Using the monitor's own
+      * centers (not a fresh disk read, which the pre-r14 path did) also
+      * closes a consistency gap: append and fold can no longer straddle an
+      * external swap landing between them. */
+    private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
+        batchTag: String): Unit =
+      graft.util.BatchAppend.append(
+        graft.util.Cols.spread(vecs).select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExpressions
+            .nearestCenter(col("embedding"), centers).as("cell")),
+        s"$indexPath/corpus", batchTag, partitionCol = Some("cell"))
+
+    /** SCORE the batch's health against the same centers it was just
+      * encoded with (the `ivf_retrain_health` arithmetic), one
+      * nlist-bounded per-cell rollup collected and folded. */
+    private[streaming] def foldBatch(
+        vecs: org.apache.spark.sql.DataFrame): Long = {
+      val spark = vecs.sparkSession
+      var batchVecs = 0L
+      val health = vecs
+        .select(col("embedding"),
+          graft.functions.VectorExpressions
+            .nearestCenter(col("embedding"), centers).as("cell"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          Similarity.centersFloatDf(spark, centers)), Seq("cell"))
+        .withColumn("cos_micros",
+          graft.util.Cols.micros6(
+            Similarity.cosine(col("embedding"), col("centroid"))))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
+        .collect() // nlist-bounded
+      health.foreach { r =>
+        val cell = r.getInt(0)
+        batchVecs += r.getLong(1)
+        cellN(cell) = cellN.getOrElse(cell, 0L) + r.getLong(1)
+        cellSum(cell) = cellSum.getOrElse(cell, 0L) + r.getLong(2)
+      }
+      batchVecs
+    }
+
+    private[streaming] def fireRetrain(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      Similarity.retrainIvfIndex(spark, indexPath)
+
+    private[streaming] def totalsJson: String = {
+      val cells = cellN.keys.toSeq.sorted
+        .map(c => s"""["$c","${cellN(c)}","${cellSum(c)}"]""")
+        .mkString("[", ",", "]")
+      s"""{"cells":$cells}"""
+    }
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit =
+      m("cells").asInstanceOf[List[Any]].foreach { e =>
+        val l = e.asInstanceOf[List[Any]]
+        val c = l(0).asInstanceOf[String].toInt
+        cellN(c) = l(1).asInstanceOf[String].toLong
+        cellSum(c) = l(2).asInstanceOf[String].toLong
+      }
   }
 
   /** Resolve the standing side of the auto-retrain loop once: centers +
-    * signature + empty health totals. */
+    * signature + health totals. With a `stateDir`, totals, the batch
+    * fence, and the retrain counter re-seed from the state persisted by
+    * the previous incarnation ([[DriftMonitor.seedState]]) — the
+    * crash-restart contract MonitorDurabilitySpec pins. */
   def prepareRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, healthFloorMicros: Long,
-      minVecsForAlarm: Long = 0L): RetrainMonitor = {
-    val m = new RetrainMonitor(indexPath, healthFloorMicros, minVecsForAlarm)
+      minVecsForAlarm: Long = 0L,
+      stateDir: Option[String] = None): RetrainMonitor = {
+    val m = new RetrainMonitor(indexPath, healthFloorMicros,
+      minVecsForAlarm, stateDir)
     m.resync(spark)
+    m.seedState(spark)
     m
   }
 
@@ -133,16 +309,18 @@ object AnnStream {
     * (batch_id, batch_vecs, total_vecs, weighted_mean_micros, alarm,
     * retrained) — the ops audit trail.
     *
-    * At-least-once: append, fold, and retrain are side effects, so all
-    * three are guarded by the monitor's highest-folded batch id — a
-    * SAME-PROCESS redelivery (a sink retry, or driving the exposed batch
-    * body twice) skips them and re-emits a row from the already-folded
-    * state (retrained=false), never double-appending or double-counting.
-    * The guard lives in driver memory: across a full crash-RESTART a
-    * freshly prepared monitor would re-append the replayed batch —
-    * production persists `lastFoldedBatch` next to the query checkpoint
-    * (or appends under a per-batch partition, the
-    * [[DedupStream.incrementalDedupQuery]] idempotent-append note).
+    * At-least-once → effectively exactly-once: append, fold, and retrain
+    * are side effects, so all three are fenced by the monitor's
+    * highest-folded batch id — a redelivery skips them and re-emits a row
+    * from the standing state (retrained=false). The fence is DURABLE when
+    * the monitor is prepared with a `stateDir` (persisted with every fold
+    * — [[DriftMonitor]]), and the append is idempotent per batch id
+    * independently of it ([[graft.util.BatchAppend]]'s stage → clean →
+    * publish), so even the one replay that runs WITHOUT the fence (crash
+    * after append, before the fold persisted) republishes the same files
+    * rather than duplicating vec_ids. MonitorDurabilitySpec pins the
+    * crash-restart matrix; without a `stateDir` the fence degrades to
+    * same-process redeliveries only.
     *
     * Scale per trigger: the append is a partitioned write of the batch;
     * the health probe is one broadcast join + partial-aggregated rollup
@@ -158,9 +336,34 @@ object AnnStream {
         processIngestBatch(monitor, batch, batchId)(sink)
       }
 
-  /** One auto-retrain micro-batch — the foreachBatch body, exposed so the
-    * lifecycle and the replay guard are directly testable. */
-  private[graft] def processIngestBatch(monitor: RetrainMonitor,
+  /** One auto-retrain micro-batch for EITHER tier — the shared foreachBatch
+    * body behind [[processIngestBatch]] and [[processPqIngestBatch]],
+    * exposed via those wrappers so each loop's lifecycle and replay fence
+    * are directly testable. Per delivered batch:
+    *
+    *  1. the batch-id FENCE: an id at or below the highest folded id is a
+    *     redelivery (a sink retry, or a crash-restart replay when the
+    *     monitor was seeded from its persisted state) — all side effects
+    *     skip and a row re-emits from the standing totals;
+    *  2. RESYNC picks up an external swap before anything is scored;
+    *  3. APPEND publishes the batch's index side effects idempotently
+    *     under the batch tag ([[graft.util.BatchAppend]]) — even the
+    *     replay a crash forces through WITHOUT the state file (died after
+    *     append, before the fold persisted) lands the same files, not
+    *     duplicates;
+    *  4. FOLD scores the batch's health and accumulates it;
+    *  5. the state PERSISTS (with the fold, before any retrain — so a
+    *     crash mid-retrain can never replay this batch's append into the
+    *     refit corpus; the un-fired retrain re-arms on the next batch
+    *     because the totals still cross the threshold);
+    *  6. on ALARM the retrain fires, geometry reloads, totals reset, and
+    *     the state persists again (generation 2·batch+1) recording the
+    *     new signature + the bumped ops counter;
+    *  7. the monitor row goes to `sink` — the state write rides the same
+    *     batch-id delivery as the sink row: a sink failure retries the
+    *     whole batch into the fence, which re-emits without re-appending.
+    */
+  private def processDriftIngestBatch(monitor: DriftMonitor,
       batch: DataFrame, batchId: Long)
       (sink: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
@@ -173,51 +376,42 @@ object AnnStream {
     if (batchId > monitor.lastFoldedBatch) {
       monitor.resync(spark) // pick up an EXTERNAL swap before scoring
       val vecs = batch.select(col("vec_id"), col("embedding"))
-        .persist() // scanned twice: append, then the health rollup
+        .persist() // scanned by the append(s), then the health rollup
       try {
-        Similarity.appendToIvfIndex(vecs, monitor.indexPath)
-        val health = vecs
-          .select(col("embedding"),
-            graft.functions.VectorExpressions
-              .nearestCenter(col("embedding"), monitor.centers).as("cell"))
-          .join(org.apache.spark.sql.functions.broadcast(
-            Similarity.centersFloatDf(spark, monitor.centers)), Seq("cell"))
-          .withColumn("cos_micros",
-            graft.util.Cols.micros6(
-              Similarity.cosine(col("embedding"), col("centroid"))))
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
-          .collect() // nlist-bounded
-        health.foreach { r =>
-          val cell = r.getInt(0)
-          batchVecs += r.getLong(1)
-          monitor.cellN(cell) = monitor.cellN.getOrElse(cell, 0L) + r.getLong(1)
-          monitor.cellSum(cell) =
-            monitor.cellSum.getOrElse(cell, 0L) + r.getLong(2)
-        }
+        monitor.appendBatch(vecs, graft.util.BatchAppend.tag(batchId))
+        batchVecs = monitor.foldBatch(vecs)
         monitor.lastFoldedBatch = batchId
         alarm = monitor.totalVecs >= monitor.minVecsForAlarm &&
-          monitor.weightedMeanMicros.exists(_ < monitor.healthFloorMicros)
+          monitor.decisionMetric.exists(monitor.crossed)
         // the emitted row carries the DECISION-TIME evidence — a fired
-        // retrain resets the totals, but the row must still show the mean
-        // and volume that crossed the floor
+        // retrain resets the totals, but the row must still show the
+        // metric and volume that crossed the threshold
         totalAtDecision = monitor.totalVecs
-        meanAtDecision = monitor.weightedMeanMicros.getOrElse(Long.MinValue)
+        meanAtDecision = monitor.decisionMetric.getOrElse(Long.MinValue)
+        monitor.persistState(spark, gen = 2L * batchId)
         if (alarm) {
-          Similarity.retrainIvfIndex(spark, monitor.indexPath)
-          monitor.resync(spark) // reloads the new centers, resets totals
+          monitor.fireRetrain(spark)
+          monitor.resync(spark) // reloads the new geometry, resets totals
           monitor.retrains += 1L
           retrained = true
+          monitor.persistState(spark, gen = 2L * batchId + 1L)
         }
       } finally { val _ = vecs.unpersist() }
     } else {
       totalAtDecision = monitor.totalVecs
-      meanAtDecision = monitor.weightedMeanMicros.getOrElse(Long.MinValue)
+      meanAtDecision = monitor.decisionMetric.getOrElse(Long.MinValue)
     }
     sink(Seq((batchId, batchVecs, totalAtDecision, meanAtDecision, alarm,
       retrained)).toDF("batch_id", "batch_vecs", "total_vecs",
-      "weighted_mean_micros", "alarm", "retrained"), batchId)
+      monitor.metricName, "alarm", "retrained"), batchId)
   }
+
+  /** One IVF auto-retrain micro-batch — [[processDriftIngestBatch]] with
+    * the IVF monitor's bindings, kept as the directly-testable entry. */
+  private[graft] def processIngestBatch(monitor: RetrainMonitor,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit =
+    processDriftIngestBatch(monitor, batch, batchId)(sink)
 
   /** Standing state of the PQ drift watcher — the compressed tier's
     * [[RetrainMonitor]]: cumulative reconstruction-error totals since the
@@ -228,16 +422,15 @@ object AnnStream {
     * integer arithmetic), where the IVF monitor's cosine health used a
     * floor. */
   final class PqRetrainMonitor private[streaming] (
-      val indexPath: String,
+      indexPath: String,
       val errCeilingMicros: Long,
-      val minVecsForAlarm: Long) {
+      minVecsForAlarm: Long,
+      stateDir: Option[String])
+      extends DriftMonitor(indexPath, minVecsForAlarm, stateDir) {
     private[streaming] var model: graft.operators.Pq.PqModel = _
     private[streaming] var modelSig: Seq[(String, Long, Long)] = Nil
     private[streaming] var nVecs: Long = 0L
     private[streaming] var sumErrMicros: Long = 0L
-    private[streaming] var lastFoldedBatch: Long = -1L
-    /** Retrains fired by this monitor since prepare — the ops counter. */
-    private[graft] var retrains: Long = 0L
 
     def totalVecs: Long = nVecs
 
@@ -246,6 +439,12 @@ object AnnStream {
       * negative numerators included; see [[RetrainMonitor.weightedMeanMicros]]). */
     def meanErrMicros: Option[Long] =
       if (nVecs == 0L) None else Some(sumErrMicros / nVecs)
+
+    private[streaming] def decisionMetric: Option[Long] = meanErrMicros
+    private[streaming] def crossed(metric: Long): Boolean =
+      metric > errCeilingMicros
+    private[streaming] def metricName: String = "mean_err_micros"
+    private[streaming] def storedSig: Seq[(String, Long, Long)] = modelSig
 
     private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit = {
       val sig = graft.operators.Pq.codebooksSignature(spark, indexPath)
@@ -256,14 +455,61 @@ object AnnStream {
         sumErrMicros = 0L
       }
     }
+
+    /** Two idempotent publishes per batch: the RAW vectors under
+      * `$indexPath/raw` (the rerank-tier corpus the retrain refits over)
+      * and the frozen-codebook codes under `$indexPath/codes` — both under
+      * the batch tag, both against the monitor's OWN resynced model. */
+    private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
+        batchTag: String): Unit = {
+      graft.util.BatchAppend.append(vecs, s"$indexPath/raw", batchTag)
+      graft.util.BatchAppend.append(
+        graft.operators.Pq.encode(graft.util.Cols.spread(vecs), model),
+        s"$indexPath/codes", batchTag)
+    }
+
+    /** The batch's per-subspace reconstruction errors
+      * ([[graft.functions.PqReconErrExpr]] — `pq_quant_error`'s exact
+      * integer-micro arithmetic) folded as two driver longs. */
+    private[streaming] def foldBatch(
+        vecs: org.apache.spark.sql.DataFrame): Long = {
+      val h = vecs
+        .select(posexplode(graft.functions.VectorExpressions
+          .pqReconErrs(col("embedding"), model.codebooks))
+          .as(Seq("subspace", "err")))
+        .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
+        .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+        .head()
+      val batchVecs = h.getLong(0) / math.max(model.numSubspaces, 1)
+      nVecs += batchVecs
+      sumErrMicros += h.getLong(1)
+      batchVecs
+    }
+
+    private[streaming] def fireRetrain(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      graft.operators.Pq.retrainPqIndex(
+        spark.read.parquet(s"$indexPath/raw"), indexPath)
+
+    private[streaming] def totalsJson: String =
+      s"""{"n_vecs":"$nVecs","sum_err_micros":"$sumErrMicros"}"""
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit = {
+      nVecs = m("n_vecs").asInstanceOf[String].toLong
+      sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
+    }
   }
 
-  /** Resolve the standing side of the PQ auto-retrain loop once. */
+  /** Resolve the standing side of the PQ auto-retrain loop once; with a
+    * `stateDir` the monitor re-seeds from its persisted state — the same
+    * crash-restart contract as [[prepareRetrainMonitor]]. */
   def preparePqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, errCeilingMicros: Long,
-      minVecsForAlarm: Long = 0L): PqRetrainMonitor = {
-    val m = new PqRetrainMonitor(indexPath, errCeilingMicros, minVecsForAlarm)
+      minVecsForAlarm: Long = 0L,
+      stateDir: Option[String] = None): PqRetrainMonitor = {
+    val m = new PqRetrainMonitor(indexPath, errCeilingMicros,
+      minVecsForAlarm, stateDir)
     m.resync(spark)
+    m.seedState(spark)
     m
   }
 
@@ -288,9 +534,9 @@ object AnnStream {
     *
     * Monitor rows to `sink`, one per delivered batch: (batch_id,
     * batch_vecs, total_vecs, mean_err_micros, alarm, retrained).
-    * At-least-once: same contract as the IVF loop — append/fold/retrain
-    * are guarded by the highest-folded batch id for SAME-PROCESS
-    * redeliveries; production persists the id next to the checkpoint. */
+    * At-least-once: the same durable fence + idempotent-append contract as
+    * the IVF loop ([[autoRetrainIngestQuery]]'s note — the shared
+    * [[DriftMonitor]] lifecycle IS the implementation). */
   def autoRetrainPqIngestQuery(vecStream: DataFrame,
       monitor: PqRetrainMonitor)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
@@ -300,58 +546,12 @@ object AnnStream {
         processPqIngestBatch(monitor, batch, batchId)(sink)
       }
 
-  /** One PQ auto-retrain micro-batch — exposed for direct lifecycle
-    * testing, like [[processIngestBatch]]. */
+  /** One PQ auto-retrain micro-batch — [[processDriftIngestBatch]] with
+    * the PQ monitor's bindings, kept as the directly-testable entry. */
   private[graft] def processPqIngestBatch(monitor: PqRetrainMonitor,
       batch: DataFrame, batchId: Long)
-      (sink: (DataFrame, Long) => Unit): Unit = {
-    import graft.operators.Pq
-    val spark = batch.sparkSession
-    import spark.implicits._
-    var batchVecs = 0L
-    var retrained = false
-    var alarm = false
-    var totalAtDecision = 0L
-    var meanAtDecision = Long.MinValue
-    if (batchId > monitor.lastFoldedBatch) {
-      monitor.resync(spark) // pick up an EXTERNAL swap before scoring
-      val vecs = batch.select(col("vec_id"), col("embedding"))
-        .persist() // scanned thrice: raw append, encode-append, health
-      try {
-        vecs.write.mode("append").parquet(s"${monitor.indexPath}/raw")
-        Pq.appendToPqIndex(vecs, monitor.indexPath)
-        val h = vecs
-          .select(posexplode(graft.functions.VectorExpressions
-            .pqReconErrs(col("embedding"), monitor.model.codebooks))
-            .as(Seq("subspace", "err")))
-          .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
-          .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
-          .head()
-        batchVecs = h.getLong(0) / math.max(monitor.model.numSubspaces, 1)
-        monitor.nVecs += batchVecs
-        monitor.sumErrMicros += h.getLong(1)
-        monitor.lastFoldedBatch = batchId
-        alarm = monitor.totalVecs >= monitor.minVecsForAlarm &&
-          monitor.meanErrMicros.exists(_ > monitor.errCeilingMicros)
-        totalAtDecision = monitor.totalVecs
-        meanAtDecision = monitor.meanErrMicros.getOrElse(Long.MinValue)
-        if (alarm) {
-          Pq.retrainPqIndex(
-            spark.read.parquet(s"${monitor.indexPath}/raw"),
-            monitor.indexPath)
-          monitor.resync(spark) // reloads the new codebooks, resets totals
-          monitor.retrains += 1L
-          retrained = true
-        }
-      } finally { val _ = vecs.unpersist() }
-    } else {
-      totalAtDecision = monitor.totalVecs
-      meanAtDecision = monitor.meanErrMicros.getOrElse(Long.MinValue)
-    }
-    sink(Seq((batchId, batchVecs, totalAtDecision, meanAtDecision, alarm,
-      retrained)).toDF("batch_id", "batch_vecs", "total_vecs",
-      "mean_err_micros", "alarm", "retrained"), batchId)
-  }
+      (sink: (DataFrame, Long) => Unit): Unit =
+    processDriftIngestBatch(monitor, batch, batchId)(sink)
 
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

@@ -40,8 +40,13 @@ object Soak {
   /** The progress rollup of [[soak]], on an already-stopped query — split
     * out so multi-phase soaks (e.g. [[annRetrainRun]]'s mid-soak swap) can
     * sleep/act on their own schedule and still report identically. */
-  def summarize(q: StreamingQuery): Result = {
-    val progress = q.recentProgress.toSeq
+  def summarize(q: StreamingQuery): Result = summarizeAll(Seq(q))
+
+  /** [[summarize]] across SEVERAL (stopped) queries' lifetimes — the
+    * restart-under-load soak reports one number spanning both
+    * incarnations, crash window included. */
+  def summarizeAll(qs: Seq[StreamingQuery]): Result = {
+    val progress = qs.flatMap(_.recentProgress.toSeq)
     val busy = progress.filter(_.numInputRows > 0)
     val durs = busy.map(_.durationMs.get("triggerExecution").toLong)
     val rows = busy.map(_.numInputRows).sum
@@ -349,6 +354,71 @@ object Soak {
     q.stop()
     q.awaitTermination()
     summarize(q)
+  }
+
+  /** The auto-retrain INGEST loop killed and restarted mid-soak — the
+    * MEASURED form of MonitorDurabilitySpec's contract: the first
+    * incarnation is stopped cold halfway (stop() interrupts any in-flight
+    * trigger, so the checkpoint can sit a batch behind the published
+    * appends — a genuine crash shape), then a FRESH monitor re-seeds from
+    * the persisted stateDir and the SAME checkpoint resumes the rate
+    * source, replaying the uncommitted batch through the durable fence +
+    * idempotent append ([[graft.util.BatchAppend]]). Reported over BOTH
+    * incarnations, restart window included; the run REQUIRES the final
+    * index to hold zero duplicate vec_ids — the spec's no-double-append
+    * claim, held under load. The alarm floor is -∞: this row prices
+    * ingest (cell-partitioned append + health fold + state persist), not
+    * the retrain ([[annRetrainRun]]'s job). */
+  def annIngestRestartRun(spark: SparkSession, corpusVecs: Int,
+      vecsRate: Int, tag: String, soakMs: Long = 20000): Result = {
+    import graft.operators.Similarity
+    val corpus = spark.range(corpusVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val root =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_ingestrestart")}/$tag"
+    val path = s"$root/index"
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, nlist = 64), path)
+    def vecStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", vecsRate.toString).load()
+      .select((col("value") + corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    def incarnation(): StreamingQuery = {
+      val monitor = AnnStream.prepareRetrainMonitor(spark, path,
+        healthFloorMicros = Long.MinValue, minVecsForAlarm = 0L,
+        stateDir = Some(s"$root/monitor_state"))
+      AnnStream.autoRetrainIngestQuery(vecStream, monitor) { (row, _) =>
+        val _ = row.count()
+      }.option("checkpointLocation", s"$root/checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+        .start()
+    }
+    def stopHard(q: StreamingQuery): Unit = {
+      q.stop()
+      // an interrupted in-flight foreachBatch can surface as a failed
+      // query — that IS the crash this soak plants; the restart's replay
+      // is the behavior under test
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    val q1 = incarnation()
+    Thread.sleep(soakMs / 2)
+    stopHard(q1)
+    val q2 = incarnation()
+    Thread.sleep(soakMs - soakMs / 2)
+    stopHard(q2)
+    val appended = spark.read.parquet(s"$path/corpus")
+      .filter(col("vec_id") >= corpusVecs.toLong)
+    val (total, distinct) =
+      (appended.count(), appended.select(col("vec_id")).distinct().count())
+    require(total == distinct && total > 0L,
+      s"restart soak integrity: $total appended rows, $distinct distinct " +
+        "vec_ids — the durable fence / idempotent append failed under load")
+    summarizeAll(Seq(q1, q2))
   }
 
   /** Streaming PQ-ADC serving throughput — the memory-bound twin of

@@ -138,6 +138,22 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: the ingest loop survives a mid-soak crash-restart with no duplicate appends") {
+    // the first incarnation is stopped cold halfway, a fresh monitor
+    // re-seeds from the persisted state dir and the same checkpoint
+    // resumes; annIngestRestartRun itself REQUIRES zero duplicate vec_ids
+    // — the assert here pins that ingest also kept flowing on both sides
+    // of the crash
+    measureWithRetry { i =>
+      Soak.annIngestRestartRun(spark, corpusVecs = 20000, vecsRate = 5000,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 10000, d)
+      assert(d.rowsPerSec > 1000,
+        s"ingest throughput degenerate through the restart: $d")
+    }
+  }
+
   test("rate-source soak: annealed mixture sustains the composition gate") {
     // per micro-batch: tokenize + language token agg (tiny collect) +
     // standing-totals fold + broadcast rates join + md5 gate; budgets sit
