@@ -303,6 +303,11 @@ object SparkEntry {
     "sq_params" -> (Sq.sqParamsEntry _), // rows-only (audit surface)
     "sq_codes" -> (Sq.sqCodesEntry _), // rows-only (it IS the oracle input)
     "sq_adc_topk" -> ((s, d) => Sq.sqAdcTopK(s, d)),
+    // the AMORTIZED standing-index probe: persisted codes + frozen grid
+    // (build absorbed by warmup); same oracle as sq_adc_topk — the index
+    // is an execution layout, not a semantic (the pq_adc_topk_indexed
+    // pattern, closing the SQ8 tier's standing-index gap)
+    "sq_adc_topk_indexed" -> ((s, d) => Sq.sqAdcTopKIndexed(s, d)),
     "sq_rerank_topk" -> ((s, d) => Sq.sqRerankTopK(s, d)),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
@@ -1963,6 +1968,14 @@ object SparkEntry {
     // double sum = Spark's fused loop, rounded 6 dp, vec_id tiebreak
     // integer-exact compressed ranking from the codes dump (qdist BIGINT)
     "sq_adc_topk" ->
+      (s"WITH $sqAdcCtes " +
+        "SELECT query_id, vec_id, qdist, rk FROM (" +
+        "SELECT query_id, vec_id, qdist, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY qdist, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // layout change, not semantic: the persisted-index probe returns the
+    // same rows as the in-memory integer-L2 ranking
+    "sq_adc_topk_indexed" ->
       (s"WITH $sqAdcCtes " +
         "SELECT query_id, vec_id, qdist, rk FROM (" +
         "SELECT query_id, vec_id, qdist, " +

@@ -359,14 +359,31 @@ object Pq {
     * through the same bounded top-k aggregate — the index side never
     * shuffles, and nothing pair-shaped ever materializes. */
   def queryStandingPq(standing: StandingPq, queryFrame: DataFrame,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, maxQueryBatch: Int = 32768): DataFrame = {
     val spark = standing.spark
     import spark.implicits._
     val model = standing.model
-    val q = queryFrame.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
-    val qids = q.map(_._1)
     val stride = model.numSubspaces * model.k
+    // The query side COLLECTS — the driver-small serving contract is a
+    // real budget, not a convention: each query broadcasts an m·k-double
+    // distance table (4 KB at the registered geometry), so the default cap
+    // bounds the broadcast at ~128 MB. The limit+1 collect keeps the
+    // driver materialization bounded even when the contract is violated,
+    // and the violation fails loudly instead of silently collecting a
+    // corpus-sized frame (the decontamination maxBroadcastGrams idiom,
+    // adapted to a side that must reach the driver anyway — the IVF twin
+    // lifted this constraint with an in-plan probe expression; the PQ
+    // distance-table build stays driver-side by design, and this guard is
+    // the pinned boundary of that design).
+    val q = queryFrame.select(col("vec_id"), col("embedding"))
+      .limit(maxQueryBatch + 1)
+      .as[(Long, Seq[Float])].collect()
+    require(q.length <= maxQueryBatch,
+      s"queryStandingPq: query batch exceeds the driver-small serving " +
+        s"contract (> $maxQueryBatch rows; each query broadcasts a " +
+        s"$stride-entry distance table). Split the batch across triggers " +
+        "or raise maxQueryBatch deliberately.")
+    val qids = q.map(_._1)
     val tabs = new Array[Double](q.length * stride)
     var qi = 0
     while (qi < q.length) {

@@ -76,21 +76,88 @@ object Sq {
         expr("array_join(transform(codes, x -> cast(x AS string)), ',')"))
   }
 
-  /** Compressed-domain top-k: integer squared-L2 of the coded corpus
-    * against the broadcast coded query batch (queries = the [[Similarity
+  /** The one SQ8 ranking core — integer squared-L2 of a coded corpus
+    * against its own first `numQueries` codes broadcast (the [[Similarity
     * .cosineTopK]] fixture convention, self excluded), salted two-phase
-    * rank ascending. Fully oracle-checked from the codes dump alone —
-    * the metric is exact integer math. */
-  def sqAdcTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
-      k: Int = 10, salts: Int = 8): DataFrame = {
-    val (emb, model) = fixtureModel(spark, sfDir)
-    val codes = encode(emb, model)
+    * rank ascending — shared by the in-memory and persisted-index entries
+    * so the two can never drift. */
+  private def adcRank(codes: DataFrame, numQueries: Int, k: Int,
+      salts: Int): DataFrame = {
     val qcodes = codes.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"codes".as("qcodes"))
     val scored = codes.join(broadcast(qcodes), $"vec_id" =!= $"query_id")
       .withColumn("qdist", VectorExpressions.intL2($"codes", $"qcodes"))
       .select($"query_id", $"vec_id", $"qdist")
     Similarity.topKPerQuery(scored, k, salts, "qdist", asc = true)
+  }
+
+  /** Compressed-domain top-k: integer squared-L2 of the coded corpus
+    * against the broadcast coded query batch, salted two-phase rank
+    * ascending. Fully oracle-checked from the codes dump alone — the
+    * metric is exact integer math. */
+  def sqAdcTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, salts: Int = 8): DataFrame = {
+    val (emb, model) = fixtureModel(spark, sfDir)
+    adcRank(encode(emb, model), numQueries, k, salts)
+  }
+
+  /** Persist an SQ8 index for build-once / query-many use: the coded
+    * corpus (narrow — dim bytes per vector as small ints) plus the fitted
+    * grid as one tiny parquet — [[Pq.writePqIndex]]'s contract verbatim
+    * for the 4× tier. The codes dir is the standing scan artifact; the
+    * grid is what appends encode against. */
+  def writeSqIndex(emb: DataFrame, model: SqModel, path: String): Unit = {
+    val spark = emb.sparkSession
+    encode(spread(emb), model).write.mode("overwrite").parquet(s"$path/codes")
+    spark.createDataFrame(
+      model.mins.indices.map(i => (i, model.mins(i), model.scales(i))))
+      .toDF("dim", "min_val", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load the frozen grid of a persisted SQ8 index. */
+  def loadSqModel(spark: SparkSession, path: String): SqModel = {
+    val rows = spark.read.parquet(s"$path/params").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    SqModel(rows.map(_._2), rows.map(_._3))
+  }
+
+  /** Append new vectors WITHOUT refitting: encode with the FROZEN grid and
+    * append into the codes dir — the add-after-train contract
+    * ([[Pq.appendToPqIndex]]'s twin). A frozen grid CLAMPS out-of-range
+    * arrivals to the boundary codes (the SQ8 saturation everyone accepts
+    * for its simplicity); production watches the clamp rate and refits the
+    * grid when the ingested range outgrows it — the same drift-watch shape
+    * as the PQ reconstruction-error monitor, cheaper signal. */
+  def appendToSqIndex(newVecs: DataFrame, path: String): Unit = {
+    val model = loadSqModel(newVecs.sparkSession, path)
+    encode(spread(newVecs), model).write.mode("append")
+      .parquet(s"$path/codes")
+  }
+
+  /** tmpdir slot for the registered standing-index entry (the
+    * [[Pq.pqAdcTopKIndexed]] scheme). */
+  private def sqIndexPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_sq")}/$key"
+  }
+
+  /** Registered query: the AMORTIZED standing-index probe — integer-L2
+    * top-k over the PERSISTED codes, grid loaded not fitted (build
+    * absorbed by the bench's untimed warmup). Same rows as [[sqAdcTopK]]
+    * on the same parameters — the index is an execution layout, not a
+    * semantic — so it shares sq_adc_topk's oracle (the
+    * [[Pq.pqAdcTopKIndexed]] pattern verbatim, closing the SQ8 tier's
+    * standing-index gap). */
+  def sqAdcTopKIndexed(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, salts: Int = 8): DataFrame = {
+    val path = sqIndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "params"))) {
+      val (emb, model) = fixtureModel(spark, sfDir)
+      writeSqIndex(emb, model, path)
+    }
+    adcRank(spark.read.parquet(s"$path/codes"), numQueries, k, salts)
   }
 
   /** Two-stage retrieval: compressed-domain shortlist (integer L2, size

@@ -154,6 +154,23 @@ class PqSpec extends SparkTestBase {
       s"NaN query must still fill k by id tiebreak, got ${serving.size}")
   }
 
+  test("standing probe guards the driver-small query contract: an oversized batch fails loudly, a bounded one serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_guard").toString
+    Pq.writePqIndex(emb, model, dir)
+    val standing = Pq.preparePqIndex(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+    // within the cap: normal serving
+    assert(Pq.queryStandingPq(standing, queries, k = 3,
+      maxQueryBatch = 5).count() > 0)
+    // past the cap: the guard must throw BEFORE a corpus-sized collect —
+    // and the limit+1 plan means the driver never materialized more than
+    // cap+1 rows to find out
+    val e = intercept[IllegalArgumentException] {
+      Pq.queryStandingPq(standing, queries, k = 3, maxQueryBatch = 4)
+    }
+    assert(e.getMessage.contains("driver-small"), e.getMessage)
+  }
+
   test("IVF×PQ top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
     val rows = Pq.ivfPqTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
     assert(rows.forall { case (q, v, _, _) => q != v })

@@ -71,4 +71,30 @@ class SqSpec extends SparkTestBase {
     val recall = got.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"SQ8 rerank recall@10 = $recall")
   }
+
+  test("persisted index: append encodes with the FROZEN grid; indexed probe equals the in-memory ranking") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val model = Sq.fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq_spec").toString
+    Sq.writeSqIndex(emb.filter($"vec_id" % 2 === 0), model, dir)
+    Sq.appendToSqIndex(emb.filter($"vec_id" % 2 === 1), dir)
+    // grid round-trips exactly and the append never refits: every code
+    // equals a fresh encode under the same grid
+    val loaded = Sq.loadSqModel(spark, dir)
+    assert(loaded.mins.toSeq == model.mins.toSeq &&
+      loaded.scales.toSeq == model.scales.toSeq, "grid round-trip")
+    val got = spark.read.parquet(s"$dir/codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val fresh = Sq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+    assert(got == fresh, "append must encode with the frozen grid")
+    // the standing-index entry returns exactly the in-memory entry's rows
+    // (same oracle by construction)
+    val viaIndex = Sq.sqAdcTopKIndexed(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inMem = Sq.sqAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaIndex == inMem)
+    assert(viaIndex.nonEmpty)
+  }
 }
