@@ -19,7 +19,7 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart"))) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq"))) {
       val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
@@ -42,6 +42,8 @@ object StreamSoak {
         case "ingestrestart" => Soak.annIngestRestartRun(spark,
           corpusVecs = 20000, 5000 * math.min(cores / 4, 4),
           tag = s"only$cores", soakMs = 20000)
+        case "ivfpq" => Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
+          tag = s"only$cores")
         case _ => Soak.annRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores", soakMs = 20000)
       }
@@ -101,6 +103,9 @@ object StreamSoak {
       // compressed-tier serving twin: same offered rate, full-codes ADC scan
       val pq = Soak.pqRun(spark, corpusVecs = 20000, annRate,
         tag = s"c$cores", soakMs = 20000)
+      // the COMPOSED tier: probed-cell pruning over the compressed codes
+      val ivfPq = Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
+        tag = s"c$cores")
       // durability row: the ingest loop crash-killed and restarted from
       // checkpoint + persisted monitor state mid-soak; the run itself
       // REQUIRES zero duplicate vec_ids across the restart
@@ -121,6 +126,7 @@ object StreamSoak {
         s""""ann_probe":${Soak.json(ann)},""" +
         s""""ann_probe_retrain":${Soak.json(annRetrain)},""" +
         s""""pq_probe":${Soak.json(pq)},""" +
+        s""""ivf_pq_probe":${Soak.json(ivfPq)},""" +
         s""""ann_ingest_restart":${Soak.json(ingestRestart)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +

@@ -333,6 +333,26 @@ object Pq {
       loadPqModel(spark, path), sig)
   }
 
+  /** THE serving folds' cheap reject bound — exact rounding only past it:
+    * with the buffer saturated at worst kept (rounded) score w, reject a
+    * raw distance d only when round6(d) provably exceeds w — round6 moves
+    * d by at most 5e-7 (decimal HALF_UP) plus ~one ulp (the
+    * BigDecimal→double re-representation, which dominates once |d| ≳
+    * 1e10), so d > w + 1e-6 + ulp(d) is safe at every magnitude. A NaN
+    * worst (an all-NaN query saturates the buffer with NaN) skips the
+    * prune entirely so later smaller-vec_id NaN ties still insert — the
+    * pinned NaN-last, id-tiebreak order; a NaN candidate against a finite
+    * worst compares false and is rejected, exactly as the unpruned insert
+    * would have dropped it (PqSpec pins the all-NaN parity). One
+    * definition, shared by [[queryStandingPq]] and [[queryStandingIvfPq]],
+    * so the two folds' pruning can never drift. */
+  @inline private def passesRejectBound(buf: graft.functions.TopKScoredBuf,
+      k: Int, d: Double): Boolean =
+    buf.n < k || {
+      val w = buf.scores(k - 1)
+      java.lang.Double.isNaN(w) || d <= w + 1e-6 + Math.ulp(d)
+    }
+
   /** Probe a prepared [[StandingPq]] with a query FRAME — the serving
     * path, bit-identical rows to [[adcTopK]] over the same codes
     * (AnnStreamSpec pins it): same per-query distance tables
@@ -424,22 +444,7 @@ object Pq {
             var d = 0.0
             var s = 0
             while (s < m) { d += tab(off + s * kk + flat(ci * m + s)); s += 1 }
-            // exact rounding only past the cheap bound: with the buffer
-            // saturated at worst kept (rounded) score w, reject d only when
-            // round6(d) provably exceeds w — round6 moves d by at most 5e-7
-            // (decimal HALF_UP) plus ~one ulp (the BigDecimal→double
-            // re-representation, which dominates once |d| ≳ 1e10), so
-            // d > w + 1e-6 + ulp(d) is safe at every magnitude. A NaN worst
-            // (an all-NaN query saturates the buffer with NaN) skips the
-            // prune entirely so later smaller-vec_id NaN ties still insert
-            // — the pinned NaN-last, id-tiebreak order; a NaN candidate
-            // against a finite worst compares false and is rejected,
-            // exactly as the unpruned insert would have dropped it.
-            val keep = buf.n < k || {
-              val w = buf.scores(k - 1)
-              java.lang.Double.isNaN(w) || d <= w + 1e-6 + Math.ulp(d)
-            }
-            if (keep)
+            if (passesRejectBound(buf, k, d))
               buf.insert(graft.functions.VectorHashImpl.round6(d), vids(ci))
           }
           ci += 1
@@ -554,6 +559,204 @@ object Pq {
       graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
         Seq("codes", "codebooks"))
     } finally { val _ = base.unpersist() }
+  }
+
+  /** Persist the COMPOSED IVF×PQ index — the memory-bound AND pruned
+    * serving layout ([[ivfPqTopK]]'s composition as a standing artifact):
+    * PQ codes partitioned by coarse cell (probe-time directory pruning
+    * reads nprobe/nlist of an ~32×-compressed artifact — the standard
+    * billion-scale layout), plus the coarse centers and the codebook
+    * tensor as two small parquets. `bucketed` must carry (vec_id,
+    * embedding, cell) with cells assigned against `centers` — passing the
+    * coarse index's OWN bucketed frame (not re-deriving cells here) keeps
+    * the persisted assignment bit-identical to the in-memory composition
+    * the `ivf_pq_topk` oracle replays. */
+  def writeIvfPqIndex(bucketed: DataFrame, model: PqModel,
+      centers: Array[Array[Double]], path: String): Unit = {
+    val spark = bucketed.sparkSession
+    bucketed.select($"vec_id",
+        VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
+        $"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    spark.createDataFrame(
+        centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    val flat = for {
+      m <- model.codebooks.indices
+      c <- model.codebooks(m).indices
+    } yield (m, c, model.codebooks(m)(c).toSeq)
+    spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** A PREPARED standing handle on a persisted IVF×PQ index: coarse
+    * centers + codebooks + codes schema resolved once; each probe lists
+    * only its probed cell directories (the [[Similarity.StandingIvf]]
+    * pruning) and scores only their CODES (the [[StandingPq]]
+    * compression). The signature spans BOTH small artifacts, so a swap of
+    * either (coarse refit or codebook retrain) is caught by the serving
+    * loop's per-trigger check. */
+  final case class StandingIvfPq(spark: SparkSession, codesPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      centers: Array[Array[Double]], model: PqModel,
+      sig: Seq[(String, Long, Long)]) {
+    private val fs = new org.apache.hadoop.fs.Path(codesPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    /** The probed cells' codes — built from the cell DIRECTORIES, so each
+      * micro-batch lists and reads only nprobe/nlist of the codes; absent
+      * cells (never yet appended) contribute nothing by definition. Reads
+      * are CHUNKED under `parallelPartitionDiscovery.threshold` and
+      * unioned ([[graft.operators.Similarity.prunedScan]]): past the
+      * threshold Spark turns per-trigger file discovery into a distributed
+      * listing JOB — a fixed ~0.8 s that dominated this scan when a wide
+      * query batch probed every cell (IvfPqProbeBench: ~850 ms for a
+      * 20k-row read). Driver-side listing of ≤32-path chunks is
+      * milliseconds, and the union is scan-only (no exchange). */
+    private[graft] def prunedCodes(cells: Seq[Int]): DataFrame =
+      Similarity.prunedScan(spark, fs, codesPath, schema, cells)
+  }
+
+  /** Combined change signature of a persisted IVF×PQ index — the centers
+    * listing ++ the codebooks listing, one small listStatus each. */
+  private[graft] def ivfPqSignature(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] =
+    Similarity.centersSignature(spark, path) ++
+      codebooksSignature(spark, path)
+
+  /** Resolve a persisted IVF×PQ index into a serving handle (signature
+    * read FIRST — the [[preparePqIndex]] mid-prepare-swap rule). */
+  def prepareIvfPqIndex(spark: SparkSession, path: String): StandingIvfPq = {
+    val sig = ivfPqSignature(spark, path)
+    val codes = s"$path/codes"
+    StandingIvfPq(spark, codes, spark.read.parquet(codes).schema,
+      Similarity.loadCenters(spark, path), loadPqModel(spark, path), sig)
+  }
+
+  /** Probe a prepared [[StandingIvfPq]] with a query FRAME — the composed
+    * serving path: per trigger the (driver-small, guarded — the
+    * [[queryStandingPq]] contract) query batch picks its probe cells
+    * against the coarse centers ([[Similarity.probeCellsFor]] — the same
+    * arithmetic the `ivf_probe_cells` dump pins), and only the probed
+    * cells' CODES are scanned ([[StandingIvfPq.prunedCodes]] — directory
+    * pruning) and folded partition-locally into bounded top-k buffers.
+    * Row-identical to the batch [[ivfPqTopK]] on the same artifacts
+    * (AnnStreamSpec pins it): same probe-cell rule, same `round(adc, 6)`,
+    * same (adc ASC, vec_id) order.
+    *
+    * Execution is [[queryStandingPq]]'s partition-local fold made
+    * CELL-AWARE: the broadcast carries (query ids, flat distance tables,
+    * cell → probing-query indexes); per codes-partition the rows group by
+    * cell (one cell per file by layout, so groups are contiguous runs),
+    * and each cell's rows fold ONLY into the buffers of the queries that
+    * probed it — per-query tables stay L1-hot across a cell run, the
+    * expensive exact rounding runs only past the shared
+    * [[passesRejectBound]], and one wide array row per (partition, query)
+    * merges through the bounded top-k aggregate. A broadcast-join +
+    * aggregate draft of this path measured BELOW the offered soak rate
+    * (the per-pair join machinery — 1,810 q/s one-frame, 2,655 split-
+    * broadcast vs 2,000 offered); the fold is the same last-resort shape
+    * the PQ serving row already justified, scoring nprobe/nlist of the
+    * pairs. At production geometry the scan is nprobe/nlist of an
+    * ~32×-compressed artifact — both memory levers composed, which is
+    * what a billion-vector deployment actually runs. */
+  def queryStandingIvfPq(standing: StandingIvfPq, queryFrame: DataFrame,
+      k: Int = 10, nprobe: Int = 4, maxQueryBatch: Int = 32768): DataFrame = {
+    val spark = standing.spark
+    import spark.implicits._
+    val model = standing.model
+    val stride = model.numSubspaces * model.k
+    val q = queryFrame.select(col("vec_id"), col("embedding"))
+      .limit(maxQueryBatch + 1)
+      .as[(Long, Seq[Float])].collect()
+    require(q.length <= maxQueryBatch,
+      s"queryStandingIvfPq: query batch exceeds the driver-small serving " +
+        s"contract (> $maxQueryBatch rows; each query broadcasts a " +
+        s"$stride-entry distance table). Split the batch across triggers " +
+        "or raise maxQueryBatch deliberately.")
+    val qids = q.map(_._1)
+    val tabs = new Array[Double](q.length * stride)
+    var qi = 0
+    while (qi < q.length) {
+      System.arraycopy(model.distanceTable(q(qi)._2), 0, tabs,
+        qi * stride, stride)
+      qi += 1
+    }
+    val probes = Similarity.probeCellsFor(standing.centers, q.toSeq, nprobe)
+    val qIndex = qids.zipWithIndex.toMap
+    val cellToQ: Map[Int, Array[Int]] = probes.groupBy(_._2)
+      .map { case (c, ps) => c -> ps.map(p => qIndex(p._1)).toArray.sorted }
+    val bc = spark.sparkContext.broadcast((qids, tabs, cellToQ))
+    val kk = model.k
+    val m = model.numSubspaces
+    val codes = standing.prunedCodes(probes.map(_._2))
+      .select(col("vec_id"), col("codes"), col("cell").cast("int"))
+      .as[(Long, Seq[Int], Int)]
+    val survivors = codes.mapPartitions { iter =>
+      val (ids, tab, byCell) = bc.value
+      // decode the partition's code rows once into primitive arrays
+      val rows = iter.toArray
+      val vids = rows.map(_._1)
+      val cells = rows.map(_._3)
+      val flat = new Array[Int](rows.length * m)
+      var ci = 0
+      while (ci < rows.length) {
+        val cs = rows(ci)._2
+        var s = 0
+        while (s < m) { flat(ci * m + s) = cs(s); s += 1 }
+        ci += 1
+      }
+      // per-query buffers allocated lazily — a partition usually holds one
+      // cell (file layout), so only that cell's probing queries pay
+      val bufs = new Array[graft.functions.TopKScoredBuf](ids.length)
+      // fold each contiguous cell RUN with its probing queries OUTER, so
+      // every query's 4 KB table stays L1-hot across the run's rows
+      var start = 0
+      while (start < rows.length) {
+        var end = start + 1
+        while (end < rows.length && cells(end) == cells(start)) end += 1
+        byCell.get(cells(start)).foreach { probing =>
+          var pi = 0
+          while (pi < probing.length) {
+            val qi = probing(pi)
+            val qid = ids(qi)
+            val off = qi * m * kk
+            if (bufs(qi) == null)
+              bufs(qi) = new graft.functions.TopKScoredBuf(k, asc = true)
+            val buf = bufs(qi)
+            var ci = start
+            while (ci < end) {
+              if (vids(ci) != qid) {
+                var d = 0.0
+                var s = 0
+                while (s < m) {
+                  d += tab(off + s * kk + flat(ci * m + s)); s += 1
+                }
+                if (passesRejectBound(buf, k, d))
+                  buf.insert(graft.functions.VectorHashImpl.round6(d),
+                    vids(ci))
+              }
+              ci += 1
+            }
+            pi += 1
+          }
+        }
+        start = end
+      }
+      Iterator.range(0, ids.length).flatMap { qi =>
+        val buf = bufs(qi)
+        if (buf == null || buf.n == 0) Iterator.empty
+        else Iterator.single(
+          (ids(qi), buf.ids.take(buf.n), buf.scores.take(buf.n)))
+      }
+    }.toDF("query_id", "vids", "adcs")
+    val survivorRows = survivors
+      .select(col("query_id"),
+        explode(arrays_zip(col("vids"), col("adcs"))).as("p"))
+      .select(col("query_id"), col("p.vids").as("vec_id"),
+        col("p.adcs").as("adc"))
+    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
   }
 
   /** tmpdir slot for the registered standing-index entry (same scheme as

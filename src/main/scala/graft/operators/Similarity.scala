@@ -297,15 +297,44 @@ object Similarity {
 
     /** A fresh frame over exactly `cells`: per-call listing cost is nprobe
       * directories, not the corpus. Cells with no vectors yet (directory
-      * absent) are skipped — they contribute no candidates by definition. */
-    private[graft] def prunedCorpus(cells: Seq[Int]): DataFrame = {
-      val dirs = cells.distinct.sorted
-        .map(c => new org.apache.hadoop.fs.Path(corpusPath, s"cell=$c"))
-        .filter(fs.exists).map(_.toString)
-      if (dirs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).option("basePath", corpusPath)
-        .parquet(dirs: _*)
+      * absent) are skipped — they contribute no candidates by definition.
+      * Reads are CHUNKED under `parallelPartitionDiscovery.threshold`
+      * ([[prunedScan]]): past it, Spark turns the per-trigger file
+      * discovery into a distributed listing JOB — a fixed ~0.8 s that
+      * dominated the probe whenever a wide query batch probed more than
+      * 32 cells (every soak trigger at nlist=64). */
+    private[graft] def prunedCorpus(cells: Seq[Int]): DataFrame =
+      prunedScan(spark, fs, corpusPath, schema, cells)
+  }
+
+  /** THE pruned cell-directory scan shared by the serving handles
+    * ([[StandingIvf.prunedCorpus]], [[graft.operators.Pq.StandingIvfPq]]):
+    * existence-filter the probed `cell=` directories (fresh per call —
+    * the probe-while-ingest visibility contract), then read them in
+    * CHUNKS of at most `parallelPartitionDiscovery.threshold` paths,
+    * unioned. Above that threshold Spark's InMemoryFileIndex switches to
+    * a DISTRIBUTED listing job per read — a fixed ~0.8 s per trigger
+    * (IvfPqProbeBench measured 850 ms of a 20k-row scan's 900 ms going
+    * to it at 64 dirs); at or below it, listing is a few driver-side
+    * listStatus calls, and the union of chunked scans stays
+    * exchange-free. */
+  private[graft] def prunedScan(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cells: Seq[Int]): DataFrame = {
+    val dirs = cells.distinct.sorted
+      .map(c => new org.apache.hadoop.fs.Path(basePath, s"cell=$c"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else {
+      val threshold = math.max(1,
+        spark.sessionState.conf.parallelPartitionDiscoveryThreshold)
+      dirs.grouped(threshold)
+        .map(g => spark.read.schema(schema).option("basePath", basePath)
+          .parquet(g: _*))
+        .reduce(_ unionByName _)
     }
   }
 

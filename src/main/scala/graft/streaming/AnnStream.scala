@@ -638,6 +638,61 @@ object AnnStream {
     * A codebook refresh ([[Pq.writePqIndex]] overwrite) is survived the
     * same way as an IVF retrain: per-trigger signature check, Try-guarded
     * re-prepare, and a retry-once probe materialized before the sink. */
+  /** The COMPOSED serving twin — IVF pruning × PQ compression, the shape
+    * a memory-bound billion-vector deployment actually runs: a stream of
+    * query vectors probes a persisted [[graft.operators.Pq.writeIvfPqIndex]]
+    * layout per micro-batch, reading only the probed cells' CODES
+    * (nprobe/nlist of an ~32×-compressed artifact — where [[ivfSearchQuery]]
+    * prunes full vectors and [[pqSearchQuery]] scans all codes, this does
+    * both). Same prepared-handle contract ([[Pq.prepareIvfPqIndex]]), same
+    * per-trigger signature check — spanning BOTH small artifacts, so a
+    * coarse refit or a codebook retrain is picked up at the next trigger —
+    * and the same Try-guarded re-prepare + retry-once probe materialized
+    * before the sink. Batch parity with `ivf_pq_topk` is pinned in
+    * AnnStreamSpec. */
+  def ivfPqSearchQuery(queryStream: DataFrame, indexPath: String,
+      k: Int = 10, nprobe: Int = 4)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Pq
+    val spark = queryStream.sparkSession
+    var standing = Pq.prepareIvfPqIndex(spark, indexPath)
+    // configure-time plan warm-up: one synthetic single-query probe
+    // compiles the serving stages (pruned codes scan + broadcast ADC join
+    // + top-k aggregate) so batch 1 pays data, not codegen
+    if (standing.centers.nonEmpty) {
+      import spark.implicits._
+      val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val _ = Pq.queryStandingIvfPq(standing, warm, k, nprobe).count()
+    }
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        scala.util.Try(Pq.ivfPqSignature(spark, indexPath))
+          .foreach { sig =>
+            if (sig != standing.sig)
+              scala.util.Try(Pq.prepareIvfPqIndex(spark, indexPath))
+                .foreach(standing = _)
+          }
+        if (!batch.isEmpty) {
+          val queries = batch.select($"vec_id", $"embedding")
+          def probe(): DataFrame =
+            Pq.queryStandingIvfPq(standing, queries, k, nprobe)
+              .localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                standing = Pq.prepareIvfPqIndex(spark, indexPath)
+                probe()
+            }
+          sink(result, batchId)
+        }
+      }
+  }
+
   def pqSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     import graft.operators.Pq

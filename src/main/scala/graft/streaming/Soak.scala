@@ -451,6 +451,46 @@ object Soak {
     soak(q, soakMs)
   }
 
+  /** Streaming IVF×PQ serving throughput — BOTH memory levers composed
+    * (prune to the probed cells, ADC-score only their codes): the same
+    * synthetic corpus is coarse-fitted AND PQ-trained, persisted in the
+    * [[graft.operators.Pq.writeIvfPqIndex]] layout once (untimed), then
+    * the rate-source query stream probes it per micro-batch via
+    * [[AnnStream.ivfPqSearchQuery]]. Per query batch this reads
+    * nprobe/nlist of a ~32×-compressed artifact — the layout a
+    * billion-vector deployment actually serves from, and the row that
+    * prices it. */
+  def ivfPqRun(spark: SparkSession, corpusVecs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 30000): Result = {
+    // 30 s, the dedup-row precedent: the composed probe's first trigger
+    // pays scan + fold JIT + broadcast warmup that the 1-query configure
+    // warm-up can't fully absorb; enough steady-state batches make the
+    // row a sustained number instead of one warmup-dominated mean
+    import graft.operators.{Pq, Similarity}
+    val corpus = spark.range(corpusVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_ivfpqidx")}/$tag"
+    // nlist=16: the ivf_pq_topk batch entry's geometry. At this corpus
+    // size a wider nlist only fragments the (tiny) codes into more
+    // per-file fixed costs — the pruning ratio a production corpus gets
+    // from nlist=1024 is demonstrated by the layout, priced by the scan
+    val index = Similarity.buildIvfIndex(corpus, nlist = 16)
+    Pq.writeIvfPqIndex(index.bucketed, Pq.train(corpus), index.centers, path)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = AnnStream.ivfPqSearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    soak(q, soakMs)
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

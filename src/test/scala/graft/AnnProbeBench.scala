@@ -47,6 +47,24 @@ object AnnProbeBench {
     time("standing") {
       Similarity.queryStandingIvf(standing, queryFrame).count()
     }
+    // — the r13 sink-retry fix decomposition (VERDICT r13 "what's wrong"
+    // #2): the serving loop eagerly materializes each trigger's result
+    // BEFORE the sink so a retry can't double sink side effects. Three
+    // candidate materializations of the same queries×k-bounded result:
+    time("standing+localCheckpoint") {
+      Similarity.queryStandingIvf(standing, queryFrame)
+        .localCheckpoint(true).count()
+    }
+    time("standing+collect-recreate") {
+      val out = Similarity.queryStandingIvf(standing, queryFrame)
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema).count()
+    }
+    time("standing+cache-count") {
+      val out = Similarity.queryStandingIvf(standing, queryFrame).cache()
+      try out.count() finally { val _ = out.unpersist(false) }
+    }
     // decompose: driver-side probe choice + createDataFrame alone
     time("driver-side-only") {
       val byId = queries.toMap

@@ -90,6 +90,55 @@ class AnnStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IVF×PQ serving: micro-batch probes equal the batch ivf_pq_topk composition; an index refresh is picked up") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    // the SAME artifacts the ivf_pq_topk entry composes in memory: the
+    // process-wide standing coarse fit and the deterministic fixture
+    // codebooks (Pq.train is seeded + sample-gated — PqSpec pins identical
+    // retrains), persisted in the serving layout
+    val model = Pq.train(emb)
+    val index = Similarity.standingIndex(spark, sf, nlist = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-stream").toString
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, path)
+    val queries = emb.filter($"vec_id" < 5)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfPqSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      // split delivery must union to the one-shot BATCH composition —
+      // the registered ivf_pq_topk entry itself, not a re-derivation
+      val (first, second) = queries.splitAt(2)
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+      val expected = Pq.ivfPqTopK(spark, sf)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expected)
+      assert(results.nonEmpty)
+      // codebook retrain swapped under the live stream: the combined
+      // signature changes, the handle re-prepares, and the next trigger
+      // equals a freshly prepared batch probe of the refreshed index
+      Pq.writeIvfPqIndex(index.bucketed, Pq.train(emb, seed = 1043L),
+        index.centers, path)
+      results.clear()
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      val fresh = Pq.queryStandingIvfPq(
+        Pq.prepareIvfPqIndex(spark, path),
+        queries.toDF("vec_id", "embedding"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == fresh)
+      assert(results.nonEmpty)
+    } finally q.stop()
+  }
+
   test("PQ serving: micro-batch ADC probes equal the batch ADC top-k; appends and codebook refreshes visible") {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")

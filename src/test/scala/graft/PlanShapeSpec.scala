@@ -322,8 +322,10 @@ class PlanShapeSpec extends SparkTestBase {
       "semantic_contamination",
       // SQ8 compressed-domain scorers: same contract as the PQ family —
       // the build side is the handful of broadcast query codes, the
-      // coded corpus streams through without shuffling
-      "sq_adc_topk", "sq_rerank_topk",
+      // coded corpus streams through without shuffling; the _indexed form
+      // is the identical scorer over the persisted codes (the
+      // pq_adc_topk_indexed precedent — layout change, same build side)
+      "sq_adc_topk", "sq_adc_topk_indexed", "sq_rerank_topk",
       // the exact-baseline leg is cosine_topk's query-sized broadcast
       // scorer; the probed legs are equi-joins on the assignment dumps
       "ivf_recall_curve",

@@ -124,6 +124,19 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: IVF×PQ composed serving sustains the query stream") {
+    // per micro-batch: driver probe-cell choice + distance tables, then a
+    // directory-pruned scan of the probed cells' CODES only — both memory
+    // levers composed; same conservative floor as the single-lever rows
+    measureWithRetry { i =>
+      Soak.ivfPqRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"ivf×pq probe throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: ANN serving sustains through a mid-soak retrain") {
     // the full ops-hardening path: corpus append + refit + staged swap land
     // while the stream serves; the signature re-prepare and the retry-once
