@@ -297,6 +297,11 @@ object SparkEntry {
     // coarse index, so the ivf_* + pq_* dumps replay the whole
     // composition (+ spec:PqSpec recall floor)
     "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    // the AMORTIZED composed-index probe: the PERSISTED cell-partitioned
+    // codes layout served through the cell-aware fold (build absorbed by
+    // warmup); same oracle as ivf_pq_topk — layout + fold are execution
+    // choices, not semantics, so the serving fold itself is hash-checked
+    "ivf_pq_topk_indexed" -> ((s, d) => Pq.ivfPqTopKIndexed(s, d)),
     // SQ8 scalar quantization — the 4x compression tier below PQ: per-dim
     // 8-bit grid, compressed-domain ranking in EXACT integer L2 (no
     // per-query table, no float pin), exact rerank of the shortlist
@@ -1810,6 +1815,23 @@ object SparkEntry {
     // probed cells → assignments prune the candidate set, ADC from the
     // codes + distance tables, rank ascending with vec_id tiebreak
     "ivf_pq_topk" ->
+      (s"WITH $pqDumpCtes, " +
+        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
+        "s AS (SELECT p.query_id, c.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+        "FROM p JOIN a ON a.cell = p.cell " +
+        "JOIN c ON c.vec_id = a.vec_id " +
+        "JOIN q ON q.query_id = p.query_id " +
+        "WHERE c.vec_id <> p.query_id) " +
+        "SELECT query_id, vec_id, adc, rk FROM (" +
+        "SELECT query_id, vec_id, adc, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // layout + serving-fold change, not semantic: the persisted composed
+    // index probed through the cell-aware fold returns ivf_pq_topk's rows
+    "ivf_pq_topk_indexed" ->
       (s"WITH $pqDumpCtes, " +
         "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
         "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +

@@ -171,6 +171,30 @@ class PqSpec extends SparkTestBase {
     assert(e.getMessage.contains("driver-small"), e.getMessage)
   }
 
+  test("composed index: frozen-stage append lands in the probed cells and surfaces at the next standing probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    val index = Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0))
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, dir)
+    // append with BOTH stages frozen: assign to existing centroids, encode
+    // with existing codebooks
+    Pq.appendToIvfPqIndex(emb.filter($"vec_id" % 2 === 1), dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == emb.count(), "append must be a union")
+    assert(codes.select($"vec_id").distinct().count() == codes.count())
+    // a vector appended AT a query's own embedding has ADC distance 0 —
+    // a fresh standing probe must surface it first (the per-probe listing
+    // sees the appended files without re-preparing)
+    val standing = Pq.prepareIvfPqIndex(spark, dir)
+    val (qid, qemb) = emb.filter($"vec_id" < 1).as[(Long, Seq[Float])]
+      .collect().head
+    Pq.appendToIvfPqIndex(Seq((880000L, qemb)).toDF("vec_id", "embedding"), dir)
+    val top = Pq.queryStandingIvfPq(standing,
+      Seq((qid, qemb)).toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(top.exists(r => r._2 == 880000L && r._4 == 1L),
+      s"appended twin not surfaced first: ${top.sortBy(_._4).take(3).toSeq}")
+  }
+
   test("IVF×PQ top-k: recall@10 >= 0.25 vs exact L2; ranks well-formed") {
     val rows = Pq.ivfPqTopK(spark, sf).as[(Long, Long, Double, Long)].collect()
     assert(rows.forall { case (q, v, _, _) => q != v })
