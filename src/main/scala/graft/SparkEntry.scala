@@ -302,6 +302,11 @@ object SparkEntry {
     // warmup); same oracle as ivf_pq_topk — layout + fold are execution
     // choices, not semantics, so the serving fold itself is hash-checked
     "ivf_pq_topk_indexed" -> ((s, d) => Pq.ivfPqTopKIndexed(s, d)),
+    // a probe THROUGH a COMPACTED composed index: the layout fragmented by
+    // three frozen-geometry appends, then rewritten to one sized file per
+    // cell + staged-swapped (graft.util.Compaction) — same rows as the
+    // one-shot build, so compaction itself is DuckDB-replay-checked
+    "ivf_pq_topk_compacted" -> ((s, d) => Pq.ivfPqTopKCompacted(s, d)),
     // SQ8 scalar quantization — the 4x compression tier below PQ: per-dim
     // 8-bit grid, compressed-domain ranking in EXACT integer L2 (no
     // per-query table, no float pin), exact rerank of the shortlist
@@ -1832,6 +1837,23 @@ object SparkEntry {
     // layout + serving-fold change, not semantic: the persisted composed
     // index probed through the cell-aware fold returns ivf_pq_topk's rows
     "ivf_pq_topk_indexed" ->
+      (s"WITH $pqDumpCtes, " +
+        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
+        "s AS (SELECT p.query_id, c.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+        "FROM p JOIN a ON a.cell = p.cell " +
+        "JOIN c ON c.vec_id = a.vec_id " +
+        "JOIN q ON q.query_id = p.query_id " +
+        "WHERE c.vec_id <> p.query_id) " +
+        "SELECT query_id, vec_id, adc, rk FROM (" +
+        "SELECT query_id, vec_id, adc, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+        "WHERE rk <= 10"),
+    // layout-maintenance change, not semantic: append-fragmented cells
+    // compacted to one file each still return ivf_pq_topk's rows
+    "ivf_pq_topk_compacted" ->
       (s"WITH $pqDumpCtes, " +
         "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
         "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +

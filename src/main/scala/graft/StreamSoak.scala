@@ -19,7 +19,7 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq"))) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq", "anncompact"))) {
       val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
@@ -44,6 +44,8 @@ object StreamSoak {
           tag = s"only$cores", soakMs = 20000)
         case "ivfpq" => Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores")
+        case "anncompact" => Soak.annCompactRun(spark, corpusVecs = 20000,
+          annRate, tag = s"only$cores", soakMs = 20000)
         case _ => Soak.annRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores", soakMs = 20000)
       }
@@ -106,6 +108,11 @@ object StreamSoak {
       // the COMPOSED tier: probed-cell pruning over the compressed codes
       val ivfPq = Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
         tag = s"c$cores")
+      // maintenance row: an append-fragmented index compacted to one file
+      // per cell UNDER the live serving stream; the run itself REQUIRES
+      // the rewrite to have reduced the file count
+      val annCompact = Soak.annCompactRun(spark, corpusVecs = 20000,
+        annRate, tag = s"c$cores", soakMs = 20000)
       // durability row: the ingest loop crash-killed and restarted from
       // checkpoint + persisted monitor state mid-soak; the run itself
       // REQUIRES zero duplicate vec_ids across the restart
@@ -127,6 +134,7 @@ object StreamSoak {
         s""""ann_probe_retrain":${Soak.json(annRetrain)},""" +
         s""""pq_probe":${Soak.json(pq)},""" +
         s""""ivf_pq_probe":${Soak.json(ivfPq)},""" +
+        s""""ann_probe_compact":${Soak.json(annCompact)},""" +
         s""""ann_ingest_restart":${Soak.json(ingestRestart)},"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +

@@ -781,6 +781,49 @@ object Pq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Re-train BOTH stages of a persisted IVF×PQ index over a CURRENT raw
+    * corpus and swap it in place — the composed tier's
+    * [[retrainPqIndex]] / [[Similarity.retrainIvfIndex]]: a fresh coarse
+    * fit (cells re-decided at the index's OWN nlist) and fresh codebooks
+    * (the index's own (m, k) geometry), the corpus re-bucketed and
+    * re-encoded, and codes + centers + codebooks swapped TOGETHER through
+    * the one staged protocol ([[graft.util.IndexSwap.swapDirs]]). Swapping
+    * the three as one unit matters: a coarse refit changes which cells a
+    * query probes, and codes partitioned under the OLD cells scored by a
+    * serving loop holding the NEW centers would silently miss candidates —
+    * the combined [[ivfPqSignature]] spans both small artifacts precisely
+    * so [[graft.streaming.AnnStream.ivfPqSearchQuery]] re-prepares once,
+    * atomically from its point of view, after this swap.
+    *
+    * Like [[retrainPqIndex]], the refit needs the RAW vectors (the index
+    * stores only codes), so production keeps the rerank-tier raw corpus
+    * under `$path/raw` — exactly what the composed ingest loop
+    * ([[graft.streaming.AnnStream.autoRetrainIvfPqIngestQuery]]) maintains
+    * — and the same coverage guard rejects a partial raw dir. */
+  def retrainIvfPqIndex(emb: DataFrame, path: String,
+      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val nlist = Similarity.loadCenters(spark, path).length
+    val current = loadPqModel(spark, path)
+    val base = spread(emb).select($"vec_id", $"embedding")
+      .persist() // scanned by the coarse fit, the PQ fit, and the encode
+    try {
+      val rawCount = base.count()
+      val codesCount = spark.read.parquet(s"$path/codes").count()
+      require(rawCount >= codesCount,
+        s"retrainIvfPqIndex: raw corpus ($rawCount vecs) does not cover " +
+          s"the index ($codesCount codes) at $path — was $path/raw seeded " +
+          "with the initial corpus?")
+      val refit = Similarity.buildIvfIndex(base, nlist)
+      val staging = s"$path/retrain_staging"
+      writeIvfPqIndex(refit.bucketed,
+        train(base, current.numSubspaces, current.k, seed = seed),
+        refit.centers, staging) // fully materialized before any old state moves
+      graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+        Seq("codes", "centers", "codebooks"))
+    } finally { val _ = base.unpersist() }
+  }
+
   /** tmpdir slot for the registered composed-index entry. */
   private def ivfPqIndexPath(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -804,6 +847,51 @@ object Pq {
       val (_, model) = fixtureModel(spark, sfDir)
       val index = Similarity.standingIndex(spark, sfDir, nlist)
       writeIvfPqIndex(index.bucketed, model, index.centers, path)
+    }
+    val standing = prepareIvfPqIndex(spark, path)
+    val emb = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding")
+    queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
+      k, nprobe)
+  }
+
+  /** tmpdir slot for the registered compacted-layout entry. */
+  private def ivfPqCompactPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_ivfpq_compact")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): a probe THROUGH a COMPACTED composed
+    * index. The layout is deliberately FRAGMENTED the way a real ingest
+    * leaves it — built from a quarter of the corpus, the other three
+    * quarters appended in frozen-geometry batches
+    * ([[appendToIvfPqIndex]]'s add-after-train, one-plus small files per
+    * cell per batch) — then [[graft.util.Compaction.compactDir]] rewrites
+    * the cell directories to one sized file each and swaps them in place.
+    * Frozen-center assignment equals the K-Means assignment (the
+    * first-minimum rule, pinned in SimilaritySpec) and the codebooks are
+    * the same fixture tensor, so the compacted index holds exactly the
+    * one-shot build's rows and this entry shares `ivf_pq_topk`'s oracle —
+    * which makes compaction itself (read-back, repartition-by-cell
+    * rewrite, carry logic, staged swap) DuckDB-replay-checked, not only
+    * spec-pinned. The entry also guards the layout claim in-line: the
+    * rewrite must have strictly reduced the file count. */
+  def ivfPqTopKCompacted(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val path = ivfPqCompactPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "codebooks"))) {
+      val (emb, model) = fixtureModel(spark, sfDir)
+      val index = Similarity.standingIndex(spark, sfDir, nlist)
+      writeIvfPqIndex(index.bucketed.filter($"vec_id" % 4 === 0), model,
+        index.centers, path)
+      (1 to 3).foreach { r =>
+        appendToIvfPqIndex(emb.filter($"vec_id" % 4 === r), path)
+      }
+      val stats = graft.util.Compaction.compactDir(spark, path, "codes",
+        partitionCol = Some("cell"))
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce the fragmented layout: $stats")
     }
     val standing = prepareIvfPqIndex(spark, path)
     val emb = spread(Tables.embeddings(spark, sfDir))

@@ -553,6 +553,207 @@ object AnnStream {
       (sink: (DataFrame, Long) => Unit): Unit =
     processDriftIngestBatch(monitor, batch, batchId)(sink)
 
+  /** Standing state of the COMPOSED IVF×PQ drift watcher — both tiers'
+    * monitors fused over one [[graft.operators.Pq.writeIvfPqIndex]] index,
+    * because the composed index has BOTH failure modes and they drift
+    * independently: the coarse cells stop matching the ingested
+    * distribution (probe recall decays — the IVF monitor's corpus-weighted
+    * centroid-cosine FLOOR) and the codebooks stop reconstructing it (ADC
+    * distances decay — the PQ monitor's reconstruction-error CEILING).
+    * The alarm is the OR: the emitted decision metric is the binding
+    * MARGIN, `min(coarse_mean − floor, ceiling − recon_err_mean)` in
+    * micros, and the loop retrains when it goes strictly negative —
+    * whichever signal crossed, the response is the same
+    * [[graft.operators.Pq.retrainIvfPqIndex]] (both stages refit and swap
+    * as one unit; refitting only the drifted stage would leave codes
+    * partitioned under stale cells or vice versa).
+    *
+    * Totals are the union of the two monitors' (nlist-bounded cell maps +
+    * two longs); both are scored against the SAME resynced geometry and
+    * retired together when the combined [[graft.operators.Pq
+    * .ivfPqSignature]] changes. */
+  final class IvfPqRetrainMonitor private[streaming] (
+      indexPath: String,
+      val healthFloorMicros: Long,
+      val errCeilingMicros: Long,
+      minVecsForAlarm: Long,
+      stateDir: Option[String])
+      extends DriftMonitor(indexPath, minVecsForAlarm, stateDir) {
+    private[streaming] var centers: Array[Array[Double]] = Array.empty
+    private[streaming] var model: graft.operators.Pq.PqModel = _
+    private[streaming] var sig: Seq[(String, Long, Long)] = Nil
+    private[streaming] val cellN =
+      scala.collection.mutable.Map.empty[Int, Long]
+    private[streaming] val cellSum =
+      scala.collection.mutable.Map.empty[Int, Long]
+    private[streaming] var nVecs: Long = 0L
+    private[streaming] var sumErrMicros: Long = 0L
+
+    def totalVecs: Long = nVecs
+
+    /** The coarse signal: corpus-weighted mean centroid-cosine since the
+      * last retrain ([[RetrainMonitor.weightedMeanMicros]]'s arithmetic,
+      * truncating Long division on all three engines). */
+    def weightedMeanMicros: Option[Long] = {
+      val n = cellN.values.sum
+      if (n == 0L) None else Some(cellSum.values.sum / n)
+    }
+
+    /** The compressed signal: mean reconstruction error since the last
+      * retrain ([[PqRetrainMonitor.meanErrMicros]]'s arithmetic). */
+    def meanErrMicros: Option[Long] =
+      if (nVecs == 0L) None else Some(sumErrMicros / nVecs)
+
+    /** The binding margin — how far the HEALTHIER-looking of the two
+      * signals' thresholds still is, in micros; strictly negative means at
+      * least one signal has crossed. Both totals fold from the same
+      * batches, so either both are defined or neither. */
+    def driftMarginMicros: Option[Long] =
+      for { wm <- weightedMeanMicros; em <- meanErrMicros }
+        yield math.min(wm - healthFloorMicros, errCeilingMicros - em)
+
+    private[streaming] def decisionMetric: Option[Long] = driftMarginMicros
+    private[streaming] def crossed(metric: Long): Boolean = metric < 0L
+    private[streaming] def metricName: String = "drift_margin_micros"
+    private[streaming] def storedSig: Seq[(String, Long, Long)] = sig
+
+    private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val s = graft.operators.Pq.ivfPqSignature(spark, indexPath)
+      if (s != sig) {
+        centers = Similarity.loadCenters(spark, indexPath)
+        model = graft.operators.Pq.loadPqModel(spark, indexPath)
+        sig = s
+        cellN.clear(); cellSum.clear()
+        nVecs = 0L; sumErrMicros = 0L
+      }
+    }
+
+    /** Two idempotent publishes per batch against the monitor's OWN
+      * resynced geometry: the RAW vectors under `$indexPath/raw` (what the
+      * composed retrain refits over) and the frozen-center, frozen-codebook
+      * composed codes under the cell directories — the streaming form of
+      * [[graft.operators.Pq.appendToIvfPqIndex]]. */
+    private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
+        batchTag: String): Unit = {
+      graft.util.BatchAppend.append(vecs, s"$indexPath/raw", batchTag)
+      graft.util.BatchAppend.append(
+        graft.util.Cols.spread(vecs).select(col("vec_id"),
+          graft.functions.VectorExpressions
+            .pqCodes(col("embedding"), model.codebooks).as("codes"),
+          graft.functions.VectorExpressions
+            .nearestCenter(col("embedding"), centers).as("cell")),
+        s"$indexPath/codes", batchTag, partitionCol = Some("cell"))
+    }
+
+    /** Both health rollups over the (persisted) batch: the nlist-bounded
+      * per-cell cosine rollup and the two-long reconstruction-error fold —
+      * each the exact arithmetic of its single-tier monitor, so the
+      * composed alarm evidence stays replayable by the same oracles
+      * (`ivf_drift_alarm` / `pq_quant_error`). */
+    private[streaming] def foldBatch(
+        vecs: org.apache.spark.sql.DataFrame): Long = {
+      val spark = vecs.sparkSession
+      vecs
+        .select(col("embedding"),
+          graft.functions.VectorExpressions
+            .nearestCenter(col("embedding"), centers).as("cell"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          Similarity.centersFloatDf(spark, centers)), Seq("cell"))
+        .withColumn("cos_micros",
+          graft.util.Cols.micros6(
+            Similarity.cosine(col("embedding"), col("centroid"))))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
+        .collect() // nlist-bounded
+        .foreach { r =>
+          val cell = r.getInt(0)
+          cellN(cell) = cellN.getOrElse(cell, 0L) + r.getLong(1)
+          cellSum(cell) = cellSum.getOrElse(cell, 0L) + r.getLong(2)
+        }
+      val h = vecs
+        .select(posexplode(graft.functions.VectorExpressions
+          .pqReconErrs(col("embedding"), model.codebooks))
+          .as(Seq("subspace", "err")))
+        .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
+        .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+        .head()
+      val batchVecs = h.getLong(0) / math.max(model.numSubspaces, 1)
+      nVecs += batchVecs
+      sumErrMicros += h.getLong(1)
+      batchVecs
+    }
+
+    private[streaming] def fireRetrain(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      graft.operators.Pq.retrainIvfPqIndex(
+        spark.read.parquet(s"$indexPath/raw"), indexPath)
+
+    private[streaming] def totalsJson: String = {
+      val cells = cellN.keys.toSeq.sorted
+        .map(c => s"""["$c","${cellN(c)}","${cellSum(c)}"]""")
+        .mkString("[", ",", "]")
+      s"""{"cells":$cells,"n_vecs":"$nVecs","sum_err_micros":"$sumErrMicros"}"""
+    }
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit = {
+      m("cells").asInstanceOf[List[Any]].foreach { e =>
+        val l = e.asInstanceOf[List[Any]]
+        val c = l(0).asInstanceOf[String].toInt
+        cellN(c) = l(1).asInstanceOf[String].toLong
+        cellSum(c) = l(2).asInstanceOf[String].toLong
+      }
+      nVecs = m("n_vecs").asInstanceOf[String].toLong
+      sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
+    }
+  }
+
+  /** Resolve the standing side of the composed auto-retrain loop once;
+    * same crash-restart contract as the single-tier prepares. */
+  def prepareIvfPqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
+      minVecsForAlarm: Long = 0L,
+      stateDir: Option[String] = None): IvfPqRetrainMonitor = {
+    val m = new IvfPqRetrainMonitor(indexPath, healthFloorMicros,
+      errCeilingMicros, minVecsForAlarm, stateDir)
+    m.resync(spark)
+    m.seedState(spark)
+    m
+  }
+
+  /** The COMPOSED tier's ops loop — [[autoRetrainIngestQuery]] and
+    * [[autoRetrainPqIngestQuery]] fused over one IVF×PQ index, completing
+    * the tier matrix: every standing ANN layout (pruned, compressed,
+    * pruned×compressed) now has build → append → probe → serve → retrain →
+    * auto-retrain. Per micro-batch of (vec_id, embedding): raw + composed
+    * codes append idempotently, BOTH health signals fold, and when the
+    * binding margin ([[IvfPqRetrainMonitor.driftMarginMicros]]) goes
+    * negative, [[graft.operators.Pq.retrainIvfPqIndex]] refits both stages
+    * over `$indexPath/raw` and swaps codes + centers + codebooks as one
+    * unit; a standing [[ivfPqSearchQuery]] follows via its combined
+    * signature check with no restart (IvfPqAutoRetrainSpec pins the
+    * lifecycle through BOTH alarm directions).
+    *
+    * Monitor rows to `sink`, one per delivered batch: (batch_id,
+    * batch_vecs, total_vecs, drift_margin_micros, alarm, retrained).
+    * Durability and replay fencing are the shared [[DriftMonitor]]
+    * lifecycle — the same contract MonitorDurabilitySpec pins for the
+    * single-tier loops. */
+  def autoRetrainIvfPqIngestQuery(vecStream: DataFrame,
+      monitor: IvfPqRetrainMonitor)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIvfPqIngestBatch(monitor, batch, batchId)(sink)
+      }
+
+  /** One composed auto-retrain micro-batch — [[processDriftIngestBatch]]
+    * with the IVF×PQ monitor's bindings, kept as the directly-testable
+    * entry. */
+  private[graft] def processIvfPqIngestBatch(monitor: IvfPqRetrainMonitor,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit =
+    processDriftIngestBatch(monitor, batch, batchId)(sink)
+
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
       nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = queryStream.sparkSession

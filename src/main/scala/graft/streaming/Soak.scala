@@ -356,6 +356,59 @@ object Soak {
     summarize(q)
   }
 
+  /** [[annRun]] with a fragmented corpus COMPACTED UNDER the live serving
+    * stream at mid-soak — the maintenance-ops row: the standing index is
+    * deliberately left the way a long ingest leaves it (the initial build
+    * plus fragmenting appends — many small files per cell), the stream
+    * serves against that layout for the first half, then
+    * [[graft.util.Compaction.compactDir]] rewrites the cell directories
+    * to one sized file each and staged-swaps them in place. The serving
+    * loop never re-prepares (centers are untouched — compaction changes
+    * no signature); its per-trigger cell-directory listing simply sees
+    * the new files, and a probe racing the swap window retries once — the
+    * same contract retrains already exercise, now priced for the
+    * maintenance op every 100 TB index needs routinely. Reported over the
+    * WHOLE soak, swap included; the run REQUIRES the compaction to have
+    * reduced the file count. */
+  def annCompactRun(spark: SparkSession, corpusVecs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 20000): Result = {
+    import graft.operators.Similarity
+    def vecs(lo: Int, hi: Int) =
+      spark.range(lo.toLong, hi.toLong)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+            .as("embedding"))
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_anncompact")}/$tag"
+    // build on the first quarter, fragment with six frozen-center appends
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(vecs(0, corpusVecs / 4), nlist = 64), path)
+    val slice = corpusVecs / 8
+    (0 until 6).foreach { b =>
+      Similarity.appendToIvfIndex(
+        vecs(corpusVecs / 4 + b * slice, corpusVecs / 4 + (b + 1) * slice),
+        path)
+    }
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + 2L * corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = AnnStream.ivfSearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    Thread.sleep(soakMs / 2)
+    val stats = graft.util.Compaction.compactDir(spark, path, "corpus",
+      partitionCol = Some("cell"))
+    require(stats.filesAfter < stats.filesBefore,
+      s"compaction soak: the rewrite did not reduce the layout: $stats")
+    Thread.sleep(soakMs - soakMs / 2)
+    q.stop()
+    q.awaitTermination()
+    summarize(q)
+  }
+
   /** The auto-retrain INGEST loop killed and restarted mid-soak — the
     * MEASURED form of MonitorDurabilitySpec's contract: the first
     * incarnation is stopped cold halfway (stop() interrupts any in-flight

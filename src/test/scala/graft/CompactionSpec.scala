@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.util.{BatchAppend, Compaction}
+
+/** Small-file compaction of standing indexes ([[graft.util.Compaction]]):
+  * rows and probe results are invariant, file counts drop, the swap is the
+  * shared staged protocol, and the `safeBatchFence` carry-through keeps
+  * [[BatchAppend]]'s replay idempotency alive for batches that can still
+  * redeliver. The hash-checked layout proof is the registered
+  * `ivf_pq_topk_compacted` entry; this suite pins the mechanics. */
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def leafFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+      else Seq(f)
+    walk(new java.io.File(dir))
+  }
+
+  test("flat dir: many appended batches compact to ceil(bytes/target) files; rows are untouched") {
+    val root = tmp("graft-compact-flat")
+    (0 until 6).foreach { b =>
+      BatchAppend.append(
+        (0 until 100).map(i => (b * 100L + i, s"v$b-$i")).toDF("id", "v"),
+        s"$root/t", BatchAppend.tag(b.toLong))
+    }
+    val before = spark.read.parquet(s"$root/t").as[(Long, String)]
+      .collect().toSet
+    val filesBefore = leafFiles(s"$root/t").size
+    assert(filesBefore >= 6, s"fixture not fragmented: $filesBefore files")
+
+    val stats = Compaction.compactDir(spark, root, "t")
+    assert(stats.filesBefore == filesBefore && stats.filesAfter == 1L,
+      s"tiny corpus must compact to one file: $stats")
+    assert(stats.rows == 600L && stats.carriedFiles == 0L)
+    val after = spark.read.parquet(s"$root/t").as[(Long, String)]
+      .collect().toSet
+    assert(after == before, "compaction changed the data")
+    assert(leafFiles(s"$root/t").size == 1)
+  }
+
+  test("partitioned dir: one file per cell, pruning layout preserved, probe parity through an already-prepared handle") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val path = tmp("graft-compact-ivf")
+    // fragment the corpus the way ingest does: build on a quarter, append
+    // three more frozen-center batches
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 4 === 0)), path)
+    (1 to 3).foreach { r =>
+      Similarity.appendToIvfIndex(emb.filter($"vec_id" % 4 === r), path)
+    }
+    val standing = Similarity.prepareIvfIndex(spark, path)
+    val queries = emb.filter($"vec_id" < 4)
+    val preProbe = Similarity.queryStandingIvf(standing, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val preRows = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect().toSet
+    val cellDirs = new java.io.File(s"$path/corpus").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+
+    val stats = Compaction.compactDir(spark, path, "corpus",
+      partitionCol = Some("cell"))
+    assert(stats.filesAfter == cellDirs.toLong,
+      s"expected one file per cell ($cellDirs), got $stats")
+    assert(stats.filesAfter < stats.filesBefore)
+    val postRows = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect().toSet
+    assert(postRows == preRows,
+      "compaction changed rows or cell assignments")
+    // the handle prepared BEFORE the compaction keeps serving: it re-lists
+    // its probed cell directories per call, and the swap kept the paths
+    val postProbe = Similarity.queryStandingIvf(standing, queries)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(postProbe == preProbe, "probe results changed across compaction")
+  }
+
+  test("safeBatchFence: above-fence batches carry through verbatim and stay replay-safe; at-or-below-fence batches compact") {
+    val root = tmp("graft-compact-fence")
+    (0 until 4).foreach { b =>
+      BatchAppend.append(
+        (0 until 50).map(i => (b * 50L + i, b)).toDF("id", "b"),
+        s"$root/t", BatchAppend.tag(b.toLong))
+    }
+    val before = spark.read.parquet(s"$root/t").as[(Long, Int)]
+      .collect().toSet
+
+    // batches 3 is still replayable (its fold never committed) — fence at 2
+    val stats = Compaction.compactDir(spark, root, "t",
+      safeBatchFence = Some(2L))
+    assert(stats.carriedFiles >= 1L, s"no files carried: $stats")
+    assert(stats.rows == 150L, s"only batches 0..2 should compact: $stats")
+    val carried = leafFiles(s"$root/t")
+      .filter(_.getName.startsWith(s"${BatchAppend.tag(3L)}-"))
+    assert(carried.nonEmpty, "above-fence batch lost its tagged file names")
+    assert(spark.read.parquet(s"$root/t").as[(Long, Int)].collect().toSet ==
+      before, "fenced compaction changed the data")
+
+    // the engine now redelivers batch 3 (fenceless — crash before its fold
+    // persisted): BatchAppend's CLEAN still finds the tagged files and the
+    // republish lands exactly one copy
+    BatchAppend.append(
+      (0 until 50).map(i => (3 * 50L + i, 3)).toDF("id", "b"),
+      s"$root/t", BatchAppend.tag(3L))
+    val after = spark.read.parquet(s"$root/t").as[(Long, Int)].collect()
+    assert(after.length == 200 && after.toSet == before,
+      "replay of the carried batch duplicated rows")
+
+    // a batch at the fence compacts — by contract its redelivery is fenced
+    // upstream (the durable monitor skips side effects at or below
+    // lastFoldedBatch), so its tags may be absorbed
+    assert(!leafFiles(s"$root/t")
+      .exists(_.getName.startsWith(s"${BatchAppend.tag(2L)}-")),
+      "at-fence batch should have been absorbed by the rewrite")
+  }
+
+  test("no-op when everything is above the fence: stats only, no swap") {
+    val root = tmp("graft-compact-noop")
+    BatchAppend.append(Seq((1L, "a")).toDF("id", "v"), s"$root/t",
+      BatchAppend.tag(5L))
+    val filesBefore = leafFiles(s"$root/t").map(_.getName).sorted
+    val stats = Compaction.compactDir(spark, root, "t",
+      safeBatchFence = Some(4L))
+    assert(stats.filesBefore == stats.filesAfter &&
+      stats.carriedFiles == stats.filesBefore && stats.rows == 0L)
+    assert(leafFiles(s"$root/t").map(_.getName).sorted == filesBefore,
+      "no-op compaction must not touch the layout")
+  }
+}

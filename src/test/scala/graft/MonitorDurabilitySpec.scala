@@ -233,4 +233,75 @@ class MonitorDurabilitySpec extends SparkTestBase {
       minVecsForAlarm = n1 + 1, stateDir = stateDir)
     assert(m3.lastFoldedBatch == 1L && m3.retrains == 1L && m3.totalVecs == 0L)
   }
+
+  test("composed IVF×PQ loop: restart continuity — fence, BOTH signals' totals, counter; raw and codes never double") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val path = tmp("graft-durable-ivfpq")
+    val corpus = emb.filter($"vec_id" % 4 === 0)
+    val index = Similarity.buildIvfIndex(corpus)
+    val model = Pq.train(corpus)
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, path)
+    corpus.write.mode("overwrite").parquet(s"$path/raw")
+    val healthy = emb.filter($"vec_id" % 4 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val drifted = emb.filter($"vec_id" % 4 === 2)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (cn1, cs1) = ivfHealthOf(healthy.toDF("vec_id", "embedding"),
+      index.centers)
+    val (_, cs2) = ivfHealthOf(drifted.toDF("vec_id", "embedding"),
+      index.centers)
+    val (en1, es1) = pqHealthOf(healthy.toDF("vec_id", "embedding"), model)
+    val (en2, es2) = pqHealthOf(drifted.toDF("vec_id", "embedding"), model)
+    val errHealthy = es1 / en1
+    val errCumulative = (es1 + es2) / (en1 + en2)
+    assert(errCumulative > errHealthy + 4, "fixture lost its drift injury")
+    val ceiling = (errHealthy + errCumulative) / 2
+    val floor = -2000000L // non-binding: this run exercises the err direction
+    val stateDir = Some(s"${tmp("graft-durable-ivfpq-state")}/monitor")
+    val rows = scala.collection.mutable.ArrayBuffer[MonitorRow]()
+    def sink(df: DataFrame, @annotation.unused id: Long): Unit =
+      rows ++= df.as[MonitorRow].collect()
+
+    val m1 = AnnStream.prepareIvfPqRetrainMonitor(spark, path, floor,
+      ceiling, minVecsForAlarm = cn1 + 1, stateDir = stateDir)
+    AnnStream.processIvfPqIngestBatch(m1,
+      healthy.toDF("vec_id", "embedding"), 0L)(sink)
+    val margin1 = math.min(cs1 / cn1 - floor, ceiling - errHealthy)
+    assert(rows.last == ((0L, cn1, cn1, margin1, false, false)))
+    // crash BETWEEN the append and the fold of batch 1: the dead attempt
+    // published raw + composed codes but persisted nothing
+    m1.appendBatch(drifted.toDF("vec_id", "embedding"), BatchAppend.tag(1))
+
+    // restart: fence at batch 0, BOTH signals' totals restored; the
+    // engine's redelivery of batch 1 republishes (never duplicates) and
+    // the cumulative margin crosses exactly as an uninterrupted run would
+    val m2 = AnnStream.prepareIvfPqRetrainMonitor(spark, path, floor,
+      ceiling, minVecsForAlarm = cn1 + 1, stateDir = stateDir)
+    assert(m2.lastFoldedBatch == 0L && m2.totalVecs == cn1)
+    assert(m2.weightedMeanMicros.contains(cs1 / cn1) &&
+      m2.meanErrMicros.contains(errHealthy),
+      "both signals' totals must survive a restart with unchanged geometry")
+    AnnStream.processIvfPqIngestBatch(m2,
+      drifted.toDF("vec_id", "embedding"), 1L)(sink)
+    val margin2 = math.min((cs1 + cs2) / (cn1 + en2) - floor,
+      ceiling - errCumulative)
+    assert(rows.last == ((1L, en2, cn1 + en2, margin2, true, true)),
+      s"alarm continuity broken across the restart: ${rows.last}")
+    assert(m2.retrains == 1L && m2.totalVecs == 0L)
+
+    // the retrained index covers corpus + both batches exactly once each
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == corpus.count() + cn1 + en2,
+      "codes must cover the corpus and both batches exactly once")
+    assert(codes.select($"vec_id").distinct().count() == codes.count())
+    val raw = spark.read.parquet(s"$path/raw")
+    assert(raw.count() == corpus.count() + cn1 + en2)
+    assert(raw.select($"vec_id").distinct().count() == raw.count())
+
+    // third incarnation: post-retrain state restored
+    val m3 = AnnStream.prepareIvfPqRetrainMonitor(spark, path, floor,
+      ceiling, minVecsForAlarm = cn1 + 1, stateDir = stateDir)
+    assert(m3.lastFoldedBatch == 1L && m3.retrains == 1L && m3.totalVecs == 0L)
+  }
 }

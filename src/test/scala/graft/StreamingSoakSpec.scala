@@ -151,6 +151,22 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: ANN serving sustains through a mid-soak compaction") {
+    // the maintenance path: six fragmenting appends are rewritten to one
+    // file per cell and staged-swapped while the stream serves; no
+    // signature changes — the per-trigger listing + retry-once must carry
+    // throughput over the swap window (annCompactRun itself REQUIRES the
+    // file count to have dropped)
+    measureWithRetry { i =>
+      Soak.annCompactRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300,
+        s"ann probe throughput degenerate through compaction: $d")
+    }
+  }
+
   test("rate-source soak: the ingest loop survives a mid-soak crash-restart with no duplicate appends") {
     // the first incarnation is stopped cold halfway, a fresh monitor
     // re-seeds from the persisted state dir and the same checkpoint
