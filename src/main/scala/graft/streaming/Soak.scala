@@ -445,7 +445,11 @@ object Soak {
       AnnStream.autoRetrainIngestQuery(vecStream, monitor) { (row, _) =>
         val _ = row.count()
       }.option("checkpointLocation", s"$root/checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+        // 4 s trigger, the serving rows' precedent: each ingest trigger
+        // pays a fixed stage→clean→publish + fold-job + state-persist cost
+        // regardless of rows; 2 s triggers left <0 headroom at wide
+        // geometries (measured 0.99× offered at local[32])
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
         .start()
     }
     def stopHard(q: StreamingQuery): Unit = {

@@ -48,10 +48,22 @@ object BatchAppend {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
 
-    // 1. STAGE
+    // 1. STAGE — partitioned targets repartition BY the partition column
+    // first, so a batch lands at most ONE file per partition value instead
+    // of (shuffle partitions × values): without this, a 32-task batch over
+    // a 64-cell index staged up to 2048 files per trigger, and the
+    // per-file create/rename/list fixed costs (not the rows) dominated the
+    // ingest loop at wide geometries. One small shuffle of batch-sized
+    // data buys a bounded-fragmentation standing index — the append-time
+    // half of the small-file story ([[Compaction]] is the repair half).
     val stage = new Path(target, s".stage_$batchTag")
-    val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(w.partitionBy(_)).parquet(stage.toString)
+    val w = partitionCol match {
+      case Some(c) =>
+        df.repartition(org.apache.spark.sql.functions.col(c))
+          .write.mode("overwrite").partitionBy(c)
+      case None => df.write.mode("overwrite")
+    }
+    w.parquet(stage.toString)
 
     def cleanTagged(d: Path): Unit =
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
