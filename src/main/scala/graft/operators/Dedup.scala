@@ -759,6 +759,57 @@ object Dedup {
         maxBucketSize, location = Some(loc))
     }
 
+  /** COMPACT a bucketed standing index table in place — the table-medium
+    * twin of [[graft.util.Compaction.compactDir]], completing small-file
+    * maintenance for BOTH index media: every [[appendToBandIndex]] /
+    * [[appendToHashIndex]] (and each streaming ingest trigger behind them)
+    * adds files per bucket, and a long-lived index's probe cost grows with
+    * the file count even though the bucketing keeps it exchange-free. This
+    * rewrites the CURRENT rows — no re-banding, no re-hashing, the rows
+    * are already the index — clustered by the table's own bucket spec
+    * (`repartition(numBuckets, keys)` matches the bucket hash, so the
+    * staged table lands ONE file per bucket), then swaps it under the
+    * serving name through the shared scaffold ([[rebuildIndexTable]]:
+    * ping-pong staging location, metastore drop+rename, retire old files;
+    * in-flight probes retry once — the same survival contract rebuilds
+    * already exercise). Where a REBUILD re-derives the index from the
+    * corpus at possibly-new geometry, compaction is geometry- and
+    * content-preserving: same rows, same bucket spec, same `graft.*`
+    * table properties (carried explicitly — the hash index's chunk
+    * geometry check rides through). CompactionSpec pins file-count
+    * reduction, probe parity, and the property carry. */
+  def compactIndexTable(spark: SparkSession, table: String): Unit =
+    rebuildIndexTable(spark, table) { (stagingTable, loc) =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val spec = meta.bucketSpec.getOrElse(sys.error(
+        s"compactIndexTable: $table has no bucket spec — only bucketed " +
+          "standing indexes carry the co-location contract this preserves"))
+      val keys = spec.bucketColumnNames
+      // read the FILES, not the table: a bucketed scan reports its hash
+      // partitioning, Spark then elides the repartition below as
+      // redundant, and the write splits per input file instead of per
+      // bucket — one file per (fragment, bucket), which is the layout we
+      // came to fix. A plain file scan keeps the explicit clustering, and
+      // the repartition's HashPartitioning(keys, numBuckets) is exactly
+      // the writer's bucket-id rule, so each task holds one whole bucket.
+      val current = spark.table(table) // schema + column order
+      val clustered = spark.read.schema(current.schema)
+        .parquet(meta.location.toString)
+        .repartition(spec.numBuckets, keys.map(col): _*)
+      val w0 = clustered.write.mode("overwrite").format("parquet")
+        .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+      val w1 = spec.sortColumnNames match {
+        case s if s.nonEmpty => w0.sortBy(s.head, s.tail: _*)
+        case _ => w0
+      }
+      w1.option("path", loc).saveAsTable(stagingTable)
+      val graftProps = meta.properties.filter(_._1.startsWith("graft."))
+      if (graftProps.nonEmpty)
+        spark.sql(s"ALTER TABLE $stagingTable SET TBLPROPERTIES (" +
+          graftProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+    }
+
   /** The ONE rebuild scaffold for every bucketed standing index (text
     * band, embedding band, exact hash, perceptual hash): resolve the
     * current external location, clear a crashed attempt's leftovers (the

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 import graft.util.{BatchAppend, Compaction}
 
@@ -120,6 +120,57 @@ class CompactionSpec extends SparkTestBase {
     assert(!leafFiles(s"$root/t")
       .exists(_.getName.startsWith(s"${BatchAppend.tag(2L)}-")),
       "at-fence batch should have been absorbed by the rewrite")
+  }
+
+  test("bucketed index table: compaction lands one file per bucket, probe pairs and graft properties survive") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val corpusAll = docs.filter($"doc_id" % 10 =!= 0)
+    // fragment the index the way ingest does: build on half, append the
+    // other half in three verified batches
+    Dedup.writeBandIndex(corpusAll.filter($"doc_id" % 2 === 1),
+      "band_idx_compact", buckets = 4)
+    (0 until 3).foreach { r =>
+      Dedup.appendToBandIndex(
+        corpusAll.filter($"doc_id" % 2 === 0 && $"doc_id" % 3 === r),
+        "band_idx_compact")
+    }
+    def loc(): String = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("band_idx_compact")).location.getPath
+    def files(): Int = leafFiles(loc()).size
+    val filesBefore = files()
+    assert(filesBefore > 4, s"fixture not fragmented: $filesBefore files")
+    val rowsBefore = spark.table("band_idx_compact").count()
+    val pairsBefore = Dedup
+      .incrementalNearDupIndexed(corpusAll, "band_idx_compact", batch)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairsBefore.nonEmpty)
+    // mark the table the way the hash index records its geometry — the
+    // property must ride the compaction swap
+    spark.sql("ALTER TABLE band_idx_compact SET TBLPROPERTIES " +
+      "('graft.testProp'='42')")
+
+    Dedup.compactIndexTable(spark, "band_idx_compact")
+    assert(files() == 4,
+      s"expected one file per bucket after compaction, got ${files()}")
+    assert(spark.table("band_idx_compact").count() == rowsBefore)
+    val pairsAfter = Dedup
+      .incrementalNearDupIndexed(corpusAll, "band_idx_compact", batch)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairsAfter == pairsBefore, "probe pairs changed across compaction")
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("band_idx_compact"))
+    assert(meta.properties.get("graft.testProp").contains("42"),
+      "graft.* table property lost in the compaction swap")
+    assert(meta.bucketSpec.exists(s =>
+      s.numBuckets == 4 && s.bucketColumnNames == Seq("band", "bsig")),
+      "bucket spec changed across compaction")
+    // a second compaction ping-pongs back without nesting locations
+    val locBefore = loc()
+    Dedup.compactIndexTable(spark, "band_idx_compact")
+    assert(loc() != locBefore && files() == 4)
+    assert(!loc().endsWith("_swapa_swapb") && !loc().endsWith("_swapb_swapa"))
   }
 
   test("no-op when everything is above the fence: stats only, no swap") {
