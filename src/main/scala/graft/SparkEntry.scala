@@ -697,6 +697,28 @@ object SparkEntry {
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
       "FROM c, q WHERE c.vec_id <> q.query_id)"
 
+  // The IVF×PQ composition replayed end-to-end from the four dumps: probed
+  // cells → assignments prune the candidate set, ADC from the codes +
+  // distance tables, rank ascending with vec_id tiebreak. ONE definition
+  // shared by ivf_pq_topk and its two layout twins (_indexed, _compacted) —
+  // they return the same rows by contract, and a future fix to the shared
+  // ADC replay must not have to land three times.
+  private val ivfPqTopkSql =
+    s"WITH $pqDumpCtes, " +
+      "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
+      "s AS (SELECT p.query_id, c.vec_id, " +
+      "round(list_sum(list_transform(generate_series(1, 8), " +
+      "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+      "FROM p JOIN a ON a.cell = p.cell " +
+      "JOIN c ON c.vec_id = a.vec_id " +
+      "JOIN q ON q.query_id = p.query_id " +
+      "WHERE c.vec_id <> p.query_id) " +
+      "SELECT query_id, vec_id, adc, rk FROM (" +
+      "SELECT query_id, vec_id, adc, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
+      "WHERE rk <= 10"
+
   // SQ8 compressed-domain scoring replayed from the codes dump alone: the
   // query side is the same dump's vec_id<5 slice and the metric is exact
   // integer squared-L2 — no float rounding anywhere before the rerank
@@ -1816,58 +1838,15 @@ object SparkEntry {
         "round(count(f.vec_id)::DOUBLE / 10, 4) AS recall " +
         "FROM t LEFT JOIN f ON t.query_id = f.query_id AND t.vec_id = f.vec_id " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
-    // the IVF×PQ composition replayed end-to-end from the four dumps:
-    // probed cells → assignments prune the candidate set, ADC from the
-    // codes + distance tables, rank ascending with vec_id tiebreak
-    "ivf_pq_topk" ->
-      (s"WITH $pqDumpCtes, " +
-        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
-        "s AS (SELECT p.query_id, c.vec_id, " +
-        "round(list_sum(list_transform(generate_series(1, 8), " +
-        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
-        "FROM p JOIN a ON a.cell = p.cell " +
-        "JOIN c ON c.vec_id = a.vec_id " +
-        "JOIN q ON q.query_id = p.query_id " +
-        "WHERE c.vec_id <> p.query_id) " +
-        "SELECT query_id, vec_id, adc, rk FROM (" +
-        "SELECT query_id, vec_id, adc, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
-        "WHERE rk <= 10"),
+    // the IVF×PQ composition replayed end-to-end from the four dumps
+    // (one shared definition — see ivfPqTopkSql)
+    "ivf_pq_topk" -> ivfPqTopkSql,
     // layout + serving-fold change, not semantic: the persisted composed
     // index probed through the cell-aware fold returns ivf_pq_topk's rows
-    "ivf_pq_topk_indexed" ->
-      (s"WITH $pqDumpCtes, " +
-        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
-        "s AS (SELECT p.query_id, c.vec_id, " +
-        "round(list_sum(list_transform(generate_series(1, 8), " +
-        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
-        "FROM p JOIN a ON a.cell = p.cell " +
-        "JOIN c ON c.vec_id = a.vec_id " +
-        "JOIN q ON q.query_id = p.query_id " +
-        "WHERE c.vec_id <> p.query_id) " +
-        "SELECT query_id, vec_id, adc, rk FROM (" +
-        "SELECT query_id, vec_id, adc, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
-        "WHERE rk <= 10"),
+    "ivf_pq_topk_indexed" -> ivfPqTopkSql,
     // layout-maintenance change, not semantic: append-fragmented cells
     // compacted to one file each still return ivf_pq_topk's rows
-    "ivf_pq_topk_compacted" ->
-      (s"WITH $pqDumpCtes, " +
-        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-        "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
-        "s AS (SELECT p.query_id, c.vec_id, " +
-        "round(list_sum(list_transform(generate_series(1, 8), " +
-        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
-        "FROM p JOIN a ON a.cell = p.cell " +
-        "JOIN c ON c.vec_id = a.vec_id " +
-        "JOIN q ON q.query_id = p.query_id " +
-        "WHERE c.vec_id <> p.query_id) " +
-        "SELECT query_id, vec_id, adc, rk FROM (" +
-        "SELECT query_id, vec_id, adc, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
-        "WHERE rk <= 10"),
+    "ivf_pq_topk_compacted" -> ivfPqTopkSql,
     // identical integer-rational BM25: the only libm call (ln) quantizes
     // to micros per term; every per-(doc,term) weight is the same double
     // dag over exact integers, summed as BIGINT

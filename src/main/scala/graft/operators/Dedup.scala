@@ -777,7 +777,17 @@ object Dedup {
     * content-preserving: same rows, same bucket spec, same `graft.*`
     * table properties (carried explicitly — the hash index's chunk
     * geometry check rides through). CompactionSpec pins file-count
-    * reduction, probe parity, and the property carry. */
+    * reduction, probe parity, and the property carry.
+    *
+    * CONCURRENCY: unlike the directory medium
+    * ([[graft.util.Compaction.compactDir]] recovers late-arriving batch
+    * files from retired/), a metastore table has no file-level recovery —
+    * rows appended between this compaction's read and its swap would die
+    * with the retired location. Sequence table compactions BETWEEN ingest
+    * triggers (the dedup ingest loops are driver-sequenced micro-batches,
+    * so a maintenance slot exists at every trigger boundary) or with
+    * ingest paused; concurrent PROBES are fine — they retry once across
+    * the drop-rename gap, the rebuild contract. */
   def compactIndexTable(spark: SparkSession, table: String): Unit =
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       val meta = spark.sessionState.catalog.getTableMetadata(

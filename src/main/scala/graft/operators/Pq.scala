@@ -353,12 +353,70 @@ object Pq {
       java.lang.Double.isNaN(w) || d <= w + 1e-6 + Math.ulp(d)
     }
 
+  /** The ONE driver-side query collection shared by both PQ serving folds
+    * ([[queryStandingPq]] / [[queryStandingIvfPq]]) — the preamble whose
+    * guard text and bound logic must not drift between the two paths:
+    *
+    *  - DISTINCT BY ID: query_id is the output key (the final top-k
+    *    aggregate groups by it), so a duplicated id within one trigger —
+    *    a client retry landing twice in a backlogged batch — would fold
+    *    its candidates twice into one buffer and emit the same vec_id at
+    *    two ranks, crowding out the true k-th neighbor. First collected
+    *    occurrence wins; callers must not reuse an id for a DIFFERENT
+    *    vector within a trigger.
+    *  - BOUNDED, NOT BRITTLE: each query broadcasts an m·k-double distance
+    *    table (4 KB at the registered geometry), so `maxQueryBatch` bounds
+    *    one broadcast at ~128 MB — but a serving loop must not DIE on a
+    *    backlogged trigger (a restart replays the same committed offsets
+    *    and crash-loops forever), so oversized batches CHUNK into
+    *    `maxQueryBatch`-sized folds instead of throwing (queries are
+    *    independent; chunking changes broadcast sizing, never results).
+    *    The raw vectors are ~16× smaller than their tables, so the hard
+    *    driver-materialization cap sits at 16 × maxQueryBatch collected
+    *    rows (the same byte budget as one chunk's tables) and only a
+    *    batch past THAT fails loudly. */
+  private def collectDistinctQueries(queryFrame: DataFrame,
+      maxQueryBatch: Int, caller: String,
+      stride: Int): Array[(Long, Seq[Float])] = {
+    val spark = queryFrame.sparkSession
+    import spark.implicits._
+    val hardCap = maxQueryBatch.toLong * 16L
+    val raw = queryFrame.select(col("vec_id"), col("embedding"))
+      .limit((hardCap + 1L).toInt)
+      .as[(Long, Seq[Float])].collect()
+    require(raw.length <= hardCap,
+      s"$caller: query batch exceeds even the CHUNKED serving cap " +
+        s"(> $hardCap rows; each query broadcasts a $stride-entry " +
+        s"distance table, folded in chunks of $maxQueryBatch). Split the " +
+        "batch across triggers or raise maxQueryBatch deliberately.")
+    val seen = new java.util.HashSet[Long]()
+    raw.filter(r => seen.add(r._1))
+  }
+
+  /** The per-chunk broadcast payload: ids in chunk order plus the flat
+    * distance-table array ([[PqModel.distanceTable]] per query, stride
+    * m·k). */
+  private def distanceTabs(model: PqModel,
+      chunk: Array[(Long, Seq[Float])]): (Array[Long], Array[Double]) = {
+    val stride = model.numSubspaces * model.k
+    val qids = chunk.map(_._1)
+    val tabs = new Array[Double](chunk.length * stride)
+    var qi = 0
+    while (qi < chunk.length) {
+      System.arraycopy(model.distanceTable(chunk(qi)._2), 0, tabs,
+        qi * stride, stride)
+      qi += 1
+    }
+    (qids, tabs)
+  }
+
   /** Probe a prepared [[StandingPq]] with a query FRAME — the serving
     * path, bit-identical rows to [[adcTopK]] over the same codes
     * (AnnStreamSpec pins it): same per-query distance tables
-    * ([[PqModel.distanceTable]] — the query batch is driver-small by the
-    * same broadcast contract the batch path has), same `round(adc, 6)`
-    * before ranking ([[graft.functions.VectorHashImpl.round6]] IS the
+    * ([[PqModel.distanceTable]] — the query batch reaches the driver
+    * through [[collectDistinctQueries]]'s bounded-chunk contract), same
+    * `round(adc, 6)` before ranking
+    * ([[graft.functions.VectorHashImpl.round6]] IS the
     * Catalyst arithmetic), same (adc ASC, vec_id) total order.
     *
     * Execution is a PARTITION-LOCAL FOLD (mapPartitions — the one shape
@@ -381,37 +439,36 @@ object Pq {
   def queryStandingPq(standing: StandingPq, queryFrame: DataFrame,
       k: Int = 10, maxQueryBatch: Int = 32768): DataFrame = {
     val spark = standing.spark
+    val model = standing.model
+    val q = collectDistinctQueries(queryFrame, maxQueryBatch,
+      "queryStandingPq", model.numSubspaces * model.k)
+    val survivorRows =
+      if (q.isEmpty) emptySurvivors(spark)
+      else q.grouped(maxQueryBatch).map { chunk =>
+        pqFoldSurvivors(standing, chunk, k)
+      }.reduceLeft(_ unionByName _)
+    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
+  }
+
+  /** Schema-correct empty survivor frame — an empty (or all-null) query
+    * batch must serve an empty result, not throw on an empty reduce. */
+  private def emptySurvivors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Long, Double)]
+      .toDF("query_id", "vec_id", "adc")
+  }
+
+  /** One chunk's exhaustive-ADC fold over the full codes scan — the body
+    * behind [[queryStandingPq]], returning exploded (query_id, vec_id,
+    * adc) survivor rows ready for the bounded top-k aggregate (chunks are
+    * id-disjoint after [[collectDistinctQueries]], so unioned survivors
+    * aggregate as one frame). */
+  private def pqFoldSurvivors(standing: StandingPq,
+      chunk: Array[(Long, Seq[Float])], k: Int): DataFrame = {
+    val spark = standing.spark
     import spark.implicits._
     val model = standing.model
-    val stride = model.numSubspaces * model.k
-    // The query side COLLECTS — the driver-small serving contract is a
-    // real budget, not a convention: each query broadcasts an m·k-double
-    // distance table (4 KB at the registered geometry), so the default cap
-    // bounds the broadcast at ~128 MB. The limit+1 collect keeps the
-    // driver materialization bounded even when the contract is violated,
-    // and the violation fails loudly instead of silently collecting a
-    // corpus-sized frame (the decontamination maxBroadcastGrams idiom,
-    // adapted to a side that must reach the driver anyway — the IVF twin
-    // lifted this constraint with an in-plan probe expression; the PQ
-    // distance-table build stays driver-side by design, and this guard is
-    // the pinned boundary of that design).
-    val q = queryFrame.select(col("vec_id"), col("embedding"))
-      .limit(maxQueryBatch + 1)
-      .as[(Long, Seq[Float])].collect()
-    require(q.length <= maxQueryBatch,
-      s"queryStandingPq: query batch exceeds the driver-small serving " +
-        s"contract (> $maxQueryBatch rows; each query broadcasts a " +
-        s"$stride-entry distance table). Split the batch across triggers " +
-        "or raise maxQueryBatch deliberately.")
-    val qids = q.map(_._1)
-    val tabs = new Array[Double](q.length * stride)
-    var qi = 0
-    while (qi < q.length) {
-      System.arraycopy(model.distanceTable(q(qi)._2), 0, tabs,
-        qi * stride, stride)
-      qi += 1
-    }
-    val bc = spark.sparkContext.broadcast((qids, tabs))
+    val bc = spark.sparkContext.broadcast(distanceTabs(model, chunk))
     val kk = model.k
     val m = model.numSubspaces
     val codes = spark.read.schema(standing.schema)
@@ -453,12 +510,11 @@ object Pq {
         else Iterator.single((qid, buf.ids.take(buf.n), buf.scores.take(buf.n)))
       }
     }.toDF("query_id", "vids", "adcs")
-    val survivorRows = survivors
+    survivors
       .select(col("query_id"),
         explode(arrays_zip(col("vids"), col("adcs"))).as("p"))
       .select(col("query_id"), col("p.vids").as("vec_id"),
         col("p.adcs").as("adc"))
-    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
   }
 
   /** Append new vectors to a persisted PQ index WITHOUT retraining: encode
@@ -664,26 +720,30 @@ object Pq {
   def queryStandingIvfPq(standing: StandingIvfPq, queryFrame: DataFrame,
       k: Int = 10, nprobe: Int = 4, maxQueryBatch: Int = 32768): DataFrame = {
     val spark = standing.spark
+    val model = standing.model
+    val q = collectDistinctQueries(queryFrame, maxQueryBatch,
+      "queryStandingIvfPq", model.numSubspaces * model.k)
+    val survivorRows =
+      if (q.isEmpty) emptySurvivors(spark)
+      else q.grouped(maxQueryBatch).map { chunk =>
+        ivfPqFoldSurvivors(standing, chunk, k, nprobe)
+      }.reduceLeft(_ unionByName _)
+    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
+  }
+
+  /** One chunk's cell-aware ADC fold over the probed cells' codes — the
+    * body behind [[queryStandingIvfPq]]; survivor rows as
+    * [[pqFoldSurvivors]]. */
+  private def ivfPqFoldSurvivors(standing: StandingIvfPq,
+      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+    val spark = standing.spark
     import spark.implicits._
     val model = standing.model
-    val stride = model.numSubspaces * model.k
-    val q = queryFrame.select(col("vec_id"), col("embedding"))
-      .limit(maxQueryBatch + 1)
-      .as[(Long, Seq[Float])].collect()
-    require(q.length <= maxQueryBatch,
-      s"queryStandingIvfPq: query batch exceeds the driver-small serving " +
-        s"contract (> $maxQueryBatch rows; each query broadcasts a " +
-        s"$stride-entry distance table). Split the batch across triggers " +
-        "or raise maxQueryBatch deliberately.")
-    val qids = q.map(_._1)
-    val tabs = new Array[Double](q.length * stride)
-    var qi = 0
-    while (qi < q.length) {
-      System.arraycopy(model.distanceTable(q(qi)._2), 0, tabs,
-        qi * stride, stride)
-      qi += 1
-    }
-    val probes = Similarity.probeCellsFor(standing.centers, q.toSeq, nprobe)
+    val (qids, tabs) = distanceTabs(model, chunk)
+    val probes =
+      Similarity.probeCellsFor(standing.centers, chunk.toSeq, nprobe)
+    // ids are distinct within a chunk (collectDistinctQueries), so the
+    // index map is lossless and no query's candidates can fold twice
     val qIndex = qids.zipWithIndex.toMap
     val cellToQ: Map[Int, Array[Int]] = probes.groupBy(_._2)
       .map { case (c, ps) => c -> ps.map(p => qIndex(p._1)).toArray.sorted }
@@ -751,12 +811,11 @@ object Pq {
           (ids(qi), buf.ids.take(buf.n), buf.scores.take(buf.n)))
       }
     }.toDF("query_id", "vids", "adcs")
-    val survivorRows = survivors
+    survivors
       .select(col("query_id"),
         explode(arrays_zip(col("vids"), col("adcs"))).as("p"))
       .select(col("query_id"), col("p.vids").as("vec_id"),
         col("p.adcs").as("adc"))
-    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
   }
 
   /** Append new vectors to a persisted IVF×PQ index WITHOUT refitting

@@ -57,7 +57,15 @@ object AnnStream {
     * the batch fence (no double fold), the retrain counter, and (when the
     * index geometry is unchanged) the accumulated health totals, i.e. the
     * alarm decision sequence continues exactly where the dead process
-    * left it. Appends are replay-safe independently of the state file:
+    * left it. One window is narrower than it looks: the retrain COUNTER is
+    * persisted only after [[fireRetrain]] returns, so a crash between the
+    * completed index swap and that second persist restarts with the swap
+    * live on disk (the signature mismatch retires the stale totals
+    * correctly) but the counter one low — the ops counter is
+    * at-most-once across crashes, never the index itself. Persisting the
+    * increment BEFORE the swap would trade this for over-counting on a
+    * crash before the swap, which misleads in the other direction; the
+    * index's own retained geometry history is the authoritative record. Appends are replay-safe independently of the state file:
     * every side-effecting write goes through [[graft.util.BatchAppend]]'s
     * stage → clean → publish protocol keyed by the batch id, so the
     * replayed batch that a crash forces through foreachBatch re-publishes
@@ -78,6 +86,12 @@ object AnnStream {
     /** Retrains fired by this monitor since prepare — the ops counter
       * (persisted, so it survives a restart). */
     private[graft] var retrains: Long = 0L
+    /** True once THIS incarnation has folded any batch — separates a
+      * same-process redelivery (benign, fenced) from a fresh incarnation
+      * whose first delivered id is already below the disk-seeded fence
+      * (a checkpoint reset with a surviving stateDir — fail loudly, see
+      * [[processDriftIngestBatch]]). */
+    private[streaming] var foldedThisIncarnation: Boolean = false
 
     def totalVecs: Long
     /** The cumulative decision metric in integer micros (weighted mean
@@ -144,6 +158,76 @@ object AnnStream {
             restoreTotals(m("totals").asInstanceOf[Map[String, Any]])
         }
   }
+
+  /** The ONE per-batch cell-health fold ([[graft.operators.Similarity
+    * .ivfRetrainHealth]]'s oracle-replayed arithmetic): score the batch
+    * against `centers` (in-plan nearest-center + broadcast-centroid
+    * cosine, micro-quantized), collect the nlist-bounded per-cell rollup,
+    * accumulate into the caller's standing maps. Shared by the IVF and
+    * composed monitors so the hash-checked arithmetic exists exactly once
+    * (the [[DriftMonitor]] doc's cannot-drift-apart contract, applied to
+    * the folds themselves). Returns the batch's vector count. */
+  private def cellHealthFold(vecs: org.apache.spark.sql.DataFrame,
+      centers: Array[Array[Double]],
+      cellN: scala.collection.mutable.Map[Int, Long],
+      cellSum: scala.collection.mutable.Map[Int, Long]): Long = {
+    val spark = vecs.sparkSession
+    var batchVecs = 0L
+    vecs
+      .select(col("embedding"),
+        graft.functions.VectorExpressions
+          .nearestCenter(col("embedding"), centers).as("cell"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        Similarity.centersFloatDf(spark, centers)), Seq("cell"))
+      .withColumn("cos_micros",
+        graft.util.Cols.micros6(
+          Similarity.cosine(col("embedding"), col("centroid"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
+      .collect() // nlist-bounded
+      .foreach { r =>
+        val cell = r.getInt(0)
+        batchVecs += r.getLong(1)
+        cellN(cell) = cellN.getOrElse(cell, 0L) + r.getLong(1)
+        cellSum(cell) = cellSum.getOrElse(cell, 0L) + r.getLong(2)
+      }
+    batchVecs
+  }
+
+  /** The ONE per-batch reconstruction-error fold (`pq_quant_error`'s
+    * oracle-replayed arithmetic — [[graft.functions.PqReconErrExpr]] +
+    * exact integer-micro rollup), shared by the PQ and composed monitors.
+    * Returns (batch vector count, batch err-micros sum). */
+  private def reconErrFold(vecs: org.apache.spark.sql.DataFrame,
+      model: graft.operators.Pq.PqModel): (Long, Long) = {
+    val h = vecs
+      .select(posexplode(graft.functions.VectorExpressions
+        .pqReconErrs(col("embedding"), model.codebooks))
+        .as(Seq("subspace", "err")))
+      .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
+      .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+      .head()
+    (h.getLong(0) / math.max(model.numSubspaces, 1), h.getLong(1))
+  }
+
+  /** Cell-totals persistence fragment shared by the monitors that carry
+    * the per-cell maps — serializer and parser in one place so the state
+    * file format cannot fork. */
+  private def cellTotalsJson(cellN: scala.collection.mutable.Map[Int, Long],
+      cellSum: scala.collection.mutable.Map[Int, Long]): String =
+    cellN.keys.toSeq.sorted
+      .map(c => s"""["$c","${cellN(c)}","${cellSum(c)}"]""")
+      .mkString("[", ",", "]")
+
+  private def restoreCellTotals(entries: Any,
+      cellN: scala.collection.mutable.Map[Int, Long],
+      cellSum: scala.collection.mutable.Map[Int, Long]): Unit =
+    entries.asInstanceOf[List[Any]].foreach { e =>
+      val l = e.asInstanceOf[List[Any]]
+      val c = l(0).asInstanceOf[String].toInt
+      cellN(c) = l(1).asInstanceOf[String].toLong
+      cellSum(c) = l(2).asInstanceOf[String].toLong
+    }
 
   /** Standing state of the IVF DRIFT WATCHER — the monitoring half of the
     * IVF ops loop ([[autoRetrainIngestQuery]]): cumulative per-cell health
@@ -220,50 +304,19 @@ object AnnStream {
         s"$indexPath/corpus", batchTag, partitionCol = Some("cell"))
 
     /** SCORE the batch's health against the same centers it was just
-      * encoded with (the `ivf_retrain_health` arithmetic), one
-      * nlist-bounded per-cell rollup collected and folded. */
+      * encoded with — the shared [[cellHealthFold]]. */
     private[streaming] def foldBatch(
-        vecs: org.apache.spark.sql.DataFrame): Long = {
-      val spark = vecs.sparkSession
-      var batchVecs = 0L
-      val health = vecs
-        .select(col("embedding"),
-          graft.functions.VectorExpressions
-            .nearestCenter(col("embedding"), centers).as("cell"))
-        .join(org.apache.spark.sql.functions.broadcast(
-          Similarity.centersFloatDf(spark, centers)), Seq("cell"))
-        .withColumn("cos_micros",
-          graft.util.Cols.micros6(
-            Similarity.cosine(col("embedding"), col("centroid"))))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
-        .collect() // nlist-bounded
-      health.foreach { r =>
-        val cell = r.getInt(0)
-        batchVecs += r.getLong(1)
-        cellN(cell) = cellN.getOrElse(cell, 0L) + r.getLong(1)
-        cellSum(cell) = cellSum.getOrElse(cell, 0L) + r.getLong(2)
-      }
-      batchVecs
-    }
+        vecs: org.apache.spark.sql.DataFrame): Long =
+      cellHealthFold(vecs, centers, cellN, cellSum)
 
     private[streaming] def fireRetrain(
         spark: org.apache.spark.sql.SparkSession): Unit =
       Similarity.retrainIvfIndex(spark, indexPath)
 
-    private[streaming] def totalsJson: String = {
-      val cells = cellN.keys.toSeq.sorted
-        .map(c => s"""["$c","${cellN(c)}","${cellSum(c)}"]""")
-        .mkString("[", ",", "]")
-      s"""{"cells":$cells}"""
-    }
+    private[streaming] def totalsJson: String =
+      s"""{"cells":${cellTotalsJson(cellN, cellSum)}}"""
     private[streaming] def restoreTotals(m: Map[String, Any]): Unit =
-      m("cells").asInstanceOf[List[Any]].foreach { e =>
-        val l = e.asInstanceOf[List[Any]]
-        val c = l(0).asInstanceOf[String].toInt
-        cellN(c) = l(1).asInstanceOf[String].toLong
-        cellSum(c) = l(2).asInstanceOf[String].toLong
-      }
+      restoreCellTotals(m("cells"), cellN, cellSum)
   }
 
   /** Resolve the standing side of the auto-retrain loop once: centers +
@@ -373,6 +426,24 @@ object AnnStream {
     var alarm = false
     var totalAtDecision = 0L
     var meanAtDecision = Long.MinValue
+    // A FRESH incarnation whose first delivered id is STRICTLY below the
+    // disk-seeded fence cannot occur in a healthy lifecycle: Structured
+    // Streaming replays at most the one uncommitted batch (= the fence
+    // itself). Seeing an older id there means the query checkpoint was
+    // reset while the monitor stateDir survived — silently fencing would
+    // skip every append until ids catch back up to the stale fence
+    // (hundreds of batches of vectors never published, with healthy-
+    // looking monitor rows). Fail loudly instead; the operator resets or
+    // restores the two together. Once this incarnation has folded a batch
+    // itself, an older id is just a same-process redelivery and re-emits
+    // benignly below.
+    require(monitor.foldedThisIncarnation ||
+      batchId >= monitor.lastFoldedBatch,
+      s"drift monitor at ${monitor.indexPath}: delivered batch $batchId is " +
+        s"below the persisted fence ${monitor.lastFoldedBatch} — the query " +
+        "checkpoint was reset while the monitor stateDir survived. Clear " +
+        "the stateDir (reprocess from scratch) or restore the matching " +
+        "checkpoint; they must move together.")
     if (batchId > monitor.lastFoldedBatch) {
       monitor.resync(spark) // pick up an EXTERNAL swap before scoring
       val vecs = batch.select(col("vec_id"), col("embedding"))
@@ -381,6 +452,7 @@ object AnnStream {
         monitor.appendBatch(vecs, graft.util.BatchAppend.tag(batchId))
         batchVecs = monitor.foldBatch(vecs)
         monitor.lastFoldedBatch = batchId
+        monitor.foldedThisIncarnation = true
         alarm = monitor.totalVecs >= monitor.minVecsForAlarm &&
           monitor.decisionMetric.exists(monitor.crossed)
         // the emitted row carries the DECISION-TIME evidence — a fired
@@ -468,21 +540,13 @@ object AnnStream {
         s"$indexPath/codes", batchTag)
     }
 
-    /** The batch's per-subspace reconstruction errors
-      * ([[graft.functions.PqReconErrExpr]] — `pq_quant_error`'s exact
-      * integer-micro arithmetic) folded as two driver longs. */
+    /** The batch's per-subspace reconstruction errors folded as two
+      * driver longs — the shared [[reconErrFold]]. */
     private[streaming] def foldBatch(
         vecs: org.apache.spark.sql.DataFrame): Long = {
-      val h = vecs
-        .select(posexplode(graft.functions.VectorExpressions
-          .pqReconErrs(col("embedding"), model.codebooks))
-          .as(Seq("subspace", "err")))
-        .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
-        .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
-        .head()
-      val batchVecs = h.getLong(0) / math.max(model.numSubspaces, 1)
+      val (batchVecs, errSum) = reconErrFold(vecs, model)
       nVecs += batchVecs
-      sumErrMicros += h.getLong(1)
+      sumErrMicros += errSum
       batchVecs
     }
 
@@ -645,41 +709,17 @@ object AnnStream {
         s"$indexPath/codes", batchTag, partitionCol = Some("cell"))
     }
 
-    /** Both health rollups over the (persisted) batch: the nlist-bounded
-      * per-cell cosine rollup and the two-long reconstruction-error fold —
-      * each the exact arithmetic of its single-tier monitor, so the
-      * composed alarm evidence stays replayable by the same oracles
-      * (`ivf_drift_alarm` / `pq_quant_error`). */
+    /** Both health rollups over the (persisted) batch — the SAME shared
+      * folds the single-tier monitors run ([[cellHealthFold]] /
+      * [[reconErrFold]]), so the composed alarm evidence stays replayable
+      * by the same oracles (`ivf_drift_alarm` / `pq_quant_error`) by
+      * construction, not by parallel maintenance. */
     private[streaming] def foldBatch(
         vecs: org.apache.spark.sql.DataFrame): Long = {
-      val spark = vecs.sparkSession
-      vecs
-        .select(col("embedding"),
-          graft.functions.VectorExpressions
-            .nearestCenter(col("embedding"), centers).as("cell"))
-        .join(org.apache.spark.sql.functions.broadcast(
-          Similarity.centersFloatDf(spark, centers)), Seq("cell"))
-        .withColumn("cos_micros",
-          graft.util.Cols.micros6(
-            Similarity.cosine(col("embedding"), col("centroid"))))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("s"))
-        .collect() // nlist-bounded
-        .foreach { r =>
-          val cell = r.getInt(0)
-          cellN(cell) = cellN.getOrElse(cell, 0L) + r.getLong(1)
-          cellSum(cell) = cellSum.getOrElse(cell, 0L) + r.getLong(2)
-        }
-      val h = vecs
-        .select(posexplode(graft.functions.VectorExpressions
-          .pqReconErrs(col("embedding"), model.codebooks))
-          .as(Seq("subspace", "err")))
-        .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
-        .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
-        .head()
-      val batchVecs = h.getLong(0) / math.max(model.numSubspaces, 1)
+      val _ = cellHealthFold(vecs, centers, cellN, cellSum)
+      val (batchVecs, errSum) = reconErrFold(vecs, model)
       nVecs += batchVecs
-      sumErrMicros += h.getLong(1)
+      sumErrMicros += errSum
       batchVecs
     }
 
@@ -688,19 +728,11 @@ object AnnStream {
       graft.operators.Pq.retrainIvfPqIndex(
         spark.read.parquet(s"$indexPath/raw"), indexPath)
 
-    private[streaming] def totalsJson: String = {
-      val cells = cellN.keys.toSeq.sorted
-        .map(c => s"""["$c","${cellN(c)}","${cellSum(c)}"]""")
-        .mkString("[", ",", "]")
-      s"""{"cells":$cells,"n_vecs":"$nVecs","sum_err_micros":"$sumErrMicros"}"""
-    }
+    private[streaming] def totalsJson: String =
+      s"""{"cells":${cellTotalsJson(cellN, cellSum)},""" +
+        s""""n_vecs":"$nVecs","sum_err_micros":"$sumErrMicros"}"""
     private[streaming] def restoreTotals(m: Map[String, Any]): Unit = {
-      m("cells").asInstanceOf[List[Any]].foreach { e =>
-        val l = e.asInstanceOf[List[Any]]
-        val c = l(0).asInstanceOf[String].toInt
-        cellN(c) = l(1).asInstanceOf[String].toLong
-        cellSum(c) = l(2).asInstanceOf[String].toLong
-      }
+      restoreCellTotals(m("cells"), cellN, cellSum)
       nVecs = m("n_vecs").asInstanceOf[String].toLong
       sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
     }
@@ -839,6 +871,49 @@ object AnnStream {
     * A codebook refresh ([[Pq.writePqIndex]] overwrite) is survived the
     * same way as an IVF retrain: per-trigger signature check, Try-guarded
     * re-prepare, and a retry-once probe materialized before the sink. */
+  def pqSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Pq
+    val spark = queryStream.sparkSession
+    var standing = Pq.preparePqIndex(spark, indexPath)
+    // configure-time plan warm-up: one synthetic single-query probe
+    // compiles the serving stages (in-plan dtab, codes scan + broadcast
+    // ADC join, top-k aggregate) so batch 1 pays data, not codegen
+    locally {
+      import spark.implicits._
+      val m = standing.model
+      val warm = Seq((-1L,
+        m.codebooks.flatMap(_.head).map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val _ = Pq.queryStandingPq(standing, warm, k).count()
+    }
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        scala.util.Try(Pq.codebooksSignature(spark, indexPath))
+          .foreach { sig =>
+            if (sig != standing.modelSig)
+              scala.util.Try(Pq.preparePqIndex(spark, indexPath))
+                .foreach(standing = _)
+          }
+        if (!batch.isEmpty) {
+          val queries = batch.select($"vec_id", $"embedding")
+          def probe(): DataFrame =
+            Pq.queryStandingPq(standing, queries, k).localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                standing = Pq.preparePqIndex(spark, indexPath)
+                probe()
+            }
+          sink(result, batchId)
+        }
+      }
+  }
+
   /** The COMPOSED serving twin — IVF pruning × PQ compression, the shape
     * a memory-bound billion-vector deployment actually runs: a stream of
     * query vectors probes a persisted [[graft.operators.Pq.writeIvfPqIndex]]
@@ -887,49 +962,6 @@ object AnnStream {
             catch {
               case scala.util.control.NonFatal(_) =>
                 standing = Pq.prepareIvfPqIndex(spark, indexPath)
-                probe()
-            }
-          sink(result, batchId)
-        }
-      }
-  }
-
-  def pqSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    import graft.operators.Pq
-    val spark = queryStream.sparkSession
-    var standing = Pq.preparePqIndex(spark, indexPath)
-    // configure-time plan warm-up: one synthetic single-query probe
-    // compiles the serving stages (in-plan dtab, codes scan + broadcast
-    // ADC join, top-k aggregate) so batch 1 pays data, not codegen
-    locally {
-      import spark.implicits._
-      val m = standing.model
-      val warm = Seq((-1L,
-        m.codebooks.flatMap(_.head).map(_.toFloat).toSeq))
-        .toDF("vec_id", "embedding")
-      val _ = Pq.queryStandingPq(standing, warm, k).count()
-    }
-    queryStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        scala.util.Try(Pq.codebooksSignature(spark, indexPath))
-          .foreach { sig =>
-            if (sig != standing.modelSig)
-              scala.util.Try(Pq.preparePqIndex(spark, indexPath))
-                .foreach(standing = _)
-          }
-        if (!batch.isEmpty) {
-          val queries = batch.select($"vec_id", $"embedding")
-          def probe(): DataFrame =
-            Pq.queryStandingPq(standing, queries, k).localCheckpoint(true)
-          val result =
-            try probe()
-            catch {
-              case scala.util.control.NonFatal(_) =>
-                standing = Pq.preparePqIndex(spark, indexPath)
                 probe()
             }
           sink(result, batchId)

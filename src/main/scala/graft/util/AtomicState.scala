@@ -39,6 +39,12 @@ object AtomicState {
     fs.listStatus(d).foreach { st =>
       st.getPath.getName match {
         case Name(g) if g.toLong < gen => fs.delete(st.getPath, false)
+        // a crash between create and rename leaves `.tmp-state-*.json`
+        // orphans; sweep any that aren't THIS write's in-flight name, or a
+        // periodically-crashing stream accumulates them without bound (and
+        // pays for them in every per-fold listStatus)
+        case n if n.startsWith(".tmp-state-") && n != tmp.getName =>
+          fs.delete(st.getPath, false)
         case _ => ()
       }
     }

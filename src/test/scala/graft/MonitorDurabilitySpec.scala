@@ -163,6 +163,39 @@ class MonitorDurabilitySpec extends SparkTestBase {
     assert(rows.last == ((0L, n1, n1, healthyMean, false, false)))
   }
 
+  test("IVF loop: a checkpoint reset with surviving monitor state fails loudly instead of silently fencing every batch") {
+    val (path, healthy, _, n1, _, healthyMean, _, floor) = ivfFixture()
+    val stateDir = Some(s"${tmp("graft-durable-ivf-state3")}/monitor")
+    val rows = scala.collection.mutable.ArrayBuffer[MonitorRow]()
+    def sink(df: DataFrame, @annotation.unused id: Long): Unit =
+      rows ++= df.as[MonitorRow].collect()
+    val m1 = AnnStream.prepareRetrainMonitor(spark, path, floor,
+      minVecsForAlarm = n1 + 1, stateDir = stateDir)
+    AnnStream.processIngestBatch(m1,
+      healthy.toDF("vec_id", "embedding"), 5L)(sink) // fence now 5
+
+    // operator resets the query checkpoint but keeps the stateDir: the
+    // fresh incarnation's first delivered id restarts at 0 — silently
+    // fencing would skip appends for 5 batches with healthy-looking rows;
+    // the monitor must fail loudly instead
+    val m2 = AnnStream.prepareRetrainMonitor(spark, path, floor,
+      minVecsForAlarm = n1 + 1, stateDir = stateDir)
+    val e = intercept[IllegalArgumentException] {
+      AnnStream.processIngestBatch(m2,
+        healthy.toDF("vec_id", "embedding"), 0L)(sink)
+    }
+    assert(e.getMessage.contains("checkpoint was reset"), e.getMessage)
+
+    // the LEGITIMATE restart replay — redelivery of the fence itself —
+    // still re-emits benignly on a fresh incarnation
+    val m3 = AnnStream.prepareRetrainMonitor(spark, path, floor,
+      minVecsForAlarm = n1 + 1, stateDir = stateDir)
+    AnnStream.processIngestBatch(m3,
+      healthy.toDF("vec_id", "embedding"), 5L)(sink)
+    assert(rows.last == ((5L, 0L, n1, healthyMean, false, false)),
+      s"fence redelivery must re-emit, not fail: ${rows.last}")
+  }
+
   /** The PQ monitor's exact health arithmetic, standalone (the
     * PqAutoRetrainSpec helper). */
   private def pqHealthOf(vecs: DataFrame, model: Pq.PqModel): (Long, Long) = {

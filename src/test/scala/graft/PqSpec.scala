@@ -154,21 +154,49 @@ class PqSpec extends SparkTestBase {
       s"NaN query must still fill k by id tiebreak, got ${serving.size}")
   }
 
-  test("standing probe guards the driver-small query contract: an oversized batch fails loudly, a bounded one serves") {
+  test("standing probe bounds the query batch: oversized batches CHUNK with identical results, duplicates dedupe, only the hard cap throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_guard").toString
     Pq.writePqIndex(emb, model, dir)
     val standing = Pq.preparePqIndex(spark, dir)
     val queries = emb.filter($"vec_id" < 5)
-    // within the cap: normal serving
-    assert(Pq.queryStandingPq(standing, queries, k = 3,
-      maxQueryBatch = 5).count() > 0)
-    // past the cap: the guard must throw BEFORE a corpus-sized collect —
-    // and the limit+1 plan means the driver never materialized more than
-    // cap+1 rows to find out
+    val oneShot = Pq.queryStandingPq(standing, queries, k = 3,
+      maxQueryBatch = 5).as[(Long, Long, Double, Long)].collect().toSet
+    assert(oneShot.nonEmpty)
+    // past maxQueryBatch: a backlogged trigger must NOT kill the serving
+    // loop (a crash there replays the same offsets forever) — the batch
+    // chunks into bounded broadcasts and the results are identical
+    val chunked = Pq.queryStandingPq(standing, queries, k = 3,
+      maxQueryBatch = 2).as[(Long, Long, Double, Long)].collect().toSet
+    assert(chunked == oneShot, "chunked serving diverged from one-shot")
+    // a duplicated query id within one trigger (a client retry landing
+    // twice in a backlogged batch) serves ONCE — folding it twice would
+    // emit the same vec_id at two ranks
+    val dup = Pq.queryStandingPq(standing, queries.union(queries), k = 3,
+      maxQueryBatch = 5).as[(Long, Long, Double, Long)].collect()
+    assert(dup.toSet == oneShot && dup.length == oneShot.size,
+      "duplicate query ids must serve exactly once")
+    // only the HARD driver-materialization cap (16 × maxQueryBatch) fails,
+    // and the limit+1 plan means the driver never collected past it
     val e = intercept[IllegalArgumentException] {
-      Pq.queryStandingPq(standing, queries, k = 3, maxQueryBatch = 4)
+      Pq.queryStandingPq(standing, emb.select($"vec_id", $"embedding"),
+        k = 3, maxQueryBatch = 1)
     }
-    assert(e.getMessage.contains("driver-small"), e.getMessage)
+    assert(e.getMessage.contains("CHUNKED serving cap"), e.getMessage)
+    // the composed twin shares the same collection contract
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_guard").toString
+    val index = Similarity.buildIvfIndex(emb)
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, dir2)
+    val standing2 = Pq.prepareIvfPqIndex(spark, dir2)
+    val one2 = Pq.queryStandingIvfPq(standing2, queries, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val chunked2 = Pq.queryStandingIvfPq(standing2, queries, k = 3,
+      maxQueryBatch = 2).as[(Long, Long, Double, Long)].collect().toSet
+    assert(chunked2 == one2 && one2.nonEmpty,
+      "composed chunked serving diverged from one-shot")
+    val dup2 = Pq.queryStandingIvfPq(standing2, queries.union(queries),
+      k = 3).as[(Long, Long, Double, Long)].collect()
+    assert(dup2.toSet == one2 && dup2.length == one2.size,
+      "composed: duplicate query ids must serve exactly once")
   }
 
   test("composed index: frozen-stage append lands in the probed cells and surfaces at the next standing probe") {
