@@ -779,15 +779,14 @@ object Dedup {
     * geometry check rides through). CompactionSpec pins file-count
     * reduction, probe parity, and the property carry.
     *
-    * CONCURRENCY: unlike the directory medium
-    * ([[graft.util.Compaction.compactDir]] recovers late-arriving batch
-    * files from retired/), a metastore table has no file-level recovery —
-    * rows appended between this compaction's read and its swap would die
-    * with the retired location. Sequence table compactions BETWEEN ingest
-    * triggers (the dedup ingest loops are driver-sequenced micro-batches,
-    * so a maintenance slot exists at every trigger boundary) or with
-    * ingest paused; concurrent PROBES are fine — they retry once across
-    * the drop-rename gap, the rebuild contract. */
+    * CONCURRENCY: the same contract as the directory medium
+    * ([[graft.util.Compaction]]'s object doc) — rows appended between
+    * this compaction's read and its swap would die with the retired
+    * location, so sequence compactions BETWEEN ingest triggers (the
+    * ingest loops are driver-sequenced micro-batches, so a maintenance
+    * slot exists at every trigger boundary — the slot retrains already
+    * run in) or with ingest paused; concurrent PROBES are fine — they
+    * retry once across the drop-rename gap, the rebuild contract. */
   def compactIndexTable(spark: SparkSession, table: String): Unit =
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       val meta = spark.sessionState.catalog.getTableMetadata(

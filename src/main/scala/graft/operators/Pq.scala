@@ -380,7 +380,14 @@ object Pq {
       stride: Int): Array[(Long, Seq[Float])] = {
     val spark = queryFrame.sparkSession
     import spark.implicits._
-    val hardCap = maxQueryBatch.toLong * 16L
+    require(maxQueryBatch > 0,
+      s"$caller: maxQueryBatch must be positive, got $maxQueryBatch")
+    // Long arithmetic + clamp: the error message below invites raising
+    // maxQueryBatch, and a huge value must widen the cap (to the limit()
+    // maximum), never overflow Int into a negative or tiny limit that
+    // silently truncates the batch
+    val hardCap = math.min(maxQueryBatch.toLong * 16L,
+      (Int.MaxValue - 1).toLong)
     val raw = queryFrame.select(col("vec_id"), col("embedding"))
       .limit((hardCap + 1L).toInt)
       .as[(Long, Seq[Float])].collect()

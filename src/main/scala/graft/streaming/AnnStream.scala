@@ -382,12 +382,18 @@ object AnnStream {
     * is its semantic — but fires only on alarm, and the warm-up bounds
     * its frequency by ingest volume. */
   def autoRetrainIngestQuery(vecStream: DataFrame, monitor: RetrainMonitor)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // wiring a monitor into a NEW query incarnation re-arms the
+    // checkpoint-reset guard — a reused monitor object must not let its
+    // previous incarnation's folds mask a reset checkpoint (see
+    // processDriftIngestBatch's require)
+    monitor.foldedThisIncarnation = false
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIngestBatch(monitor, batch, batchId)(sink)
       }
+  }
 
   /** One auto-retrain micro-batch for EITHER tier — the shared foreachBatch
     * body behind [[processIngestBatch]] and [[processPqIngestBatch]],
@@ -603,12 +609,14 @@ object AnnStream {
     * [[DriftMonitor]] lifecycle IS the implementation). */
   def autoRetrainPqIngestQuery(vecStream: DataFrame,
       monitor: PqRetrainMonitor)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    monitor.foldedThisIncarnation = false // see autoRetrainIngestQuery
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processPqIngestBatch(monitor, batch, batchId)(sink)
       }
+  }
 
   /** One PQ auto-retrain micro-batch — [[processDriftIngestBatch]] with
     * the PQ monitor's bindings, kept as the directly-testable entry. */
@@ -771,12 +779,14 @@ object AnnStream {
     * single-tier loops. */
   def autoRetrainIvfPqIngestQuery(vecStream: DataFrame,
       monitor: IvfPqRetrainMonitor)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    monitor.foldedThisIncarnation = false // see autoRetrainIngestQuery
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIvfPqIngestBatch(monitor, batch, batchId)(sink)
       }
+  }
 
   /** One composed auto-retrain micro-batch — [[processDriftIngestBatch]]
     * with the IVF×PQ monitor's bindings, kept as the directly-testable

@@ -21,27 +21,30 @@ import org.apache.spark.sql.functions.col
   * registered `ivf_pq_topk_compacted` entry hash-checks a probe THROUGH a
   * compacted layout against the uncompacted oracle).
   *
-  * CONCURRENT-INGEST contract, two halves:
-  *  - `safeBatchFence`: compaction erases the per-batch file tags
-  *    [[BatchAppend]]'s replay CLEAN step keys on, so a batch that is
-  *    still REPLAYABLE must not be absorbed. Files tagged above the fence
-  *    are carried through verbatim (copied into staging, so the old
-  *    layout stays whole until the swap); files at or below it — and
-  *    untagged files — compact. The safe fence is the highest batch id
-  *    that can no longer replay unfenced: with a durable drift monitor
-  *    that is its persisted `lastFoldedBatch` (a redelivery of that id
-  *    skips all side effects before ever reaching BatchAppend); with a
-  *    bare checkpoint it is the last COMMITTED batch id.
-  *  - LATE ARRIVALS: the rewrite takes many micro-batch intervals, so
-  *    batches published after compaction's listing snapshot exist only in
-  *    the live dir; the swap recovers them from retired/ into the new
-  *    layout before deleting anything (see the swap note in
-  *    [[compactDir]]), and a publish racing the rename itself fails that
-  *    batch BEFORE its fold fence persists, so the engine's replay
-  *    republishes into the new dir. Nothing an ingest loop wrote is ever
-  *    dropped on a rename-atomic filesystem.
-  * `safeBatchFence = None` compacts every tag — correct only when no
-  * ingest is in flight (late arrivals are still recovered). */
+  * CONCURRENCY contract — the same discipline every index MUTATION in
+  * this engine already follows:
+  *  - concurrent PROBES are fine: standing handles re-list per call and
+  *    retry once across the swap window ([[graft.streaming.AnnStream]]).
+  *  - concurrent APPENDS are out of contract. Compaction takes the same
+  *    DRIVER-SEQUENCED maintenance slot retrains already run in — the
+  *    ops loops fire `fireRetrain` INSIDE the ingest foreachBatch
+  *    precisely so index mutations never race appends, and a maintenance
+  *    slot exists at every trigger boundary. A rewrite that raced a live
+  *    publish would need a manifest-commit layer (what table formats
+  *    exist for) to avoid losing the race's files; hand-rolling that
+  *    recovery was reviewed and rejected as unsound.
+  *  - `safeBatchFence`: even sequenced between triggers, the LAST
+  *    uncommitted batch's files are still REPLAYABLE after a later crash,
+  *    and compaction erases the per-batch tags [[BatchAppend]]'s replay
+  *    CLEAN step keys on — so files tagged above the fence are carried
+  *    through verbatim (copied into staging; the old layout stays whole
+  *    until the swap) while files at or below it, and untagged files,
+  *    compact. The safe fence is the highest batch id that can no longer
+  *    replay unfenced: a durable drift monitor's persisted
+  *    `lastFoldedBatch` (a redelivery of that id skips all side effects
+  *    before ever reaching BatchAppend), or a bare checkpoint's last
+  *    COMMITTED batch id. `None` compacts every tag — correct only when
+  *    nothing is replayable (no checkpointed ingest, or all committed). */
 object Compaction {
 
   /** Before/after evidence of one [[compactDir]] run — the ops audit row.
@@ -133,58 +136,12 @@ object Compaction {
         s"compaction: carry-through copy ${st.getPath} -> $dst failed")
     }
 
-    // SWAP with LATE-ARRIVAL RECOVERY — the two-rename staged protocol
-    // ([[IndexSwap.swapDirs]]'s shape) plus one extra step the concurrent-
-    // ingest contract needs: the rewrite above can take many micro-batch
-    // intervals, and a [[BatchAppend]] batch PUBLISHED into the live dir
-    // after the initial listing is in neither `eligible` nor `carry` —
-    // a plain swap would retire and delete it, silently losing rows the
-    // batch's (already persisted) fold fence will never re-append. After
-    // the renames, any file found under retired/ whose relative path was
-    // NOT in the initial listing is a late arrival: it moves into the new
-    // live dir before retired is deleted. The residual window — a publish
-    // IN FLIGHT while the first rename executes — fails that publish's
-    // rename (its target path just disappeared), which fails the batch
-    // before its fold persists, and the engine's replay republishes into
-    // the new dir: nothing is lost on rename-atomic filesystems. A crash
-    // mid-swap leaves old (under retired/) or new (under staging/) intact,
-    // same recovery contract as IndexSwap.
-    val snapshot = all.map(st => relOf(st.getPath)).toSet
-    val retired = new Path(s"$root/retired")
-    fs.delete(retired, true)
-    fs.mkdirs(retired)
-    val retiredSub = new Path(retired, sub)
-    val ok1 = fs.rename(dir, retiredSub)
-    // a publish racing the gap between the two renames can RECREATE the
-    // live dir (a parquet stage write creates its parents) — renaming
-    // staged onto an existing dir would NEST instead of replace. Sweep any
-    // recreated content into retired (real published files are picked up
-    // by the late-arrival pass below; in-flight .stage dirs are abandoned,
-    // their batch fails and replays) and verify the final landing by the
-    // staged root's _SUCCESS marker.
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        val _ = fs.rename(st.getPath, new Path(retiredSub, st.getPath.getName))
-      }
-      fs.delete(dir, true)
-    }
-    val ok2 = fs.rename(staged, dir)
-    require(ok1 && ok2 && fs.exists(new Path(dir, "_SUCCESS")),
-      s"compaction swap failed mid-way at $root — old layout is under " +
-        s"$root/retired, new under $root/$stagingSub")
-    val retiredQ = fs.makeQualified(retiredSub)
-    leaves(fs, retiredQ).foreach { st =>
-      val r = st.getPath.toString.stripPrefix(retiredQ.toString)
-        .stripPrefix("/")
-      if (!snapshot.contains(r)) {
-        val dst = new Path(dir, r)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(st.getPath, dst),
-          s"compaction: late-arrival recovery ${st.getPath} -> $dst failed")
-      }
-    }
-    fs.delete(retired, true)
-    fs.delete(new Path(s"$root/$stagingSub"), true)
+    // the ONE staged swap protocol — short-circuiting two-rename with the
+    // crash contract every rebuildable index shares (old or new always
+    // intact, recovery copies named in the failure message). Appends are
+    // sequenced out by the concurrency contract above, so no file can
+    // land in the live dir between the listing and this swap.
+    IndexSwap.swapDirs(spark, root, stagingSub, Seq(sub))
     val after = leaves(fs, dir)
     CompactionStats(all.size.toLong, bytesBefore, after.size.toLong,
       after.map(_.getLen).sum, rows, carry.size.toLong)

@@ -173,41 +173,34 @@ class CompactionSpec extends SparkTestBase {
     assert(!loc().endsWith("_swapa_swapb") && !loc().endsWith("_swapb_swapa"))
   }
 
-  test("late arrivals: a batch published after the listing snapshot survives the swap") {
-    // simulate the race compactDir's swap recovers from: list-then-rewrite
-    // takes many micro-batch intervals, and an ingest batch publishes into
-    // the live dir in that window. Reproduce it deterministically by
-    // publishing AFTER the rewrite would have snapshotted — compact a dir,
-    // then verify the recovery path by publishing between snapshot and
-    // swap via the fence-carry machinery's sibling: here we interleave
-    // manually around a second compaction.
-    val root = tmp("graft-compact-late")
+  test("maintenance-slot sequencing: a batch appended between compactions lands intact and the next fence-aware compaction absorbs it") {
+    // the concurrency contract: appends are DRIVER-SEQUENCED around
+    // compactions (the same maintenance slot retrains run in), so the
+    // supported interleave is append → compact → append → compact — each
+    // step must preserve all rows and the replay-safety of whatever is
+    // still above the fence
+    val root = tmp("graft-compact-seq")
     (0 until 3).foreach { b =>
       BatchAppend.append(
         (0 until 50).map(i => (b * 50L + i, b)).toDF("id", "b"),
         s"$root/t", BatchAppend.tag(b.toLong))
     }
-    // a thread publishes batch 3 while the main thread compacts — the
-    // publish lands either before the listing (compacted), between listing
-    // and swap (recovered from retired/), or against the renamed dir
-    // (BatchAppend's stage write or publish rename fails — the engine-
-    // replay case, simulated by retrying the append, which must then land
-    // exactly once)
-    val late = new Thread(() => {
-      Thread.sleep(30)
-      def once(): Unit = BatchAppend.append(
-        (0 until 50).map(i => (3 * 50L + i, 3)).toDF("id", "b"),
-        s"$root/t", BatchAppend.tag(3L))
-      try once()
-      catch { case _: Throwable => once() } // the replay after a lost race
-    })
-    late.start()
-    val stats = Compaction.compactDir(spark, root, "t")
-    late.join()
+    val s1 = Compaction.compactDir(spark, root, "t",
+      safeBatchFence = Some(1L)) // batch 2 still replayable: carried
+    assert(s1.carriedFiles >= 1L && s1.rows == 100L, s1.toString)
+    // the next trigger's append lands on the compacted layout
+    BatchAppend.append(
+      (0 until 50).map(i => (3 * 50L + i, 3)).toDF("id", "b"),
+      s"$root/t", BatchAppend.tag(3L))
+    // and a later compaction (fence advanced) absorbs what the first
+    // carried plus the new batch, still losing nothing
+    val s2 = Compaction.compactDir(spark, root, "t",
+      safeBatchFence = Some(3L))
+    assert(s2.carriedFiles == 0L, s2.toString)
     val rows = spark.read.parquet(s"$root/t").as[(Long, Int)].collect()
     assert(rows.length == 200 && rows.map(_._1).distinct.length == 200,
-      s"late-arriving batch lost or duplicated across the swap: " +
-        s"${rows.length} rows ($stats)")
+      s"sequenced append/compact interleave lost or duplicated rows: " +
+        s"${rows.length}")
   }
 
   test("no-op when everything is above the fence: stats only, no swap") {
