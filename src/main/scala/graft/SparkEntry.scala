@@ -51,6 +51,12 @@ object SparkEntry {
     // integer ops) + the per-bucket bounding-box locality audit
     "zorder_values" -> ((s, d) => graft.operators.ZOrder.zorderValues(s, d)),
     "zorder_locality" -> ((s, d) => graft.operators.ZOrder.zorderLocality(s, d)),
+    // the data-skipping CONSUMER of the Z-order layout: per-file zone map
+    // (row count + key bounding box), 2-D range probe reads ONLY the
+    // overlapping files. Oracle = the PLAIN filter — hash equality IS the
+    // no-lost-row/no-duplicate skipping contract; the files-skipped claim
+    // is layout-dependent and lives in spec:ZOrderSpec
+    "zonemap_pruned_scan" -> ((s, d) => graft.operators.ZOrder.zonemapPrunedScan(s, d)),
     // per-source distinct-token cardinality: exact anchor + mergeable
     // DataSketches HLL tier (fixed 4 KiB/sketch; per-shard sketches union
     // losslessly — SketchesSpec pins the merge identity)
@@ -248,6 +254,12 @@ object SparkEntry {
     // (22·tf·L / (10·tf·L + 3·L + 9·dl·N)) and ln() quantized per TERM —
     // per-doc scores are exact BIGINT sums
     "bm25_topk" -> ((s, d) => graft.operators.Bm25.bm25TopK(s, d)),
+    // the AMORTIZED standing lexical-index probe: term-bucket-partitioned
+    // postings with denormalized doc lengths + per-segment stats rows
+    // folded at probe (build absorbed by warmup). Same oracle as
+    // bm25_topk — the segment layout, bucket-pruned scan, and
+    // pruned-slice df count are execution choices, not semantics
+    "bm25_topk_indexed" -> ((s, d) => graft.operators.Bm25.bm25TopKIndexed(s, d)),
     // reciprocal-rank fusion of the lexical and semantic rankings —
     // contributions micro-quantized, sums exact; fusion is queries×k-sized
     "hybrid_rrf_topk" -> ((s, d) => graft.operators.Bm25.hybridRrfTopK(s, d)),
@@ -297,6 +309,27 @@ object SparkEntry {
     // coarse index, so the ivf_* + pq_* dumps replay the whole
     // composition (+ spec:PqSpec recall floor)
     "ivf_pq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    // residual-encoded IVF×PQ (the FAISS IVFADC layout): codes quantize
+    // x − center(cell), the query side uses per-(query, probed-cell)
+    // tables over q − center(cell). Same composition dumps (assignments +
+    // probe cells) plus the two residual dumps replay it end to end
+    "pq_residual_codes" -> (Pq.pqResidualCodesEntry _), // rows-only (it IS the oracle input)
+    "pq_residual_dtabs" -> ((s, d) => Pq.pqResidualDtabs(s, d)), // rows-only (it IS the oracle input)
+    "pq_residual_codebooks" -> (Pq.pqResidualCodebooksEntry _), // rows-only (it IS the oracle input)
+    "ivf_centers" -> ((s, d) => Similarity.ivfCentersEntry(s, d)), // rows-only (it IS the oracle input)
+    "ivf_pq_residual_topk" -> ((s, d) => Pq.ivfPqResidualTopK(s, d)),
+    // the residual tier's index-health signal AND its quantitative
+    // justification: same 8-byte code budget as pq_quant_error, strictly
+    // lower distortion (spec:PqSpec pins the dominance). Replayed from
+    // the residual codes/codebooks + centers/assignments dumps: slice →
+    // subtract center → L2 to assigned codeword → integer micros rollup
+    "pq_residual_quant_error" -> ((s, d) => Pq.pqResidualQuantError(s, d)),
+    // the residual tier's justification table: recall@10 of the raw-code
+    // and residual-code compositions against the exact squared-L2
+    // ranking — all three legs deterministic, the whole rollup replayed
+    // (raw from the four ivf_pq dumps, residual from the two residual
+    // dumps, exact from the embeddings table)
+    "pq_residual_recall" -> ((s, d) => Pq.pqResidualRecall(s, d)),
     // the AMORTIZED composed-index probe: the PERSISTED cell-partitioned
     // codes layout served through the cell-aware fold (build absorbed by
     // warmup); same oracle as ivf_pq_topk — layout + fold are execution
@@ -719,6 +752,37 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
       "WHERE rk <= 10"
 
+  // the composition's shared prune inputs: coarse assignments + the
+  // ranked probe-cells dump sliced at the entry nprobe
+  private val ivfCompDumpCtes =
+    "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4)"
+
+  // the residual composition's scorer: residual codes + PER-(query, cell)
+  // tables (the IVFADC twist — the dtab join carries the cell key), pruned
+  // by the same a/p CTEs as the raw composition
+  private val pqResidualScoredCte =
+    "rc AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
+      "FROM read_parquet('{OUT}/pq_residual_codes/*.parquet')), " +
+      "rq AS (SELECT query_id, cell, list_transform(string_split(dtab, ','), x -> CAST(x AS DOUBLE)) AS dtab " +
+      "FROM read_parquet('{OUT}/pq_residual_dtabs/*.parquet')), " +
+      "rs AS (SELECT p.query_id, rc.vec_id, " +
+      "round(list_sum(list_transform(generate_series(1, 8), " +
+      "m -> rq.dtab[(m-1)*64 + rc.codes[m] + 1])), 6) AS adc " +
+      "FROM p JOIN a ON a.cell = p.cell " +
+      "JOIN rc ON rc.vec_id = a.vec_id " +
+      "JOIN rq ON rq.query_id = p.query_id AND rq.cell = p.cell " +
+      "WHERE rc.vec_id <> p.query_id)"
+
+  // the residual IVF×PQ composition replayed end-to-end from its two
+  // dumps plus the shared assignment/probe dumps
+  private val ivfPqResidualTopkSql =
+    s"WITH $ivfCompDumpCtes, $pqResidualScoredCte " +
+      "SELECT query_id, vec_id, adc, rk FROM (" +
+      "SELECT query_id, vec_id, adc, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM rs) " +
+      "WHERE rk <= 10"
+
   // SQ8 compressed-domain scoring replayed from the codes dump alone: the
   // query side is the same dump's vec_id<5 slice and the metric is exact
   // integer squared-L2 — no float rounding anywhere before the rerank
@@ -1081,6 +1145,12 @@ object SparkEntry {
         "e AS (SELECT source, unnest(toks) AS tok FROM t) " +
         "SELECT source, count(DISTINCT tok) AS n_distinct_tokens, TRUE AS within_tol " +
         "FROM e GROUP BY source ORDER BY source"),
+    // file skipping is an execution choice, not a semantic: the zone-map
+    // probe must return exactly the plain filter's rows — hash equality
+    // against the full-scan SQL IS the skipping correctness contract
+    "zonemap_pruned_scan" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem " +
+        "WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 8"),
     // Morton arithmetic generated from the SAME (shift, mask) step table
     // as the Spark expression (ZOrder.spreadSql) — the engines can't drift
     "zorder_values" ->
@@ -1841,6 +1911,67 @@ object SparkEntry {
     // the IVF×PQ composition replayed end-to-end from the four dumps
     // (one shared definition — see ivfPqTopkSql)
     "ivf_pq_topk" -> ivfPqTopkSql,
+    // the residual composition replayed from its own two dumps + the
+    // shared assignment/probe dumps — the per-(query, cell) dtab join is
+    // the IVFADC semantics under test
+    "ivf_pq_residual_topk" -> ivfPqResidualTopkSql,
+    // the residual distortion rollup replayed end-to-end: residual =
+    // embedding − center(cell) (exact double arithmetic both sides), then
+    // the pq_quant_error replay shape against the RESIDUAL codebooks
+    "pq_residual_quant_error" ->
+      ("WITH ctr AS (SELECT cell, list_transform(string_split(center, ','), x -> CAST(x AS DOUBLE)) AS ctr " +
+        "FROM read_parquet('{OUT}/ivf_centers/*.parquet')), " +
+        "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+        "c AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
+        "FROM read_parquet('{OUT}/pq_residual_codes/*.parquet')), " +
+        "cb AS (SELECT subspace, codeword, " +
+        "list_transform(string_split(center, ','), x -> CAST(x AS DOUBLE)) AS w " +
+        "FROM read_parquet('{OUT}/pq_residual_codebooks/*.parquet')), " +
+        "e AS (SELECT c.vec_id, cb.subspace, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "j -> ((emb.embedding[cb.subspace * 8 + j]::DOUBLE - ctr.ctr[cb.subspace * 8 + j]) - cb.w[j]) * " +
+        "((emb.embedding[cb.subspace * 8 + j]::DOUBLE - ctr.ctr[cb.subspace * 8 + j]) - cb.w[j]))), 6) AS err " +
+        "FROM c JOIN embeddings emb USING (vec_id) " +
+        "JOIN a USING (vec_id) JOIN ctr ON ctr.cell = a.cell " +
+        "JOIN cb ON cb.codeword = c.codes[cb.subspace + 1]) " +
+        "SELECT subspace, n_vecs, sum_err_micros, " +
+        "sum_err_micros // n_vecs AS mean_err_micros " +
+        "FROM (SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(round(err * 1000000) AS BIGINT)) AS BIGINT) AS sum_err_micros " +
+        "FROM e GROUP BY subspace) ORDER BY subspace"),
+    // both approximate legs re-ranked from their dumps, the exact leg
+    // recomputed from the embeddings table (the sq_rerank exact-L2 replay
+    // shape), then the recall rollup — small-integer counts, r4 ratios
+    "pq_residual_recall" ->
+      (s"WITH $pqDumpCtes, $ivfCompDumpCtes, $pqResidualScoredCte, " +
+        "s AS (SELECT p.query_id, c.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 8), " +
+        "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
+        "FROM p JOIN a ON a.cell = p.cell " +
+        "JOIN c ON c.vec_id = a.vec_id " +
+        "JOIN q ON q.query_id = p.query_id " +
+        "WHERE c.vec_id <> p.query_id), " +
+        "traw AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) WHERE rk <= 10), " +
+        "tres AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM rs) WHERE rk <= 10), " +
+        "qq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "x AS (SELECT qq.query_id, e.vec_id, " +
+        "round(list_sum(list_transform(generate_series(1, 64), " +
+        "i -> (e.embedding[i]::DOUBLE - qq.q_emb[i]::DOUBLE) * " +
+        "(e.embedding[i]::DOUBLE - qq.q_emb[i]::DOUBLE))), 6) AS l2sq " +
+        "FROM embeddings e, qq WHERE e.vec_id <> qq.query_id), " +
+        "f AS (SELECT query_id, vec_id FROM (" +
+        "SELECT query_id, vec_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY l2sq, vec_id) AS rk FROM x) WHERE rk <= 10), " +
+        "u AS (SELECT 'ivf_pq' AS variant, query_id, vec_id FROM traw " +
+        "UNION ALL SELECT 'ivf_pq_residual' AS variant, query_id, vec_id FROM tres) " +
+        "SELECT u.variant, u.query_id, count(f.vec_id) AS n_overlap, " +
+        "round(count(f.vec_id)::DOUBLE / 10, 4) AS recall " +
+        "FROM u LEFT JOIN f ON u.query_id = f.query_id AND u.vec_id = f.vec_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // layout + serving-fold change, not semantic: the persisted composed
     // index probed through the cell-aware fold returns ivf_pq_topk's rows
     "ivf_pq_topk_indexed" -> ivfPqTopkSql,
@@ -1851,6 +1982,9 @@ object SparkEntry {
     // to micros per term; every per-(doc,term) weight is the same double
     // dag over exact integers, summed as BIGINT
     "bm25_topk" -> bm25Sql,
+    // layout change, not semantic: the standing segment layout probed
+    // through the bucket-pruned scan returns bm25_topk's rows
+    "bm25_topk_indexed" -> bm25Sql,
     // RRF fusion of the two component rankings, each contribution
     // micro-quantized from the same integer division — sums exact
     "hybrid_rrf_topk" ->

@@ -150,6 +150,53 @@ object VectorHashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** Residual-encoded PQ codes (the FAISS IVFADC layout): the vector is
+    * first reduced to its coarse RESIDUAL r = x − center(cell) — float
+    * element widened to double, then the double subtraction, so the
+    * residual is exact — and the residual (not the raw vector) is assigned
+    * per subspace by the same first-minimum argmin as [[pqCodes]].
+    * Residuals of a well-trained coarse quantizer concentrate near the
+    * origin with far less spread than the raw corpus, so the same code
+    * budget quantizes them with lower distortion — the fidelity reason
+    * every production IVF×PQ encodes residuals. The query side compensates
+    * with a PER-(query, probed-cell) distance table over q − center(cell):
+    * ‖q − x‖² = ‖(q − c) − r‖² exactly, so ADC over residual codes
+    * approximates the same distance as ADC over raw codes, just with a
+    * finer codebook grid. */
+  def pqResidualCodes(emb: ArrayData, cell: Int, centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = if (m > 0) codebooks(0)(0).length else 0
+    if (emb.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ geometry $m×$dsub != embedding dim ${emb.numElements()}")
+    val ctr = centers(cell)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = (emb.getFloat(off + j).toDouble - ctr(off + j)) - w(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
   /** Asymmetric-distance lookup: approximate squared L2 distance of a
     * PQ-coded vector to a query whose per-subspace distance table is
     * `dtab` (flattened `numSubspaces × k`, row-major). Sum order is
@@ -196,6 +243,48 @@ object VectorHashImpl {
         var j = 0
         while (j < dsub) {
           val t = emb.getFloat(off + j) - w(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      errs(s) = bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(errs)
+  }
+
+  /** [[pqReconErrs]] for the RESIDUAL tier: distortion of the coarse
+    * residual x − center(cell) under the residual codebooks — the same
+    * exact widen-then-subtract arithmetic as [[pqResidualCodes]], so each
+    * entry is bit-identical to what a decode of the stored residual code
+    * would measure. This is the residual index's health signal, and the
+    * side-by-side with the raw tier's [[pqReconErrs]] is the registered
+    * evidence that residual encoding buys fidelity at the same code
+    * budget. */
+  def pqResidualReconErrs(emb: ArrayData, cell: Int,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = if (m > 0) codebooks(0)(0).length else 0
+    if (emb.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ geometry $m×$dsub != embedding dim ${emb.numElements()}")
+    val ctr = centers(cell)
+    val errs = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val off = s * dsub
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = (emb.getFloat(off + j).toDouble - ctr(off + j)) - w(j)
           d += t * t
           j += 1
         }
@@ -464,6 +553,54 @@ case class PqCodesExpr(child: Expression,
     copy(child = c)
 }
 
+/** Residual-encoded PQ codes of an (`array<float>` embedding, `int` cell)
+  * pair — the FAISS IVFADC encode ([[VectorHashImpl.pqResidualCodes]]): the
+  * coarse-centroid tensor AND the residual codebooks ride along as codegen
+  * reference objects, so the subtract-then-assign is ONE fused pass inside
+  * whole-stage codegen with no residual array ever materialized as a
+  * column. Same scan-byte economics as [[PqCodesExpr]]; strictly lower
+  * quantization distortion at the same code budget. */
+case class PqResidualCodesExpr(left: Expression, right: Expression,
+    centers: Array[Array[Double]],
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(emb: Any, cell: Any): Any =
+    VectorHashImpl.pqResidualCodes(emb.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centers, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centers", centers, "double[][]")
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (e, c) =>
+      s"${ev.value} = graft.functions.VectorHashImpl.pqResidualCodes($e, $c, $cref, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidualCodesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-subspace reconstruction errors of the coarse RESIDUAL under the
+  * residual codebooks ([[VectorHashImpl.pqResidualReconErrs]]) — the
+  * residual tier's health probe, one fused pass, no residual or codes
+  * column materialized. */
+case class PqResidualReconErrExpr(left: Expression, right: Expression,
+    centers: Array[Array[Double]],
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(emb: Any, cell: Any): Any =
+    VectorHashImpl.pqResidualReconErrs(emb.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centers, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centers", centers, "double[][]")
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (e, c) =>
+      s"${ev.value} = graft.functions.VectorHashImpl.pqResidualReconErrs($e, $c, $cref, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidualReconErrExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Asymmetric-distance (ADC) scoring of PQ codes against a query's
   * flattened per-subspace distance table: M table lookups replace a
   * dim-length float loop per comparison — the probe-side win that pairs
@@ -714,6 +851,25 @@ object VectorExpressions {
   def pqCodes(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(
       PqCodesExpr(GraftSqlBridge.expression(emb), codebooks))
+
+  /** Column wrapper: residual-encoded PQ codes of an (`array<float>`
+    * embedding, `int` cell) column pair under the coarse-centroid and
+    * residual-codebook tensors. */
+  def pqResidualCodes(emb: Column, cell: Column,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(
+      PqResidualCodesExpr(GraftSqlBridge.expression(emb),
+        GraftSqlBridge.expression(cell), centers, codebooks))
+
+  /** Column wrapper: per-subspace residual reconstruction errors of an
+    * (`array<float>` embedding, `int` cell) column pair. */
+  def pqResidualReconErrs(emb: Column, cell: Column,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(
+      PqResidualReconErrExpr(GraftSqlBridge.expression(emb),
+        GraftSqlBridge.expression(cell), centers, codebooks))
 
   /** Column wrapper: per-subspace PQ reconstruction errors of an
     * `array<float>` embedding column under the codebook tensor. */

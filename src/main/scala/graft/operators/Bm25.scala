@@ -78,6 +78,196 @@ object Bm25 {
       .orderBy($"query_id", $"rk")
   }
 
+  // ------------------------------------------------------------------
+  // Standing lexical index — write / append / probe, the same
+  // build-once/query-many contract as the vector tiers (IVF, PQ, SQ8).
+  // Layout (the Lucene segment shape re-expressed as a lake layout):
+  //   postings/ : (term, doc_id, tf, dl) partitioned by
+  //               tb = pmod(xxhash64(term), TermBuckets) — a query's term
+  //               set maps to a handful of tb directories, so the probe
+  //               prunes at FILE LISTING exactly like the IVF cell probe
+  //               (query terms play the role of probed cells). dl is
+  //               DENORMALIZED into the posting row (+8 bytes/posting)
+  //               to kill the probe-time doc-length join outright — the
+  //               classic space-for-shuffle trade, and the right one at
+  //               100 TB where the join would re-shuffle pruned postings
+  //               on doc_id against a corpus-sized lengths table.
+  //   stats/    : ONE (n_docs, total_dl) row PER SEGMENT (build + each
+  //               append) — the probe folds the segment rows (segment-
+  //               count-sized, driver-trivial) into exact corpus N and
+  //               Σdl, so appends never rewrite global state.
+  // df is NOT stored: (term, doc_id) is unique by the append contract
+  // (new doc_ids only — the appendToPqIndex contract), so per-term df is
+  // a count over the PRUNED postings slice the probe already reads.
+  // Result: probes after any number of appends are BIT-EQUAL to a batch
+  // bm25TopK over the union corpus — bm25_topk_indexed shares
+  // bm25_topk's oracle, making the index layout + probe path itself
+  // DuckDB-replayed.
+  // ------------------------------------------------------------------
+
+  /** Term-hash partition fan-out of the postings layout. 64 keeps fixture
+    * directory counts sane; production sizes it so a bucket's postings
+    * approximate one HDFS block per segment. */
+  val TermBuckets = 64
+
+  /** (term, doc_id, tf, dl, tb) postings of a (doc_id, text) corpus slice
+    * — tf grouped per (doc, term), dl denormalized onto every posting. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    toks
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("term"))
+      .groupBy($"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .select($"term", $"doc_id", $"tf", $"dl",
+        pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
+  }
+
+  /** One segment-stats row for a corpus slice: zero-length docs carry no
+    * postings but MUST count into N and Σdl (batch parity — bm25TopK's
+    * lens frame sees every doc). */
+  private def segmentStats(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size($"toks").cast("long")), lit(0L)).as("total_dl"))
+
+  /** Persist a BM25 index for build-once / query-many use. */
+  def writeBm25Index(docs: DataFrame, path: String): Unit = {
+    postingsOf(docs).write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    segmentStats(docs).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats")
+  }
+
+  /** Append NEW documents (fresh doc_ids — the add-after-build contract
+    * of every standing index here) as one more segment: postings land in
+    * their term-bucket directories, one stats row records the segment's
+    * (n_docs, Σdl). Only the batch-sized new slice is ever scanned or
+    * shuffled; global stats are never rewritten, they fold at probe. */
+  def appendToBm25Index(newDocs: DataFrame, path: String): Unit = {
+    postingsOf(newDocs).write.mode("append").partitionBy("tb")
+      .parquet(s"$path/postings")
+    segmentStats(newDocs).coalesce(1).write.mode("append")
+      .parquet(s"$path/stats")
+  }
+
+  /** A PREPARED standing handle on a persisted BM25 index — the lexical
+    * twin of [[Pq.StandingPq]]: postings schema and the folded corpus
+    * constants (N, Σdl) are resolved ONCE; each probe then re-lists only
+    * the postings directory (appends land as new files in their term
+    * buckets and stay visible). `statsSig` is the change signature: every
+    * append adds a stats file and a rebuild rewrites the directory, so a
+    * serving loop that re-prepares on signature change always scores with
+    * the constants that match the postings it reads. */
+  final case class StandingBm25(spark: SparkSession, path: String,
+      postingsSchema: org.apache.spark.sql.types.StructType,
+      nDocs: Long, totalDl: Long, statsSig: Seq[(String, Long, Long)])
+
+  /** Cheap change signature of the index's STATS directory — (name,
+    * length, mtime) per file, one listing. Appends append a stats row
+    * file; rebuilds rewrite the directory; probes of an unchanged index
+    * never re-read stats. */
+  private[graft] def statsSignature(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Resolve a persisted BM25 index into a serving handle: one schema
+    * inference + one segment-stats fold, paid once per stream (signature
+    * read FIRST so an append landing mid-prepare is caught by the next
+    * trigger's check — the [[Pq.preparePqIndex]] ordering). */
+  def prepareBm25Index(spark: SparkSession, path: String): StandingBm25 = {
+    val sig = statsSignature(spark, path)
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .agg(sum($"n_docs"), sum($"total_dl")).head()
+    StandingBm25(spark, path,
+      spark.read.parquet(s"$path/postings").schema,
+      statsRow.getLong(0), statsRow.getLong(1), sig)
+  }
+
+  /** Probe the standing index with a driver-small (query_id, text) batch:
+    * fold segment stats (exact N, Σdl), prune the postings scan to the
+    * query terms' tb directories (file-listing pruning — the lexical twin
+    * of the IVF cell probe), then the same engine-exact scoring dag as
+    * [[bm25TopK]]. Per-term df is counted over the pruned slice —
+    * (term, doc_id) is unique across segments by the append contract. */
+  def queryBm25Index(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, salts: Int = 8): DataFrame =
+    queryStandingBm25(prepareBm25Index(spark, path), queries, k, salts)
+
+  /** [[queryBm25Index]] through an already-prepared handle — the serving
+    * hot path: no schema inference, no stats re-fold; one postings
+    * listing per probe. */
+  def queryStandingBm25(standing: StandingBm25, queries: DataFrame,
+      k: Int = 10, salts: Int = 8): DataFrame = {
+    val spark = standing.spark
+    val path = standing.path
+    val nDocs = standing.nDocs
+    val totalDl = standing.totalDl
+    val qterms = queries
+      .select($"query_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .distinct()
+    // the probed "cells": distinct term buckets of the query batch —
+    // query-sized by contract, so the collect is bounded like the IVF
+    // probe-cell collect
+    val buckets = qterms
+      .select(pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val qvocab = broadcast(qterms.select($"term").distinct())
+    val postings = spark.read.schema(standing.postingsSchema)
+      .parquet(s"$path/postings")
+      .filter($"tb".isin(buckets: _*))
+      .join(qvocab, "term")
+    val dfTab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = broadcast(dfTab
+      .select($"term", round(
+        log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+        .cast("long").as("idf_micros")))
+    val weights = postings
+      .join(idf, "term")
+      .select($"doc_id", $"term",
+        round($"idf_micros" * (lit(22L) * $"tf" * lit(totalDl)).cast("double") /
+          (lit(10L) * $"tf" * lit(totalDl) + lit(3L * totalDl) +
+            lit(9L * nDocs) * $"dl").cast("double"))
+          .cast("long").as("wm"))
+    val scored = weights.join(broadcast(qterms), "term")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"wm").as("score_micros"))
+      .select($"query_id", $"doc_id".as("vec_id"), $"score_micros")
+    Similarity.topKPerQuery(scored, k, salts, "score_micros", asc = false)
+      .select($"query_id", $"rk", $"vec_id".as("doc_id"), $"score_micros")
+      .orderBy($"query_id", $"rk")
+  }
+
+  private def bm25IndexPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_bm25")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): the AMORTIZED standing-index probe —
+    * [[queryBm25Index]] over the persisted segment layout (build absorbed
+    * by the bench's untimed warmup). Returns exactly [[bm25TopK]]'s rows —
+    * the layout is an execution choice, not a semantic — so it shares
+    * `bm25_topk`'s oracle, which makes the segment-stats fold, the
+    * bucket-pruned scan, and the pruned-slice df count DuckDB-replayed
+    * rather than only spec-pinned. */
+  def bm25TopKIndexed(spark: SparkSession, sfDir: String,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val path = bm25IndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "stats"))) {
+      writeBm25Index(Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text"), path)
+    }
+    val queries = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < numQueries)
+      .select($"doc_id".as("query_id"), $"text")
+    queryBm25Index(spark, path, queries, k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical
     * ([[bm25TopK]]) and semantic ([[Similarity.cosineTopK]]) rankings —
     * the standard two-tower serving fusion, scored as

@@ -71,10 +71,22 @@ object Pq {
       // copy to a primitive array ONCE: the hot loop indexes the query
       // numSubspaces·k·dsub times, and Seq#apply boxes every access —
       // measured 1.2 s/8k-query batch on the serving driver vs ~40 ms
-      // primitive (same float→double widening, bit-identical tables)
-      val qa = new Array[Float](q.length)
+      // primitive (float→double widening is exact, so pre-widening here
+      // and delegating to the double core is bit-identical to the
+      // widen-at-use loop this refactor replaced)
+      val qa = new Array[Double](q.length)
       var i = 0
-      while (i < qa.length) { qa(i) = q(i); i += 1 }
+      while (i < qa.length) { qa(i) = q(i).toDouble; i += 1 }
+      distanceTableD(qa)
+    }
+
+    /** [[distanceTable]] over an already-DOUBLE query vector — the residual
+      * tier's entry point: q − center(cell) is computed in doubles (exact
+      * widening, exact subtraction order), and its table must come off the
+      * same arithmetic as the float path's. */
+    def distanceTableD(qa: Array[Double]): Array[Double] = {
+      require(qa.length == numSubspaces * dsub,
+        s"query dim ${qa.length} != PQ geometry $numSubspaces×$dsub")
       val tab = new Array[Double](numSubspaces * k)
       var m = 0
       while (m < numSubspaces) {
@@ -84,7 +96,7 @@ object Pq {
           var d = 0.0
           var j = 0
           while (j < dsub) {
-            val t = qa(m * dsub + j).toDouble - w(j)
+            val t = qa(m * dsub + j) - w(j)
             d += t * t
             j += 1
           }
@@ -164,6 +176,14 @@ object Pq {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    fitCodebooks(sample, numSubspaces, k, iters, seed)
+  }
+
+  /** The per-subspace Lloyd fit shared by [[train]] (raw vectors) and
+    * [[trainResidual]] (coarse residuals): slice each sampled vector into
+    * its contiguous subvectors, fit one seeded codebook per subspace. */
+  private def fitCodebooks(sample: Array[Array[Double]], numSubspaces: Int,
+      k: Int, iters: Int, seed: Long): PqModel = {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample(0).length
     require(dim % numSubspaces == 0,
@@ -1037,5 +1057,215 @@ object Pq {
         VectorExpressions.pqAdc($"codes", $"dtab", model.k), 6))
       .select($"query_id", $"vec_id", $"adc")
     Similarity.topKPerQuery(scored, k, salts = 8, "adc", asc = true)
+  }
+
+  // ------------------------------------------------------------------
+  // Residual-encoded IVF×PQ — the FAISS IVFADC layout
+  // (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011 §IV: quantize r = x − q1(x), not x). Residuals of
+  // a trained coarse quantizer concentrate near the origin with far less
+  // spread than the raw corpus, so the SAME 8-byte code budget carries
+  // measurably lower distortion — pq_residual_recall is the registered
+  // evidence, PqSpec pins the distortion and recall dominance on the
+  // fixture. The cost: the query-side ADC table becomes PER (query,
+  // probed cell) — nprobe tables per query instead of one — still
+  // driver-trivial (nprobe × M × k doubles), and the scoring join shape
+  // is IDENTICAL to ivfPqTopK's (the dtab column already rides the
+  // (query_id, cell) broadcast rows there).
+  // ------------------------------------------------------------------
+
+  /** Driver-side residual: exact float→double widening then exact double
+    * subtraction — the SAME arithmetic as the distributed
+    * [[graft.functions.PqResidualCodesExpr]] encode, so training, encode,
+    * and the query tables never see different residual values. */
+  private def residualOf(e: Seq[Float], ctr: Array[Double]): Array[Double] =
+    Array.tabulate(ctr.length)(j => e(j).toDouble - ctr(j))
+
+  /** Train per-subspace codebooks on the coarse RESIDUALS of a built IVF
+    * index — the same bounded deterministic sample gate as [[train]], with
+    * each sampled vector replaced by x − center(cell(x)) before the
+    * per-subspace Lloyd fit. Driver never sees more than ~`sampleTarget`
+    * vectors regardless of corpus size. */
+  def trainResidual(index: Similarity.IvfIndex,
+      numSubspaces: Int = NumSubspaces, k: Int = CodebookSize,
+      sampleTarget: Int = 2048, iters: Int = 10, seed: Long = 42L): PqModel = {
+    val total = index.bucketed.count()
+    val mod = math.max(1L, total / sampleTarget)
+    val sample = index.bucketed
+      .filter(pmod(xxhash64($"vec_id"), lit(mod)) === 0)
+      .select($"vec_id", $"embedding", $"cell")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => residualOf(r.getSeq[Float](1), index.centers(r.getInt(2))))
+    fitCodebooks(sample, numSubspaces, k, iters, seed)
+  }
+
+  /** Distributed residual encode: (vec_id, codes, cell). One fused codegen
+    * pass ([[graft.functions.PqResidualCodesExpr]] — centroid tensor and
+    * codebooks ride as codegen references), no shuffle, no residual column
+    * ever materialized. */
+  def encodeResidual(index: Similarity.IvfIndex, model: PqModel): DataFrame =
+    index.bucketed.select($"vec_id",
+      VectorExpressions.pqResidualCodes($"embedding", $"cell",
+        index.centers, model.codebooks).as("codes"),
+      $"cell")
+
+  /** ONE residual-codebook fit per (process, sf dir) — the
+    * [[Similarity.standingIndex]] rationale verbatim: all four residual
+    * entries (two dumps, the top-k, the recall rollup) must describe the
+    * SAME fit or the dump-replay oracle would mismatch for run-to-run
+    * reasons. The fit itself hangs off the standing coarse index, so the
+    * `ivf_assignments` / `ivf_probe_cells` dumps describe these entries
+    * exactly as they do the raw-code composition's. */
+  private val residualModels =
+    scala.collection.concurrent.TrieMap.empty[String, PqModel]
+
+  private def residualFixture(spark: SparkSession,
+      sfDir: String): (Similarity.IvfIndex, PqModel) = {
+    val index = Similarity.standingIndex(spark, sfDir)
+    (index, residualModels.getOrElseUpdate(sfDir, trainResidual(index)))
+  }
+
+  private def fixtureQueriesOf(index: Similarity.IvfIndex,
+      numQueries: Int): Seq[(Long, Seq[Float])] =
+    fixtureQueries(index.bucketed.select($"vec_id", $"embedding"), numQueries)
+
+  /** The per-(query, probed-cell) residual probe set: cell ranks from the
+    * ONE shared [[Similarity.probeCellsFor]] path (so the `ivf_probe_cells`
+    * dump describes these probes too), each with the ADC table of the
+    * RESIDUAL query q − center(cell) against the residual codebooks. */
+  private def residualProbes(index: Similarity.IvfIndex, model: PqModel,
+      queries: Seq[(Long, Seq[Float])],
+      nprobe: Int): Seq[(Long, Int, Seq[Double])] = {
+    val byId = queries.toMap
+    Similarity.probeCellsFor(index.centers, queries, nprobe)
+      .map { case (qid, cell) =>
+        (qid, cell,
+          model.distanceTableD(residualOf(byId(qid), index.centers(cell))).toSeq)
+      }
+  }
+
+  /** Registered rows-only dump (it IS the oracle input): the
+    * residual-coded corpus, comma-joined like [[pqCodesEntry]]. */
+  def pqResidualCodesEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val (index, model) = residualFixture(spark, sfDir)
+    encodeResidual(index, model)
+      .select($"vec_id", $"codes")
+      .withColumn("codes", expr("array_join(transform(codes, x -> cast(x AS string)), ',')"))
+  }
+
+  /** Registered rows-only dump (it IS the oracle input): per-(query,
+    * probed-cell) residual ADC tables — the IVFADC twist over
+    * [[pqQueryDtabs]]'s per-query tables. Doubles survive the string
+    * round-trip exactly (same rationale as [[pqQueryDtabs]]). */
+  def pqResidualDtabs(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, maxNprobe: Int = 4): DataFrame = {
+    val (index, model) = residualFixture(spark, sfDir)
+    val probes = residualProbes(index, model,
+      fixtureQueriesOf(index, numQueries), maxNprobe)
+    spark.createDataFrame(probes).toDF("query_id", "cell", "dtab")
+      .withColumn("dtab", expr("array_join(transform(dtab, x -> cast(x AS string)), ',')"))
+  }
+
+  /** Registered query (oracle-checked): IVF × residual-PQ — [[ivfPqTopK]]
+    * with residual codes and per-(query, cell) tables. The scoring join is
+    * shape-identical (broadcast (query_id, cell, dtab) rows against the
+    * cell-pruned coded corpus — each vector lives in exactly one cell, so
+    * the per-cell tables cannot double-score a pair); only the table
+    * CONTENTS differ. DuckDB replays the whole composition from the
+    * `pq_residual_codes` + `pq_residual_dtabs` + `ivf_assignments` +
+    * `ivf_probe_cells` dumps. */
+  def ivfPqResidualTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (index, model) = residualFixture(spark, sfDir)
+    val coded = encodeResidual(index, model)
+    val probes = residualProbes(index, model,
+      fixtureQueriesOf(index, numQueries), nprobe)
+    val probeCells = probes.map(_._2).distinct
+    val queryCells = spark.createDataFrame(probes)
+      .toDF("query_id", "cell", "dtab")
+    val pruned = coded.filter($"cell".isin(probeCells: _*))
+    val scored = pruned
+      .join(broadcast(queryCells),
+        pruned("cell") === queryCells("cell") && $"vec_id" =!= $"query_id")
+      .withColumn("adc", round(
+        VectorExpressions.pqAdc($"codes", $"dtab", model.k), 6))
+      .select($"query_id", $"vec_id", $"adc")
+    Similarity.topKPerQuery(scored, k, salts = 8, "adc", asc = true)
+  }
+
+  /** Registered rows-only dump (it IS the oracle input): the residual
+    * codebook tensor, [[pqCodebooksEntry]]'s shape. */
+  def pqResidualCodebooksEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, model) = residualFixture(spark, sfDir)
+    val flat = for {
+      m <- model.codebooks.indices
+      c <- model.codebooks(m).indices
+    } yield (m.toLong, c.toLong,
+      model.codebooks(m)(c).map(_.toString).mkString(","))
+    spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
+  }
+
+  /** Registered query (oracle-checked): the residual tier's index-health
+    * signal — [[pqQuantError]]'s rollup over the RESIDUAL distortion.
+    * Read side by side with `pq_quant_error` this is the registered
+    * quantitative evidence for the residual tier: same 8-byte code budget,
+    * strictly lower per-subspace distortion (PqSpec pins the dominance).
+    * DuckDB replays it from the residual codes + codebooks + the
+    * `ivf_centers` + `ivf_assignments` dumps and the raw embeddings:
+    * slice → subtract center → L2 to the assigned codeword → integer
+    * micros rollup. */
+  def pqResidualQuantError(spark: SparkSession, sfDir: String): DataFrame = {
+    val (index, model) = residualFixture(spark, sfDir)
+    index.bucketed
+      .select($"vec_id",
+        posexplode(VectorExpressions.pqResidualReconErrs($"embedding", $"cell",
+          index.centers, model.codebooks))
+          .as(Seq("subspace", "err")))
+      .withColumn("err_micros", graft.util.Cols.micros6($"err"))
+      .groupBy($"subspace".cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"err_micros").as("sum_err_micros"))
+      .select($"subspace", $"n_vecs", $"sum_err_micros",
+        expr("sum_err_micros DIV n_vecs").as("mean_err_micros"))
+      .orderBy($"subspace")
+  }
+
+  /** Registered query (oracle-checked): recall@k of the raw-code and the
+    * residual-code IVF×PQ compositions against the EXACT squared-L2
+    * ranking — the table that justifies the residual tier's existence (and
+    * the one a user reads before picking an encode). Both approximate legs
+    * and the exact baseline are deterministic, so the whole rollup is
+    * hash-checked: DuckDB replays the raw leg from the four ivf_pq dumps,
+    * the residual leg from the two residual dumps, and the exact leg from
+    * the embeddings table. Scale: two cell-pruned probes + one exact
+    * baseline scan; the rollup is 2·|queries| rows. */
+  def pqResidualRecall(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (index, _) = residualFixture(spark, sfDir)
+    val queries = fixtureQueriesOf(index, numQueries)
+    val qEmb = spark.createDataFrame(queries).toDF("query_id", "q_emb")
+    // the exact leg ranks by the same metric ADC approximates (squared
+    // L2), not cosine — recall against a different metric's ranking would
+    // conflate quantization loss with metric disagreement
+    val exact = index.bucketed
+      .join(broadcast(qEmb), $"vec_id" =!= $"query_id")
+      .withColumn("l2sq", round(
+        VectorExpressions.l2Sq($"embedding", $"q_emb"), 6))
+      .select($"query_id", $"vec_id", $"l2sq")
+    val fullTop = Similarity.topKPerQuery(exact, k, salts = 8, "l2sq", asc = true)
+      .select($"query_id", $"vec_id", lit(1L).as("hit"))
+    val legs = Seq(
+      "ivf_pq" -> ivfPqTopK(spark, sfDir, numQueries, k, nprobe = nprobe),
+      "ivf_pq_residual" -> ivfPqResidualTopK(spark, sfDir, numQueries, k, nprobe))
+    legs.map { case (variant, top) =>
+        top.select(lit(variant).as("variant"), $"query_id", $"vec_id")
+      }
+      .reduce(_.unionByName(_))
+      .join(fullTop, Seq("query_id", "vec_id"), "left")
+      .groupBy($"variant", $"query_id")
+      .agg(coalesce(sum($"hit"), lit(0L)).as("n_overlap"))
+      .select($"variant", $"query_id", $"n_overlap",
+        round($"n_overlap".cast("double") / k, 4).as("recall"))
+      .orderBy($"variant", $"query_id")
   }
 }

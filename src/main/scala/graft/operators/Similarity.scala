@@ -502,6 +502,22 @@ object Similarity {
       buildIvfIndex(emb, nlist)
     })
 
+  /** Registered rows-only dump (it IS the oracle input): the standing
+    * coarse index's centroid matrix, doubles as comma-joined strings
+    * (Java shortest-round-trip formatting → nearest-double parse is exact;
+    * the [[graft.operators.Pq.pqCodebooksEntry]] convention). What it
+    * unlocks: replays that must RESIDUALIZE — subtract center(cell) from a
+    * raw vector — which no other dump carries the centers for
+    * (`pq_residual_quant_error` is the consumer). */
+  def ivfCentersEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val index = standingIndex(spark, sfDir)
+    spark.createDataFrame(
+      index.centers.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.map(_.toString).mkString(",")) }
+        .toSeq)
+      .toDF("cell", "center")
+  }
+
   /** Registered query: probe of the standing in-memory index. Fully
     * oracle-checked via the `ivf_assignments` + `ivf_probe_cells` dumps
     * (the {OUT} mechanism): DuckDB replays the pruned scan — join probed

@@ -79,4 +79,87 @@ object ZOrder {
       .sortWithinPartitions($"_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------------------
+  // Zone maps — the data-skipping CONSUMER of the Z-order layout (the
+  // Delta/Iceberg file-statistics shape): one metadata row per data file
+  // carrying row count + the bounding box of the layout keys; a range
+  // probe intersects its predicate box with the zone boxes and reads
+  // ONLY the overlapping files. Z-order is what makes the boxes small on
+  // BOTH dimensions (zorder_locality is the audit; this is the payoff —
+  // a 2-D predicate skips most files, where a linear sort-by-x layout
+  // skips only on x). At 100 TB the zones table is still metadata-scale
+  // (one row per file); production filters it distributively and
+  // collects only the matching file list — bounded by the match, exactly
+  // the Delta data-skipping read path.
+  // ------------------------------------------------------------------
+
+  /** Build the zone map of a flat parquet layout: per FILE, row count and
+    * the (xCol, yCol) bounding box — one narrow scan grouped by
+    * `input_file_name()` (file-count-sized output). Parquet footers carry
+    * these stats per row group already; materializing them as a table is
+    * what lets PLANNING skip whole files without touching any footer —
+    * the listing-time analogue of the IVF cell / BM25 term-bucket prune,
+    * for layouts where the predicate column is not a partition key. */
+  def buildZoneMap(spark: SparkSession, tablePath: String,
+      xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+
+  /** File-skipping 2-D range scan: overlap-test the predicate box against
+    * the zone map (file-count-sized collect), read ONLY the surviving
+    * files, then apply the residual predicate (zone boxes over-approximate
+    * — a surviving file can still hold non-matching rows). Row-identical
+    * to a full-scan filter by construction; what changes is bytes read. */
+  def prunedRangeScan(spark: SparkSession, tablePath: String,
+      zones: DataFrame, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val files = zones
+      .filter(col("min_x") <= xHi && col("max_x") >= xLo &&
+        col("min_y") <= yHi && col("max_y") >= yLo)
+      .select(col("file")).collect().map(_.getString(0))
+    val src =
+      if (files.isEmpty) spark.read.parquet(tablePath) // degenerate: filter kills all rows anyway
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    src.filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+  }
+
+  private def zonedFixturePath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_zonemap")}/$key"
+  }
+
+  /** The one zoned fixture layout per (process, sf dir): lineitem's four
+    * key columns Z-ordered on (l_partkey, l_suppkey) into 16 files, plus
+    * the zone map built next to it. */
+  private[graft] def ensureZonedLineitem(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = zonedFixturePath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zones"))) {
+      writeZOrdered(Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+        "l_partkey", "l_suppkey", s"$dir/table")
+      buildZoneMap(spark, s"$dir/table", "l_partkey", "l_suppkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/zones")
+    }
+    dir
+  }
+
+  /** Registered query (oracle-checked): the zone-map-pruned 2-D range scan
+    * over the Z-ordered lineitem layout. The oracle is the PLAIN filter —
+    * file skipping is an execution choice, not a semantic, so
+    * hash-equality against the full-scan SQL is exactly the data-skipping
+    * correctness contract (no row lost to an over-eager skip, none
+    * duplicated). The skipping itself — files read ≪ files total, and ≪
+    * what a linear layout reads for the same box — is pinned in
+    * spec:ZOrderSpec, which owns the layout-dependent claims. */
+  def zonemapPrunedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureZonedLineitem(spark, sfDir)
+    prunedRangeScan(spark, s"$dir/table",
+      spark.read.parquet(s"$dir/zones"),
+      "l_partkey", "l_suppkey", 20L, 60L, 2L, 8L)
+  }
 }

@@ -548,6 +548,37 @@ object Soak {
     soak(q, soakMs)
   }
 
+  /** Streaming LEXICAL serving throughput — the BM25 standing index probed
+    * per micro-batch via [[LexStream.bm25SearchQuery]]: the synthetic
+    * corpus ([[synthText]] — 12 integer "words"/doc) is written once into
+    * the term-bucket-partitioned segment layout (untimed — the standing
+    * artifact), then a rate-source query stream whose texts REUSE corpus
+    * docs (every query has real postings matches, the expensive case)
+    * probes it. Per trigger this reads only the query terms' bucket
+    * directories and folds segment stats from the handle — the row that
+    * prices the retrieval tier next to the vector tiers' ann/pq rows. */
+  def bm25Run(spark: SparkSession, corpusDocs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 30000): Result = {
+    // 30 s, the ivfPqRun precedent: the first trigger pays scan + join
+    // JIT the 1-query warm-up can't fully absorb; enough steady-state
+    // batches make the row a sustained number, not a warmup mean
+    import graft.operators.Bm25
+    val corpus = spark.range(corpusDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_bm25idx")}/$tag"
+    Bm25.writeBm25Index(corpus, path)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + corpusDocs).as("query_id"),
+        synthText(pmod(col("value"), lit(corpusDocs.toLong))).as("text"))
+    val q = LexStream.bm25SearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    soak(q, soakMs)
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

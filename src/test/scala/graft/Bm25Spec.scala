@@ -50,6 +50,69 @@ class Bm25Spec extends SparkTestBase {
     got.foreach { case (q, _, d, s) => assert(d != q && s > 0) }
   }
 
+  test("standing index probe is bit-equal to batch bm25TopK, including after segment appends") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val batch = Bm25.bm25TopK(spark, sf).collect().map(_.toSeq).toSeq
+
+    // one-shot build
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    Bm25.writeBm25Index(docs, dir1)
+    val oneShot = Bm25.queryBm25Index(spark, dir1, queries).collect().map(_.toSeq).toSeq
+    assert(oneShot == batch, s"one-shot probe diverges: ${oneShot.take(2)} vs ${batch.take(2)}")
+
+    // build on a prefix, append the rest in TWO segments: probes must fold
+    // segment stats and pruned-slice df into the SAME global constants
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25_spec2").toString
+    Bm25.writeBm25Index(docs.filter($"doc_id" <= c1), dir2)
+    Bm25.appendToBm25Index(docs.filter($"doc_id" > c1 && $"doc_id" <= c2), dir2)
+    Bm25.appendToBm25Index(docs.filter($"doc_id" > c2), dir2)
+    val appended = Bm25.queryBm25Index(spark, dir2, queries).collect().map(_.toSeq).toSeq
+    assert(appended == batch, s"post-append probe diverges: ${appended.take(2)} vs ${batch.take(2)}")
+    // three segments → three stats rows folded, not rewritten
+    assert(spark.read.parquet(s"$dir2/stats").count() == 3L)
+  }
+
+  test("standing index probe prunes the postings scan to the query terms' bucket directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_prune").toString
+    Bm25.writeBm25Index(docs, dir)
+    // a one-doc query batch: its term set maps to a strict subset of the
+    // 64 term buckets (fixture docs are short), so pruning is observable
+    val queries = docs.filter($"doc_id" === 0L)
+      .select($"doc_id".as("query_id"), $"text")
+    val nBuckets = queries
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextAnalysis.tokens($"text")).as("term"))
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"term"),
+        org.apache.spark.sql.functions.lit(Bm25.TermBuckets.toLong)))
+      .distinct().count()
+    val totalBuckets = spark.read.parquet(s"$dir/postings")
+      .select($"tb").distinct().count()
+    assert(nBuckets < totalBuckets, s"fixture degenerate: $nBuckets of $totalBuckets")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Bm25.queryBm25Index(spark, dir, queries)
+      assert(df.collect().nonEmpty)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(dir)) => f
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(1500))
+      val scan = scans.head
+      assert(scan.partitionFilters.mkString(",").contains("tb"),
+        scan.partitionFilters.mkString(","))
+      val scanned = scan.metrics.get("numPartitions").map(_.value)
+      assert(scanned.contains(nBuckets), s"partitions read: $scanned, want $nBuckets")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("hybridRrfTopK: fuses both rankers, exact RRF arithmetic, both-list hits outrank") {
     val lex = Bm25.bm25TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap

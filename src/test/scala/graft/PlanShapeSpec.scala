@@ -329,6 +329,10 @@ class PlanShapeSpec extends SparkTestBase {
       // the exact-baseline leg is cosine_topk's query-sized broadcast
       // scorer; the probed legs are equi-joins on the assignment dumps
       "ivf_recall_curve",
+      // same shape as ivf_recall_curve: the exact squared-L2 baseline leg
+      // is a query-sized broadcast build against the corpus; both
+      // approximate legs are cell-pruned broadcast-hash equi-joins
+      "pq_residual_recall",
       // the broadcast build side is the nEpochs-row quality-threshold
       // table (3 rows) joined on qm >= thr — epoch-count-sized by
       // construction, the corpus side streams through unshuffled

@@ -124,6 +124,19 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: BM25 lexical serving sustains the query stream") {
+    // per micro-batch: tokenize, bucket-pruned postings scan, idf
+    // broadcast from the pruned slice, exact-integer scoring, top-k —
+    // the retrieval tier priced next to the vector tiers' serving rows
+    measureWithRetry { i =>
+      Soak.bm25Run(spark, corpusDocs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"bm25 probe throughput degenerate: $d")
+    }
+  }
+
   test("rate-source soak: IVF×PQ composed serving sustains the query stream") {
     // per micro-batch: driver probe-cell choice + distance tables, then a
     // directory-pruned scan of the probed cells' CODES only — both memory

@@ -64,4 +64,56 @@ class ZOrderSpec extends SparkTestBase {
     assert(meanArea < fullArea / 3.0,
       s"mean per-file area $meanArea vs full $fullArea — layout not clustering")
   }
+
+  test("zone map: boxes cover every row; pruned scan is row-equal to the full filter and skips files") {
+    val dir = graft.operators.ZOrder.ensureZonedLineitem(spark, sf)
+    val zones = spark.read.parquet(s"$dir/zones")
+    val table = spark.read.parquet(s"$dir/table")
+    // coverage: zone row counts tile the table exactly
+    assert(zones.agg(sum($"n_rows")).as[Long].head() == table.count())
+    // parity: the skipping probe returns exactly the full-scan filter rows
+    val pruned = ZOrder.zonemapPrunedScan(spark, sf).collect().map(_.toSeq)
+    val full = table
+      .filter($"l_partkey".between(20, 60) && $"l_suppkey".between(2, 8))
+      .collect().map(_.toSeq)
+    assert(pruned.sortBy(_.toString).toSeq == full.sortBy(_.toString).toSeq)
+    assert(pruned.nonEmpty)
+    // skipping: the predicate box overlaps a strict subset of the files
+    val total = zones.count()
+    val read = zones.filter($"min_x" <= 60 && $"max_x" >= 20 &&
+      $"min_y" <= 8 && $"max_y" >= 2).count()
+    assert(read < total, s"no skipping: read $read of $total files")
+  }
+
+  test("zone map on the Z-order layout skips files a linear sort-by-x layout cannot (y-only predicate)") {
+    // the claim Z-order exists for: a predicate on the SECOND dimension
+    // alone prunes Z-range files (each covers a small y-band too) but no
+    // linear-sorted file (every x-range file spans ~the full y extent)
+    val n = 1 << 12
+    val rnd = new scala.util.Random(42)
+    val df = Seq.fill(n)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("zm_z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("zm_lin").toString
+    ZOrder.writeZOrdered(df, "x", "y", zdir, numFiles = 16)
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(ldir)
+    def overlapFrac(dir: String): Double = {
+      val zones = ZOrder.buildZoneMap(spark, dir, "x", "y")
+      val total = zones.count()
+      // y-only box: y in [0, 127], x unconstrained
+      val read = zones.filter($"min_y" <= 127L && $"max_y" >= 0L).count()
+      read.toDouble / total
+    }
+    val zFrac = overlapFrac(zdir)
+    val linFrac = overlapFrac(ldir)
+    assert(linFrac > 0.9, s"linear layout unexpectedly prunable: $linFrac")
+    assert(zFrac < 0.5, s"Z layout not pruning on y: $zFrac")
+    // and the pruned read over the Z layout returns the exact filter rows
+    val got = ZOrder.prunedRangeScan(spark, zdir,
+      ZOrder.buildZoneMap(spark, zdir, "x", "y"),
+      "x", "y", 0L, 1023L, 0L, 127L).collect().map(_.toSeq)
+    val want = df.filter($"y" <= 127L).collect().map(_.toSeq)
+    assert(got.sortBy(_.toString).toSeq == want.sortBy(_.toString).toSeq)
+  }
 }
