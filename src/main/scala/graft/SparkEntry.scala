@@ -260,6 +260,12 @@ object SparkEntry {
     // bm25_topk — the segment layout, bucket-pruned scan, and
     // pruned-slice df count are execution choices, not semantics
     "bm25_topk_indexed" -> ((s, d) => graft.operators.Bm25.bm25TopKIndexed(s, d)),
+    // a probe THROUGH a COMPACTED lexical index: three segments'
+    // term-bucket files rewritten to one sized file per bucket and
+    // swapped in place (stats rows untouched — they still fold to the
+    // batch constants). Same oracle as bm25_topk; the entry guards the
+    // file-count reduction in-line
+    "bm25_topk_compacted" -> ((s, d) => graft.operators.Bm25.bm25TopKCompacted(s, d)),
     // reciprocal-rank fusion of the lexical and semantic rankings —
     // contributions micro-quantized, sums exact; fusion is queries×k-sized
     "hybrid_rrf_topk" -> ((s, d) => graft.operators.Bm25.hybridRrfTopK(s, d)),
@@ -318,6 +324,11 @@ object SparkEntry {
     "pq_residual_codebooks" -> (Pq.pqResidualCodebooksEntry _), // rows-only (it IS the oracle input)
     "ivf_centers" -> ((s, d) => Similarity.ivfCentersEntry(s, d)), // rows-only (it IS the oracle input)
     "ivf_pq_residual_topk" -> ((s, d) => Pq.ivfPqResidualTopK(s, d)),
+    // the AMORTIZED persisted-layout probe of the residual composition:
+    // centers + residual codebooks loaded from the artifact, the
+    // cell-partitioned residual codes pruned at file listing. Same
+    // oracle as ivf_pq_residual_topk — the layout is an execution choice
+    "ivf_pq_residual_topk_indexed" -> ((s, d) => Pq.ivfPqResidualTopKIndexed(s, d)),
     // the residual tier's index-health signal AND its quantitative
     // justification: same 8-byte code budget as pq_quant_error, strictly
     // lower distortion (spec:PqSpec pins the dominance). Replayed from
@@ -1915,6 +1926,10 @@ object SparkEntry {
     // shared assignment/probe dumps — the per-(query, cell) dtab join is
     // the IVFADC semantics under test
     "ivf_pq_residual_topk" -> ivfPqResidualTopkSql,
+    // layout change, not semantic: the persisted cell-partitioned
+    // residual layout probed with loaded centers/codebooks returns
+    // ivf_pq_residual_topk's rows
+    "ivf_pq_residual_topk_indexed" -> ivfPqResidualTopkSql,
     // the residual distortion rollup replayed end-to-end: residual =
     // embedding − center(cell) (exact double arithmetic both sides), then
     // the pq_quant_error replay shape against the RESIDUAL codebooks
@@ -1985,6 +2000,9 @@ object SparkEntry {
     // layout change, not semantic: the standing segment layout probed
     // through the bucket-pruned scan returns bm25_topk's rows
     "bm25_topk_indexed" -> bm25Sql,
+    // layout-maintenance change, not semantic: segment-fragmented term
+    // buckets compacted to one file each still return bm25_topk's rows
+    "bm25_topk_compacted" -> bm25Sql,
     // RRF fusion of the two component rankings, each contribution
     // micro-quantized from the same integer division — sums exact
     "hybrid_rrf_topk" ->

@@ -19,7 +19,7 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq", "anncompact", "bm25"))) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq", "ivfpqres", "anncompact", "bm25"))) {
       val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
@@ -44,6 +44,8 @@ object StreamSoak {
           tag = s"only$cores", soakMs = 20000)
         case "ivfpq" => Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores")
+        case "ivfpqres" => Soak.ivfPqResidualRun(spark, corpusVecs = 20000,
+          annRate, tag = s"only$cores")
         case "anncompact" => Soak.annCompactRun(spark, corpusVecs = 20000,
           annRate, tag = s"only$cores", soakMs = 20000)
         case "bm25" => Soak.bm25Run(spark, corpusDocs = 20000, annRate,
@@ -110,6 +112,10 @@ object StreamSoak {
       // the COMPOSED tier: probed-cell pruning over the compressed codes
       val ivfPq = Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
         tag = s"c$cores")
+      // the residual composed tier (FAISS IVFADC): in-fold per-(query,
+      // cell) table builds over the same offered rate
+      val ivfPqRes = Soak.ivfPqResidualRun(spark, corpusVecs = 20000,
+        annRate, tag = s"c$cores")
       // the lexical tier's serving row: BM25 standing-index probes at the
       // same offered query rate as the vector tiers
       val bm25 = Soak.bm25Run(spark, corpusDocs = 20000, annRate,
@@ -140,6 +146,7 @@ object StreamSoak {
         s""""ann_probe_retrain":${Soak.json(annRetrain)},""" +
         s""""pq_probe":${Soak.json(pq)},""" +
         s""""ivf_pq_probe":${Soak.json(ivfPq)},""" +
+        s""""ivf_pq_residual_probe":${Soak.json(ivfPqRes)},""" +
         s""""bm25_probe":${Soak.json(bm25)},""" +
         s""""ann_probe_compact":${Soak.json(annCompact)},""" +
         s""""ann_ingest_restart":${Soak.json(ingestRestart)},"cores":$cores,""" +

@@ -268,6 +268,45 @@ object Bm25 {
     queryBm25Index(spark, path, queries, k)
   }
 
+  private def bm25CompactPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_bm25_compact")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): a probe THROUGH a COMPACTED lexical
+    * index — the [[graft.operators.Pq.ivfPqTopKCompacted]] pattern on the
+    * postings medium. The layout is deliberately fragmented the way a
+    * real ingest leaves it (built from a third of the corpus, two more
+    * segments appended — one-plus small files per touched term bucket per
+    * segment), then [[graft.util.Compaction.compactDir]] rewrites the tb
+    * directories to one sized file each and swaps them in place; the
+    * stats directory is untouched, so the three segment rows still fold
+    * to the batch constants. Compaction preserves rows, segments union to
+    * the full corpus, and (term, doc_id) stays unique — so this probe
+    * returns exactly [[bm25TopK]]'s rows and shares `bm25_topk`'s oracle,
+    * making postings-medium compaction DuckDB-replay-checked. The entry
+    * guards the layout claim in-line: the rewrite must have strictly
+    * reduced the file count. */
+  def bm25TopKCompacted(spark: SparkSession, sfDir: String,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val path = bm25CompactPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "stats"))) {
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      writeBm25Index(docs.filter($"doc_id" % 3 === 0), path)
+      (1 to 2).foreach { r =>
+        appendToBm25Index(docs.filter($"doc_id" % 3 === r), path)
+      }
+      val stats = graft.util.Compaction.compactDir(spark, path, "postings",
+        partitionCol = Some("tb"))
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce the fragmented layout: $stats")
+    }
+    val queries = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < numQueries)
+      .select($"doc_id".as("query_id"), $"text")
+    queryBm25Index(spark, path, queries, k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical
     * ([[bm25TopK]]) and semantic ([[Similarity.cosineTopK]]) rankings —
     * the standard two-tower serving fusion, scored as

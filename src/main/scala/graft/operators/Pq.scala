@@ -1230,6 +1230,201 @@ object Pq {
       .orderBy($"subspace")
   }
 
+  /** Persist the residual-encoded composed index — [[writeIvfPqIndex]]'s
+    * artifact shape (cell-partitioned codes + centers + codebooks) with
+    * the encode swapped for [[encodeResidual]]. Centers are part of the
+    * artifact twice over here: probes need them for directory pruning AND
+    * to residualize the query per probed cell. */
+  def writeIvfPqResidualIndex(index: Similarity.IvfIndex, model: PqModel,
+      path: String): Unit = {
+    val spark = index.bucketed.sparkSession
+    encodeResidual(index, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    spark.createDataFrame(
+        index.centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    val flat = for {
+      m <- model.codebooks.indices
+      c <- model.codebooks(m).indices
+    } yield (m, c, model.codebooks(m)(c).toSeq)
+    spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  private def ivfPqResidualIndexPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_ivfpq_res")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): the AMORTIZED persisted-layout probe
+    * of the RESIDUAL composition — [[queryStandingIvfPqResidual]] over a
+    * [[prepareIvfPqIndex]] handle on the [[writeIvfPqResidualIndex]]
+    * artifact (parquet doubles round-trip exactly, so the loaded fit IS
+    * the standing fit; build absorbed by the bench's untimed warmup).
+    * Same rows as the in-memory broadcast-join entry — layout and fold
+    * are execution choices — so it shares `ivf_pq_residual_topk`'s
+    * oracle, which makes the residual serving fold itself (in-fold
+    * per-(query, cell) table build, reject bound, round6, aggregate
+    * rank) DuckDB-replayed rather than only spec-pinned. */
+  def ivfPqResidualTopKIndexed(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val path = ivfPqResidualIndexPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "codebooks"))) {
+      val (index, model) = residualFixture(spark, sfDir)
+      writeIvfPqResidualIndex(index, model, path)
+    }
+    val standing = prepareIvfPqIndex(spark, path)
+    val emb = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding")
+    queryStandingIvfPqResidual(standing, emb.filter($"vec_id" < numQueries),
+      k, nprobe)
+  }
+
+  /** One chunk's cell-aware RESIDUAL ADC fold — [[ivfPqFoldSurvivors]]
+    * with the IVFADC twist: the distance table is per (query, probed
+    * CELL), so it is built INSIDE the fold at the head of each cell run
+    * (m·k·dsub ops, amortized over the run's rows) from the broadcast
+    * query VECTORS. Broadcasting prebuilt tables instead would ship
+    * queries × nprobe × 2 KB against the raw fold's queries × 2 KB —
+    * half a GB at the chunk cap — where vectors are queries × 256 B.
+    * The in-fold arithmetic is EXACTLY [[PqModel.distanceTableD]] over
+    * [[residualOf]] (widen float → double, subtract center, subtract
+    * codeword, square, accumulate in subspace order), so the fold's
+    * tables are bit-identical to the driver-side `pq_residual_dtabs`
+    * dump the oracle replays. */
+  private def ivfPqResidualFoldSurvivors(standing: StandingIvfPq,
+      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+    val spark = standing.spark
+    import spark.implicits._
+    val model = standing.model
+    val centers = standing.centers
+    val m = model.numSubspaces
+    val kk = model.k
+    val dsub = model.dsub
+    val dim = m * dsub
+    val qids = chunk.map(_._1)
+    val qflat = new Array[Float](chunk.length * dim)
+    var qi0 = 0
+    while (qi0 < chunk.length) {
+      val q = chunk(qi0)._2
+      var j = 0
+      while (j < dim) { qflat(qi0 * dim + j) = q(j); j += 1 }
+      qi0 += 1
+    }
+    val probes =
+      Similarity.probeCellsFor(centers, chunk.toSeq, nprobe)
+    // ids are distinct within a chunk (collectDistinctQueries), so the
+    // index map is lossless and no query's candidates can fold twice
+    val qIndex = qids.zipWithIndex.toMap
+    val cellToQ: Map[Int, Array[Int]] = probes.groupBy(_._2)
+      .map { case (c, ps) => c -> ps.map(p => qIndex(p._1)).toArray.sorted }
+    val bc = spark.sparkContext.broadcast(
+      (qids, qflat, cellToQ, centers, model.codebooks))
+    val codes = standing.prunedCodes(probes.map(_._2))
+      .select(col("vec_id"), col("codes"), col("cell").cast("int"))
+      .as[(Long, Seq[Int], Int)]
+    val survivors = codes.mapPartitions { iter =>
+      val (ids, qf, byCell, ctrs, cbs) = bc.value
+      val rows = iter.toArray
+      val vids = rows.map(_._1)
+      val cells = rows.map(_._3)
+      val flat = new Array[Int](rows.length * m)
+      var ci = 0
+      while (ci < rows.length) {
+        val cs = rows(ci)._2
+        var s = 0
+        while (s < m) { flat(ci * m + s) = cs(s); s += 1 }
+        ci += 1
+      }
+      val bufs = new Array[graft.functions.TopKScoredBuf](ids.length)
+      val tab = new Array[Double](m * kk) // per-(query, cell-run) scratch
+      var start = 0
+      while (start < rows.length) {
+        var end = start + 1
+        while (end < rows.length && cells(end) == cells(start)) end += 1
+        byCell.get(cells(start)).foreach { probing =>
+          val ctr = ctrs(cells(start))
+          var pi = 0
+          while (pi < probing.length) {
+            val qi = probing(pi)
+            val qid = ids(qi)
+            // build this (query, cell)'s residual table — the
+            // distanceTableD-over-residualOf arithmetic verbatim
+            var s = 0
+            while (s < m) {
+              var c = 0
+              while (c < kk) {
+                val w = cbs(s)(c)
+                var d = 0.0
+                var j = 0
+                while (j < dsub) {
+                  val t = (qf(qi * dim + s * dsub + j).toDouble -
+                    ctr(s * dsub + j)) - w(j)
+                  d += t * t
+                  j += 1
+                }
+                tab(s * kk + c) = d
+                c += 1
+              }
+              s += 1
+            }
+            if (bufs(qi) == null)
+              bufs(qi) = new graft.functions.TopKScoredBuf(k, asc = true)
+            val buf = bufs(qi)
+            var ci2 = start
+            while (ci2 < end) {
+              if (vids(ci2) != qid) {
+                var d = 0.0
+                var s2 = 0
+                while (s2 < m) {
+                  d += tab(s2 * kk + flat(ci2 * m + s2)); s2 += 1
+                }
+                if (passesRejectBound(buf, k, d))
+                  buf.insert(graft.functions.VectorHashImpl.round6(d),
+                    vids(ci2))
+              }
+              ci2 += 1
+            }
+            pi += 1
+          }
+        }
+        start = end
+      }
+      Iterator.range(0, ids.length).flatMap { qi =>
+        val buf = bufs(qi)
+        if (buf == null || buf.n == 0) Iterator.empty
+        else Iterator.single(
+          (ids(qi), buf.ids.take(buf.n), buf.scores.take(buf.n)))
+      }
+    }.toDF("query_id", "vids", "adcs")
+    survivors
+      .select(col("query_id"),
+        explode(arrays_zip(col("vids"), col("adcs"))).as("p"))
+      .select(col("query_id"), col("p.vids").as("vec_id"),
+        col("p.adcs").as("adc"))
+  }
+
+  /** [[queryStandingIvfPq]] for a RESIDUAL-encoded composed index
+    * ([[writeIvfPqResidualIndex]]'s artifact — [[prepareIvfPqIndex]]
+    * resolves it unchanged, the handle is layout-agnostic): the same
+    * chunked driver-small query contract and bounded top-k aggregate,
+    * with scoring through the residual fold. */
+  def queryStandingIvfPqResidual(standing: StandingIvfPq,
+      queryFrame: DataFrame, k: Int = 10, nprobe: Int = 4,
+      maxQueryBatch: Int = 32768): DataFrame = {
+    val spark = standing.spark
+    val model = standing.model
+    val q = collectDistinctQueries(queryFrame, maxQueryBatch,
+      "queryStandingIvfPqResidual", model.numSubspaces * model.k)
+    val survivorRows =
+      if (q.isEmpty) emptySurvivors(spark)
+      else q.grouped(maxQueryBatch).map { chunk =>
+        ivfPqResidualFoldSurvivors(standing, chunk, k, nprobe)
+      }.reduceLeft(_ unionByName _)
+    Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
+  }
+
   /** Registered query (oracle-checked): recall@k of the raw-code and the
     * residual-code IVF×PQ compositions against the EXACT squared-L2
     * ranking — the table that justifies the residual tier's existence (and

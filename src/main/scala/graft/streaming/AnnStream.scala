@@ -936,6 +936,55 @@ object AnnStream {
     * and the same Try-guarded re-prepare + retry-once probe materialized
     * before the sink. Batch parity with `ivf_pq_topk` is pinned in
     * AnnStreamSpec. */
+  /** [[ivfPqSearchQuery]] for a RESIDUAL-encoded composed index
+    * ([[graft.operators.Pq.writeIvfPqResidualIndex]]'s artifact): the
+    * same prepared-handle + signature-check + retry-once contract — the
+    * combined centers+codebooks signature covers exactly the two small
+    * artifacts a residual retrain swaps — with scoring through the
+    * residual fold ([[graft.operators.Pq.queryStandingIvfPqResidual]]:
+    * per-(query, probed-cell) tables built in-fold from broadcast query
+    * vectors). */
+  def ivfPqResidualSearchQuery(queryStream: DataFrame, indexPath: String,
+      k: Int = 10, nprobe: Int = 4)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Pq
+    val spark = queryStream.sparkSession
+    var standing = Pq.prepareIvfPqIndex(spark, indexPath)
+    // configure-time plan warm-up (the ivfPqSearchQuery rationale)
+    if (standing.centers.nonEmpty) {
+      import spark.implicits._
+      val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val _ = Pq.queryStandingIvfPqResidual(standing, warm, k, nprobe).count()
+    }
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        scala.util.Try(Pq.ivfPqSignature(spark, indexPath))
+          .foreach { sig =>
+            if (sig != standing.sig)
+              scala.util.Try(Pq.prepareIvfPqIndex(spark, indexPath))
+                .foreach(standing = _)
+          }
+        if (!batch.isEmpty) {
+          val queries = batch.select($"vec_id", $"embedding")
+          def probe(): DataFrame =
+            Pq.queryStandingIvfPqResidual(standing, queries, k, nprobe)
+              .localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                standing = Pq.prepareIvfPqIndex(spark, indexPath)
+                probe()
+            }
+          sink(result, batchId)
+        }
+      }
+  }
+
   def ivfPqSearchQuery(queryStream: DataFrame, indexPath: String,
       k: Int = 10, nprobe: Int = 4)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

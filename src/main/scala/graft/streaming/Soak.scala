@@ -548,6 +548,37 @@ object Soak {
     soak(q, soakMs)
   }
 
+  /** Streaming RESIDUAL IVF×PQ serving throughput — [[ivfPqRun]]'s
+    * geometry with the FAISS-IVFADC encode: residual codes persisted
+    * cell-partitioned (untimed build), probes through
+    * [[AnnStream.ivfPqResidualSearchQuery]]'s in-fold per-(query, cell)
+    * table build. The row prices what the residual tier ADDS over
+    * ivf_pq_probe: nprobe table builds per query (m·k·dsub each,
+    * amortized over the cell runs) bought with ~10% lower distortion at
+    * the same code budget. */
+  def ivfPqResidualRun(spark: SparkSession, corpusVecs: Int,
+      queriesRate: Int, tag: String, soakMs: Long = 30000): Result = {
+    import graft.operators.{Pq, Similarity}
+    val corpus = spark.range(corpusVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val path =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_ivfpqres")}/$tag"
+    val index = Similarity.buildIvfIndex(corpus, nlist = 16)
+    Pq.writeIvfPqResidualIndex(index, Pq.trainResidual(index), path)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = AnnStream.ivfPqResidualSearchQuery(queries, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    soak(q, soakMs)
+  }
+
   /** Streaming LEXICAL serving throughput — the BM25 standing index probed
     * per micro-batch via [[LexStream.bm25SearchQuery]]: the synthetic
     * corpus ([[synthText]] — 12 integer "words"/doc) is written once into

@@ -139,6 +139,56 @@ class AnnStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("residual IVF×PQ serving: micro-batch probes equal the registered residual composition; a retrain refresh is picked up") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    // the SAME artifacts the ivf_pq_residual_topk entry composes in
+    // memory: the process-wide standing coarse fit and the deterministic
+    // residual codebook fit, persisted in the residual serving layout
+    val index = Similarity.standingIndex(spark, sf, nlist = 16)
+    val rmodel = Pq.trainResidual(index)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-res-stream").toString
+    Pq.writeIvfPqResidualIndex(index, rmodel, path)
+    val queries = emb.filter($"vec_id" < 5)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfPqResidualSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      // split delivery must union to the REGISTERED batch entry — the
+      // broadcast-join path — so fold ≡ join is pinned here in-process
+      // on top of the oracle's DuckDB replay of the fold-backed entry
+      val (first, second) = queries.splitAt(2)
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+      val expected = Pq.ivfPqResidualTopK(spark, sf)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expected)
+      assert(results.nonEmpty)
+      // residual retrain swapped under the live stream: new codebooks
+      // (different seed) over the SAME coarse fit — the combined
+      // signature changes and the next trigger equals a freshly
+      // prepared batch probe of the refreshed index
+      Pq.writeIvfPqResidualIndex(index,
+        Pq.trainResidual(index, seed = 1043L), path)
+      results.clear()
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      val fresh = Pq.queryStandingIvfPqResidual(
+        Pq.prepareIvfPqIndex(spark, path),
+        queries.toDF("vec_id", "embedding"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == fresh)
+      assert(results.nonEmpty)
+    } finally q.stop()
+  }
+
   test("PQ serving: micro-batch ADC probes equal the batch ADC top-k; appends and codebook refreshes visible") {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")

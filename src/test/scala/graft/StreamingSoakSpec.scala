@@ -124,6 +124,19 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: residual IVF×PQ serving sustains the query stream") {
+    // the FAISS-IVFADC serving shape: cell-pruned compressed scan with
+    // per-(query, cell) tables built inside the fold — the distortion
+    // win must not cost the composed tier its throughput floor
+    measureWithRetry { i =>
+      Soak.ivfPqResidualRun(spark, corpusVecs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"residual composed probe degenerate: $d")
+    }
+  }
+
   test("rate-source soak: BM25 lexical serving sustains the query stream") {
     // per micro-batch: tokenize, bucket-pruned postings scan, idf
     // broadcast from the pruned slice, exact-integer scoring, top-k —
