@@ -1281,6 +1281,35 @@ object Pq {
       k, nprobe)
   }
 
+  /** [[retrainIvfPqIndex]] for the RESIDUAL layout: refit the coarse
+    * quantizer over the raw corpus, refit the residual codebooks AGAINST
+    * THE NEW CELLS (residuals are meaningless under stale centers — the
+    * two fits are order-dependent here, unlike the raw composition's),
+    * re-encode, and swap codes + centers + codebooks as one unit. */
+  def retrainIvfPqResidualIndex(emb: DataFrame, path: String,
+      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val nlist = Similarity.loadCenters(spark, path).length
+    val current = loadPqModel(spark, path)
+    val base = spread(emb).select($"vec_id", $"embedding")
+      .persist() // scanned by the coarse fit, the residual fit, the encode
+    try {
+      val rawCount = base.count()
+      val codesCount = spark.read.parquet(s"$path/codes").count()
+      require(rawCount >= codesCount,
+        s"retrainIvfPqResidualIndex: raw corpus ($rawCount vecs) does not " +
+          s"cover the index ($codesCount codes) at $path — was $path/raw " +
+          "seeded with the initial corpus?")
+      val refit = Similarity.buildIvfIndex(base, nlist)
+      val staging = s"$path/retrain_staging"
+      writeIvfPqResidualIndex(refit,
+        trainResidual(refit, current.numSubspaces, current.k, seed = seed),
+        staging) // fully materialized before any old state moves
+      graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+        Seq("codes", "centers", "codebooks"))
+    } finally { val _ = base.unpersist() }
+  }
+
   /** One chunk's cell-aware RESIDUAL ADC fold — [[ivfPqFoldSurvivors]]
     * with the IVFADC twist: the distance table is per (query, probed
     * CELL), so it is built INSIDE the fold at the head of each cell run

@@ -644,7 +644,7 @@ object AnnStream {
     * two longs); both are scored against the SAME resynced geometry and
     * retired together when the combined [[graft.operators.Pq
     * .ivfPqSignature]] changes. */
-  final class IvfPqRetrainMonitor private[streaming] (
+  sealed class IvfPqRetrainMonitor private[streaming] (
       indexPath: String,
       val healthFloorMicros: Long,
       val errCeilingMicros: Long,
@@ -708,14 +708,21 @@ object AnnStream {
     private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
         batchTag: String): Unit = {
       graft.util.BatchAppend.append(vecs, s"$indexPath/raw", batchTag)
-      graft.util.BatchAppend.append(
-        graft.util.Cols.spread(vecs).select(col("vec_id"),
-          graft.functions.VectorExpressions
-            .pqCodes(col("embedding"), model.codebooks).as("codes"),
-          graft.functions.VectorExpressions
-            .nearestCenter(col("embedding"), centers).as("cell")),
+      graft.util.BatchAppend.append(encodeBatch(vecs),
         s"$indexPath/codes", batchTag, partitionCol = Some("cell"))
     }
+
+    /** The frozen-geometry encode of one ingested batch — the raw-code
+      * composition here; the residual subclass swaps the encode (and ONLY
+      * the encode — append fencing, durability, and alarm lifecycle are
+      * inherited, written once). */
+    protected def encodeBatch(
+        vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.util.Cols.spread(vecs).select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .pqCodes(col("embedding"), model.codebooks).as("codes"),
+        graft.functions.VectorExpressions
+          .nearestCenter(col("embedding"), centers).as("cell"))
 
     /** Both health rollups over the (persisted) batch — the SAME shared
       * folds the single-tier monitors run ([[cellHealthFold]] /
@@ -725,11 +732,17 @@ object AnnStream {
     private[streaming] def foldBatch(
         vecs: org.apache.spark.sql.DataFrame): Long = {
       val _ = cellHealthFold(vecs, centers, cellN, cellSum)
-      val (batchVecs, errSum) = reconErrFold(vecs, model)
+      val (batchVecs, errSum) = batchErrFold(vecs)
       nVecs += batchVecs
       sumErrMicros += errSum
       batchVecs
     }
+
+    /** The compressed-signal rollup of one batch — raw reconstruction
+      * error here, residual in the subclass. */
+    protected def batchErrFold(
+        vecs: org.apache.spark.sql.DataFrame): (Long, Long) =
+      reconErrFold(vecs, model)
 
     private[streaming] def fireRetrain(
         spark: org.apache.spark.sql.SparkSession): Unit =
@@ -753,6 +766,78 @@ object AnnStream {
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None): IvfPqRetrainMonitor = {
     val m = new IvfPqRetrainMonitor(indexPath, healthFloorMicros,
+      errCeilingMicros, minVecsForAlarm, stateDir)
+    m.resync(spark)
+    m.seedState(spark)
+    m
+  }
+
+  /** RESIDUAL reconstruction-error rollup of one batch —
+    * `pq_residual_quant_error`'s exact arithmetic: cell by frozen-center
+    * argmin, per-subspace residual distortion, integer micros. */
+  private def residualReconErrFold(vecs: org.apache.spark.sql.DataFrame,
+      centers: Array[Array[Double]],
+      model: graft.operators.Pq.PqModel): (Long, Long) = {
+    val h = vecs
+      .select(col("embedding"), graft.functions.VectorExpressions
+        .nearestCenter(col("embedding"), centers).as("cell"))
+      .select(posexplode(graft.functions.VectorExpressions
+        .pqResidualReconErrs(col("embedding"), col("cell"), centers,
+          model.codebooks))
+        .as(Seq("subspace", "err")))
+      .select(graft.util.Cols.micros6(col("err")).as("err_micros"))
+      .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+      .head()
+    (h.getLong(0) / math.max(model.numSubspaces, 1), h.getLong(1))
+  }
+
+  /** The RESIDUAL composed monitor — [[IvfPqRetrainMonitor]] over a
+    * [[graft.operators.Pq.writeIvfPqResidualIndex]] artifact. Exactly
+    * three things change: the ingest encode quantizes the coarse residual
+    * ([[graft.functions.PqResidualCodesExpr]]), the compressed signal
+    * folds RESIDUAL distortion (`pq_residual_quant_error`'s arithmetic —
+    * the oracle-checked health entry for this layout), and the response is
+    * [[graft.operators.Pq.retrainIvfPqResidualIndex]] (coarse refit FIRST,
+    * residual codebooks refit against the new cells). Alarm semantics
+    * (binding margin of floor and ceiling), append fencing, crash-restart
+    * durability, and the serving handoff are INHERITED — the unified
+    * scaffold means durability stays written once. */
+  final class IvfPqResidualRetrainMonitor private[streaming] (
+      indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
+      minVecsForAlarm: Long, stateDir: Option[String])
+      extends IvfPqRetrainMonitor(indexPath, healthFloorMicros,
+        errCeilingMicros, minVecsForAlarm, stateDir) {
+
+    override protected def encodeBatch(
+        vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.util.Cols.spread(vecs)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExpressions
+            .nearestCenter(col("embedding"), centers).as("cell"))
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions
+            .pqResidualCodes(col("embedding"), col("cell"), centers,
+              model.codebooks).as("codes"),
+          col("cell"))
+
+    override protected def batchErrFold(
+        vecs: org.apache.spark.sql.DataFrame): (Long, Long) =
+      residualReconErrFold(vecs, centers, model)
+
+    override private[streaming] def fireRetrain(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      graft.operators.Pq.retrainIvfPqResidualIndex(
+        spark.read.parquet(s"$indexPath/raw"), indexPath)
+  }
+
+  /** Resolve the standing side of the residual composed loop once; same
+    * crash-restart contract as every other prepare. */
+  def prepareIvfPqResidualRetrainMonitor(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
+      minVecsForAlarm: Long = 0L,
+      stateDir: Option[String] = None): IvfPqResidualRetrainMonitor = {
+    val m = new IvfPqResidualRetrainMonitor(indexPath, healthFloorMicros,
       errCeilingMicros, minVecsForAlarm, stateDir)
     m.resync(spark)
     m.seedState(spark)

@@ -337,4 +337,74 @@ class MonitorDurabilitySpec extends SparkTestBase {
       ceiling, minVecsForAlarm = cn1 + 1, stateDir = stateDir)
     assert(m3.lastFoldedBatch == 1L && m3.retrains == 1L && m3.totalVecs == 0L)
   }
+
+  test("residual composed loop: the inherited durability holds through the subclass — fence, totals, no double residual codes across the crash window") {
+    // the subclass overrides encode/signal/response only; this row pins
+    // that the INHERITED persistence actually covers it end to end (the
+    // crash-between-append-and-fold window publishes RESIDUAL codes, and
+    // the fenceless replay must republish those, not duplicate them)
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val path = tmp("graft-durable-ivfpq-res")
+    val corpus = emb.filter($"vec_id" % 4 === 0)
+    val index = Similarity.buildIvfIndex(corpus)
+    val model = Pq.trainResidual(index)
+    Pq.writeIvfPqResidualIndex(index, model, path)
+    corpus.write.mode("overwrite").parquet(s"$path/raw")
+    val healthy = emb.filter($"vec_id" % 4 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val drifted = emb.filter($"vec_id" % 4 === 2)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    def resErrOf(vecs: DataFrame): (Long, Long) = {
+      val r = vecs
+        .select($"embedding", graft.functions.VectorExpressions
+          .nearestCenter($"embedding", index.centers).as("cell"))
+        .select(org.apache.spark.sql.functions.posexplode(
+          graft.functions.VectorExpressions.pqResidualReconErrs(
+            $"embedding", $"cell", index.centers, model.codebooks))
+          .as(Seq("subspace", "err")))
+        .select(graft.util.Cols.micros6($"err").as("err_micros"))
+        .agg(count(lit(1)), coalesce(sum($"err_micros"), lit(0L))).head()
+      (r.getLong(0) / model.numSubspaces, r.getLong(1))
+    }
+    val (n1, es1) = resErrOf(healthy.toDF("vec_id", "embedding"))
+    val (n2, es2) = resErrOf(drifted.toDF("vec_id", "embedding"))
+    val errHealthy = es1 / n1
+    val errCumulative = (es1 + es2) / (n1 + n2)
+    assert(errCumulative > errHealthy + 4, "fixture lost its drift injury")
+    val ceiling = (errHealthy + errCumulative) / 2
+    val floor = -2000000L
+    val stateDir = Some(s"${tmp("graft-durable-ivfpq-res-state")}/monitor")
+    val rows = scala.collection.mutable.ArrayBuffer[MonitorRow]()
+    def sink(df: DataFrame, @annotation.unused id: Long): Unit =
+      rows ++= df.as[MonitorRow].collect()
+
+    val m1 = AnnStream.prepareIvfPqResidualRetrainMonitor(spark, path,
+      floor, ceiling, minVecsForAlarm = n1 + 1, stateDir = stateDir)
+    AnnStream.processIvfPqIngestBatch(m1,
+      healthy.toDF("vec_id", "embedding"), 0L)(sink)
+    assert(!rows.last._5 && rows.last._3 == n1)
+    // crash BETWEEN the append and the fold of batch 1
+    m1.appendBatch(drifted.toDF("vec_id", "embedding"), BatchAppend.tag(1))
+
+    // restart into a FRESH residual monitor: fence + totals re-seeded,
+    // redelivery republishes the dead attempt's raw + residual codes
+    val m2 = AnnStream.prepareIvfPqResidualRetrainMonitor(spark, path,
+      floor, ceiling, minVecsForAlarm = n1 + 1, stateDir = stateDir)
+    assert(m2.lastFoldedBatch == 0L && m2.totalVecs == n1)
+    assert(m2.meanErrMicros.contains(errHealthy),
+      "residual signal totals must survive the restart")
+    AnnStream.processIvfPqIngestBatch(m2,
+      drifted.toDF("vec_id", "embedding"), 1L)(sink)
+    assert(rows.last._5 && rows.last._6,
+      s"alarm continuity broken across the restart: ${rows.last}")
+    assert(m2.retrains == 1L && m2.totalVecs == 0L)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == corpus.count() + n1 + n2,
+      "codes must cover the corpus and both batches exactly once")
+    assert(codes.select($"vec_id").distinct().count() == codes.count())
+    val raw = spark.read.parquet(s"$path/raw")
+    assert(raw.count() == corpus.count() + n1 + n2)
+    assert(raw.select($"vec_id").distinct().count() == raw.count())
+  }
 }
