@@ -741,6 +741,15 @@ object SparkEntry {
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
       "FROM c, q WHERE c.vec_id <> q.query_id)"
 
+  // the composition's shared prune inputs: coarse assignments + the
+  // ranked probe-cells dump sliced at the entry nprobe. ONE definition —
+  // the raw AND the residual composition replays both prune through it,
+  // so an nprobe or dump-path change cannot leave the two replaying
+  // different probe sets.
+  private val ivfCompDumpCtes =
+    "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
+      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4)"
+
   // The IVF×PQ composition replayed end-to-end from the four dumps: probed
   // cells → assignments prune the candidate set, ADC from the codes +
   // distance tables, rank ascending with vec_id tiebreak. ONE definition
@@ -748,9 +757,7 @@ object SparkEntry {
   // they return the same rows by contract, and a future fix to the shared
   // ADC replay must not have to land three times.
   private val ivfPqTopkSql =
-    s"WITH $pqDumpCtes, " +
-      "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
+    s"WITH $pqDumpCtes, $ivfCompDumpCtes, " +
       "s AS (SELECT p.query_id, c.vec_id, " +
       "round(list_sum(list_transform(generate_series(1, 8), " +
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
@@ -762,12 +769,6 @@ object SparkEntry {
       "SELECT query_id, vec_id, adc, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
       "WHERE rk <= 10"
-
-  // the composition's shared prune inputs: coarse assignments + the
-  // ranked probe-cells dump sliced at the entry nprobe
-  private val ivfCompDumpCtes =
-    "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4)"
 
   // the residual composition's scorer: residual codes + PER-(query, cell)
   // tables (the IVFADC twist — the dtab join carries the cell key), pruned

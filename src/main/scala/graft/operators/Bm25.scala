@@ -110,10 +110,10 @@ object Bm25 {
     * approximate one HDFS block per segment. */
   val TermBuckets = 64
 
-  /** (term, doc_id, tf, dl, tb) postings of a (doc_id, text) corpus slice
-    * — tf grouped per (doc, term), dl denormalized onto every posting. */
-  private def postingsOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+  /** (term, doc_id, tf, dl, tb) postings of a TOKENIZED corpus slice
+    * (doc_id, toks) — tf grouped per (doc, term), dl denormalized onto
+    * every posting. */
+  private def postingsOf(toks: DataFrame): DataFrame =
     toks
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         explode($"toks").as("term"))
@@ -121,35 +121,41 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
       .select($"term", $"doc_id", $"tf", $"dl",
         pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
-  }
 
-  /** One segment-stats row for a corpus slice: zero-length docs carry no
-    * postings but MUST count into N and Σdl (batch parity — bm25TopK's
-    * lens frame sees every doc). */
-  private def segmentStats(docs: DataFrame): DataFrame =
-    docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size($"toks").cast("long")), lit(0L)).as("total_dl"))
+  /** One segment-stats row for a TOKENIZED corpus slice: zero-length docs
+    * carry no postings but MUST count into N and Σdl (batch parity —
+    * bm25TopK's lens frame sees every doc). */
+  private def segmentStats(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size($"toks").cast("long")), lit(0L)).as("total_dl"))
+
+  /** Tokenize ONCE and persist across the two segment writes (postings +
+    * stats are separate write ACTIONS — without the persist each would
+    * re-scan and re-tokenize the source slice). */
+  private def writeSegment(docs: DataFrame, path: String,
+      mode: String): Unit = {
+    val toks = docs
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .persist()
+    try {
+      postingsOf(toks).write.mode(mode).partitionBy("tb")
+        .parquet(s"$path/postings")
+      segmentStats(toks).coalesce(1).write.mode(mode)
+        .parquet(s"$path/stats")
+    } finally { val _ = toks.unpersist() }
+  }
 
   /** Persist a BM25 index for build-once / query-many use. */
-  def writeBm25Index(docs: DataFrame, path: String): Unit = {
-    postingsOf(docs).write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/postings")
-    segmentStats(docs).coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/stats")
-  }
+  def writeBm25Index(docs: DataFrame, path: String): Unit =
+    writeSegment(docs, path, "overwrite")
 
   /** Append NEW documents (fresh doc_ids — the add-after-build contract
     * of every standing index here) as one more segment: postings land in
     * their term-bucket directories, one stats row records the segment's
     * (n_docs, Σdl). Only the batch-sized new slice is ever scanned or
     * shuffled; global stats are never rewritten, they fold at probe. */
-  def appendToBm25Index(newDocs: DataFrame, path: String): Unit = {
-    postingsOf(newDocs).write.mode("append").partitionBy("tb")
-      .parquet(s"$path/postings")
-    segmentStats(newDocs).coalesce(1).write.mode("append")
-      .parquet(s"$path/stats")
-  }
+  def appendToBm25Index(newDocs: DataFrame, path: String): Unit =
+    writeSegment(newDocs, path, "append")
 
   /** A PREPARED standing handle on a persisted BM25 index — the lexical
     * twin of [[Pq.StandingPq]]: postings schema and the folded corpus
@@ -217,9 +223,15 @@ object Bm25 {
       .select(pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0))
     val qvocab = broadcast(qterms.select($"term").distinct())
-    val postings = spark.read.schema(standing.postingsSchema)
-      .parquet(s"$path/postings")
-      .filter($"tb".isin(buckets: _*))
+    // per-directory chunked listing of ONLY the probed buckets
+    // (Similarity.prunedScan — the StandingIvfPq.prunedCodes rationale): a
+    // whole-tree read + partition filter would list every segment's files
+    // in every bucket per probe, and past the parallel-discovery threshold
+    // that listing becomes a distributed job on the serving hot path
+    val fs = new org.apache.hadoop.fs.Path(s"$path/postings")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val postings = Similarity.prunedScan(spark, fs, s"$path/postings",
+        standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
       .join(qvocab, "term")
     val dfTab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     val idf = broadcast(dfTab

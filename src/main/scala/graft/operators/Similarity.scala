@@ -321,9 +321,9 @@ object Similarity {
   private[graft] def prunedScan(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, basePath: String,
       schema: org.apache.spark.sql.types.StructType,
-      cells: Seq[Int]): DataFrame = {
+      cells: Seq[Int], partitionCol: String = "cell"): DataFrame = {
     val dirs = cells.distinct.sorted
-      .map(c => new org.apache.hadoop.fs.Path(basePath, s"cell=$c"))
+      .map(c => new org.apache.hadoop.fs.Path(basePath, s"$partitionCol=$c"))
       .filter(fs.exists).map(_.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(

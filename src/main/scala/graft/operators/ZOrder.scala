@@ -121,10 +121,17 @@ object ZOrder {
       .filter(col("min_x") <= xHi && col("max_x") >= xLo &&
         col("min_y") <= yHi && col("max_y") >= yLo)
       .select(col("file")).collect().map(_.getString(0))
-    val src =
-      if (files.isEmpty) spark.read.parquet(tablePath) // degenerate: filter kills all rows anyway
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    src.filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+    if (files.isEmpty) {
+      // the zone map fully determined the answer: no file's box overlaps,
+      // so the result is empty BY the coverage invariant — return an
+      // empty frame with the table schema (one footer read) instead of
+      // scanning the whole layout to filter out every row
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        spark.read.parquet(tablePath).schema)
+    } else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
   }
 
   private def zonedFixturePath(sfDir: String): String = {

@@ -1009,38 +1009,29 @@ object AnnStream {
       }
   }
 
-  /** The COMPOSED serving twin — IVF pruning × PQ compression, the shape
-    * a memory-bound billion-vector deployment actually runs: a stream of
-    * query vectors probes a persisted [[graft.operators.Pq.writeIvfPqIndex]]
-    * layout per micro-batch, reading only the probed cells' CODES
-    * (nprobe/nlist of an ~32×-compressed artifact — where [[ivfSearchQuery]]
-    * prunes full vectors and [[pqSearchQuery]] scans all codes, this does
-    * both). Same prepared-handle contract ([[Pq.prepareIvfPqIndex]]), same
-    * per-trigger signature check — spanning BOTH small artifacts, so a
-    * coarse refit or a codebook retrain is picked up at the next trigger —
-    * and the same Try-guarded re-prepare + retry-once probe materialized
-    * before the sink. Batch parity with `ivf_pq_topk` is pinned in
-    * AnnStreamSpec. */
-  /** [[ivfPqSearchQuery]] for a RESIDUAL-encoded composed index
-    * ([[graft.operators.Pq.writeIvfPqResidualIndex]]'s artifact): the
-    * same prepared-handle + signature-check + retry-once contract — the
-    * combined centers+codebooks signature covers exactly the two small
-    * artifacts a residual retrain swaps — with scoring through the
-    * residual fold ([[graft.operators.Pq.queryStandingIvfPqResidual]]:
-    * per-(query, probed-cell) tables built in-fold from broadcast query
-    * vectors). */
-  def ivfPqResidualSearchQuery(queryStream: DataFrame, indexPath: String,
-      k: Int = 10, nprobe: Int = 4)
+  /** The ONE composed-serving lifecycle, shared by the raw and the
+    * residual layouts (they differ ONLY in which standing fold scores a
+    * probe — both artifacts resolve through the same
+    * [[graft.operators.Pq.prepareIvfPqIndex]] handle): configure-time
+    * plan warm-up with one synthetic single-query probe (so batch 1 pays
+    * data, not codegen), a per-trigger combined centers+codebooks
+    * signature check (a coarse refit OR a codebook retrain is picked up
+    * at the next trigger), and the Try-guarded re-prepare + retry-once
+    * probe materialized (localCheckpoint) BEFORE the sink so a sink retry
+    * never re-runs the probe against a newer index state. Extracted so a
+    * fix to the retry/signature semantics lands once, not twice. */
+  private def servedIvfPq(queryStream: DataFrame, indexPath: String,
+      k: Int, nprobe: Int,
+      fold: (graft.operators.Pq.StandingIvfPq, DataFrame, Int, Int) => DataFrame)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     import graft.operators.Pq
     val spark = queryStream.sparkSession
     var standing = Pq.prepareIvfPqIndex(spark, indexPath)
-    // configure-time plan warm-up (the ivfPqSearchQuery rationale)
     if (standing.centers.nonEmpty) {
       import spark.implicits._
       val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
         .toDF("vec_id", "embedding")
-      val _ = Pq.queryStandingIvfPqResidual(standing, warm, k, nprobe).count()
+      val _ = fold(standing, warm, k, nprobe).count()
     }
     queryStream.writeStream
       .outputMode("append")
@@ -1056,8 +1047,7 @@ object AnnStream {
         if (!batch.isEmpty) {
           val queries = batch.select($"vec_id", $"embedding")
           def probe(): DataFrame =
-            Pq.queryStandingIvfPqResidual(standing, queries, k, nprobe)
-              .localCheckpoint(true)
+            fold(standing, queries, k, nprobe).localCheckpoint(true)
           val result =
             try probe()
             catch {
@@ -1070,46 +1060,32 @@ object AnnStream {
       }
   }
 
+  /** The COMPOSED serving twin — IVF pruning × PQ compression, the shape
+    * a memory-bound billion-vector deployment actually runs: a stream of
+    * query vectors probes a persisted [[graft.operators.Pq.writeIvfPqIndex]]
+    * layout per micro-batch, reading only the probed cells' CODES
+    * (nprobe/nlist of an ~32×-compressed artifact — where [[ivfSearchQuery]]
+    * prunes full vectors and [[pqSearchQuery]] scans all codes, this does
+    * both). Lifecycle (prepared handle, dual-artifact signature check,
+    * retry-once, checkpoint-before-sink) is [[servedIvfPq]]. Batch parity
+    * with `ivf_pq_topk` is pinned in AnnStreamSpec. */
   def ivfPqSearchQuery(queryStream: DataFrame, indexPath: String,
       k: Int = 10, nprobe: Int = 4)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    import graft.operators.Pq
-    val spark = queryStream.sparkSession
-    var standing = Pq.prepareIvfPqIndex(spark, indexPath)
-    // configure-time plan warm-up: one synthetic single-query probe
-    // compiles the serving stages (pruned codes scan + broadcast ADC join
-    // + top-k aggregate) so batch 1 pays data, not codegen
-    if (standing.centers.nonEmpty) {
-      import spark.implicits._
-      val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
-        .toDF("vec_id", "embedding")
-      val _ = Pq.queryStandingIvfPq(standing, warm, k, nprobe).count()
-    }
-    queryStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        scala.util.Try(Pq.ivfPqSignature(spark, indexPath))
-          .foreach { sig =>
-            if (sig != standing.sig)
-              scala.util.Try(Pq.prepareIvfPqIndex(spark, indexPath))
-                .foreach(standing = _)
-          }
-        if (!batch.isEmpty) {
-          val queries = batch.select($"vec_id", $"embedding")
-          def probe(): DataFrame =
-            Pq.queryStandingIvfPq(standing, queries, k, nprobe)
-              .localCheckpoint(true)
-          val result =
-            try probe()
-            catch {
-              case scala.util.control.NonFatal(_) =>
-                standing = Pq.prepareIvfPqIndex(spark, indexPath)
-                probe()
-            }
-          sink(result, batchId)
-        }
-      }
-  }
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    servedIvfPq(queryStream, indexPath, k, nprobe,
+      (s, q, kk, np) => graft.operators.Pq.queryStandingIvfPq(s, q, kk, np))(sink)
+
+  /** [[ivfPqSearchQuery]] for a RESIDUAL-encoded composed index
+    * ([[graft.operators.Pq.writeIvfPqResidualIndex]]'s artifact): the
+    * same [[servedIvfPq]] lifecycle — the combined signature covers
+    * exactly the two small artifacts a residual retrain swaps — with
+    * scoring through the residual fold
+    * ([[graft.operators.Pq.queryStandingIvfPqResidual]]: per-(query,
+    * probed-cell) tables built in-fold from broadcast query vectors). */
+  def ivfPqResidualSearchQuery(queryStream: DataFrame, indexPath: String,
+      k: Int = 10, nprobe: Int = 4)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    servedIvfPq(queryStream, indexPath, k, nprobe,
+      (s, q, kk, np) =>
+        graft.operators.Pq.queryStandingIvfPqResidual(s, q, kk, np))(sink)
 }

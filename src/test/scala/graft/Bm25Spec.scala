@@ -100,16 +100,19 @@ class Bm25Spec extends SparkTestBase {
     try {
       val df = Bm25.queryBm25Index(spark, dir, queries)
       assert(df.collect().nonEmpty)
-      val scans = df.queryExecution.executedPlan.collect {
+      // the probe scans are built over ONLY the probed tb directories
+      // (Similarity.prunedScan's per-directory listing — unprobed buckets
+      // are never even listed, stronger than a partition filter over a
+      // whole-tree listing); union the chunked scans' roots and check
+      // they are exactly the query terms' buckets
+      val roots = df.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec if f.relation.location.rootPaths
           .exists(_.toString.contains(dir)) => f
-      }
-      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(1500))
-      val scan = scans.head
-      assert(scan.partitionFilters.mkString(",").contains("tb"),
-        scan.partitionFilters.mkString(","))
-      val scanned = scan.metrics.get("numPartitions").map(_.value)
-      assert(scanned.contains(nBuckets), s"partitions read: $scanned, want $nBuckets")
+      }.flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("tb=")).distinct
+      assert(roots.nonEmpty, df.queryExecution.executedPlan.toString.take(1500))
+      assert(roots.size == nBuckets, s"scanned dirs: $roots, want $nBuckets")
+      assert(roots.forall(_.matches(".*/tb=\\d+")), roots.mkString(","))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 

@@ -83,6 +83,12 @@ class ZOrderSpec extends SparkTestBase {
     val read = zones.filter($"min_x" <= 60 && $"max_x" >= 20 &&
       $"min_y" <= 8 && $"max_y" >= 2).count()
     assert(read < total, s"no skipping: read $read of $total files")
+    // a box outside every zone resolves from the zone map alone: empty
+    // result, right schema, no scan built over the layout
+    val none = ZOrder.prunedRangeScan(spark, s"$dir/table", zones,
+      "l_partkey", "l_suppkey", -100L, -1L, -100L, -1L)
+    assert(none.count() == 0L)
+    assert(none.schema == table.schema)
   }
 
   test("zone map on the Z-order layout skips files a linear sort-by-x layout cannot (y-only predicate)") {
