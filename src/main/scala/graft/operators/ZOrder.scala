@@ -134,6 +134,42 @@ object ZOrder {
         .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
   }
 
+  /** Append a slice to a zoned layout AND extend its zone map — the
+    * segment-append contract of every standing artifact here, for the
+    * data-skipping tier: the slice lands as new Z-ordered files (its own
+    * compact Z-ranges; the EXISTING files' boxes are untouched and stay
+    * valid), and zone rows are built for EXACTLY the new files and
+    * appended. Probes after any number of appends keep the full-coverage
+    * invariant — no row can hide from the overlap test — because every
+    * data file always has its zone row published in the same call that
+    * published it. */
+  def appendZoned(df: DataFrame, xCol: String, yCol: String, dir: String,
+      numFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val table = s"$dir/table"
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] =
+      fs.listStatus(tablePath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSet
+    val before = dataFiles()
+    df.withColumn("_z", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("append").parquet(table)
+    val fresh = (dataFiles() -- before).toSeq.sorted
+    require(fresh.nonEmpty, s"appendZoned: no new files landed under $table")
+    spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+      .write.mode("append").parquet(s"$dir/zones")
+  }
+
   private def zonedFixturePath(sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${graft.util.TmpDirs.perProcessDir("graft_zonemap")}/$key"

@@ -91,6 +91,36 @@ class ZOrderSpec extends SparkTestBase {
     assert(none.schema == table.schema)
   }
 
+  test("zoned append extends the zone map incrementally: coverage holds, probes see appended rows, old boxes untouched") {
+    val n = 1 << 11
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(n)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val (base, rest) = all.splitAt(n / 2)
+    val (app1, app2) = rest.splitAt(rest.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("zm_append").toString
+    ZOrder.writeZOrdered(base.toDF("x", "y"), "x", "y", s"$dir/table",
+      numFiles = 8)
+    ZOrder.buildZoneMap(spark, s"$dir/table", "x", "y")
+      .write.mode("overwrite").parquet(s"$dir/zones")
+    val zonesBefore = spark.read.parquet(s"$dir/zones").collect()
+      .map(_.toSeq).toSet
+    ZOrder.appendZoned(app1.toDF("x", "y"), "x", "y", dir)
+    ZOrder.appendZoned(app2.toDF("x", "y"), "x", "y", dir)
+    val zones = spark.read.parquet(s"$dir/zones")
+    // coverage: zone rows tile the enlarged table exactly, and the
+    // original files' boxes ride through untouched
+    assert(zones.agg(sum($"n_rows")).head.getLong(0) == n.toLong)
+    assert(zonesBefore.subsetOf(zones.collect().map(_.toSeq).toSet),
+      "append must not rewrite existing zone rows")
+    // probe parity over a box that hits base AND appended rows
+    val got = ZOrder.prunedRangeScan(spark, s"$dir/table", zones,
+      "x", "y", 0L, 200L, 0L, 200L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = all.filter { case (x, y) => x <= 200 && y <= 200 }
+      .sorted
+    assert(got == want, s"${got.length} vs ${want.length} rows")
+  }
+
   test("zone map on the Z-order layout skips files a linear sort-by-x layout cannot (y-only predicate)") {
     // the claim Z-order exists for: a predicate on the SECOND dimension
     // alone prunes Z-range files (each covers a small y-band too) but no
