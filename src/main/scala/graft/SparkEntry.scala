@@ -885,7 +885,12 @@ object SparkEntry {
 
   // Okapi BM25 replay, shared by its own entry and the RRF fusion: the tf
   // part exact-rational (k1=6/5, b=3/4 clear denominators), ln() micro-
-  // quantized per term, per-doc scores exact BIGINT sums
+  // quantized per term, per-doc scores exact BIGINT sums. The num/den
+  // terms widen to DOUBLE before any multiplication (the identical
+  // left-associated IEEE dag as Bm25.weightMicros): Int64 products of
+  // tf·Σdl wrap in Spark / raise in DuckDB past ~9e17 — the 100 TB corpus
+  // regime — while the double dag computes the same (identically IEEE-
+  // rounded) value at any scale
   private val bm25Sql =
     s"WITH $toksCte, " +
       "l AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t), " +
@@ -900,8 +905,8 @@ object SparkEntry {
       "* 1000000) AS BIGINT) AS idf_micros FROM dfd, sc), " +
       "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM p GROUP BY 1, 2), " +
       "w AS (SELECT tf.doc_id, tf.term, CAST(round(idf.idf_micros * " +
-      "(22 * tf.tf * sc.total_dl)::DOUBLE / " +
-      "(10 * tf.tf * sc.total_dl + 3 * sc.total_dl + 9 * l.dl * sc.n_docs)::DOUBLE) " +
+      "(22 * tf.tf::DOUBLE * sc.total_dl) / " +
+      "(10 * tf.tf::DOUBLE * sc.total_dl + 3 * sc.total_dl::DOUBLE + 9 * sc.n_docs::DOUBLE * l.dl)) " +
       "AS BIGINT) AS wm FROM tf JOIN l USING (doc_id) JOIN idf USING (term), sc), " +
       "s AS (SELECT q.query_id, w.doc_id, CAST(sum(w.wm) AS BIGINT) AS score_micros " +
       "FROM w JOIN q USING (term) WHERE w.doc_id <> q.query_id GROUP BY 1, 2) " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -19,18 +19,29 @@ import graft.util.Cols._
   * — so the only libm call is ln() inside idf, quantized to integer
   * micros PER TERM (vocabulary-sized, not corpus-sized, exposure); each
   * per-(doc, term) weight is then round(idf_micros·num/den), a fixed
-  * double dag over exact integers that both engines evaluate bit-
-  * identically, and per-doc scores are exact BIGINT sums of those.
-  *
-  * Scale shape: the query-term set is tiny and broadcasts twice (once to
-  * prune the corpus explode to query terms before the (doc, term) tf
-  * aggregate — the inverted-index access pattern — once to attach idf);
-  * doc lengths ride a co-partitioned join on doc_id; N and L travel as a
-  * 1-row broadcast. The corpus shuffles only the query-term-filtered
-  * (doc, term) pairs. Top-k is the salted two-phase rank shared with the
-  * vector family.
+  * double dag that both engines evaluate bit-identically, and per-doc
+  * scores are exact BIGINT sums of those. The num/den terms are widened
+  * to DOUBLE before any multiplication (22·tf·L etc. as ((22·tf)·L) in
+  * IEEE double, the identical left-associated dag in the DuckDB oracle):
+  * the previous Int64 products wrapped silently in Spark past
+  * tf·Σdl ≳ 9·10¹⁷ — reachable at the 100 TB corpus scale this engine
+  * targets — while DuckDB raised, so the engines diverged exactly at
+  * scale. In double both engines compute the same (possibly IEEE-rounded
+  * past 2⁵³, but identically rounded) value at any corpus size.
   */
 object Bm25 {
+
+  /** The one BM25 per-(doc, term) weight dag, shared by the batch scorer
+    * and the standing-index probe so the arithmetic cannot fork. All
+    * integer inputs widen to double BEFORE multiplication (see the object
+    * doc); the fold order matches the generated oracle SQL exactly. */
+  private def weightMicros(idfMicros: Column, tf: Column, dl: Column,
+      nDocs: Long, totalDl: Long): Column = {
+    val num = lit(22.0) * tf.cast("double") * lit(totalDl.toDouble)
+    val den = lit(10.0) * tf.cast("double") * lit(totalDl.toDouble) +
+      lit(3.0 * totalDl) + lit(9.0 * nDocs) * dl.cast("double")
+    round(idfMicros * num / den).cast("long")
+  }
 
   def bm25TopK(spark: SparkSession, sfDir: String, numQueries: Int = 3,
       k: Int = 10, salts: Int = 8): DataFrame = {
@@ -64,10 +75,7 @@ object Bm25 {
       .join(lens, "doc_id")
       .join(idf, "term")
       .select($"doc_id", $"term",
-        round($"idf_micros" * (lit(22L) * $"tf" * lit(totalDl)).cast("double") /
-          (lit(10L) * $"tf" * lit(totalDl) + lit(3L * totalDl) +
-            lit(9L * nDocs) * $"dl").cast("double"))
-          .cast("long").as("wm"))
+        weightMicros($"idf_micros", $"tf", $"dl", nDocs, totalDl).as("wm"))
     val scored = weights.join(qterms, "term")
       .filter($"doc_id" =!= $"query_id")
       .groupBy($"query_id", $"doc_id")
@@ -82,7 +90,7 @@ object Bm25 {
   // Standing lexical index — write / append / probe, the same
   // build-once/query-many contract as the vector tiers (IVF, PQ, SQ8).
   // Layout (the Lucene segment shape re-expressed as a lake layout):
-  //   postings/ : (term, doc_id, tf, dl) partitioned by
+  //   postings/ : (term, doc_id, tf, dl, seg) partitioned by
   //               tb = pmod(xxhash64(term), TermBuckets) — a query's term
   //               set maps to a handful of tb directories, so the probe
   //               prunes at FILE LISTING exactly like the IVF cell probe
@@ -92,13 +100,27 @@ object Bm25 {
   //               classic space-for-shuffle trade, and the right one at
   //               100 TB where the join would re-shuffle pruned postings
   //               on doc_id against a corpus-sized lengths table.
-  //   stats/    : ONE (n_docs, total_dl) row PER SEGMENT (build + each
-  //               append) — the probe folds the segment rows (segment-
-  //               count-sized, driver-trivial) into exact corpus N and
-  //               Σdl, so appends never rewrite global state.
+  //   stats/    : ONE (seg, n_docs, total_dl) row PER SEGMENT (build +
+  //               each append) — the probe folds the segment rows
+  //               (segment-count-sized, driver-trivial) into exact corpus
+  //               N and Σdl, so appends never rewrite global state.
+  //
+  // SEGMENT COMMIT: the stats row IS a segment's commit record. Every
+  // posting row carries its segment id, postings write BEFORE stats, and
+  // the probe scores only postings whose segment has a stats row — so a
+  // crash between the two write jobs leaves an UNCOMMITTED segment whose
+  // postings are invisible (filtered out) instead of permanently visible
+  // postings scored with wrong (N, Σdl). A torn append is therefore
+  // atomic-by-filter: either the whole segment counts or none of it does.
+  // The committed-segment set is segment-count-sized (the same bound the
+  // stats fold already has).
+  //
   // df is NOT stored: (term, doc_id) is unique by the append contract
   // (new doc_ids only — the appendToPqIndex contract), so per-term df is
-  // a count over the PRUNED postings slice the probe already reads.
+  // a count over the PRUNED postings slice the probe already reads — and
+  // the probe now ENFORCES the contract (count vs distinct doc_id per
+  // term in the same aggregate), so a violating append fails loudly at
+  // the first probe instead of silently double-counting df and N.
   // Result: probes after any number of appends are BIT-EQUAL to a batch
   // bm25TopK over the union corpus — bm25_topk_indexed shares
   // bm25_topk's oracle, making the index layout + probe path itself
@@ -110,64 +132,107 @@ object Bm25 {
     * approximate one HDFS block per segment. */
   val TermBuckets = 64
 
-  /** (term, doc_id, tf, dl, tb) postings of a TOKENIZED corpus slice
+  /** (term, doc_id, tf, dl, seg, tb) postings of a TOKENIZED corpus slice
     * (doc_id, toks) — tf grouped per (doc, term), dl denormalized onto
-    * every posting. */
-  private def postingsOf(toks: DataFrame): DataFrame =
+    * every posting, the owning segment id on every row (the commit-filter
+    * key — see the layout doc above). */
+  private def postingsOf(toks: DataFrame, seg: String): DataFrame =
     toks
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         explode($"toks").as("term"))
       .groupBy($"term", $"doc_id", $"dl")
       .agg(count(lit(1)).as("tf"))
-      .select($"term", $"doc_id", $"tf", $"dl",
+      .select($"term", $"doc_id", $"tf", $"dl", lit(seg).as("seg"),
         pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
 
   /** One segment-stats row for a TOKENIZED corpus slice: zero-length docs
     * carry no postings but MUST count into N and Σdl (batch parity —
     * bm25TopK's lens frame sees every doc). */
-  private def segmentStats(toks: DataFrame): DataFrame =
+  private def segmentStats(toks: DataFrame, seg: String): DataFrame =
     toks.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(size($"toks").cast("long")), lit(0L)).as("total_dl"))
+      .select(lit(seg).as("seg"), $"n_docs", $"total_dl")
 
   /** Tokenize ONCE and persist across the two segment writes (postings +
     * stats are separate write ACTIONS — without the persist each would
-    * re-scan and re-tokenize the source slice). */
-  private def writeSegment(docs: DataFrame, path: String,
+    * re-scan and re-tokenize the source slice). Postings land FIRST, the
+    * stats row second: the stats row is the segment's COMMIT record, so a
+    * crash between the two jobs leaves an invisible (uncommitted) segment,
+    * never visible postings with missing stats. */
+  private def writeSegment(docs: DataFrame, path: String, seg: String,
       mode: String): Unit = {
     val toks = docs
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .persist()
     try {
-      postingsOf(toks).write.mode(mode).partitionBy("tb")
+      postingsOf(toks, seg).write.mode(mode).partitionBy("tb")
         .parquet(s"$path/postings")
-      segmentStats(toks).coalesce(1).write.mode(mode)
+      segmentStats(toks, seg).coalesce(1).write.mode(mode)
         .parquet(s"$path/stats")
     } finally { val _ = toks.unpersist() }
   }
 
   /** Persist a BM25 index for build-once / query-many use. */
   def writeBm25Index(docs: DataFrame, path: String): Unit =
-    writeSegment(docs, path, "overwrite")
+    writeSegment(docs, path, seg = "base", mode = "overwrite")
 
   /** Append NEW documents (fresh doc_ids — the add-after-build contract
     * of every standing index here) as one more segment: postings land in
-    * their term-bucket directories, one stats row records the segment's
+    * their term-bucket directories, one stats row COMMITS the segment's
     * (n_docs, Σdl). Only the batch-sized new slice is ever scanned or
-    * shuffled; global stats are never rewritten, they fold at probe. */
+    * shuffled; global stats are never rewritten, they fold at probe. A
+    * crash mid-append leaves an uncommitted segment the probe ignores
+    * (see the layout doc); re-appending existing doc_ids is caught at the
+    * next probe's df-uniqueness guard. */
   def appendToBm25Index(newDocs: DataFrame, path: String): Unit =
-    writeSegment(newDocs, path, "append")
+    writeSegment(newDocs, path,
+      seg = java.util.UUID.randomUUID().toString, mode = "append")
+
+  /** The STREAMING ingest form of [[appendToBm25Index]] — one segment per
+    * micro-batch, published through [[graft.util.BatchAppend]]'s
+    * stage → clean → publish protocol under the batch tag for BOTH media
+    * (postings into their tb directories, the stats commit row into
+    * stats/), with seg = batchTag. A replayed batch id (foreachBatch's
+    * at-least-once) therefore re-publishes the SAME segment instead of
+    * double-counting: the clean step removes the dead attempt's files in
+    * both directories before the staged ones rename in. Postings publish
+    * first; a crash between the two publishes leaves the segment
+    * uncommitted (invisible) until the replay completes it.
+    *
+    * Returns the committed segment's (n_docs, Σdl) — the ingest loop's
+    * per-batch audit row, read off the stats aggregate the append computes
+    * anyway. */
+  def appendSegmentTagged(newDocs: DataFrame, path: String,
+      batchTag: String): (Long, Long) = {
+    val spark = newDocs.sparkSession
+    val toks = newDocs
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .persist()
+    try {
+      graft.util.BatchAppend.append(postingsOf(toks, batchTag),
+        s"$path/postings", batchTag, partitionCol = Some("tb"))
+      val st = segmentStats(toks, batchTag).head()
+      graft.util.BatchAppend.append(
+        spark.createDataFrame(Seq((batchTag, st.getLong(1), st.getLong(2))))
+          .toDF("seg", "n_docs", "total_dl"),
+        s"$path/stats", batchTag)
+      (st.getLong(1), st.getLong(2))
+    } finally { val _ = toks.unpersist() }
+  }
 
   /** A PREPARED standing handle on a persisted BM25 index — the lexical
-    * twin of [[Pq.StandingPq]]: postings schema and the folded corpus
-    * constants (N, Σdl) are resolved ONCE; each probe then re-lists only
-    * the postings directory (appends land as new files in their term
-    * buckets and stay visible). `statsSig` is the change signature: every
-    * append adds a stats file and a rebuild rewrites the directory, so a
-    * serving loop that re-prepares on signature change always scores with
-    * the constants that match the postings it reads. */
+    * twin of [[Pq.StandingPq]]: postings schema, the folded corpus
+    * constants (N, Σdl), and the COMMITTED segment set are resolved ONCE;
+    * each probe then re-lists only the postings directory (appends land
+    * as new files in their term buckets and stay visible). `statsSig` is
+    * the change signature: every append adds a stats file and a rebuild
+    * rewrites the directory, so a serving loop that re-prepares on
+    * signature change always scores with the constants — and the
+    * committed-segment filter — that match the postings it reads. */
   final case class StandingBm25(spark: SparkSession, path: String,
       postingsSchema: org.apache.spark.sql.types.StructType,
-      nDocs: Long, totalDl: Long, statsSig: Seq[(String, Long, Long)])
+      nDocs: Long, totalDl: Long, committedSegs: Seq[String],
+      statsSig: Seq[(String, Long, Long)])
 
   /** Cheap change signature of the index's STATS directory — (name,
     * length, mtime) per file, one listing. Appends append a stats row
@@ -182,16 +247,19 @@ object Bm25 {
   }
 
   /** Resolve a persisted BM25 index into a serving handle: one schema
-    * inference + one segment-stats fold, paid once per stream (signature
+    * inference + one segment-stats fold (which also yields the committed
+    * segment set — the commit filter and the constants come from the SAME
+    * read, so they can never disagree), paid once per stream (signature
     * read FIRST so an append landing mid-prepare is caught by the next
     * trigger's check — the [[Pq.preparePqIndex]] ordering). */
   def prepareBm25Index(spark: SparkSession, path: String): StandingBm25 = {
     val sig = statsSignature(spark, path)
-    val statsRow = spark.read.parquet(s"$path/stats")
-      .agg(sum($"n_docs"), sum($"total_dl")).head()
+    val segRows = spark.read.parquet(s"$path/stats")
+      .select($"seg", $"n_docs", $"total_dl").collect() // segment-count-sized
     StandingBm25(spark, path,
       spark.read.parquet(s"$path/postings").schema,
-      statsRow.getLong(0), statsRow.getLong(1), sig)
+      segRows.map(_.getLong(1)).sum, segRows.map(_.getLong(2)).sum,
+      segRows.map(_.getString(0)).toSeq.sorted, sig)
   }
 
   /** Probe the standing index with a driver-small (query_id, text) batch:
@@ -206,7 +274,10 @@ object Bm25 {
 
   /** [[queryBm25Index]] through an already-prepared handle — the serving
     * hot path: no schema inference, no stats re-fold; one postings
-    * listing per probe. */
+    * listing per probe. Postings are filtered to COMMITTED segments (the
+    * torn-append atomicity contract) and the per-term df aggregate
+    * doubles as the (term, doc_id)-uniqueness guard: a violated append
+    * contract fails loudly here instead of silently corrupting scores. */
   def queryStandingBm25(standing: StandingBm25, queries: DataFrame,
       k: Int = 10, salts: Int = 8): DataFrame = {
     val spark = standing.spark
@@ -232,19 +303,37 @@ object Bm25 {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val postings = Similarity.prunedScan(spark, fs, s"$path/postings",
         standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
+      .filter($"seg".isin(standing.committedSegs: _*)) // commit filter
       .join(qvocab, "term")
-    val dfTab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val idf = broadcast(dfTab
-      .select($"term", round(
-        log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
-        .cast("long").as("idf_micros")))
+    // one aggregate, two jobs served: per-term df for idf AND the
+    // uniqueness guard (df == distinct doc_ids — the append contract the
+    // probe's df-by-count derivation depends on). The result is
+    // query-vocabulary-sized, so collecting it costs what the broadcast
+    // exchange cost before; idf then computes IN-PLAN over the collected
+    // rows with the same Spark `log`/`round` the batch path uses.
+    val dfRows = postings
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), countDistinct($"doc_id").as("dfd"))
+      .collect()
+    dfRows.foreach { r =>
+      require(r.getLong(1) == r.getLong(2),
+        s"BM25 index at $path: term '${r.getString(0)}' has ${r.getLong(1)} " +
+          s"postings over ${r.getLong(2)} distinct doc_ids — an append " +
+          "re-used existing doc_ids, breaking the (term, doc_id) " +
+          "uniqueness the probe's df derivation requires. Rebuild the " +
+          "index or dedupe the offending segment.")
+    }
+    val idf = broadcast(
+      spark.createDataFrame(
+        dfRows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq)
+        .toDF("term", "df")
+        .select($"term", round(
+          log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_micros")))
     val weights = postings
       .join(idf, "term")
       .select($"doc_id", $"term",
-        round($"idf_micros" * (lit(22L) * $"tf" * lit(totalDl)).cast("double") /
-          (lit(10L) * $"tf" * lit(totalDl) + lit(3L * totalDl) +
-            lit(9L * nDocs) * $"dl").cast("double"))
-          .cast("long").as("wm"))
+        weightMicros($"idf_micros", $"tf", $"dl", nDocs, totalDl).as("wm"))
     val scored = weights.join(broadcast(qterms), "term")
       .filter($"doc_id" =!= $"query_id")
       .groupBy($"query_id", $"doc_id")
@@ -293,12 +382,14 @@ object Bm25 {
     * segment), then [[graft.util.Compaction.compactDir]] rewrites the tb
     * directories to one sized file each and swaps them in place; the
     * stats directory is untouched, so the three segment rows still fold
-    * to the batch constants. Compaction preserves rows, segments union to
-    * the full corpus, and (term, doc_id) stays unique — so this probe
-    * returns exactly [[bm25TopK]]'s rows and shares `bm25_topk`'s oracle,
-    * making postings-medium compaction DuckDB-replay-checked. The entry
-    * guards the layout claim in-line: the rewrite must have strictly
-    * reduced the file count. */
+    * to the batch constants (compaction preserves rows — the seg column
+    * rides through, so the commit filter still sees every posting's
+    * segment). Compaction preserves rows, segments union to the full
+    * corpus, and (term, doc_id) stays unique — so this probe returns
+    * exactly [[bm25TopK]]'s rows and shares `bm25_topk`'s oracle, making
+    * postings-medium compaction DuckDB-replay-checked. The entry guards
+    * the layout claim in-line: the rewrite must have strictly reduced the
+    * file count. */
   def bm25TopKCompacted(spark: SparkSession, sfDir: String,
       numQueries: Int = 3, k: Int = 10): DataFrame = {
     val path = bm25CompactPath(sfDir)
@@ -319,27 +410,25 @@ object Bm25 {
     queryBm25Index(spark, path, queries, k)
   }
 
-  /** Hybrid retrieval: reciprocal-rank fusion of the lexical
-    * ([[bm25TopK]]) and semantic ([[Similarity.cosineTopK]]) rankings —
-    * the standard two-tower serving fusion, scored as
-    * Σ round(10⁶/(60+rank)) per contributing list (EXACT integers: the
-    * 10⁶/(60+r) division is the same double dag over the same ints in
-    * both engines, so micro-quantized contributions sum engine-exactly).
+  /** The one RRF fusion core, shared by the batch entry
+    * ([[hybridRrfTopK]]) and the hybrid serving twin
+    * ([[graft.streaming.LexStream.hybridSearchQuery]]) so the fusion
+    * arithmetic cannot fork: inputs are two (query_id, doc_id, rk)
+    * rankings; each contributes round(10⁶/(rrfC+rank)) micros (EXACT
+    * integers — the same double dag over the same ints in both engines),
+    * summed per (query, doc), ranked desc with doc_id tiebreak, cut at k.
     * `n_lists` records whether a hit came from one ranker or both.
     *
     * Scale: both inputs are already queries×k-sized rankings — the fusion
     * itself is dashboard-sized regardless of corpus scale; all the heavy
-    * lifting lives in (and is bounded by) the two component top-ks.
-    */
-  def hybridRrfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 3,
-      k: Int = 10, rrfC: Int = 60): DataFrame = {
-    def contrib(rk: org.apache.spark.sql.Column) =
+    * lifting lives in (and is bounded by) the two component top-ks. */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int,
+      rrfC: Int): DataFrame = {
+    def contrib(rk: Column) =
       round(lit(1e6) / (lit(rrfC) + rk)).cast("long")
-    val lex = bm25TopK(spark, sfDir, numQueries, k)
-      .select($"query_id", $"doc_id", contrib($"rk").as("c"))
-    val sem = Similarity.cosineTopK(spark, sfDir, numQueries, k)
-      .select($"query_id", $"vec_id".as("doc_id"), contrib($"rk").as("c"))
-    lex.unionByName(sem)
+    lex.select($"query_id", $"doc_id", contrib($"rk").as("c"))
+      .unionByName(
+        sem.select($"query_id", $"doc_id", contrib($"rk").as("c")))
       .groupBy($"query_id", $"doc_id")
       .agg(sum($"c").as("rrf_micros"), count(lit(1)).as("n_lists"))
       .withColumn("rk", row_number().over(
@@ -348,5 +437,17 @@ object Bm25 {
       .filter($"rk" <= k)
       .select($"query_id", $"rk", $"doc_id", $"rrf_micros", $"n_lists")
       .orderBy($"query_id", $"rk")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical
+    * ([[bm25TopK]]) and semantic ([[Similarity.cosineTopK]]) rankings —
+    * the standard two-tower serving fusion ([[rrfFuse]]). */
+  def hybridRrfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 3,
+      k: Int = 10, rrfC: Int = 60): DataFrame = {
+    val lex = bm25TopK(spark, sfDir, numQueries, k)
+      .select($"query_id", $"doc_id", $"rk")
+    val sem = Similarity.cosineTopK(spark, sfDir, numQueries, k)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+    rrfFuse(lex, sem, k, rrfC)
   }
 }

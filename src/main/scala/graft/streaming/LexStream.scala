@@ -82,4 +82,147 @@ object LexStream {
         }
       }
   }
+
+  /** The lexical tier's INGEST loop — the missing half of the BM25
+    * standing index's streaming lifecycle ([[bm25SearchQuery]] serves;
+    * this appends): each (doc_id, text) micro-batch lands as ONE segment
+    * through [[Bm25.appendSegmentTagged]] — postings into their term
+    * buckets and the stats commit row, BOTH under
+    * [[graft.util.BatchAppend]]'s stage → clean → publish protocol keyed
+    * by the batch id. A replayed batch (foreachBatch's at-least-once)
+    * therefore re-publishes the SAME segment files instead of
+    * double-counting N/Σdl/df, with no fence state needed at all: the
+    * idempotence lives entirely in the tagged protocol, and a torn replay
+    * (postings republished, stats not yet) leaves the segment uncommitted
+    * — invisible to probes — until the replay completes it
+    * (LexStreamSpec pins both). A concurrent [[bm25SearchQuery]] picks
+    * each append up via its per-trigger stats-signature check.
+    *
+    * `autoCompactMaxFiles` arms the fragmentation watch: when the
+    * postings directory's data-file count (one listing per trigger — the
+    * same cost a probe's pruned listing pays) exceeds the ceiling,
+    * [[graft.util.Compaction.compactDir]] rewrites the term buckets in
+    * the driver-sequenced maintenance slot this foreachBatch IS — appends
+    * are sequenced out by construction. The safe fence is `batchId - 1`:
+    * the current batch has not committed to the checkpoint yet and may
+    * replay, so its tagged files ride through the rewrite verbatim.
+    *
+    * One audit row per delivered batch to `sink`:
+    * (batch_id, seg_docs, seg_total_dl, compacted).
+    *
+    * Scale per trigger: tokenize + two bounded writes of the BATCH (never
+    * the corpus); the stats medium stays segment-count-sized; global
+    * state is never rewritten — the Lucene segment shape, which is what
+    * makes lexical ingest embarrassingly appendable at 100 TB. */
+  def bm25IngestQuery(docStream: DataFrame, indexPath: String,
+      autoCompactMaxFiles: Option[Long] = None)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBm25IngestBatch(batch, batchId, indexPath,
+          autoCompactMaxFiles)(sink)
+      }
+
+  /** One BM25 ingest micro-batch — [[bm25IngestQuery]]'s foreachBatch
+    * body, exposed so the replay-idempotence and auto-compaction
+    * lifecycles are directly testable (the
+    * [[AnnStream.processIngestBatch]] convention). */
+  private[graft] def processBm25IngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, autoCompactMaxFiles: Option[Long])
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (nDocs, totalDl) = Bm25.appendSegmentTagged(
+      batch.selectExpr("doc_id", "text"), indexPath,
+      graft.util.BatchAppend.tag(batchId))
+    val compacted = autoCompactMaxFiles.exists { limit =>
+      val postings = s"$indexPath/postings"
+      graft.util.Compaction.dataFileCount(spark, postings) > limit && {
+        val stats = graft.util.Compaction.compactDir(spark, indexPath,
+          "postings", partitionCol = Some("tb"),
+          safeBatchFence = Some(batchId - 1L))
+        stats.filesAfter < stats.filesBefore
+      }
+    }
+    sink(Seq((batchId, nDocs, totalDl, compacted))
+      .toDF("batch_id", "seg_docs", "seg_total_dl", "compacted"), batchId)
+  }
+
+  /** HYBRID retrieval serving — the two-tower query path real retrieval
+    * runs, fused per micro-batch: each (query_id, text, embedding) batch
+    * probes the standing BM25 index ([[Bm25.queryStandingBm25]] — term-
+    * bucket-pruned postings scan) AND the standing IVF index
+    * ([[graft.operators.Similarity.queryStandingIvf]] — cell-directory-
+    * pruned vector scan), and the two queries×k rankings fuse through the
+    * ONE RRF core the batch entry uses ([[Bm25.rrfFuse]] — shared so the
+    * serving fusion cannot drift from `hybrid_rrf_topk`'s oracle-checked
+    * arithmetic; LexStreamSpec pins stream ≡ batch at full probe width).
+    *
+    * Standing sides and failure contract are the component twins'
+    * verbatim: both handles prepare once; per trigger BOTH signatures are
+    * currency-checked (stats for the lexical leg — append-sensitive by
+    * design; centers for the vector leg — retrain-sensitive), the fused
+    * probe materializes via localCheckpoint BEFORE the sink, and a probe
+    * that loses a race to a concurrent swap re-prepares both handles and
+    * retries ONCE. Per-trigger cost is exactly one lexical probe + one
+    * vector probe + a queries×2k-sized fusion — the fusion adds nothing
+    * corpus-scaled. */
+  def hybridSearchQuery(queryStream: DataFrame, bm25Path: String,
+      ivfPath: String, k: Int = 10, nprobe: Int = 4, rrfC: Int = 60)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    val spark = queryStream.sparkSession
+    var lexStanding = Bm25.prepareBm25Index(spark, bm25Path)
+    var semStanding = Similarity.prepareIvfIndex(spark, ivfPath)
+
+    def fused(batch: DataFrame): DataFrame = {
+      import spark.implicits._
+      val lex = Bm25.queryStandingBm25(lexStanding,
+          batch.select($"query_id", $"text"), k)
+        .select($"query_id", $"doc_id", $"rk")
+      val sem = Similarity.queryStandingIvf(semStanding,
+          batch.select($"query_id".as("vec_id"), $"embedding"), k, nprobe)
+        .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+      Bm25.rrfFuse(lex, sem, k, rrfC)
+    }
+
+    // configure-time plan warm-up: one synthetic single-query probe through
+    // BOTH legs + the fusion so batch 1 pays data, not codegen
+    if (semStanding.centers.nonEmpty) {
+      import spark.implicits._
+      val warm = Seq((-1L, "graft warmup probe",
+        semStanding.centers.head.map(_.toFloat).toSeq))
+        .toDF("query_id", "text", "embedding")
+      val _ = fused(warm).count()
+    }
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        scala.util.Try(Bm25.statsSignature(spark, bm25Path)).foreach { sig =>
+          if (sig != lexStanding.statsSig)
+            scala.util.Try(Bm25.prepareBm25Index(spark, bm25Path))
+              .foreach(lexStanding = _)
+        }
+        scala.util.Try(Similarity.centersSignature(spark, ivfPath))
+          .foreach { sig =>
+            if (sig != semStanding.centersSig)
+              scala.util.Try(Similarity.prepareIvfIndex(spark, ivfPath))
+                .foreach(semStanding = _)
+          }
+        if (!batch.isEmpty) {
+          def probe(): DataFrame = fused(batch).localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                lexStanding = Bm25.prepareBm25Index(spark, bm25Path)
+                semStanding = Similarity.prepareIvfIndex(spark, ivfPath)
+                probe()
+            }
+          sink(result, batchId)
+        }
+      }
+  }
 }

@@ -44,7 +44,13 @@ import org.apache.spark.sql.functions.col
   *    `lastFoldedBatch` (a redelivery of that id skips all side effects
   *    before ever reaching BatchAppend), or a bare checkpoint's last
   *    COMMITTED batch id. `None` compacts every tag — correct only when
-  *    nothing is replayable (no checkpointed ingest, or all committed). */
+  *    nothing is replayable (no checkpointed ingest, or all committed).
+  *  - ZONED layouts ([[graft.operators.ZOrder]]) must compact through
+  *    [[graft.operators.ZOrder.compactZoned]], not this: renaming every
+  *    data file orphans every zone row. The probe's coverage check keeps
+  *    a raw compactDir CORRECT (stale zone rows drop; rewritten files
+  *    read unmapped) but degrades every probe to a full scan — the
+  *    zone-map rebuild belongs inside the rewrite that invalidated it. */
 object Compaction {
 
   /** Before/after evidence of one [[compactDir]] run — the ops audit row.
@@ -69,6 +75,16 @@ object Compaction {
       else if (st.isDirectory) leaves(fs, st.getPath)
       else Seq(st)
     }
+
+  /** Recursive data-file count of a standing directory — the fragmentation
+    * health signal the auto-compacting ingest loops watch per trigger (one
+    * listing, the same cost the serving probes already pay). 0 for an
+    * absent directory. */
+  def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L else leaves(fs, p).size.toLong
+  }
 
   /** Rewrite `root/sub` into ~`targetBytes` files and swap it in place.
     *

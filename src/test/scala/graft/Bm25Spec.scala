@@ -29,8 +29,10 @@ class Bm25Spec extends SparkTestBase {
       math.round(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e6)).toMap
     def wm(d: Long, t: String): Long = {
       val tf = docs(d).count(_ == t).toLong
-      val num = (22L * tf * totalDl).toDouble
-      val den = (10L * tf * totalDl + 3L * totalDl + 9L * dl(d) * n).toDouble
+      // the engine's double dag: every integer widens BEFORE multiplying
+      // (overflow-free at any corpus scale), left-associated like the plan
+      val num = 22.0 * tf * totalDl
+      val den = 10.0 * tf * totalDl + 3.0 * totalDl + 9.0 * n * dl(d)
       math.round(idfM(t) * num / den)
     }
     val expect = qids.flatMap { q =>
@@ -114,6 +116,54 @@ class Bm25Spec extends SparkTestBase {
       assert(roots.size == nBuckets, s"scanned dirs: $roots, want $nBuckets")
       assert(roots.forall(_.matches(".*/tb=\\d+")), roots.mkString(","))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("a torn append (postings committed, stats not) is invisible — probes score the pre-append corpus") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_torn").toString
+    Bm25.writeBm25Index(docs, dir)
+    val before = Bm25.queryBm25Index(spark, dir, queries)
+      .collect().map(_.toSeq).toSeq
+    // plant the torn append: a full segment append, then delete its stats
+    // commit row — on-disk state is exactly what a crash between the two
+    // write jobs leaves (postings visible, no stats)
+    val statsDir = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def statsFiles() = fs.listStatus(statsDir)
+      .map(_.getPath).filter(!_.getName.startsWith("_")).toSet
+    val pre = statsFiles()
+    val (qid, qtext) = (queries.head().getLong(0), queries.head().getString(1))
+    Bm25.appendToBm25Index(
+      Seq((880000L, String.valueOf(qtext))).toDF("doc_id", "text"), dir)
+    (statsFiles() -- pre).foreach(p => fs.delete(p, false))
+    // the uncommitted segment's postings must not score: not as a hit, not
+    // in df, not in (N, Σdl) — the probe is bit-equal to the pre-append one
+    val after = Bm25.queryBm25Index(spark, dir, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "uncommitted segment leaked into scoring")
+    assert(!after.exists(_(2) == 880000L))
+    val _ = qid
+  }
+
+  test("re-appending an existing doc_id fails loudly at probe (df-uniqueness guard)") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val queries = docs.filter($"doc_id" < 1)
+      .select($"doc_id".as("query_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_dup").toString
+    Bm25.writeBm25Index(docs, dir)
+    // violate the fresh-doc_id append contract by re-appending the query
+    // doc itself: every one of its terms now has a duplicated
+    // (term, doc_id) posting pair inside the probed slice
+    val qtext = queries.head().getString(1)
+    Bm25.appendToBm25Index(
+      Seq((0L, String.valueOf(qtext))).toDF("doc_id", "text"), dir)
+    val ex = intercept[Exception] {
+      Bm25.queryBm25Index(spark, dir, queries).collect()
+    }
+    assert(ex.getMessage.contains("uniqueness"),
+      s"wrong failure: ${ex.getMessage}")
   }
 
   test("hybridRrfTopK: fuses both rankers, exact RRF arithmetic, both-list hits outrank") {

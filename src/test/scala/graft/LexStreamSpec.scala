@@ -60,4 +60,142 @@ class LexStreamSpec extends SparkTestBase {
         "post-append serving ranking diverges from the post-append batch probe")
     } finally q.stop()
   }
+
+  test("ingest loop: tagged segments; a replayed batch re-publishes, never double-counts; a torn replay stays invisible until completed") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ingest").toString
+    Bm25.writeBm25Index(docs.filter($"doc_id" % 3 === 0), path)
+    val rows = scala.collection.mutable.Buffer[(Long, Long, Long, Boolean)]()
+    def drive(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.LexStream.processBm25IngestBatch(b, id, path, None) {
+        (r, _) => rows ++= r.as[(Long, Long, Long, Boolean)].collect()
+      }
+    drive(docs.filter($"doc_id" % 3 === 1), 0L)
+    drive(docs.filter($"doc_id" % 3 === 2), 1L)
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    // segments union to the full corpus → probe ≡ the batch scorer
+    val batch = Bm25.bm25TopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == batch)
+    // REPLAY batch 1 (foreachBatch's at-least-once): the tagged protocol
+    // re-publishes the same segment — row counts and scoring unchanged, no
+    // df/N double-count (the failure a plain append would produce)
+    val (pBefore, sBefore) = (
+      spark.read.parquet(s"$path/postings").count(),
+      spark.read.parquet(s"$path/stats").count())
+    drive(docs.filter($"doc_id" % 3 === 2), 1L)
+    assert(spark.read.parquet(s"$path/postings").count() == pBefore)
+    assert(spark.read.parquet(s"$path/stats").count() == sBefore)
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == batch)
+    assert(rows.map(_._1) == Seq(0L, 1L, 1L) && rows.forall(!_._4))
+    // TORN replay: batch 1's stats commit row dies after the postings
+    // published (the crash window between the two BatchAppend publishes) —
+    // the segment must drop out of scoring entirely, and the next replay
+    // must restore it exactly
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tag1 = graft.util.BatchAppend.tag(1L)
+    fs.listStatus(statsDir).map(_.getPath)
+      .filter(_.getName.startsWith(s"$tag1-")).foreach(fs.delete(_, false))
+    val twoSegs = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ingest-ref").toString
+    Bm25.writeBm25Index(docs.filter($"doc_id" % 3 =!= 2), twoSegs)
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.queryBm25Index(spark, twoSegs, queries)
+        .collect().map(_.toSeq).toSeq,
+      "torn segment leaked into scoring")
+    drive(docs.filter($"doc_id" % 3 === 2), 1L) // the replay completes it
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == batch)
+  }
+
+  test("ingest auto-compaction: ceiling crossed → postings rewritten in the maintenance slot, replayable batch carried, probes unchanged") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-autocompact").toString
+    Bm25.writeBm25Index(docs.filter($"doc_id" % 5 === 0), path)
+    val compactedAt = scala.collection.mutable.Buffer[Long]()
+    // ceiling low enough that the fragmenting per-batch segment files
+    // cross it: the build alone lands ~1 file per touched term bucket
+    val limit = graft.util.Compaction
+      .dataFileCount(spark, s"$path/postings") + 1L
+    (1 to 4).foreach { r =>
+      graft.streaming.LexStream.processBm25IngestBatch(
+        docs.filter($"doc_id" % 5 === r), r.toLong - 1L, path,
+        Some(limit)) { (rows, _) =>
+        rows.as[(Long, Long, Long, Boolean)].collect()
+          .filter(_._4).foreach(x => compactedAt += x._1)
+      }
+    }
+    assert(compactedAt.nonEmpty, "fragmentation ceiling never fired")
+    // the fence (batchId - 1) must have carried the COMPACTING batch's own
+    // files verbatim — it is still replayable until its checkpoint commit
+    val lastCompact = compactedAt.last
+    val tag = graft.util.BatchAppend.tag(lastCompact)
+    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def allFiles(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) allFiles(st.getPath)
+        else Seq(st.getPath.getName)
+      }
+    assert(allFiles(postingsDir).exists(_.startsWith(s"$tag-")),
+      s"batch $lastCompact's tagged files were compacted away while still replayable")
+    // row preservation: the probe through the compacted layout equals the
+    // batch scorer over the full corpus
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.bm25TopK(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
+  test("hybrid serving: micro-batch fusion ≡ batch hybrid_rrf_topk at full probe width") {
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val lexPath = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-lex").toString
+    val semPath = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-sem").toString
+    Bm25.writeBm25Index(docs, lexPath)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 16),
+      semPath)
+    // the serving queries: the batch entry's own fixture queries — doc
+    // texts 0..2 paired with embedding vectors 0..2
+    val texts = docs.filter($"doc_id" < 3).as[(Long, String)].collect()
+      .map { case (id, t) => id -> String.valueOf(t) }.toMap
+    val vecs = emb.filter($"vec_id" < 3).as[(Long, Seq[Float])].collect()
+      .toMap
+    val queries = (0L to 2L).map(i => (i, texts(i), vecs(i)))
+    val results = scala.collection.mutable
+      .Set[(Long, Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    // nprobe = nlist: the probe covers every cell, so the semantic leg is
+    // the exact cosine ranking and the fusion must be BIT-EQUAL to the
+    // oracle-checked batch entry (at serving nprobe < nlist the semantic
+    // leg is the documented approximation — same fusion, fewer candidates)
+    val q = graft.streaming.LexStream.hybridSearchQuery(
+      ms.toDF().toDF("query_id", "text", "embedding"),
+      lexPath, semPath, nprobe = 16) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Long, Long, Long)].collect()
+    }.start()
+    try {
+      // split delivery: the fusion is per-query, so batching must not matter
+      ms.addData(queries.take(1): _*)
+      q.processAllAvailable()
+      ms.addData(queries.drop(1): _*)
+      q.processAllAvailable()
+      val batch = graft.operators.Bm25.hybridRrfTopK(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(results.toSet == batch,
+        s"stream ${results.toSeq.sortBy(r => (r._1, r._2)).take(4)} vs " +
+          s"batch ${batch.toSeq.sortBy(r => (r._1, r._2)).take(4)}")
+      assert(results.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -121,6 +121,111 @@ class ZOrderSpec extends SparkTestBase {
     assert(got == want, s"${got.length} vs ${want.length} rows")
   }
 
+  test("coverage check: unmapped files (torn append) are read; duplicated zone rows read once; stale zone rows drop") {
+    val n = 1 << 10
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(n)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val extra = Seq.fill(64)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("zm_torn").toString
+    ZOrder.writeZOrdered(base.toDF("x", "y"), "x", "y", s"$dir/table",
+      numFiles = 8)
+    ZOrder.buildZoneMap(spark, s"$dir/table", "x", "y")
+      .write.mode("overwrite").parquet(s"$dir/zones")
+    // TORN append: data files land, the zone append never runs (the crash
+    // window between appendZoned's two writes)
+    extra.toDF("x", "y").coalesce(1).write.mode("append")
+      .parquet(s"$dir/table")
+    def probe() = ZOrder.prunedRangeScan(spark, s"$dir/table",
+      spark.read.parquet(s"$dir/zones"), "x", "y", 0L, 1023L, 0L, 1023L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(probe() == (base ++ extra).sorted,
+      "rows in unmapped files were lost to the skip")
+    // DUPLICATED zone rows (a concurrent-append race double-writing the
+    // map): every file still reads exactly once
+    spark.read.parquet(s"$dir/zones").write.mode("append")
+      .parquet(s"$dir/zones")
+    assert(probe() == (base ++ extra).sorted,
+      "duplicated zone rows duplicated data rows")
+    // STALE zone rows (files rewritten from under the map): rows come back
+    // from the unmapped rewrite output, stale pointers drop silently
+    val stats = graft.util.Compaction.compactDir(spark, dir, "table")
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(probe() == (base ++ extra).sorted,
+      "a raw compactDir on a zoned layout lost rows")
+  }
+
+  test("tagged zoned append: a replayed batch re-publishes rows AND zone rows exactly once") {
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(256)((rnd.nextInt(512).toLong, rnd.nextInt(512).toLong))
+    val batch = Seq.fill(128)((rnd.nextInt(512).toLong, rnd.nextInt(512).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("zm_tagged").toString
+    ZOrder.writeZOrdered(base.toDF("x", "y"), "x", "y", s"$dir/table",
+      numFiles = 4)
+    ZOrder.buildZoneMap(spark, s"$dir/table", "x", "y")
+      .write.mode("overwrite").parquet(s"$dir/zones")
+    val tag = graft.util.BatchAppend.tag(7L)
+    ZOrder.appendZoned(batch.toDF("x", "y"), "x", "y", dir, numFiles = 2,
+      batchTag = Some(tag))
+    val rows1 = spark.read.parquet(s"$dir/table").count()
+    val zones1 = spark.read.parquet(s"$dir/zones").count()
+    // the at-least-once replay: same tag, same batch content
+    ZOrder.appendZoned(batch.toDF("x", "y"), "x", "y", dir, numFiles = 2,
+      batchTag = Some(tag))
+    assert(spark.read.parquet(s"$dir/table").count() == rows1,
+      "replayed tagged append duplicated data rows")
+    assert(spark.read.parquet(s"$dir/zones").count() == zones1,
+      "replayed tagged append duplicated zone rows")
+    // coverage after the replay: zones tile the table exactly, probe exact
+    val zones = spark.read.parquet(s"$dir/zones")
+    assert(zones.agg(sum($"n_rows")).head.getLong(0) == rows1)
+    val got = ZOrder.prunedRangeScan(spark, s"$dir/table", zones,
+      "x", "y", 0L, 511L, 0L, 511L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == (base ++ batch).sorted)
+  }
+
+  test("compactZoned: rewrite + fresh map swap as one unit — skipping restored, above-fence batch carried") {
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(1 << 10)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("zm_compact").toString
+    ZOrder.writeZOrdered(base.toDF("x", "y"), "x", "y", s"$dir/table",
+      numFiles = 4)
+    ZOrder.buildZoneMap(spark, s"$dir/table", "x", "y")
+      .write.mode("overwrite").parquet(s"$dir/zones")
+    // fragment with tagged ingest batches 0..5
+    val appended = (0 to 5).map { b =>
+      val rows = Seq.fill(64)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      ZOrder.appendZoned(rows.toDF("x", "y"), "x", "y", dir, numFiles = 2,
+        batchTag = Some(graft.util.BatchAppend.tag(b.toLong)))
+      rows
+    }
+    val all = base ++ appended.flatten
+    // batch 5 is still replayable: fence at 4 must carry its files verbatim
+    val stats = ZOrder.compactZoned(spark, dir, "x", "y",
+      targetBytes = 1L << 20, safeBatchFence = Some(4L))
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+    assert(stats.carriedFiles > 0L, "fence carried nothing")
+    val tag5 = graft.util.BatchAppend.tag(5L)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/table")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/table"))
+      .exists(_.getPath.getName.startsWith(s"$tag5-")),
+      "replayable batch 5's files were compacted away")
+    // the fresh map covers everything (carried files included): exact rows
+    val zones = spark.read.parquet(s"$dir/zones")
+    assert(zones.agg(sum($"n_rows")).head.getLong(0) == all.length.toLong)
+    val got = ZOrder.prunedRangeScan(spark, s"$dir/table", zones,
+      "x", "y", 0L, 1023L, 0L, 1023L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == all.sorted)
+    // and skipping works again post-swap: a small box reads < all files
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/table"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val read = zones.filter($"min_x" <= 60L && $"max_x" >= 20L &&
+      $"min_y" <= 60L && $"max_y" >= 20L).count()
+    assert(read < live, s"no skipping post-compaction: $read of $live")
+  }
+
   test("zone map on the Z-order layout skips files a linear sort-by-x layout cannot (y-only predicate)") {
     // the claim Z-order exists for: a predicate on the SECOND dimension
     // alone prunes Z-range files (each covers a small y-band too) but no
