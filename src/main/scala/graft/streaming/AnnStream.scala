@@ -86,6 +86,18 @@ object AnnStream {
     /** Retrains fired by this monitor since prepare — the ops counter
       * (persisted, so it survives a restart). */
     private[graft] var retrains: Long = 0L
+    /** Fragmentation ceiling for the AUTO-COMPACTION watch: when any
+      * [[compactTargets]] directory's data-file count exceeds this, the
+      * loop fires [[graft.util.Compaction.compactDir]] from the
+      * driver-sequenced maintenance slot the foreachBatch IS (set by the
+      * prepare functions; None = manual compaction only, the r14
+      * contract). */
+    private[graft] var autoCompactMaxFiles: Option[Long] = None
+    /** Compactions fired by this monitor since prepare — persisted like
+      * the retrain counter (same at-most-once-across-crashes caveat: the
+      * counter persists after the rewrite, the swapped layout is its own
+      * authoritative record). */
+    private[graft] var compactions: Long = 0L
     /** True once THIS incarnation has folded any batch — separates a
       * same-process redelivery (benign, fenced) from a fresh incarnation
       * whose first delivered id is already below the disk-seeded fence
@@ -123,6 +135,39 @@ object AnnStream {
     private[streaming] def totalsJson: String
     /** Restore tier-specific totals from a parsed [[totalsJson]]. */
     private[streaming] def restoreTotals(m: Map[String, Any]): Unit
+    /** The standing directories this monitor's appends fragment — the
+      * auto-compaction targets, as (sub, partitionCol) pairs relative to
+      * `indexPath` (the [[graft.util.Compaction.compactDir]] signature). */
+    private[streaming] def compactTargets: Seq[(String, Option[String])]
+
+    /** The fragmentation watch, run in the maintenance slot after a fold
+      * persists (and never in a retrain trigger — the retrain just
+      * rewrote everything): one data-file-count listing per target per
+      * trigger (the cost a probe's pruned listing already pays); past the
+      * ceiling, [[graft.util.Compaction.compactDir]] rewrites the target
+      * and swaps it in place. The safe batch fence is `lastFoldedBatch`
+      * when the fence is DURABLE (a persisted fold means that id can
+      * never replay unfenced) and `lastFoldedBatch - 1` without a
+      * stateDir (an in-memory fence dies with the process, so the folded
+      * batch itself is still replayable after a crash — its tagged files
+      * must ride through verbatim). Returns whether any target was
+      * rewritten. */
+    private[streaming] final def maybeAutoCompact(
+        spark: org.apache.spark.sql.SparkSession): Boolean =
+      autoCompactMaxFiles.exists { limit =>
+        val fence =
+          if (stateDir.isDefined) lastFoldedBatch else lastFoldedBatch - 1L
+        val fired = compactTargets.map { case (sub, pcol) =>
+          graft.util.Compaction
+            .dataFileCount(spark, s"$indexPath/$sub") > limit && {
+            val stats = graft.util.Compaction.compactDir(spark, indexPath,
+              sub, partitionCol = pcol, safeBatchFence = Some(fence))
+            stats.filesAfter < stats.filesBefore
+          }
+        }.exists(identity)
+        if (fired) compactions += 1L
+        fired
+      }
 
     private[streaming] final def persistState(
         spark: org.apache.spark.sql.SparkSession, gen: Long): Unit =
@@ -132,7 +177,8 @@ object AnnStream {
           .mkString("[", ",", "]")
         graft.util.AtomicState.write(spark, dir, gen,
           s"""{"last_folded_batch":"$lastFoldedBatch",""" +
-            s""""retrains":"$retrains","sig":$sig,"totals":$totalsJson}""")
+            s""""retrains":"$retrains","compactions":"$compactions",""" +
+            s""""sig":$sig,"totals":$totalsJson}""")
       }
 
     /** Seed from the persisted state, called AFTER the first [[resync]]
@@ -149,6 +195,9 @@ object AnnStream {
             .asInstanceOf[Map[String, Any]]
           lastFoldedBatch = m("last_folded_batch").asInstanceOf[String].toLong
           retrains = m("retrains").asInstanceOf[String].toLong
+          // absent in pre-r15 state files — the counter starts fresh there
+          compactions = m.get("compactions")
+            .map(_.asInstanceOf[String].toLong).getOrElse(0L)
           val sig = m("sig").asInstanceOf[List[Any]].map { e =>
             val l = e.asInstanceOf[List[Any]]
             (l(0).asInstanceOf[String], l(1).asInstanceOf[String].toLong,
@@ -317,6 +366,8 @@ object AnnStream {
       s"""{"cells":${cellTotalsJson(cellN, cellSum)}}"""
     private[streaming] def restoreTotals(m: Map[String, Any]): Unit =
       restoreCellTotals(m("cells"), cellN, cellSum)
+    private[streaming] def compactTargets: Seq[(String, Option[String])] =
+      Seq(("corpus", Some("cell")))
   }
 
   /** Resolve the standing side of the auto-retrain loop once: centers +
@@ -327,9 +378,11 @@ object AnnStream {
   def prepareRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, healthFloorMicros: Long,
       minVecsForAlarm: Long = 0L,
-      stateDir: Option[String] = None): RetrainMonitor = {
+      stateDir: Option[String] = None,
+      autoCompactMaxFiles: Option[Long] = None): RetrainMonitor = {
     val m = new RetrainMonitor(indexPath, healthFloorMicros,
       minVecsForAlarm, stateDir)
+    m.autoCompactMaxFiles = autoCompactMaxFiles
     m.resync(spark)
     m.seedState(spark)
     m
@@ -473,6 +526,13 @@ object AnnStream {
           monitor.retrains += 1L
           retrained = true
           monitor.persistState(spark, gen = 2L * batchId + 1L)
+        } else if (monitor.maybeAutoCompact(spark)) {
+          // the fragmentation response runs in the same maintenance slot
+          // retrains do (appends sequenced out by construction) but never
+          // in a retrain trigger — the retrain just rewrote the layout.
+          // gen 2·batch+1 is free on the no-alarm path; persisting records
+          // the bumped compaction counter next to the unchanged fence.
+          monitor.persistState(spark, gen = 2L * batchId + 1L)
         }
       } finally { val _ = vecs.unpersist() }
     } else {
@@ -567,6 +627,8 @@ object AnnStream {
       nVecs = m("n_vecs").asInstanceOf[String].toLong
       sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
     }
+    private[streaming] def compactTargets: Seq[(String, Option[String])] =
+      Seq(("raw", None), ("codes", None))
   }
 
   /** Resolve the standing side of the PQ auto-retrain loop once; with a
@@ -575,9 +637,11 @@ object AnnStream {
   def preparePqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
-      stateDir: Option[String] = None): PqRetrainMonitor = {
+      stateDir: Option[String] = None,
+      autoCompactMaxFiles: Option[Long] = None): PqRetrainMonitor = {
     val m = new PqRetrainMonitor(indexPath, errCeilingMicros,
       minVecsForAlarm, stateDir)
+    m.autoCompactMaxFiles = autoCompactMaxFiles
     m.resync(spark)
     m.seedState(spark)
     m
@@ -757,6 +821,8 @@ object AnnStream {
       nVecs = m("n_vecs").asInstanceOf[String].toLong
       sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
     }
+    private[streaming] def compactTargets: Seq[(String, Option[String])] =
+      Seq(("raw", None), ("codes", Some("cell")))
   }
 
   /** Resolve the standing side of the composed auto-retrain loop once;
@@ -764,9 +830,11 @@ object AnnStream {
   def prepareIvfPqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
-      stateDir: Option[String] = None): IvfPqRetrainMonitor = {
+      stateDir: Option[String] = None,
+      autoCompactMaxFiles: Option[Long] = None): IvfPqRetrainMonitor = {
     val m = new IvfPqRetrainMonitor(indexPath, healthFloorMicros,
       errCeilingMicros, minVecsForAlarm, stateDir)
+    m.autoCompactMaxFiles = autoCompactMaxFiles
     m.resync(spark)
     m.seedState(spark)
     m
@@ -836,9 +904,11 @@ object AnnStream {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
-      stateDir: Option[String] = None): IvfPqResidualRetrainMonitor = {
+      stateDir: Option[String] = None,
+      autoCompactMaxFiles: Option[Long] = None): IvfPqResidualRetrainMonitor = {
     val m = new IvfPqResidualRetrainMonitor(indexPath, healthFloorMicros,
       errCeilingMicros, minVecsForAlarm, stateDir)
+    m.autoCompactMaxFiles = autoCompactMaxFiles
     m.resync(spark)
     m.seedState(spark)
     m
