@@ -363,6 +363,12 @@ object SparkEntry {
     // pattern, closing the SQ8 tier's standing-index gap)
     "sq_adc_topk_indexed" -> ((s, d) => Sq.sqAdcTopKIndexed(s, d)),
     "sq_rerank_topk" -> ((s, d) => Sq.sqRerankTopK(s, d)),
+    // per-dim grid reconstruction error — pq_quant_error's shape for the
+    // 4x tier, replayed from the sq_codes + sq_params dumps against the
+    // raw embeddings; the SQ ops loop's drift signal (its per-batch fold
+    // shares this entry's reconErr arithmetic, so alarm evidence is
+    // oracle-replayed by construction)
+    "sq_quant_error" -> (Sq.sqQuantError _),
     // —— LLM-pipeline: text analysis ——
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -2162,6 +2168,24 @@ object SparkEntry {
         "SELECT query_id, vec_id, qdist, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY qdist, vec_id) AS rk FROM s) " +
         "WHERE rk <= 10"),
+    // grid reconstruction error replayed from the codes + params dumps
+    // against the raw embeddings: decode = min + code/scale (a constant
+    // dim decodes to its min), squared residual rounded 6 dp,
+    // micro-quantized integer rollup, truncating mean — the identical
+    // double dag as Sq.reconErr + Cols.micros6
+    "sq_quant_error" ->
+      ("WITH c AS (SELECT vec_id, list_transform(string_split(codes, ','), x -> CAST(x AS INTEGER)) AS codes " +
+        "FROM read_parquet('{OUT}/sq_codes/*.parquet')), " +
+        "p AS (SELECT dim, min_val, scale FROM read_parquet('{OUT}/sq_params/*.parquet')), " +
+        "e0 AS (SELECT c.vec_id, p.dim, emb.embedding[p.dim + 1]::DOUBLE - " +
+        "CASE WHEN p.scale > 0 THEN p.min_val + c.codes[p.dim + 1] / p.scale ELSE p.min_val END AS d " +
+        "FROM c JOIN embeddings emb USING (vec_id), p), " +
+        "e AS (SELECT vec_id, dim, round(d * d, 6) AS err FROM e0) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, n_vecs, sum_err_micros, " +
+        "sum_err_micros // n_vecs AS mean_err_micros " +
+        "FROM (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(round(err * 1000000) AS BIGINT)) AS BIGINT) AS sum_err_micros " +
+        "FROM e GROUP BY dim) ORDER BY dim"),
     // compressed shortlist (50) then the pq_rerank exact-L2 replay shape
     "sq_rerank_topk" ->
       (s"WITH $sqAdcCtes, " +

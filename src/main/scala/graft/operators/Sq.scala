@@ -59,12 +59,62 @@ object Sq {
     (emb, fit(emb))
   }
 
-  /** Registered rows-only dump: the fitted grid (audit surface). */
-  def sqParamsEntry(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, model) = fixtureModel(spark, sfDir)
+  /** The grid as a (dim, min_val, scale) frame — the dump, the persisted
+    * params medium, and the broadcast side of the reconstruction-error
+    * join, from ONE definition. */
+  private def paramsDf(spark: SparkSession, model: SqModel): DataFrame =
     spark.createDataFrame(
       model.mins.indices.map(i => (i, model.mins(i), model.scales(i))))
       .toDF("dim", "min_val", "scale")
+
+  /** Registered rows-only dump: the fitted grid (audit surface). */
+  def sqParamsEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, model) = fixtureModel(spark, sfDir)
+    paramsDf(spark, model)
+  }
+
+  /** Per-(vector, dimension) grid reconstruction RESIDUAL d = x − decode
+    * (decode = min + code/scale on the same frozen grid that encoded; a
+    * constant dimension decodes to its min) — the one arithmetic behind
+    * the oracle-checked [[sqQuantError]] entry AND the grid-drift
+    * monitor's per-batch fold ([[graft.streaming.AnnStream]]'s SQ loop),
+    * shared so the alarm evidence stays replayable by the same oracle.
+    * One codegen encode pass + a dim-sized broadcast join; batch-scaled,
+    * shuffle-free. */
+  private[graft] def reconErr(emb: DataFrame, model: SqModel): DataFrame =
+    emb
+      .select($"vec_id", $"embedding",
+        VectorExpressions.sq8Codes($"embedding", model.mins, model.scales)
+          .as("codes"))
+      .select($"vec_id",
+        posexplode(arrays_zip($"embedding", $"codes")).as(Seq("dim", "z")))
+      .select($"vec_id", $"dim",
+        $"z.embedding".as("x"), $"z.codes".as("code"))
+      .join(broadcast(paramsDf(emb.sparkSession, model)), "dim")
+      .withColumn("d", $"x".cast("double") -
+        when($"scale" > 0, $"min_val" + $"code" / $"scale")
+          .otherwise($"min_val"))
+      .select($"vec_id", $"dim", $"d")
+
+  /** Registered query (HASH-CHECKED): per-dimension grid reconstruction
+    * error — `pq_quant_error`'s shape for the 4× tier, replayed by DuckDB
+    * from the `sq_codes` + `sq_params` dumps against the raw embeddings
+    * (decode = min + code/scale, squared residual rounded 6 dp,
+    * micro-quantized integer rollup, truncating mean). This is the
+    * drift signal the SQ ops loop alarms on: a frozen grid CLAMPS
+    * out-of-range arrivals, so distortion rises exactly like PQ codebook
+    * drift — and because the arithmetic is [[reconErr]] + the pinned
+    * micros quantization, the monitor's fold is oracle-replayed here by
+    * construction. */
+  def sqQuantError(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, model) = fixtureModel(spark, sfDir)
+    reconErr(emb, model)
+      .withColumn("err_micros", graft.util.Cols.micros6($"d" * $"d"))
+      .groupBy($"dim".cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"err_micros").as("sum_err_micros"))
+      .select($"dim", $"n_vecs", $"sum_err_micros",
+        expr("sum_err_micros DIV n_vecs").as("mean_err_micros"))
+      .orderBy($"dim")
   }
 
   /** Registered rows-only dump (it IS the oracle input): the SQ8-coded
@@ -109,9 +159,7 @@ object Sq {
   def writeSqIndex(emb: DataFrame, model: SqModel, path: String): Unit = {
     val spark = emb.sparkSession
     encode(spread(emb), model).write.mode("overwrite").parquet(s"$path/codes")
-    spark.createDataFrame(
-      model.mins.indices.map(i => (i, model.mins(i), model.scales(i))))
-      .toDF("dim", "min_val", "scale")
+    paramsDf(spark, model)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -134,6 +182,95 @@ object Sq {
     val model = loadSqModel(newVecs.sparkSession, path)
     encode(spread(newVecs), model).write.mode("append")
       .parquet(s"$path/codes")
+  }
+
+  /** Cheap change signature of the index's PARAMS directory — (name,
+    * length, mtime) per file, one listing. A [[retrainSqIndex]] swap
+    * rewrites the directory (new part-file names); appends never touch
+    * the grid. The serving loop compares this per trigger — the
+    * [[Similarity.centersSignature]] contract for the 4× tier. */
+  private[graft] def paramsSignature(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  /** A PREPARED standing handle on a persisted SQ8 index — grid, codes
+    * schema, and change signature resolved once; each probe re-lists the
+    * codes directory freshly (frozen-grid appends stay visible — the
+    * probe-while-ingest contract every standing tier here serves). */
+  final case class StandingSq(spark: SparkSession, path: String,
+      model: SqModel, codesSchema: org.apache.spark.sql.types.StructType,
+      paramsSig: Seq[(String, Long, Long)])
+
+  /** Resolve a persisted SQ8 index into a serving handle (signature read
+    * FIRST — the [[Pq.preparePqIndex]] ordering, so a swap landing
+    * mid-prepare is caught by the next trigger's check). */
+  def prepareSqIndex(spark: SparkSession, path: String): StandingSq = {
+    val sig = paramsSignature(spark, path)
+    StandingSq(spark, path, loadSqModel(spark, path),
+      spark.read.parquet(s"$path/codes").schema, sig)
+  }
+
+  /** Probe a prepared [[StandingSq]] with a (vec_id, embedding) query
+    * FRAME — the serving path: queries encode IN-PLAN against the frozen
+    * grid (one codegen pass — embeddings never pass through the driver),
+    * the coded corpus scans once per probe (a fresh listing, so appends
+    * are visible), integer squared-L2 scores against the broadcast query
+    * codes, and ranking folds through the bounded top-k aggregate
+    * (map-side partial — the serving twins' shared shape). Same rows as
+    * [[sqAdcTopK]] on the same queries: qdist rides through the double-
+    * scored buffer exactly (≤ 64·255² ≪ 2⁵³) and returns as the exact
+    * BIGINT the batch path emits. */
+  def queryStandingSq(standing: StandingSq, queryFrame: DataFrame,
+      k: Int = 10): DataFrame = {
+    val m = standing.model
+    val qcodes = broadcast(queryFrame
+      .select($"vec_id".as("query_id"),
+        VectorExpressions.sq8Codes($"embedding", m.mins, m.scales)
+          .as("qcodes")))
+    val codes = standing.spark.read.schema(standing.codesSchema)
+      .parquet(s"${standing.path}/codes")
+    val scored = codes.join(qcodes, $"vec_id" =!= $"query_id")
+      .withColumn("qdist",
+        VectorExpressions.intL2($"codes", $"qcodes").cast("double"))
+      .select($"query_id", $"vec_id", $"qdist")
+    Similarity.topKViaAggregate(scored, k, "qdist", asc = true)
+      .select($"query_id", $"vec_id", $"qdist".cast("long").as("qdist"),
+        $"rk")
+  }
+
+  /** Re-fit the grid over a CURRENT raw corpus and swap the persisted
+    * index in place — the SQ8 retrain-on-drift response
+    * ([[Pq.retrainPqIndex]]'s protocol on the 4× tier): a frozen grid
+    * CLAMPS out-of-range arrivals, so reconstruction error
+    * ([[sqQuantError]]'s arithmetic) rises as the ingested range outgrows
+    * the fit; this refits min/max, re-encodes everything, and swaps
+    * codes + params together through the one staged protocol. Serving
+    * ([[graft.streaming.AnnStream.sqSearchQuery]]) picks the swap up via
+    * its per-trigger params signature check — no restart. */
+  def retrainSqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val base = spread(emb).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+      .persist() // scanned by the fit's min/max and the re-encode
+    try {
+      // the raw corpus must COVER the index (the retrainPqIndex seeding
+      // contract): refitting over a partial raw dir would swap in an
+      // index that silently forgot the rest
+      val rawCount = base.count()
+      val codesCount = spark.read.parquet(s"$path/codes").count()
+      require(rawCount >= codesCount,
+        s"retrainSqIndex: raw corpus ($rawCount vecs) does not cover the " +
+          s"index ($codesCount codes) at $path — was the raw dir seeded " +
+          "with the initial corpus?")
+      val staging = s"$path/retrain_staging"
+      writeSqIndex(base, fit(base), staging)
+      graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
+        Seq("codes", "params"))
+    } finally { val _ = base.unpersist() }
   }
 
   /** tmpdir slot for the registered standing-index entry (the

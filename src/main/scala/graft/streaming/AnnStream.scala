@@ -689,6 +689,144 @@ object AnnStream {
       (sink: (DataFrame, Long) => Unit): Unit =
     processDriftIngestBatch(monitor, batch, batchId)(sink)
 
+  /** The per-batch GRID reconstruction-error fold (`sq_quant_error`'s
+    * oracle-replayed arithmetic — [[graft.operators.Sq.reconErr]] + the
+    * pinned micros quantization): returns (batch vector count, batch
+    * err-micros sum). The SQ twin of [[reconErrFold]]. */
+  private def sqReconErrFold(vecs: org.apache.spark.sql.DataFrame,
+      model: graft.operators.Sq.SqModel): (Long, Long) = {
+    val h = graft.operators.Sq
+      .reconErr(vecs.select(col("vec_id"), col("embedding")), model)
+      .select(graft.util.Cols.micros6(col("d") * col("d")).as("err_micros"))
+      .agg(count(lit(1)), coalesce(sum(col("err_micros")), lit(0L)))
+      .head()
+    (h.getLong(0) / math.max(model.mins.length, 1), h.getLong(1))
+  }
+
+  /** Standing state of the SQ8 GRID-DRIFT watcher — the 4× tier's
+    * [[PqRetrainMonitor]]: a frozen [min, max] grid CLAMPS out-of-range
+    * arrivals (the SQ8 saturation), so reconstruction error rises under
+    * range drift exactly like PQ codebook drift; the alarm is the same
+    * CEILING on the cumulative per-vector mean (micros —
+    * `sq_quant_error`'s exact arithmetic via the shared
+    * [[graft.operators.Sq.reconErr]]). Appends publish the raw vectors
+    * (under `$indexPath/raw` — what the refit runs over) and the
+    * frozen-grid codes, both idempotently under the batch tag; the
+    * response is [[graft.operators.Sq.retrainSqIndex]] (grid refit +
+    * re-encode + staged swap of codes + params). Durability, replay
+    * fencing, alarm protocol, and auto-compaction are the inherited
+    * [[DriftMonitor]] scaffold — written once. */
+  final class SqRetrainMonitor private[streaming] (
+      indexPath: String,
+      val errCeilingMicros: Long,
+      minVecsForAlarm: Long,
+      stateDir: Option[String])
+      extends DriftMonitor(indexPath, minVecsForAlarm, stateDir) {
+    private[streaming] var model: graft.operators.Sq.SqModel = _
+    private[streaming] var modelSig: Seq[(String, Long, Long)] = Nil
+    private[streaming] var nVecs: Long = 0L
+    private[streaming] var sumErrMicros: Long = 0L
+
+    def totalVecs: Long = nVecs
+
+    /** Cumulative per-vector mean grid reconstruction error since the
+      * last retrain (truncating Long division — the pinned cross-engine
+      * contract; see [[RetrainMonitor.weightedMeanMicros]]). */
+    def meanErrMicros: Option[Long] =
+      if (nVecs == 0L) None else Some(sumErrMicros / nVecs)
+
+    private[streaming] def decisionMetric: Option[Long] = meanErrMicros
+    private[streaming] def crossed(metric: Long): Boolean =
+      metric > errCeilingMicros
+    private[streaming] def metricName: String = "mean_err_micros"
+    private[streaming] def storedSig: Seq[(String, Long, Long)] = modelSig
+
+    private[streaming] def resync(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val sig = graft.operators.Sq.paramsSignature(spark, indexPath)
+      if (sig != modelSig) {
+        model = graft.operators.Sq.loadSqModel(spark, indexPath)
+        modelSig = sig
+        nVecs = 0L
+        sumErrMicros = 0L
+      }
+    }
+
+    /** Two idempotent publishes per batch against the monitor's OWN
+      * resynced grid: raw vectors (the refit corpus) and frozen-grid
+      * codes — the [[PqRetrainMonitor.appendBatch]] shape. */
+    private[graft] def appendBatch(vecs: org.apache.spark.sql.DataFrame,
+        batchTag: String): Unit = {
+      graft.util.BatchAppend.append(vecs, s"$indexPath/raw", batchTag)
+      graft.util.BatchAppend.append(
+        graft.operators.Sq.encode(graft.util.Cols.spread(vecs), model),
+        s"$indexPath/codes", batchTag)
+    }
+
+    private[streaming] def foldBatch(
+        vecs: org.apache.spark.sql.DataFrame): Long = {
+      val (batchVecs, errSum) = sqReconErrFold(vecs, model)
+      nVecs += batchVecs
+      sumErrMicros += errSum
+      batchVecs
+    }
+
+    private[streaming] def fireRetrain(
+        spark: org.apache.spark.sql.SparkSession): Unit =
+      graft.operators.Sq.retrainSqIndex(
+        spark.read.parquet(s"$indexPath/raw"), indexPath)
+
+    private[streaming] def totalsJson: String =
+      s"""{"n_vecs":"$nVecs","sum_err_micros":"$sumErrMicros"}"""
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit = {
+      nVecs = m("n_vecs").asInstanceOf[String].toLong
+      sumErrMicros = m("sum_err_micros").asInstanceOf[String].toLong
+    }
+    private[streaming] def compactTargets: Seq[(String, Option[String])] =
+      Seq(("raw", None), ("codes", None))
+  }
+
+  /** Resolve the standing side of the SQ8 auto-retrain loop once; same
+    * crash-restart contract as every other prepare. */
+  def prepareSqRetrainMonitor(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, errCeilingMicros: Long,
+      minVecsForAlarm: Long = 0L,
+      stateDir: Option[String] = None,
+      autoCompactMaxFiles: Option[Long] = None): SqRetrainMonitor = {
+    val m = new SqRetrainMonitor(indexPath, errCeilingMicros,
+      minVecsForAlarm, stateDir)
+    m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.resync(spark)
+    m.seedState(spark)
+    m
+  }
+
+  /** The SQ8 tier's COMPOSED ops loop — ingest → grid-distortion alarm →
+    * grid retrain — completing the 4× tier's lifecycle
+    * ([[autoRetrainPqIngestQuery]]'s twin; the shared [[DriftMonitor]]
+    * scaffold IS the durability/replay implementation). Monitor rows to
+    * `sink`, one per delivered batch: (batch_id, batch_vecs, total_vecs,
+    * mean_err_micros, alarm, retrained). A standing [[sqSearchQuery]]
+    * serving the same index follows a fired retrain via its params
+    * signature check with no restart (SqAutoRetrainSpec pins the
+    * lifecycle). */
+  def autoRetrainSqIngestQuery(vecStream: DataFrame,
+      monitor: SqRetrainMonitor)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    monitor.foldedThisIncarnation = false // see autoRetrainIngestQuery
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSqIngestBatch(monitor, batch, batchId)(sink)
+      }
+  }
+
+  /** One SQ8 auto-retrain micro-batch — [[processDriftIngestBatch]] with
+    * the SQ monitor's bindings, kept as the directly-testable entry. */
+  private[graft] def processSqIngestBatch(monitor: SqRetrainMonitor,
+      batch: DataFrame, batchId: Long)
+      (sink: (DataFrame, Long) => Unit): Unit =
+    processDriftIngestBatch(monitor, batch, batchId)(sink)
+
   /** Standing state of the COMPOSED IVF×PQ drift watcher — both tiers'
     * monitors fused over one [[graft.operators.Pq.writeIvfPqIndex]] index,
     * because the composed index has BOTH failure modes and they drift
@@ -1158,4 +1296,55 @@ object AnnStream {
     servedIvfPq(queryStream, indexPath, k, nprobe,
       (s, q, kk, np) =>
         graft.operators.Pq.queryStandingIvfPqResidual(s, q, kk, np))(sink)
+
+  /** The SQ8 serving twin — [[pqSearchQuery]]'s contract on the 4× tier:
+    * a stream of query vectors integer-L2-probes a persisted
+    * [[graft.operators.Sq.writeSqIndex]] layout per micro-batch
+    * ([[graft.operators.Sq.queryStandingSq]]: in-plan frozen-grid query
+    * encode, fresh codes listing so frozen-grid appends stay visible,
+    * broadcast query codes × coded-corpus scan, bounded top-k aggregate).
+    * A grid retrain ([[graft.operators.Sq.retrainSqIndex]] swap) is
+    * survived the standard way: per-trigger params signature check,
+    * Try-guarded re-prepare, retry-once probe materialized
+    * (localCheckpoint) BEFORE the sink. */
+  def sqSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Sq
+    val spark = queryStream.sparkSession
+    var standing = Sq.prepareSqIndex(spark, indexPath)
+    // configure-time plan warm-up: one synthetic single-query probe (the
+    // grid's own min corner decodes to a valid vector) so batch 1 pays
+    // data, not codegen
+    locally {
+      import spark.implicits._
+      val warm = Seq((-1L, standing.model.mins.map(_.toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val _ = Sq.queryStandingSq(standing, warm, k).count()
+    }
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        scala.util.Try(Sq.paramsSignature(spark, indexPath))
+          .foreach { sig =>
+            if (sig != standing.paramsSig)
+              scala.util.Try(Sq.prepareSqIndex(spark, indexPath))
+                .foreach(standing = _)
+          }
+        if (!batch.isEmpty) {
+          val queries = batch.select($"vec_id", $"embedding")
+          def probe(): DataFrame =
+            Sq.queryStandingSq(standing, queries, k).localCheckpoint(true)
+          val result =
+            try probe()
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                standing = Sq.prepareSqIndex(spark, indexPath)
+                probe()
+            }
+          sink(result, batchId)
+        }
+      }
+  }
 }
