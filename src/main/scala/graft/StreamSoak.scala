@@ -19,7 +19,7 @@ object StreamSoak {
     // runs only the ANN-serving soak at local[cores] (default 32) and prints
     // its row — for iterating on one pipeline without paying the full soak
     // matrix. STREAMBENCH.json is only written by the full (argless) run.
-    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq", "ivfpqres", "anncompact", "bm25"))) {
+    if (args.headOption.exists(Set("ann", "pq", "annretrain", "ingestrestart", "ivfpq", "ivfpqres", "anncompact", "bm25", "hybrid", "autocompact"))) {
       val which = args.head
       val cores = args.lift(1).map(_.toInt).getOrElse(32)
       val spark = SparkSession.builder()
@@ -50,6 +50,14 @@ object StreamSoak {
           annRate, tag = s"only$cores", soakMs = 20000)
         case "bm25" => Soak.bm25Run(spark, corpusDocs = 20000, annRate,
           tag = s"only$cores")
+        case "hybrid" => Soak.hybridRun(spark, corpusDocs = 20000, annRate,
+          tag = s"only$cores")
+        case "autocompact" =>
+          val (ing, srv, n) = Soak.annIngestAutoCompactRun(spark,
+            corpusVecs = 20000, 2500 * math.min(cores / 4, 4), annRate,
+            tag = s"only$cores", soakMs = 30000)
+          println(s"""{"serve":${Soak.json(srv)},"compactions":$n}""")
+          ing
         case _ => Soak.annRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores", soakMs = 20000)
       }
@@ -131,6 +139,23 @@ object StreamSoak {
       val ingestRate = 5000 * dedupScale
       val ingestRestart = Soak.annIngestRestartRun(spark, corpusVecs = 20000,
         ingestRate, tag = s"c$cores", soakMs = 20000)
+      // the two-tower fused retrieval row: one lexical + one vector probe
+      // per trigger, fused through the shared RRF core
+      val hybrid = Soak.hybridRun(spark, corpusDocs = 20000, annRate,
+        tag = s"c$cores")
+      // maintenance-automation row: the ingest loop's fragmentation watch
+      // fires compaction AUTOMATICALLY every few triggers while a serving
+      // stream holds the same index; the run REQUIRES >=1 automatic
+      // compaction and row integrity across every rewrite
+      // half the restart row's ingest rate: this row CO-LOADS ingest,
+      // serving, and inline rewrites on one box; at the full 20k/s the
+      // serving margin measured 1.01× offered — too thin for a gate row.
+      // 30 s (not 20): two loops + rewrites left a single steady-state
+      // batch per loop at the wide geometry
+      val autoIngestRate = ingestRate / 2
+      val (autoIngest, autoServe, autoCompactions) =
+        Soak.annIngestAutoCompactRun(spark, corpusVecs = 20000,
+          autoIngestRate, annRate, tag = s"c$cores", soakMs = 30000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -149,7 +174,12 @@ object StreamSoak {
         s""""ivf_pq_residual_probe":${Soak.json(ivfPqRes)},""" +
         s""""bm25_probe":${Soak.json(bm25)},""" +
         s""""ann_probe_compact":${Soak.json(annCompact)},""" +
-        s""""ann_ingest_restart":${Soak.json(ingestRestart)},"cores":$cores,""" +
+        s""""ann_ingest_restart":${Soak.json(ingestRestart)},""" +
+        s""""hybrid_probe":${Soak.json(hybrid)},""" +
+        s""""ann_ingest_autocompact":${Soak.json(autoIngest)},""" +
+        s""""ann_probe_autocompact":${Soak.json(autoServe)},""" +
+        s""""auto_compactions":$autoCompactions,""" +
+        s""""autocompact_ingest_rate":$autoIngestRate,"cores":$cores,""" +
         s""""collector_rate":$collectorRate,"events_rate":$eventsRate,""" +
         s""""docs_rate":$docsRate,"items_rate":$itemsRate,""" +
         s""""decontam_rate":$decontamRate,"mixture_rate":$mixtureRate,""" +

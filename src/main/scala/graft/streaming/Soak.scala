@@ -610,6 +610,120 @@ object Soak {
     soak(q, soakMs)
   }
 
+  /** Streaming HYBRID retrieval throughput — the two-tower serving row
+    * ([[LexStream.hybridSearchQuery]]): a synthetic corpus stands behind
+    * BOTH indexes (BM25 term-bucket segments over its texts, a
+    * cell-partitioned IVF over its 64-d embeddings — builds untimed), then
+    * a rate-source query stream carrying text AND embedding probes both
+    * legs per micro-batch and fuses them through the shared RRF core.
+    * Query texts REUSE corpus docs (real postings matches — the expensive
+    * lexical case) and query vectors spread uniformly over the cells; per
+    * trigger this pays one bucket-pruned lexical probe + one cell-pruned
+    * vector probe + a queries×2k fusion. */
+  def hybridRun(spark: SparkSession, corpusDocs: Int, queriesRate: Int,
+      tag: String, soakMs: Long = 30000): Result = {
+    import graft.operators.{Bm25, Similarity}
+    val corpus = spark.range(corpusDocs.toLong)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    val emb = spark.range(corpusDocs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val lexPath =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_hyblex")}/$tag"
+    val semPath =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_hybsem")}/$tag"
+    Bm25.writeBm25Index(corpus, lexPath)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 64),
+      semPath)
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + corpusDocs).as("query_id"),
+        synthText(pmod(col("value"), lit(corpusDocs.toLong))).as("text"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val q = LexStream.hybridSearchQuery(queries, lexPath, semPath) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    soak(q, soakMs)
+  }
+
+  /** The auto-retrain ingest loop with the fragmentation watch ARMED and a
+    * live serving stream on the same index — [[annCompactRun]]'s manual
+    * mid-soak trigger made AUTOMATIC (round-15 headline): the monitor
+    * watches the corpus's data-file count per trigger and fires
+    * [[graft.util.Compaction.compactDir]] from its own maintenance slot
+    * (durable fence = the just-persisted fold) whenever appends push past
+    * the ceiling, while [[AnnStream.ivfSearchQuery]] keeps serving
+    * queries through every rewrite window (per-trigger listings + the
+    * retry-once contract — no re-prepare needed, centers are untouched).
+    * The ceiling (3× the per-cell floor) makes compaction fire every few
+    * triggers — the routine cadence a real ingest runs at, priced here.
+    *
+    * Returns (ingest result, serving result, compactions fired). The run
+    * itself REQUIRES ≥1 automatic compaction, zero duplicate appended
+    * vec_ids, and no row lost across the rewrites (appended rows ≥ the
+    * sum of folded batch sizes). */
+  def annIngestAutoCompactRun(spark: SparkSession, corpusVecs: Int,
+      vecsRate: Int, queriesRate: Int, tag: String,
+      soakMs: Long = 20000): (Result, Result, Long) = {
+    import graft.operators.Similarity
+    val corpus = spark.range(corpusVecs.toLong)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod(id * 31 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val root =
+      s"${graft.util.TmpDirs.perProcessDir("graft_soak_autocompact")}/$tag"
+    val path = s"$root/index"
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, nlist = 64),
+      path)
+    val vecStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", vecsRate.toString).load()
+      .select((col("value") + corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 7) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    val queryStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", queriesRate.toString).load()
+      .select((col("value") + 2L * corpusVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> cast(pmod((value + 11) * 43 + j * 17, 997) / 997.0 as float))")
+          .as("embedding"))
+    // ceiling at 8× the 64-cell compacted floor: the fragmented BUILD
+    // (tasks × cells files) compacts at the FIRST trigger, and steady-state
+    // appends (≤64 files each) re-cross every ~7 triggers — a routine
+    // maintenance cadence. A 3× ceiling was measured to rewrite the whole
+    // corpus every other trigger and push ingest under offered (0.88×) —
+    // compaction frequency, not compaction itself, was the cost.
+    val monitor = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, minVecsForAlarm = 0L,
+      stateDir = Some(s"$root/monitor_state"),
+      autoCompactMaxFiles = Some(512L))
+    var folded = 0L // foreachBatch runs serially on the stream thread
+    val iq = AnnStream.autoRetrainIngestQuery(vecStream, monitor) {
+      (row, _) => folded += row.agg(sum(col("batch_vecs"))).head().getLong(0)
+    }.option("checkpointLocation", s"$root/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    val sq = AnnStream.ivfSearchQuery(queryStream, path) {
+      (topk, _) => val _ = topk.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("4 seconds"))
+      .start()
+    Thread.sleep(soakMs)
+    iq.stop(); iq.awaitTermination()
+    sq.stop(); sq.awaitTermination()
+    require(monitor.compactions >= 1L,
+      "auto-compaction soak: the fragmentation ceiling never fired " +
+        s"(compactions=${monitor.compactions})")
+    val appended = spark.read.parquet(s"$path/corpus")
+      .filter(col("vec_id") >= corpusVecs.toLong)
+    val (total, distinct) =
+      (appended.count(), appended.select(col("vec_id")).distinct().count())
+    require(total == distinct && total >= folded && folded > 0L,
+      s"auto-compaction integrity: $total appended, $distinct distinct, " +
+        s"$folded folded — a rewrite lost or duplicated rows")
+    (summarize(iq), summarize(sq), monitor.compactions)
+  }
+
   /** Drive the two always-on pipelines — the collection sink (track filter →
     * sanitize → per-batch text sink) and the watermarked tumbling-window
     * aggregation — each for `soakMs` against the rate source at the given

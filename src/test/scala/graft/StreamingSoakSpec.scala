@@ -150,6 +150,37 @@ class StreamingSoakSpec extends SparkTestBase {
     }
   }
 
+  test("rate-source soak: hybrid two-tower serving sustains the query stream") {
+    // per micro-batch: one bucket-pruned lexical probe + one cell-pruned
+    // vector probe + the queries×2k RRF fusion — the fused retrieval row;
+    // the floor is conservative (two probes per trigger)
+    measureWithRetry { i =>
+      Soak.hybridRun(spark, corpusDocs = 20000, queriesRate = 500,
+        tag = s"spec$i")
+    } { d =>
+      assert(d.batches >= 2 && d.totalRows > 2000, d)
+      assert(d.rowsPerSec > 300, s"hybrid probe throughput degenerate: $d")
+    }
+  }
+
+  test("rate-source soak: the ingest loop's automatic compaction holds ingest and serving") {
+    // the fragmentation watch fires compactDir from the ingest loop's own
+    // maintenance slot every few triggers while a serving stream probes
+    // the same index; the run REQUIRES >=1 automatic compaction and row
+    // integrity — the floors pin both loops staying functional through it
+    measureWithRetry { i =>
+      Soak.annIngestAutoCompactRun(spark, corpusVecs = 20000,
+        vecsRate = 5000, queriesRate = 500, tag = s"spec$i")
+    } { case (ingest, serve, compactions) =>
+      assert(compactions >= 1L)
+      assert(ingest.batches >= 2 && ingest.totalRows > 5000, ingest)
+      assert(ingest.rowsPerSec > 1000,
+        s"auto-compacting ingest throughput degenerate: $ingest")
+      assert(serve.batches >= 1 && serve.rowsPerSec > 100,
+        s"serving through auto-compaction degenerate: $serve")
+    }
+  }
+
   test("rate-source soak: IVF×PQ composed serving sustains the query stream") {
     // per micro-batch: driver probe-cell choice + distance tables, then a
     // directory-pruned scan of the probed cells' CODES only — both memory
