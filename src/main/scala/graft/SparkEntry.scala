@@ -266,6 +266,11 @@ object SparkEntry {
     // batch constants). Same oracle as bm25_topk; the entry guards the
     // file-count reduction in-line
     "bm25_topk_compacted" -> ((s, d) => graft.operators.Bm25.bm25TopKCompacted(s, d)),
+    // the lexical DELETE lifecycle: junk appended, tombstoned (probe-time
+    // anti-join + (N, Σdl) correction), physically absorbed by the
+    // compaction row transform — append∘delete∘absorb is the identity, so
+    // this shares bm25_topk's oracle and the retraction path is replayed
+    "bm25_topk_deleted" -> ((s, d) => graft.operators.Bm25.bm25TopKDeleted(s, d)),
     // reciprocal-rank fusion of the lexical and semantic rankings —
     // contributions micro-quantized, sums exact; fusion is queries×k-sized
     "hybrid_rrf_topk" -> ((s, d) => graft.operators.Bm25.hybridRrfTopK(s, d)),
@@ -284,6 +289,11 @@ object SparkEntry {
     // pruning). Hash-checked since r10 — same dump replay as ivf_topk; the
     // timed cost is the on-disk construction (write+reload) + pruned probe
     "ivf_topk_persisted" -> ((s, d) => Similarity.ivfTopKPersisted(s, d)),
+    // the vector DELETE lifecycle: drifted junk appended, tombstoned
+    // (probe-time anti-join), physically absorbed (compaction transform +
+    // carry-free tombstone retirement) — append∘delete∘absorb is the
+    // identity, so this replays from the same dumps as ivf_topk
+    "ivf_topk_deleted" -> ((s, d) => Similarity.ivfTopKDeleted(s, d)),
     // ANN tuning curve: recall@10 vs nprobe against the exact ranking,
     // every width replayed from the ranked probe-cells dump
     "ivf_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
@@ -1906,6 +1916,10 @@ object SparkEntry {
     // output replays from the same dumps; what it uniquely measures is the
     // on-disk construction time, which the oracle need not see
     "ivf_topk_persisted" -> ivfReplaySql,
+    // append∘delete∘absorb is the identity on the index's semantics: the
+    // retraction entry probes the standing fit after the junk slice is
+    // tombstoned and physically absorbed, so it replays from the same dumps
+    "ivf_topk_deleted" -> ivfReplaySql,
     // the tuning curve: every nprobe width's probe set is the ranked dump
     // sliced at rk <= nprobe; exact baseline = the cosine_topk
     // construction; candidates rescored exactly and ranked per width
@@ -2015,6 +2029,9 @@ object SparkEntry {
     // layout-maintenance change, not semantic: segment-fragmented term
     // buckets compacted to one file each still return bm25_topk's rows
     "bm25_topk_compacted" -> bm25Sql,
+    // append∘delete∘absorb is the identity: tombstone anti-join + the
+    // (N, Σdl) correction + the absorbing rewrite return the batch rows
+    "bm25_topk_deleted" -> bm25Sql,
     // RRF fusion of the two component rankings, each contribution
     // micro-quantized from the same integer division — sums exact
     "hybrid_rrf_topk" ->

@@ -234,16 +234,47 @@ object Bm25 {
       nDocs: Long, totalDl: Long, committedSegs: Seq[String],
       statsSig: Seq[(String, Long, Long)])
 
-  /** Cheap change signature of the index's STATS directory — (name,
-    * length, mtime) per file, one listing. Appends append a stats row
-    * file; rebuilds rewrite the directory; probes of an unchanged index
-    * never re-read stats. */
+  /** Cheap change signature of the index's STATS directory PLUS its
+    * tombstone directory — (name, length, mtime) per file, two listings.
+    * Appends add a stats file, rebuilds rewrite the directory, and a
+    * DELETE adds a tombstone file ((N, Σdl) change in all three cases —
+    * the serving loop's currency check must fire for each); tombstone
+    * entries are name-prefixed so the two directories cannot alias. */
   private[graft] def statsSignature(spark: SparkSession,
       path: String): Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/stats")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+    val own = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p)
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .sortBy(_._1).toSeq
+    own ++ graft.util.Tombstones.signature(spark, path)
+      .map { case (n, l, t) => (s"ts:$n", l, t) }
+  }
+
+  /** DELETE documents from a standing BM25 index — the lexical retraction
+    * contract ([[graft.util.Tombstones]]): tombstone rows carry
+    * (doc_id, dl) because BM25's global constants must shrink with the
+    * deletion — N by one per doc, Σdl by the doc's length — and no
+    * postings rewrite can express that (stats rows are per-segment
+    * aggregates). dl is looked up from the doc's own postings at DELETE
+    * time (one postings scan — delete-time cost, not probe-time; a
+    * zero-length doc has no postings and records dl = 0). Probes then
+    * fold the tombstones twice over: the candidate anti-join and the
+    * (N, Σdl) correction, both from the same directory — results are
+    * bit-equal to a batch scorer over the retained corpus (the
+    * `bm25_topk_deleted` oracle). Tombstones are PERMANENT correction
+    * records here: a postings compaction absorbs the rows physically
+    * ([[graft.util.Compaction.compactDir]]'s transform) but the
+    * constants correction must outlive it. */
+  def deleteFromBm25Index(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val idsDf = ids.select($"doc_id")
+    val dl = spark.read.parquet(s"$path/postings")
+      .join(idsDf, "doc_id")
+      .groupBy($"doc_id").agg(max($"dl").as("dl"))
+    val rows = idsDf.join(dl, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"dl", lit(0L)).as("dl"))
+    graft.util.Tombstones.append(rows, path)
   }
 
   /** Resolve a persisted BM25 index into a serving handle: one schema
@@ -256,9 +287,22 @@ object Bm25 {
     val sig = statsSignature(spark, path)
     val segRows = spark.read.parquet(s"$path/stats")
       .select($"seg", $"n_docs", $"total_dl").collect() // segment-count-sized
+    // retraction correction: deleted docs leave the corpus constants
+    // (their postings are anti-joined out at probe; N and Σdl shrink
+    // here, from the same tombstone medium — deletes-count-sized)
+    val (tsDocs, tsDl) = graft.util.Tombstones
+      .idsOf(spark, path, "doc_id") match {
+      case Some(_) =>
+        val t = spark.read.parquet(graft.util.Tombstones.dir(path))
+          .groupBy($"doc_id").agg(max($"dl").as("dl"))
+          .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+        (t.getLong(0), t.getLong(1))
+      case None => (0L, 0L)
+    }
     StandingBm25(spark, path,
       spark.read.parquet(s"$path/postings").schema,
-      segRows.map(_.getLong(1)).sum, segRows.map(_.getLong(2)).sum,
+      segRows.map(_.getLong(1)).sum - tsDocs,
+      segRows.map(_.getLong(2)).sum - tsDl,
       segRows.map(_.getString(0)).toSeq.sorted, sig)
   }
 
@@ -301,9 +345,11 @@ object Bm25 {
     // that listing becomes a distributed job on the serving hot path
     val fs = new org.apache.hadoop.fs.Path(s"$path/postings")
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val postings = Similarity.prunedScan(spark, fs, s"$path/postings",
-        standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
-      .filter($"seg".isin(standing.committedSegs: _*)) // commit filter
+    val postings = graft.util.Tombstones.antiJoin( // retractions fold out
+      Similarity.prunedScan(spark, fs, s"$path/postings",
+          standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
+        .filter($"seg".isin(standing.committedSegs: _*)), // commit filter
+      path, "doc_id")
       .join(qvocab, "term")
     // one aggregate, two jobs served: per-term df for idf AND the
     // uniqueness guard (df == distinct doc_ids — the append contract the
@@ -403,6 +449,48 @@ object Bm25 {
         partitionCol = Some("tb"))
       require(stats.filesAfter < stats.filesBefore,
         s"compaction did not reduce the fragmented layout: $stats")
+    }
+    val queries = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < numQueries)
+      .select($"doc_id".as("query_id"), $"text")
+    queryBm25Index(spark, path, queries, k)
+  }
+
+  private def bm25DeletedPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_bm25_deleted")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): the lexical DELETE lifecycle — the
+    * index is built over the full corpus, three junk docs are APPENDED
+    * (one sharing a query doc's exact text — a ranking-disturbing
+    * duplicate; one novel; one EMPTY — the zero-postings dl=0 edge), then
+    * DELETED ([[deleteFromBm25Index]] tombstones), then the postings are
+    * physically ABSORBED (the compaction row transform; tombstones
+    * remain as the permanent (N, Σdl) correction records). The probe
+    * afterwards must return exactly [[bm25TopK]]'s rows —
+    * append∘delete∘absorb is the identity on the index's semantics — so
+    * the entry shares `bm25_topk`'s oracle: the tombstone fold, the
+    * constants correction (N−3, Σdl−junk), and the absorbing rewrite are
+    * all DuckDB-replayed. spec:TombstoneSpec pins the pre-absorb stage. */
+  def bm25TopKDeleted(spark: SparkSession, sfDir: String,
+      numQueries: Int = 3, k: Int = 10): DataFrame = {
+    val path = bm25DeletedPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "stats"))) {
+      val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      writeBm25Index(docs, path)
+      val qtext = String.valueOf(
+        docs.filter($"doc_id" === 0L).head().getString(1))
+      val junk = spark.createDataFrame(Seq(
+        (900001L, qtext), (900002L, "junk retracted document"),
+        (900003L, ""))).toDF("doc_id", "text")
+      appendToBm25Index(junk, path)
+      deleteFromBm25Index(spark, path, junk.select($"doc_id"))
+      val stats = graft.util.Compaction.compactDir(spark, path, "postings",
+        partitionCol = Some("tb"),
+        transform = graft.util.Tombstones.antiJoin(_, path, "doc_id"))
+      require(stats.filesAfter < stats.filesBefore,
+        s"absorbing compaction did not reduce the layout: $stats")
     }
     val queries = Tables.documents(spark, sfDir)
       .filter($"doc_id" < numQueries)

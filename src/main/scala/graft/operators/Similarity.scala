@@ -305,6 +305,10 @@ object Similarity {
       * 32 cells (every soak trigger at nlist=64). */
     private[graft] def prunedCorpus(cells: Seq[Int]): DataFrame =
       prunedScan(spark, fs, corpusPath, schema, cells)
+
+    /** The index root (the layout writes corpus under `<root>/corpus` —
+      * [[writeIvfIndex]]), where the tombstone directory lives. */
+    private[graft] def indexRoot: String = corpusPath.stripSuffix("/corpus")
   }
 
   /** THE pruned cell-directory scan shared by the serving handles
@@ -390,8 +394,12 @@ object Similarity {
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
     val queryCells = queryFrame.select($"vec_id".as("query_id"),
       $"embedding".as("q_emb"), explode(probeCol).as("cell"))
-    topKViaAggregate(
-      scoreCandidates(standing.prunedCorpus(cells), queryCells), k)
+    // retractions fold here: deleted vec_ids anti-join out of the pruned
+    // candidate slice (fresh tombstone read per probe — a delete is
+    // visible at the next trigger; one fs.exists when none ever landed)
+    val candidates = graft.util.Tombstones
+      .antiJoin(standing.prunedCorpus(cells), standing.indexRoot, "vec_id")
+    topKViaAggregate(scoreCandidates(candidates, queryCells), k)
   }
 
   /** Driver-side nprobe-cell selection — squared-Euclidean argmin over the
@@ -478,6 +486,72 @@ object Similarity {
         graft.functions.VectorExpressions.nearestCenter($"embedding", centers)
           .as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** DELETE vectors from a persisted IVF index — the retraction contract
+    * (takedowns, opt-outs): one tombstone append, no index rewrite
+    * ([[graft.util.Tombstones]]' LSM/Lucene shape). Standing probes
+    * ([[queryStandingIvf]], and therefore the serving loop) anti-join the
+    * deleted ids out of every candidate slice from the next probe on;
+    * [[absorbIvfDeletes]] makes the deletion physical. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
+    graft.util.Tombstones.append(ids.select($"vec_id"), path)
+
+  /** Physically ABSORB tombstoned vectors: the corpus compacts through
+    * [[graft.util.Compaction.compactDir]] with the anti-join as the row
+    * transform — deletion rides the rewrite compaction does anyway — and
+    * the tombstone directory retires IFF nothing was carried above the
+    * fence (a carried file may still hold masked rows; their tombstones
+    * must keep masking until a later carry-free absorb). */
+  def absorbIvfDeletes(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : graft.util.Compaction.CompactionStats = {
+    val stats = graft.util.Compaction.compactDir(spark, path, "corpus",
+      partitionCol = Some("cell"), targetBytes = targetBytes,
+      safeBatchFence = safeBatchFence,
+      transform = graft.util.Tombstones.antiJoin(_, path, "vec_id"))
+    if (stats.carriedFiles == 0L) graft.util.Tombstones.clear(spark, path)
+    stats
+  }
+
+  private def ivfDeletedPath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_ivf_deleted")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): the DELETE lifecycle probed — the
+    * standing fixture index is persisted, a junk slice of drifted vectors
+    * (reversed embeddings, disjoint ids) is APPENDED, then DELETED
+    * (tombstones), then physically ABSORBED (the compaction-transform
+    * rewrite + tombstone retirement). The probe afterwards must return
+    * exactly [[ivfTopK]]'s rows — append∘delete∘absorb is the identity on
+    * the index's semantics — so the entry shares `ivf_topk`'s oracle,
+    * making the whole retraction path (tombstone fold, anti-join
+    * transform, carry-free retirement) DuckDB-replayed rather than only
+    * spec-pinned. Probes via the SERVING path ([[queryStandingIvf]] —
+    * where the tombstone fold lives); spec:TombstoneSpec pins the
+    * pre-absorb (fold-only) stage and the fence interplay. */
+  def ivfTopKDeleted(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val path = ivfDeletedPath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centers"))) {
+      writeIvfIndex(standingIndex(spark, sfDir, nlist), path)
+      val junk = spread(Tables.embeddings(spark, sfDir))
+        .filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 10000000L).as("vec_id"),
+          reverse($"embedding").as("embedding"))
+      appendToIvfIndex(junk, path)
+      deleteFromIvfIndex(junk.select($"vec_id"), path)
+      val stats = absorbIvfDeletes(spark, path)
+      require(!graft.util.Tombstones.exists(spark, path),
+        s"carry-free absorb did not retire the tombstones: $stats")
+    }
+    val queries = spark.createDataFrame(
+      fixtureQueryBatch(spark, sfDir, numQueries))
+      .toDF("vec_id", "embedding")
+    queryStandingIvf(prepareIvfIndex(spark, path), queries, k, nprobe)
   }
 
   /** The ONE coarse-quantizer fit per (process, sf dir): every fixture IVF

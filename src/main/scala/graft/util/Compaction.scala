@@ -98,12 +98,20 @@ object Compaction {
     *    shuffle at all.
     *  - `safeBatchFence`: [[BatchAppend]]-tagged files with batch id above
     *    the fence are carried through VERBATIM (see the object doc).
+    *  - `transform`: a row-level rewrite applied to the eligible read —
+    *    the [[Tombstones]] absorption hook (drop deleted rows during the
+    *    rewrite compaction was going to do anyway). Identity by default;
+    *    carried files do NOT pass through it (they ride verbatim), so
+    *    absorbing callers must keep masking rows that may live above the
+    *    fence ([[Tombstones]]' object doc owns that contract).
     *
     * No-op (stats only, no swap) when nothing is eligible to compact. */
   def compactDir(spark: SparkSession, root: String, sub: String,
       partitionCol: Option[String] = None,
       targetBytes: Long = 128L << 20,
-      safeBatchFence: Option[Long] = None): CompactionStats = {
+      safeBatchFence: Option[Long] = None,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): CompactionStats = {
     val raw = new Path(s"$root/$sub")
     val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = fs.makeQualified(raw) // listed leaf paths come back qualified;
@@ -120,8 +128,8 @@ object Compaction {
 
     val eligibleBytes = eligible.map(_.getLen).sum
     // basePath keeps the partition column alive when reading leaf files
-    val read = spark.read.option("basePath", dir.toString)
-      .parquet(eligible.map(_.getPath.toString): _*)
+    val read = transform(spark.read.option("basePath", dir.toString)
+      .parquet(eligible.map(_.getPath.toString): _*))
     val rows = read.count()
     val avgRowBytes = math.max(1L, eligibleBytes / math.max(rows, 1L))
     val maxRecords = math.max(1L, targetBytes / avgRowBytes)

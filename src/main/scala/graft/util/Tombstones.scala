@@ -1,0 +1,88 @@
+package graft.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** DELETE-BY-ID for standing indexes — the retraction half of the mutation
+  * story (a real corpus retracts documents: takedowns, opt-outs, GDPR).
+  * Every standing index here is append-many by design; physically rewriting
+  * an index per delete would be a compaction-sized job on the hot path, so
+  * deletes follow the LSM/Lucene shape instead:
+  *
+  *  1. APPEND a tombstone row (the id, plus whatever correction payload the
+  *     tier needs) into `<index>/tombstones` — one tiny write, no index
+  *     rewrite;
+  *  2. FOLD at probe: standing probes anti-join their candidate slice
+  *     against the tombstone ids (an equi-join on the id — Spark broadcasts
+  *     the small side; the set is bounded by deletes, not corpus);
+  *  3. ABSORB at compaction: [[Compaction.compactDir]]'s row transform
+  *     drops tombstoned rows during the rewrite it was going to do anyway —
+  *     compaction is the natural home for physical deletion, exactly like a
+  *     Lucene merge dropping deleted docs.
+  *
+  * Fence interplay: files carried VERBATIM above a compaction fence keep
+  * their tombstoned rows, so absorption must NOT retire tombstones while
+  * any carried file might still hold masked rows — [[Compaction
+  * .CompactionStats.carriedFiles]] is the signal; callers clear only on a
+  * carry-free rewrite (the IVF absorb does), or keep tombstones
+  * permanently as correction records (the BM25 contract, where they also
+  * carry the (N, Σdl) correction no postings rewrite can express). */
+object Tombstones {
+
+  def dir(indexPath: String): String = s"$indexPath/tombstones"
+
+  private def fs(spark: SparkSession, indexPath: String) =
+    new Path(dir(indexPath))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(spark: SparkSession, indexPath: String): Boolean =
+    fs(spark, indexPath).exists(new Path(dir(indexPath)))
+
+  /** Append tombstone rows (schema is the tier's: at least the id column).
+    * `batchTag` routes a streaming retraction through [[BatchAppend]]'s
+    * replay-idempotent protocol; batch callers append plainly. */
+  def append(rows: DataFrame, indexPath: String,
+      batchTag: Option[String] = None): Unit = batchTag match {
+    case Some(t) => BatchAppend.append(rows, dir(indexPath), t)
+    case None => rows.write.mode("append").parquet(dir(indexPath))
+  }
+
+  /** The current tombstone frame (deduped on `idCol` — a double delete is
+    * one tombstone), or None when no delete has ever landed — probes skip
+    * the anti-join entirely then (one `exists` call, the no-delete hot
+    * path unchanged). */
+  def idsOf(spark: SparkSession, indexPath: String,
+      idCol: String): Option[DataFrame] =
+    if (!exists(spark, indexPath)) None
+    else Some(spark.read.parquet(dir(indexPath)).select(col(idCol)).distinct())
+
+  /** Fold tombstones into a candidate slice: anti-join on `idCol` — the
+    * probe-side half of the delete. Reads the tombstone directory FRESHLY
+    * (a delete is visible to the next probe, the append-visibility
+    * contract applied to retraction). */
+  def antiJoin(df: DataFrame, indexPath: String, idCol: String): DataFrame =
+    idsOf(df.sparkSession, indexPath, idCol) match {
+      case Some(ids) => df.join(ids, Seq(idCol), "left_anti")
+      case None => df
+    }
+
+  /** Cheap change signature of the tombstone directory — the retraction
+    * counterpart of the stats/centers signatures, so serving loops
+    * re-prepare when a delete lands. Empty when no delete ever has. */
+  def signature(spark: SparkSession,
+      indexPath: String): Seq[(String, Long, Long)] = {
+    val d = new Path(dir(indexPath))
+    val f = fs(spark, indexPath)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Retire the tombstone directory — callers do this ONLY after a
+    * carry-free absorbing rewrite (see the object doc). */
+  def clear(spark: SparkSession, indexPath: String): Unit = {
+    val _ = fs(spark, indexPath).delete(new Path(dir(indexPath)), true)
+  }
+}
