@@ -294,6 +294,12 @@ object SparkEntry {
     // carry-free tombstone retirement) — append∘delete∘absorb is the
     // identity, so this replays from the same dumps as ivf_topk
     "ivf_topk_deleted" -> ((s, d) => Similarity.ivfTopKDeleted(s, d)),
+    // the SECOND-LEVEL coarse quantizer (FAISS IMI shape): probe cells
+    // chosen by ranking ncoarse super-centroids, opening the top wCoarse,
+    // ranking only their member centroids — the nlist~10^6 probe path;
+    // rows-only dump (the oracle input) + the hash-checked probe over it
+    "ivf_coarse_probe_cells" -> ((s, d) => Similarity.ivfCoarseProbeCellsEntry(s, d)),
+    "ivf_topk_coarse" -> ((s, d) => Similarity.ivfTopKCoarse(s, d)),
     // ANN tuning curve: recall@10 vs nprobe against the exact ranking,
     // every width replayed from the ranked probe-cells dump
     "ivf_recall_curve" -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
@@ -726,11 +732,15 @@ object SparkEntry {
   // ADC distance from the Spark-dumped codes + distance tables
   // IVF pruned-scan replay from the ivf_assignments + ivf_probe_cells
   // dumps; shared by ivf_topk and ivf_probe_only (same standing fit)
-  private val ivfReplaySql =
+  // the IVF probe replay, parameterized over WHICH ranked probe-cells dump
+  // chose the cells: the flat exact scan (`ivf_probe_cells`) and the
+  // two-level coarse-quantized choice (`ivf_coarse_probe_cells`) replay
+  // through the identical pruned-scan ∘ exact-rescore ∘ rank SQL
+  private def ivfReplaySqlOver(probeDump: String) =
     "WITH a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
       // the probe-cells dump is RANKED up to maxNprobe=16; rk <= 4 is the
       // nprobe=4 probe set these entries use
-      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4), " +
+      s"p AS (SELECT query_id, cell FROM read_parquet('{OUT}/$probeDump/*.parquet') WHERE rk <= 4), " +
       "s AS (SELECT p.query_id, a.vec_id, " +
       "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine " +
       "FROM p JOIN a ON a.cell = p.cell " +
@@ -741,6 +751,8 @@ object SparkEntry {
       "SELECT query_id, vec_id, cosine, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM s) " +
       "WHERE rk <= 10"
+
+  private val ivfReplaySql = ivfReplaySqlOver("ivf_probe_cells")
 
   // the dumps carry their arrays as comma-joined strings (pandas-comparer
   // safety; see Pq.pqCodesEntry) — re-split and cast them back to lists here
@@ -1920,6 +1932,9 @@ object SparkEntry {
     // retraction entry probes the standing fit after the junk slice is
     // tombstoned and physically absorbed, so it replays from the same dumps
     "ivf_topk_deleted" -> ivfReplaySql,
+    // same replay pipeline, cells chosen by the two-level coarse tier —
+    // the choice itself is the dump; the pipeline over it is hash-checked
+    "ivf_topk_coarse" -> ivfReplaySqlOver("ivf_coarse_probe_cells"),
     // the tuning curve: every nprobe width's probe set is the ranked dump
     // sliced at rk <= nprobe; exact baseline = the cosine_topk
     // construction; candidates rescored exactly and ranked per width

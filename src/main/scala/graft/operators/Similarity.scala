@@ -488,6 +488,132 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  // ------------------------------------------------------------------
+  // SECOND-LEVEL coarse quantization of the PROBE-CELL choice (the FAISS
+  // IMI / coarse-HNSW idea, r14 stretch #9): `probeCellsRanked` scans ALL
+  // nlist centroids per query — exact and fine at nlist=16, but the 100 TB
+  // geometry runs nlist ~10⁵–10⁶, where the per-query centroid scan itself
+  // becomes the probe bottleneck. The fix is the same trick one level up:
+  // cluster the CENTROIDS into ncoarse super-cells (a driver-side Lloyd
+  // over an nlist-sized matrix — paid once per index fit), then per query
+  // rank ncoarse super-centroids exactly, open the top `wCoarse`, and rank
+  // only THEIR member centroids. Centroids examined drop from nlist to
+  // ncoarse + wCoarse·(nlist/ncoarse) — at nlist=10⁶/ncoarse=1024/w=8,
+  // ~9k instead of 10⁶ per query. The price is coarse-level recall (a
+  // near cell in an unopened super-cell is missed) — the standard IMI
+  // trade, tunable by wCoarse; wCoarse = ncoarse degenerates to the exact
+  // scan (spec-pinned equality).
+  // ------------------------------------------------------------------
+
+  /** The centroid-level quantizer: super-centroids + each cell's
+    * super-cell assignment (first-minimum L2 — the same tie rule as the
+    * cell assignment itself). */
+  final case class CoarseQuantizer(coarseCenters: Array[Array[Double]],
+      cellToCoarse: Array[Int])
+
+  /** Fit the second-level quantizer over an index's centroid matrix —
+    * driver-side seeded Lloyd (the [[Pq.lloyd]] core) on an nlist-sized
+    * input; trivial next to the corpus fit it accompanies. */
+  def fitCoarseQuantizer(centers: Array[Array[Double]], ncoarse: Int,
+      seed: Long = 42L): CoarseQuantizer = {
+    val cc = Pq.lloyd(centers, ncoarse, iters = 10, seed = seed)
+    val assign = centers.map { v =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cc.length) {
+        val w = cc(c)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - w(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    CoarseQuantizer(cc, assign)
+  }
+
+  /** Two-level probe-cell selection with the 1-based probe RANK attached
+    * ([[probeCellsRanked]]'s contract through the coarse tier): rank
+    * super-centroids exactly, open the top `wCoarse`, rank their member
+    * centroids exactly, take `maxNprobe`. Ties break by index at both
+    * levels via the stable sort — deterministic, dump-replayable. */
+  def probeCellsCoarseRanked(centers: Array[Array[Double]],
+      cq: CoarseQuantizer, queries: Seq[(Long, Seq[Float])],
+      maxNprobe: Int, wCoarse: Int): Seq[(Long, Int, Int)] =
+    queries.flatMap { case (qid, q) =>
+      val v = q.map(_.toDouble).toArray
+      def l2(w: Array[Double]): Double = {
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - w(j); d += t * t; j += 1 }
+        d
+      }
+      val openCoarse = cq.coarseCenters.zipWithIndex
+        .map { case (w, i) => (i, l2(w)) }
+        .sortBy(_._2).take(wCoarse).map(_._1).toSet
+      cq.cellToCoarse.zipWithIndex
+        .filter { case (cc, _) => openCoarse.contains(cc) }
+        .map { case (_, cell) => (cell, l2(centers(cell))) }
+        .sortBy(_._2).take(maxNprobe)
+        .zipWithIndex
+        .map { case ((cell, _), r) => (qid, cell, r + 1) }
+        .toSeq
+    }
+
+  /** The ONE coarse-quantizer-of-centroids fit per (process, sf dir,
+    * geometry) — the [[standingIndex]] discipline one level up: the dump
+    * and the probing entry must see the SAME fit or the dump replay
+    * hash-mismatches for run-order reasons. */
+  private val standingCoarseQs =
+    scala.collection.concurrent.TrieMap.empty[String, CoarseQuantizer]
+
+  private def standingCoarse(spark: SparkSession, sfDir: String,
+      nlist: Int, ncoarse: Int): CoarseQuantizer =
+    standingCoarseQs.getOrElseUpdate(s"$sfDir#$nlist#$ncoarse",
+      fitCoarseQuantizer(standingIndex(spark, sfDir, nlist).centers, ncoarse))
+
+  /** Registered rows-only dump (it IS the oracle input): the TWO-LEVEL
+    * probe-cell choice, ranked to `maxNprobe` — `ivf_probe_cells`'
+    * contract through the coarse tier, so the `ivf_topk_coarse` replay
+    * slices it at rk ≤ nprobe exactly like the flat probe's replay. */
+  def ivfCoarseProbeCellsEntry(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, maxNprobe: Int = 16, nlist: Int = 16,
+      ncoarse: Int = 4, wCoarse: Int = 2): DataFrame = {
+    val index = standingIndex(spark, sfDir, nlist)
+    val cq = standingCoarse(spark, sfDir, nlist, ncoarse)
+    val ranked = probeCellsCoarseRanked(index.centers, cq,
+      fixtureQueryBatch(spark, sfDir, numQueries), maxNprobe, wCoarse)
+    spark.createDataFrame(ranked).toDF("query_id", "cell", "rk")
+  }
+
+  /** Registered query (HASH-CHECKED): the IVF probe with its cell choice
+    * made through the SECOND-LEVEL quantizer — candidates and scoring are
+    * exactly [[ivfTopK]]'s machinery over the coarse-selected cells, so
+    * the entry replays from `ivf_assignments` + the
+    * `ivf_coarse_probe_cells` dump (the same replay SQL shape as
+    * `ivf_topk`, pointed at the coarse dump). What the oracle checks:
+    * the pruned-scan ∘ exact-rescore ∘ rank pipeline is bit-faithful to
+    * whatever cell set the coarse tier chose; what the spec checks
+    * (spec:SimilaritySpec): the choice itself — independent recomputation,
+    * the wCoarse = ncoarse degeneration to the exact flat scan, and the
+    * centroids-examined reduction. */
+  def ivfTopKCoarse(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      ncoarse: Int = 4, wCoarse: Int = 2, salts: Int = 8): DataFrame = {
+    val index = standingIndex(spark, sfDir, nlist)
+    val cq = standingCoarse(spark, sfDir, nlist, ncoarse)
+    val queries = fixtureQueryBatch(spark, sfDir, numQueries)
+    val byId = queries.toMap
+    val probes = probeCellsCoarseRanked(index.centers, cq, queries,
+        nprobe, wCoarse)
+      .map { case (qid, cell, _) => (qid, cell, byId(qid)) }
+    val probeCells = probes.map(_._2).distinct
+    val pruned = index.bucketed.filter($"cell".isin(probeCells: _*))
+    scoreProbes(pruned, probes, k, salts)
+  }
+
   /** DELETE vectors from a persisted IVF index — the retraction contract
     * (takedowns, opt-outs): one tombstone append, no index rewrite
     * ([[graft.util.Tombstones]]' LSM/Lucene shape). Standing probes
