@@ -688,16 +688,18 @@ object Soak {
       .select((col("value") + 2L * corpusVecs).as("vec_id"),
         expr("transform(sequence(0, 63), j -> cast(pmod((value + 11) * 43 + j * 17, 997) / 997.0 as float))")
           .as("embedding"))
-    // ceiling at 8× the 64-cell compacted floor: the fragmented BUILD
-    // (tasks × cells files) compacts at the FIRST trigger, and steady-state
-    // appends (≤64 files each) re-cross every ~7 triggers — a routine
-    // maintenance cadence. A 3× ceiling was measured to rewrite the whole
-    // corpus every other trigger and push ingest under offered (0.88×) —
-    // compaction frequency, not compaction itself, was the cost.
+    // ceiling at 4× the 64-cell compacted floor: the fragmented BUILD
+    // (tasks × cells files — ~256 at the 4-core test geometry, ~2048 at
+    // the 32-core box) crosses it at BOTH geometries, so the first
+    // trigger always compacts, and steady-state appends (≤64 files each)
+    // re-cross every ~4 triggers — a routine maintenance cadence. Both
+    // neighbors were measured and rejected: 3× rewrote every other
+    // trigger and pushed 32-core ingest under offered (0.88×); 8× sat
+    // above the 4-core build count and never fired there.
     val monitor = AnnStream.prepareRetrainMonitor(spark, path,
       healthFloorMicros = Long.MinValue, minVecsForAlarm = 0L,
       stateDir = Some(s"$root/monitor_state"),
-      autoCompactMaxFiles = Some(512L))
+      autoCompactMaxFiles = Some(256L))
     var folded = 0L // foreachBatch runs serially on the stream thread
     val iq = AnnStream.autoRetrainIngestQuery(vecStream, monitor) {
       (row, _) => folded += row.agg(sum(col("batch_vecs"))).head().getLong(0)

@@ -36,8 +36,17 @@ object Tombstones {
     new Path(dir(indexPath))
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  def exists(spark: SparkSession, indexPath: String): Boolean =
-    fs(spark, indexPath).exists(new Path(dir(indexPath)))
+  /** True when any tombstone DATA file exists — a bare directory (a crash
+    * inside a tagged append's clean→publish window leaves one) must read
+    * as "no tombstones", not fail the next probe's schema inference. */
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val d = new Path(dir(indexPath))
+    val f = fs(spark, indexPath)
+    f.exists(d) && f.listStatus(d).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
 
   /** Append tombstone rows (schema is the tier's: at least the id column).
     * `batchTag` routes a streaming retraction through [[BatchAppend]]'s
