@@ -498,9 +498,14 @@ object Pq {
     val bc = spark.sparkContext.broadcast(distanceTabs(model, chunk))
     val kk = model.k
     val m = model.numSubspaces
-    val codes = spark.read.schema(standing.schema)
-      .parquet(standing.codesPath)
-      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])]
+    // retractions fold out BEFORE the partition-local ADC fold — the same
+    // tombstone contract as the IVF candidate slice (deleteFromPqIndex)
+    val codes = graft.util.Tombstones.antiJoin(
+        spark.read.schema(standing.schema)
+          .parquet(standing.codesPath)
+          .select(col("vec_id"), col("codes")),
+        standing.codesPath.stripSuffix("/codes"), "vec_id")
+      .as[(Long, Seq[Int])]
     val survivors = codes.mapPartitions { iter =>
       val (ids, tab) = bc.value
       // decode the partition's code rows once into primitive arrays
@@ -543,6 +548,21 @@ object Pq {
       .select(col("query_id"), col("p.vids").as("vec_id"),
         col("p.adcs").as("adc"))
   }
+
+  /** DELETE vectors from a persisted PQ or IVF×PQ index (both keep their
+    * tombstones at the index root) — the retraction contract
+    * ([[graft.util.Tombstones]]): one tombstone append, no rewrite; every
+    * standing probe ([[queryStandingPq]], [[queryStandingIvfPq]], the
+    * residual fold) anti-joins the ids out from its next probe on, and a
+    * compaction with the anti-join transform absorbs them physically
+    * ([[graft.operators.Similarity.absorbIvfDeletes]]' pattern on the
+    * codes/raw media). A later retrain re-encodes from `raw`, which may
+    * resurrect deleted CODES — harmless while the tombstones stand
+    * (retrain swaps never touch the tombstone directory), but production
+    * absorbs `raw` before refitting to keep retracted vectors out of the
+    * fit sample entirely. */
+  def deleteFromPqIndex(ids: DataFrame, path: String): Unit =
+    graft.util.Tombstones.append(ids.select($"vec_id"), path)
 
   /** Append new vectors to a persisted PQ index WITHOUT retraining: encode
     * with the FROZEN codebooks and append into the codes dir — the
@@ -698,7 +718,12 @@ object Pq {
       * 20k-row read). Driver-side listing of ≤32-path chunks is
       * milliseconds, and the union is scan-only (no exchange). */
     private[graft] def prunedCodes(cells: Seq[Int]): DataFrame =
-      Similarity.prunedScan(spark, fs, codesPath, schema, cells)
+      // retractions fold out of the pruned slice — the tombstone contract
+      // shared by every standing probe (raw and residual composed folds
+      // both build from here, so both inherit it)
+      graft.util.Tombstones.antiJoin(
+        Similarity.prunedScan(spark, fs, codesPath, schema, cells),
+        codesPath.stripSuffix("/codes"), "vec_id")
   }
 
   /** Combined change signature of a persisted IVF×PQ index — the centers

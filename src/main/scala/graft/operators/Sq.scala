@@ -231,8 +231,12 @@ object Sq {
       .select($"vec_id".as("query_id"),
         VectorExpressions.sq8Codes($"embedding", m.mins, m.scales)
           .as("qcodes")))
-    val codes = standing.spark.read.schema(standing.codesSchema)
-      .parquet(s"${standing.path}/codes")
+    // retractions fold out of the coded scan — the shared tombstone
+    // contract ([[deleteFromSqIndex]])
+    val codes = graft.util.Tombstones.antiJoin(
+      standing.spark.read.schema(standing.codesSchema)
+        .parquet(s"${standing.path}/codes"),
+      standing.path, "vec_id")
     val scored = codes.join(qcodes, $"vec_id" =!= $"query_id")
       .withColumn("qdist",
         VectorExpressions.intL2($"codes", $"qcodes").cast("double"))
@@ -241,6 +245,13 @@ object Sq {
       .select($"query_id", $"vec_id", $"qdist".cast("long").as("qdist"),
         $"rk")
   }
+
+  /** DELETE vectors from a persisted SQ8 index — the retraction contract
+    * ([[graft.util.Tombstones]]; [[Pq.deleteFromPqIndex]]'s twin for the
+    * 4× tier): one tombstone append; [[queryStandingSq]] (and therefore
+    * the serving loop) anti-joins the ids out from its next probe on. */
+  def deleteFromSqIndex(ids: DataFrame, path: String): Unit =
+    graft.util.Tombstones.append(ids.select($"vec_id"), path)
 
   /** Re-fit the grid over a CURRENT raw corpus and swap the persisted
     * index in place — the SQ8 retrain-on-drift response

@@ -128,4 +128,54 @@ class TombstoneSpec extends SparkTestBase {
 
   private def writeAll(docs: org.apache.spark.sql.DataFrame,
       path: String): Unit = Bm25.writeBm25Index(docs, path)
+
+  test("code tiers (PQ / IVF×PQ / SQ8): a tombstone folds out of every standing probe with no rewrite") {
+    import graft.operators.{Pq, Sq}
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 4 =!= 3)
+    val queries = emb.filter($"vec_id" % 4 === 3).limit(3)
+    // mid-corpus ids whose retraction must change nothing but their absence
+    val dead = corpus.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val deadIds = dead.as[Long].collect().toSet
+    val retained = corpus.join(dead, Seq("vec_id"), "left_anti")
+
+    // PQ: probe after delete ≡ probe of an index built over the retained
+    // corpus (same codebooks — the model is trained once on the full set,
+    // deletion is row-level, not model-level)
+    val model = Pq.train(corpus)
+    val pqA = tmp("graft-ts-pq"); val pqB = tmp("graft-ts-pq-ref")
+    Pq.writePqIndex(corpus, model, pqA)
+    Pq.writePqIndex(retained, model, pqB)
+    Pq.deleteFromPqIndex(dead, pqA)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Pq.queryStandingPq(Pq.preparePqIndex(spark, pqA), queries)) ==
+      rows(Pq.queryStandingPq(Pq.preparePqIndex(spark, pqB), queries)))
+    assert(!rows(Pq.queryStandingPq(Pq.preparePqIndex(spark, pqA), queries))
+      .exists(r => deadIds.contains(r(1).asInstanceOf[Long])))
+
+    // IVF×PQ: same contract through the cell-pruned composed fold (the
+    // residual fold shares prunedCodes, so it inherits the same path)
+    val index = Similarity.buildIvfIndex(corpus)
+    val ivfpqA = tmp("graft-ts-ivfpq"); val ivfpqB = tmp("graft-ts-ivfpq-ref")
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, ivfpqA)
+    Pq.writeIvfPqIndex(
+      index.bucketed.join(dead, Seq("vec_id"), "left_anti"), model,
+      index.centers, ivfpqB)
+    Pq.deleteFromPqIndex(dead, ivfpqA)
+    assert(rows(Pq.queryStandingIvfPq(
+        Pq.prepareIvfPqIndex(spark, ivfpqA), queries)) ==
+      rows(Pq.queryStandingIvfPq(
+        Pq.prepareIvfPqIndex(spark, ivfpqB), queries)))
+
+    // SQ8: same contract through the integer-L2 coded scan
+    val sqModel = Sq.fit(corpus)
+    val sqA = tmp("graft-ts-sq"); val sqB = tmp("graft-ts-sq-ref")
+    Sq.writeSqIndex(corpus, sqModel, sqA)
+    Sq.writeSqIndex(retained, sqModel, sqB)
+    Sq.deleteFromSqIndex(dead, sqA)
+    assert(rows(Sq.queryStandingSq(Sq.prepareSqIndex(spark, sqA), queries)) ==
+      rows(Sq.queryStandingSq(Sq.prepareSqIndex(spark, sqB), queries)))
+  }
 }
