@@ -33,7 +33,12 @@ object StreamSoak {
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val annRate = 500 * math.min(cores / 4, 4)
+      // floor at 1 (the full matrix's dedupScale floor): cores < 4 must
+      // still yield a positive rate — Spark's rate source rejects
+      // rowsPerSecond = 0, so `StreamSoak autocompact 2` would crash
+      // instead of running a slow soak
+      val coreScale = math.max(1, math.min(cores / 4, 4))
+      val annRate = 500 * coreScale
       val run = which match {
         case "pq" => Soak.pqRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores", soakMs = 20000)

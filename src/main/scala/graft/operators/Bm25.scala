@@ -153,6 +153,39 @@ object Bm25 {
       coalesce(sum(size($"toks").cast("long")), lit(0L)).as("total_dl"))
       .select(lit(seg).as("seg"), $"n_docs", $"total_dl")
 
+  /** (doc_id, seg) of a segment's ZERO-LENGTH docs — the membership record
+    * for docs that count in the segment's n_docs but leave no postings.
+    * Without it, [[deleteFromBm25Index]]'s live-doc check could not tell a
+    * legitimately empty doc (must be deletable — it counts in N) from an
+    * id that was never ingested (must be REJECTED — tombstoning it would
+    * permanently skew every idf, see the delete doc). Empty-doc-count
+    * sized: rare in any real corpus, so the medium stays trivial. */
+  private def emptiesOf(toks: DataFrame, seg: String): DataFrame =
+    toks.filter(size($"toks") === 0)
+      .select($"doc_id", lit(seg).as("seg"))
+
+  private val EmptiesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The committed empty-doc membership rows — explicit schema + data-file
+    * existence check because a corpus with no empty docs leaves the
+    * directory absent or fileless (an empty write action publishes no
+    * readable footer to infer from). */
+  private def readEmpties(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/empties")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+    if (hasData) spark.read.schema(EmptiesSchema).parquet(p.toString)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), EmptiesSchema)
+  }
+
   /** Tokenize ONCE and persist across the two segment writes (postings +
     * stats are separate write ACTIONS — without the persist each would
     * re-scan and re-tokenize the source slice). Postings land FIRST, the
@@ -167,6 +200,10 @@ object Bm25 {
     try {
       postingsOf(toks, seg).write.mode(mode).partitionBy("tb")
         .parquet(s"$path/postings")
+      // empty-doc membership lands with the data, BEFORE the commit row —
+      // an uncommitted segment's empties are invisible like its postings
+      emptiesOf(toks, seg).coalesce(1).write.mode(mode)
+        .parquet(s"$path/empties")
       segmentStats(toks, seg).coalesce(1).write.mode(mode)
         .parquet(s"$path/stats")
     } finally { val _ = toks.unpersist() }
@@ -211,6 +248,8 @@ object Bm25 {
     try {
       graft.util.BatchAppend.append(postingsOf(toks, batchTag),
         s"$path/postings", batchTag, partitionCol = Some("tb"))
+      graft.util.BatchAppend.append(emptiesOf(toks, batchTag),
+        s"$path/empties", batchTag)
       val st = segmentStats(toks, batchTag).head()
       graft.util.BatchAppend.append(
         spark.createDataFrame(Seq((batchTag, st.getLong(1), st.getLong(2))))
@@ -221,88 +260,246 @@ object Bm25 {
   }
 
   /** A PREPARED standing handle on a persisted BM25 index — the lexical
-    * twin of [[Pq.StandingPq]]: postings schema, the folded corpus
-    * constants (N, Σdl), and the COMMITTED segment set are resolved ONCE;
-    * each probe then re-lists only the postings directory (appends land
-    * as new files in their term buckets and stay visible). `statsSig` is
-    * the change signature: every append adds a stats file and a rebuild
-    * rewrites the directory, so a serving loop that re-prepares on
-    * signature change always scores with the constants — and the
-    * committed-segment filter — that match the postings it reads. */
+    * twin of [[Pq.StandingPq]]: postings schema, the SEGMENT-folded corpus
+    * constants (N, Σdl — uncorrected for deletes), the fold-record
+    * corrections, and the COMMITTED segment set are resolved ONCE; each
+    * probe then re-lists only the postings directory (appends land as new
+    * files in their term buckets and stay visible) and reads the LIVE
+    * tombstones freshly — the delete correction is probe-time state, not
+    * prepare-time state, so the anti-join and the constants always come
+    * from one snapshot ([[queryStandingBm25]]). `statsSig` is the change
+    * signature: every append adds a stats file, a rebuild rewrites the
+    * directory, and a fold adds a tsfold record — a serving loop that
+    * re-prepares on signature change always scores with the constants,
+    * the commit filter, and the fold exclusions that match the postings
+    * it reads. */
   final case class StandingBm25(spark: SparkSession, path: String,
       postingsSchema: org.apache.spark.sql.types.StructType,
-      nDocs: Long, totalDl: Long, committedSegs: Seq[String],
+      segDocs: Long, segDl: Long, foldedDocs: Long, foldedDl: Long,
+      foldedFiles: Set[String], committedSegs: Seq[String],
       statsSig: Seq[(String, Long, Long)])
 
   /** Cheap change signature of the index's STATS directory PLUS its
-    * tombstone directory — (name, length, mtime) per file, two listings.
-    * Appends add a stats file, rebuilds rewrite the directory, and a
-    * DELETE adds a tombstone file ((N, Σdl) change in all three cases —
-    * the serving loop's currency check must fire for each); tombstone
-    * entries are name-prefixed so the two directories cannot alias. */
+    * tombstone and fold-record directories — (name, length, mtime) per
+    * file, three listings. Appends add a stats file, rebuilds rewrite the
+    * directory, a DELETE adds a tombstone file, and a FOLD adds a tsfold
+    * record ((N, Σdl) derivation changes in all four cases — the serving
+    * loop's currency check must fire for each); tombstone and fold
+    * entries are name-prefixed so the directories cannot alias. */
   private[graft] def statsSignature(spark: SparkSession,
       path: String): Seq[(String, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val own = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .listStatus(p)
+    val own = p.getFileSystem(conf).listStatus(p)
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .sortBy(_._1).toSeq
-    own ++ graft.util.Tombstones.signature(spark, path)
+    val foldDir = new org.apache.hadoop.fs.Path(tsFoldDir(path))
+    val foldFs = foldDir.getFileSystem(conf)
+    val folds =
+      if (!foldFs.exists(foldDir)) Nil
+      else foldFs.listStatus(foldDir)
+        .map(st => (s"tf:${st.getPath.getName}", st.getLen,
+          st.getModificationTime))
+        .sortBy(_._1).toSeq
+    own ++ folds ++ graft.util.Tombstones.signature(spark, path)
       .map { case (n, l, t) => (s"ts:$n", l, t) }
   }
+
+  private def committedSegsOf(spark: SparkSession,
+      path: String): Seq[String] =
+    spark.read.parquet(s"$path/stats").select($"seg")
+      .collect().map(_.getString(0)).toSeq.sorted // segment-count-sized
 
   /** DELETE documents from a standing BM25 index — the lexical retraction
     * contract ([[graft.util.Tombstones]]): tombstone rows carry
     * (doc_id, dl) because BM25's global constants must shrink with the
     * deletion — N by one per doc, Σdl by the doc's length — and no
     * postings rewrite can express that (stats rows are per-segment
-    * aggregates). dl is looked up from the doc's own postings at DELETE
-    * time (one postings scan — delete-time cost, not probe-time; a
-    * zero-length doc has no postings and records dl = 0). Probes then
-    * fold the tombstones twice over: the candidate anti-join and the
-    * (N, Σdl) correction, both from the same directory — results are
-    * bit-equal to a batch scorer over the retained corpus (the
-    * `bm25_topk_deleted` oracle). Tombstones are PERMANENT correction
-    * records here: a postings compaction absorbs the rows physically
-    * ([[graft.util.Compaction.compactDir]]'s transform) but the
-    * constants correction must outlive it. */
+    * aggregates). Tombstones are CORRECTION RECORDS, so the ids are
+    * VALIDATED against the live committed corpus before any lands:
+    *
+    *  - ids with committed postings record their dl (one postings scan —
+    *    delete-time cost, not probe-time);
+    *  - zero-length docs (no postings, but counted in their segment's
+    *    n_docs) prove membership through the `empties/` medium and record
+    *    dl = 0;
+    *  - already-tombstoned ids are SKIPPED (idempotent re-delete — no
+    *    duplicate row, so a doc_id holds at most one tombstone ever, the
+    *    invariant the per-file fold retirement needs);
+    *  - anything else FAILS LOUDLY: an unknown id (a takedown for a doc
+    *    never ingested, a doc in a torn uncommitted segment, or a doc
+    *    already deleted AND absorbed+folded away) must not decrement N —
+    *    a wrong tombstone is permanent idf skew for every future probe.
+    *
+    * Probes then fold the live tombstones twice over: the candidate
+    * anti-join and the (N, Σdl) correction, both from the same snapshot —
+    * results are bit-equal to a batch scorer over the retained corpus
+    * (the `bm25_topk_deleted` oracle). The medium is BOUNDED by
+    * [[absorbBm25Deletes]]: once postings absorb carry-free, the
+    * correction folds into one tsfold commit record and the tombstone
+    * files retire. */
   def deleteFromBm25Index(spark: SparkSession, path: String,
       ids: DataFrame): Unit = {
-    val idsDf = ids.select($"doc_id")
-    val dl = spark.read.parquet(s"$path/postings")
-      .join(idsDf, "doc_id")
+    val idsDf = ids.select($"doc_id").distinct()
+    val committed = committedSegsOf(spark, path)
+    val withDl = spark.read.parquet(s"$path/postings")
+      .filter($"seg".isin(committed: _*))
+      .join(broadcast(idsDf), "doc_id")
       .groupBy($"doc_id").agg(max($"dl").as("dl"))
-    val rows = idsDf.join(dl, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"dl", lit(0L)).as("dl"))
-    graft.util.Tombstones.append(rows, path)
+    val empties = readEmpties(spark, path)
+      .filter($"seg".isin(committed: _*))
+      .join(broadcast(idsDf), "doc_id")
+      .select($"doc_id").distinct()
+      .select($"doc_id", lit(0L).as("dl"))
+    val live = withDl.unionByName(empties)
+    val alreadyTombstoned = graft.util.Tombstones.idsOf(spark, path, "doc_id")
+    val fresh = (alreadyTombstoned match {
+      case Some(ts) => live.join(ts, Seq("doc_id"), "left_anti")
+      case None => live
+    }).persist()
+    try {
+      // loud on unknown ids: not live-committed and not already tombstoned
+      val known = live.select($"doc_id").unionByName(
+        alreadyTombstoned.getOrElse(empties.select($"doc_id").limit(0)))
+      val unknown = idsDf.join(known, Seq("doc_id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      require(unknown.isEmpty,
+        s"BM25 index at $path: delete requested for doc_ids with no live " +
+          s"committed membership (examples: ${unknown.mkString(", ")}) — " +
+          "tombstoning an unknown id would permanently shrink N and skew " +
+          "every idf. Ids must be committed corpus docs (postings or " +
+          "recorded empty docs) that have not already been absorbed.")
+      if (fresh.limit(1).count() > 0)
+        graft.util.Tombstones.append(fresh.select($"doc_id", $"dl"), path)
+    } finally { val _ = fresh.unpersist() }
+  }
+
+  // ------------------------------------------------------------------
+  // TSFOLD — bounding the tombstone medium. BM25 tombstones outlive the
+  // postings absorb because they carry the (N, Σdl) correction no postings
+  // rewrite can express — but "permanent correction records" grow with
+  // lifetime deletes, and every probe pays the anti-join + correction scan
+  // over all of them. Once a carry-free absorb has made the deletions
+  // physical, a tombstone's ONLY remaining job is its correction — so it
+  // folds into one commit record in `tsfold/`: (n_docs, total_dl, the
+  // FOLDED FILE NAMES). Readers subtract fold corrections AND exclude the
+  // named files from every tombstone read, which makes the protocol
+  // crash-safe with one commit: record written + files still on disk
+  // (a crash before GC) double-counts nothing — the files are excluded by
+  // name; files deleted — the record alone carries the correction; crash
+  // before the record — nothing changed. File GC is idempotent catch-up
+  // work the next fold retries. Probe-time anti-join cost drops to the
+  // UNFOLDED (recent) deletes.
+  // ------------------------------------------------------------------
+
+  private[graft] def tsFoldDir(path: String): String = s"$path/tsfold"
+
+  private val TombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType)))
+
+  /** All fold records, summed, plus the union of folded file names —
+    * fold-count-sized (one row per absorb that retired tombstones). */
+  private def readFolds(spark: SparkSession,
+      path: String): (Long, Long, Set[String]) = {
+    val p = new org.apache.hadoop.fs.Path(tsFoldDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+    if (!hasData) (0L, 0L, Set.empty)
+    else {
+      val rows = spark.read.parquet(p.toString)
+        .select($"n_docs", $"total_dl", $"files").collect()
+      (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+        rows.flatMap(_.getSeq[String](2)).toSet)
+    }
+  }
+
+  /** The LIVE (unfolded) tombstone frame, deduped on doc_id — or None when
+    * every tombstone file is folded or none ever landed (probes skip the
+    * anti-join and the correction job entirely then: one listing, zero
+    * jobs — the no-delete hot path). ONE directory listing snapshot feeds
+    * both the probe's anti-join and its (N, Σdl) correction. */
+  private def liveTombstones(spark: SparkSession, path: String,
+      foldedFiles: Set[String]): Option[DataFrame] = {
+    val live = graft.util.Tombstones.dataFiles(spark, path)
+      .filterNot(st => foldedFiles.contains(st.getPath.getName))
+    if (live.isEmpty) None
+    else Some(spark.read.schema(TombstoneSchema)
+      .parquet(live.map(_.getPath.toString): _*)
+      .groupBy($"doc_id").agg(max($"dl").as("dl")))
+  }
+
+  /** Physically ABSORB tombstoned postings and BOUND the tombstone medium:
+    * the postings compact through [[graft.util.Compaction.compactDir]]
+    * with the anti-join as the row transform, and — iff the rewrite was
+    * carry-free (no replayable file still holds masked rows) — the
+    * pre-absorb tombstone snapshot FOLDS: its (N, Σdl) correction is
+    * written as one `tsfold/` commit record (same fold arithmetic the
+    * probe used — spec-pinned bit-equal probes across the fold) and the
+    * snapshot files retire. Deletes landing DURING the absorb stay live:
+    * the snapshot is listed before the rewrite starts, and the rewrite's
+    * own fresh anti-join covers at least the snapshot. Serving handles
+    * prepared before the fold re-prepare on the statsSignature change
+    * (fold records are part of the signature). */
+  def absorbBm25Deletes(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : graft.util.Compaction.CompactionStats = {
+    val (_, _, foldedFiles) = readFolds(spark, path)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, path)
+      .filterNot(st => foldedFiles.contains(st.getPath.getName))
+    val stats = graft.util.Compaction.compactDir(spark, path, "postings",
+      partitionCol = Some("tb"), targetBytes = targetBytes,
+      safeBatchFence = safeBatchFence,
+      transform = graft.util.Tombstones.antiJoin(_, path, "doc_id"))
+    if (stats.carriedFiles == 0L && snapshot.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(
+        graft.util.Tombstones.dir(path))
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // GC catch-up: files folded by a PAST record but never deleted (a
+      // crash in that fold's GC step) — every reader already excludes
+      // them by name, so deletion is pure idempotent cleanup
+      graft.util.Tombstones.dataFiles(spark, path)
+        .filter(st => foldedFiles.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+      val corr = spark.read.schema(TombstoneSchema)
+        .parquet(snapshot.map(_.getPath.toString): _*)
+        .groupBy($"doc_id").agg(max($"dl").as("dl"))
+        .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+      spark.createDataFrame(Seq((corr.getLong(0), corr.getLong(1),
+        snapshot.map(_.getPath.getName))))
+        .toDF("n_docs", "total_dl", "files")
+        .coalesce(1).write.mode("append").parquet(tsFoldDir(path))
+      // the COMMIT is the record above; file GC may crash and be retried
+      snapshot.foreach(st => fs.delete(st.getPath, false))
+    }
+    stats
   }
 
   /** Resolve a persisted BM25 index into a serving handle: one schema
     * inference + one segment-stats fold (which also yields the committed
     * segment set — the commit filter and the constants come from the SAME
-    * read, so they can never disagree), paid once per stream (signature
-    * read FIRST so an append landing mid-prepare is caught by the next
-    * trigger's check — the [[Pq.preparePqIndex]] ordering). */
+    * read, so they can never disagree) + one fold-record read, paid once
+    * per stream (signature read FIRST so a mutation landing mid-prepare
+    * is caught by the next trigger's check — the [[Pq.preparePqIndex]]
+    * ordering). Live tombstones are deliberately NOT resolved here — the
+    * probe reads them freshly so its anti-join and constants share one
+    * snapshot. */
   def prepareBm25Index(spark: SparkSession, path: String): StandingBm25 = {
     val sig = statsSignature(spark, path)
     val segRows = spark.read.parquet(s"$path/stats")
       .select($"seg", $"n_docs", $"total_dl").collect() // segment-count-sized
-    // retraction correction: deleted docs leave the corpus constants
-    // (their postings are anti-joined out at probe; N and Σdl shrink
-    // here, from the same tombstone medium — deletes-count-sized)
-    val (tsDocs, tsDl) = graft.util.Tombstones
-      .idsOf(spark, path, "doc_id") match {
-      case Some(_) =>
-        val t = spark.read.parquet(graft.util.Tombstones.dir(path))
-          .groupBy($"doc_id").agg(max($"dl").as("dl"))
-          .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
-        (t.getLong(0), t.getLong(1))
-      case None => (0L, 0L)
-    }
+    val (foldedDocs, foldedDl, foldedFiles) = readFolds(spark, path)
     StandingBm25(spark, path,
       spark.read.parquet(s"$path/postings").schema,
-      segRows.map(_.getLong(1)).sum - tsDocs,
-      segRows.map(_.getLong(2)).sum - tsDl,
+      segRows.map(_.getLong(1)).sum,
+      segRows.map(_.getLong(2)).sum,
+      foldedDocs, foldedDl, foldedFiles,
       segRows.map(_.getString(0)).toSeq.sorted, sig)
   }
 
@@ -321,13 +518,29 @@ object Bm25 {
     * listing per probe. Postings are filtered to COMMITTED segments (the
     * torn-append atomicity contract) and the per-term df aggregate
     * doubles as the (term, doc_id)-uniqueness guard: a violated append
-    * contract fails loudly here instead of silently corrupting scores. */
+    * contract fails loudly here instead of silently corrupting scores.
+    * Live tombstones are read FRESHLY per probe, ONCE: the same snapshot
+    * feeds the candidate anti-join and the (N, Σdl) correction, so a
+    * delete landing after prepare scores with consistent POST-delete
+    * semantics at the next probe (never postings-dropped-but-
+    * constants-stale — the mixed state a prepare-time correction had).
+    * Already-folded corrections come off the handle (fold records are
+    * prepare-time state; the signature covers them). */
   def queryStandingBm25(standing: StandingBm25, queries: DataFrame,
       k: Int = 10, salts: Int = 8): DataFrame = {
     val spark = standing.spark
     val path = standing.path
-    val nDocs = standing.nDocs
-    val totalDl = standing.totalDl
+    // ONE live-tombstone snapshot per probe — anti-join AND constants
+    val liveTs = liveTombstones(spark, path, standing.foldedFiles)
+    val (tsDocs, tsDl) = liveTs match {
+      case Some(t) =>
+        val r = t.agg(count(lit(1)),
+          coalesce(sum($"dl"), lit(0L))).head() // deletes-count-sized job
+        (r.getLong(0), r.getLong(1))
+      case None => (0L, 0L)
+    }
+    val nDocs = standing.segDocs - standing.foldedDocs - tsDocs
+    val totalDl = standing.segDl - standing.foldedDl - tsDl
     val qterms = queries
       .select($"query_id", explode(TextAnalysis.tokens($"text")).as("term"))
       .distinct()
@@ -345,12 +558,14 @@ object Bm25 {
     // that listing becomes a distributed job on the serving hot path
     val fs = new org.apache.hadoop.fs.Path(s"$path/postings")
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val postings = graft.util.Tombstones.antiJoin( // retractions fold out
-      Similarity.prunedScan(spark, fs, s"$path/postings",
-          standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
-        .filter($"seg".isin(standing.committedSegs: _*)), // commit filter
-      path, "doc_id")
-      .join(qvocab, "term")
+    val pruned = Similarity.prunedScan(spark, fs, s"$path/postings",
+        standing.postingsSchema, buckets.map(_.toInt), partitionCol = "tb")
+      .filter($"seg".isin(standing.committedSegs: _*)) // commit filter
+    val postings = (liveTs match { // retractions fold out, SAME snapshot
+      case Some(t) => pruned.join(t.select($"doc_id"), Seq("doc_id"),
+        "left_anti")
+      case None => pruned
+    }).join(qvocab, "term")
     // one aggregate, two jobs served: per-term df for idf AND the
     // uniqueness guard (df == distinct doc_ids — the append contract the
     // probe's df-by-count derivation depends on). The result is
@@ -465,14 +680,18 @@ object Bm25 {
     * index is built over the full corpus, three junk docs are APPENDED
     * (one sharing a query doc's exact text — a ranking-disturbing
     * duplicate; one novel; one EMPTY — the zero-postings dl=0 edge), then
-    * DELETED ([[deleteFromBm25Index]] tombstones), then the postings are
-    * physically ABSORBED (the compaction row transform; tombstones
-    * remain as the permanent (N, Σdl) correction records). The probe
-    * afterwards must return exactly [[bm25TopK]]'s rows —
-    * append∘delete∘absorb is the identity on the index's semantics — so
-    * the entry shares `bm25_topk`'s oracle: the tombstone fold, the
-    * constants correction (N−3, Σdl−junk), and the absorbing rewrite are
-    * all DuckDB-replayed. spec:TombstoneSpec pins the pre-absorb stage. */
+    * DELETED ([[deleteFromBm25Index]] tombstones — the empty doc proves
+    * membership through the empties medium), then physically ABSORBED and
+    * FOLDED ([[absorbBm25Deletes]]: the compaction row transform drops
+    * the postings, the (N, Σdl) correction folds into one tsfold commit
+    * record, and the tombstone files retire — the medium is bounded, not
+    * permanent). The probe afterwards must return exactly [[bm25TopK]]'s
+    * rows — append∘delete∘absorb∘fold is the identity on the index's
+    * semantics — so the entry shares `bm25_topk`'s oracle: the tombstone
+    * fold, the constants correction (N−3, Σdl−junk, now carried by the
+    * fold record), and the absorbing rewrite are all DuckDB-replayed.
+    * spec:TombstoneSpec pins the pre-absorb stage and the fold's
+    * crash-window invariants. */
   def bm25TopKDeleted(spark: SparkSession, sfDir: String,
       numQueries: Int = 3, k: Int = 10): DataFrame = {
     val path = bm25DeletedPath(sfDir)
@@ -486,11 +705,11 @@ object Bm25 {
         (900003L, ""))).toDF("doc_id", "text")
       appendToBm25Index(junk, path)
       deleteFromBm25Index(spark, path, junk.select($"doc_id"))
-      val stats = graft.util.Compaction.compactDir(spark, path, "postings",
-        partitionCol = Some("tb"),
-        transform = graft.util.Tombstones.antiJoin(_, path, "doc_id"))
+      val stats = absorbBm25Deletes(spark, path)
       require(stats.filesAfter < stats.filesBefore,
         s"absorbing compaction did not reduce the layout: $stats")
+      require(!graft.util.Tombstones.exists(spark, path),
+        "carry-free absorb did not fold+retire the tombstone files")
     }
     val queries = Tables.documents(spark, sfDir)
       .filter($"doc_id" < numQueries)

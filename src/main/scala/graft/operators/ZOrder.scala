@@ -278,12 +278,10 @@ object ZOrder {
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
     val fence = safeBatchFence.map(BatchAppend.tag)
-    val TaggedName = """^(b\d{19})-.*""".r
+    // the ONE shared tag parser (BatchAppend.tagOf) — a tag-format change
+    // must move every fence at once, or replayable batches compact away
     val (carry, eligible) = all.partition { st =>
-      fence.exists(f => (st.getPath.getName match {
-        case TaggedName(t) => Some(t)
-        case _ => None
-      }).exists(_ > f))
+      fence.exists(f => BatchAppend.tagOf(st.getPath.getName).exists(_ > f))
     }
     val bytesBefore = all.map(_.getLen).sum
     if (eligible.isEmpty)

@@ -38,6 +38,17 @@ object BatchAppend {
     * and numeric order agree. */
   def tag(batchId: Long): String = f"b$batchId%019d"
 
+  private val TaggedName = """^(b\d{19})-.*""".r
+
+  /** Parse the batch tag back off a published file name — the ONE inverse
+    * of [[tag]], shared by every compaction fence ([[Compaction
+    * .compactDir]], [[graft.operators.ZOrder.compactZoned]]) so a tag
+    * format change cannot silently break one fence and not the other. */
+  def tagOf(name: String): Option[String] = name match {
+    case TaggedName(t) => Some(t)
+    case _ => None
+  }
+
   /** Idempotently append `df` under `dir` (see the protocol above).
     * `partitionCol` routes the write through partitioned staging (e.g. the
     * IVF corpus's `cell=` directories) with the same guarantees per

@@ -58,13 +58,6 @@ object Compaction {
   final case class CompactionStats(filesBefore: Long, bytesBefore: Long,
       filesAfter: Long, bytesAfter: Long, rows: Long, carriedFiles: Long)
 
-  private val TaggedName = """^(b\d{19})-.*""".r
-
-  private def tagOf(name: String): Option[String] = name match {
-    case TaggedName(t) => Some(t)
-    case _ => None
-  }
-
   /** Recursive data-file listing (skips hidden/metadata names — the same
     * files Spark's own listing skips). */
   private def leaves(fs: org.apache.hadoop.fs.FileSystem,
@@ -119,7 +112,7 @@ object Compaction {
     val all = leaves(fs, dir)
     val fence = safeBatchFence.map(BatchAppend.tag)
     val (carry, eligible) = all.partition { st =>
-      fence.exists(f => tagOf(st.getPath.getName).exists(_ > f))
+      fence.exists(f => BatchAppend.tagOf(st.getPath.getName).exists(_ > f))
     }
     val bytesBefore = all.map(_.getLen).sum
     if (eligible.isEmpty)

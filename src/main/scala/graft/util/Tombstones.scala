@@ -76,6 +76,23 @@ object Tombstones {
       case None => df
     }
 
+  /** The tombstone directory's DATA files (hidden/metadata names skipped —
+    * the same filter [[exists]] applies), for callers that manage the
+    * medium at file granularity: [[graft.operators.Bm25]]'s fold protocol
+    * retires tombstones per-file (a fold commit record names the files it
+    * folded, so readers exclude them and a crash between record and GC
+    * double-counts nothing). Empty when the directory is absent. */
+  def dataFiles(spark: SparkSession,
+      indexPath: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = new Path(dir(indexPath))
+    val f = fs(spark, indexPath)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
+
   /** Cheap change signature of the tombstone directory — the retraction
     * counterpart of the stats/centers signatures, so serving loops
     * re-prepare when a delete lands. Empty when no delete ever has. */

@@ -120,10 +120,137 @@ class TombstoneSpec extends SparkTestBase {
     assert(got == want, s"${got.take(3)} vs ${want.take(3)}")
     val deletedIds = deleted.as[Long].collect().toSet
     assert(!got.exists(r => deletedIds.contains(r(2).asInstanceOf[Long])))
-    // double delete of the same ids: idempotent (dedup at fold)
+    // double delete of the same ids: idempotent (already-tombstoned ids
+    // are skipped at delete time — at most one tombstone row per doc ever)
     Bm25.deleteFromBm25Index(spark, path, deleted)
     assert(Bm25.queryBm25Index(spark, path, queries)
       .collect().map(_.toSeq).toSeq == want, "double delete double-counted")
+  }
+
+  test("BM25: deleting an id with no live committed membership fails loudly — never a silently shifted idf") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val path = tmp("graft-ts-bm25-unknown")
+    writeAll(docs, path)
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val before = Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    // a takedown for an id never ingested must be REJECTED, not recorded:
+    // a tombstone for it would permanently decrement N
+    val unknown = spark.createDataFrame(Seq(Tuple1(987654321L)))
+      .toDF("doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.deleteFromBm25Index(spark, path, unknown)
+    }
+    assert(ex.getMessage.contains("987654321"))
+    // nothing landed: no tombstones, probe unchanged
+    assert(!Tombstones.exists(spark, path))
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == before)
+    // a doc in a TORN (uncommitted) segment is equally unknown: postings
+    // exist but no stats commit row — membership is committed-only
+    val torn = spark.createDataFrame(Seq((777001L, "torn segment doc")))
+      .toDF("doc_id", "text")
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def statsFiles() = fs.listStatus(statsDir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+    val preAppend = statsFiles()
+    Bm25.appendToBm25Index(torn, path)
+    // tear the append: remove exactly its stats commit record(s)
+    (statsFiles() -- preAppend).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(statsDir, n), false))
+    intercept[IllegalArgumentException] {
+      Bm25.deleteFromBm25Index(spark, path, torn.select($"doc_id"))
+    }
+    assert(!Tombstones.exists(spark, path))
+  }
+
+  test("BM25: an EMPTY doc (zero postings, counted in N) is deletable through the empties membership; its correction is dl = 0") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 40)
+    val path = tmp("graft-ts-bm25-empty")
+    writeAll(docs.unionByName(spark.createDataFrame(
+      Seq((800001L, ""))).toDF("doc_id", "text")), path)
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    // with the empty doc in: N = 41 — deleting it must restore the
+    // pure-corpus constants exactly (bit-equal probe vs never-appended)
+    val refPath = tmp("graft-ts-bm25-empty-ref")
+    writeAll(docs, refPath)
+    Bm25.deleteFromBm25Index(spark, path,
+      spark.createDataFrame(Seq(Tuple1(800001L))).toDF("doc_id"))
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.queryBm25Index(spark, refPath, queries)
+        .collect().map(_.toSeq).toSeq,
+      "empty-doc delete must shrink N by 1 and Σdl by 0")
+  }
+
+  test("BM25: absorb FOLDS the tombstone correction into one commit record, retires the files, and probes stay bit-equal — including across the record-written/files-present crash window") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val path = tmp("graft-ts-bm25-fold")
+    writeAll(docs, path)
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val deleted = docs.filter($"doc_id" >= 5L && $"doc_id" < 10L)
+      .select($"doc_id")
+    Bm25.deleteFromBm25Index(spark, path, deleted)
+    val want = Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    // snapshot the live tombstone files, then absorb+fold
+    val tsFiles = Tombstones.dataFiles(spark, path)
+    assert(tsFiles.nonEmpty)
+    val sigBefore = Bm25.statsSignature(spark, path)
+    val stats = Bm25.absorbBm25Deletes(spark, path)
+    assert(stats.carriedFiles == 0L)
+    assert(Bm25.statsSignature(spark, path) != sigBefore,
+      "a fold must change the serving currency signature")
+    // fold ≡ the unfolded correction: bit-equal probes, files retired
+    assert(!Tombstones.exists(spark, path),
+      "carry-free absorb must retire the folded tombstone files")
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == want)
+    // CRASH WINDOW: fold record written but file GC never ran — put the
+    // folded files back; readers must exclude them BY NAME (no double
+    // count: the record already carries their correction)
+    val fs = new org.apache.hadoop.fs.Path(Tombstones.dir(path))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val junkSrc = tmp("graft-ts-bm25-fold-src")
+    Bm25.deleteFromBm25Index( // rebuild identical tombstone CONTENT…
+      spark, { writeAll(docs, junkSrc); junkSrc }, deleted)
+    Tombstones.dataFiles(spark, junkSrc).zip(tsFiles).foreach {
+      case (src, orig) => // …restored under the ORIGINAL folded names
+        val dst = new org.apache.hadoop.fs.Path(
+          Tombstones.dir(path), orig.getPath.getName)
+        assert(org.apache.hadoop.fs.FileUtil.copy(fs, src.getPath, fs, dst,
+          false, true, spark.sessionState.newHadoopConf()))
+    }
+    assert(Tombstones.exists(spark, path)) // files physically back…
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == want, // …but excluded by name
+      "folded files present on disk must not double-count the correction")
+    // a LATER delete after the fold stays live and correct on top of it
+    val more = docs.filter($"doc_id" >= 10L && $"doc_id" < 12L)
+      .select($"doc_id")
+    Bm25.deleteFromBm25Index(spark, path, more)
+    val refPath = tmp("graft-ts-bm25-fold-ref")
+    writeAll(docs.join(deleted.unionByName(more), Seq("doc_id"),
+      "left_anti"), refPath)
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.queryBm25Index(spark, refPath, queries)
+        .collect().map(_.toSeq).toSeq,
+      "post-fold deletes must stack on the folded correction")
+    // the next absorb GCs the crash-window leftovers AND folds the new
+    // delete — medium bounded again
+    val _ = Bm25.absorbBm25Deletes(spark, path)
+    assert(!Tombstones.exists(spark, path))
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.queryBm25Index(spark, refPath, queries)
+        .collect().map(_.toSeq).toSeq)
   }
 
   private def writeAll(docs: org.apache.spark.sql.DataFrame,
