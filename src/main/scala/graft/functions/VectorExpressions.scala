@@ -396,6 +396,89 @@ object VectorHashImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** TWO-LEVEL probe-cell choice (the FAISS-IMI shape in-plan): rank the
+    * ncoarse super-centroids exactly, open the top `wCoarse`, then rank
+    * only THEIR member cells and take `nprobe` — bit-identical to the
+    * driver-side [[graft.operators.Similarity.probeCellsCoarseRanked]]
+    * (same Double.compare repeated-argmin selection at both levels, which
+    * reproduces the stable sort's tie order; the eligibility mask scans
+    * cells in ascending index order, matching the driver's
+    * filter-then-stable-sort). Centroids examined per row drop from nlist
+    * to ncoarse + wCoarse·(nlist/ncoarse) — the reduction that keeps the
+    * SERVING probe viable at nlist ~10⁶. Returns only eligible cells:
+    * fewer than nprobe when the opened super-cells hold fewer members. */
+  def probeCellsCoarse(emb: ArrayData, coarseCenters: Array[Array[Double]],
+      cellToCoarse: Array[Int], centers: Array[Array[Double]],
+      nprobe: Int, wCoarse: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nc = coarseCenters.length
+    def l2(w: Array[Double]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < w.length) {
+        val t = emb.getFloat(j).toDouble - w(j)
+        s += t * t
+        j += 1
+      }
+      s
+    }
+    // level 1: exact rank over the coarse centroids, open the top wCoarse
+    val dc = new Array[Double](nc)
+    var i = 0
+    while (i < nc) { dc(i) = l2(coarseCenters(i)); i += 1 }
+    val open = new Array[Boolean](nc)
+    val w1 = math.min(wCoarse, nc)
+    var r = 0
+    while (r < w1) {
+      var best = -1
+      var bd = 0.0
+      var ii = 0
+      while (ii < nc) {
+        if (!open(ii) &&
+            (best == -1 || java.lang.Double.compare(dc(ii), bd) < 0)) {
+          bd = dc(ii); best = ii
+        }
+        ii += 1
+      }
+      open(best) = true
+      r += 1
+    }
+    // level 2: exact rank over ONLY the opened super-cells' member cells
+    val m = centers.length
+    val d = new Array[Double](m)
+    val eligible = new Array[Boolean](m)
+    var nEligible = 0
+    i = 0
+    while (i < m) {
+      if (open(cellToCoarse(i))) {
+        eligible(i) = true
+        nEligible += 1
+        d(i) = l2(centers(i))
+      }
+      i += 1
+    }
+    val n = math.min(nprobe, nEligible)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](m)
+    r = 0
+    while (r < n) {
+      var best = -1
+      var bd = 0.0
+      var ii = 0
+      while (ii < m) {
+        if (eligible(ii) && !used(ii) &&
+            (best == -1 || java.lang.Double.compare(d(ii), bd) < 0)) {
+          bd = d(ii); best = ii
+        }
+        ii += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Index of the nearest center by squared Euclidean distance (first
     * minimum wins on exact ties — the same rule as MLlib K-Means
     * assignment, so [[NearestCenterExpr]] reproduces the quantizer's own
@@ -486,6 +569,38 @@ case class ProbeCellsExpr(child: Expression, centers: Array[Array[Double]],
   }
   override protected def withNewChildInternal(c: Expression): ProbeCellsExpr =
     copy(child = c)
+}
+
+/** The TWO-LEVEL (coarse-quantized) probe-cell choice of an `array<float>`
+  * embedding, best first — the IN-PLAN form of [[graft.operators
+  * .Similarity.probeCellsCoarseRanked]], bit-identical by construction
+  * ([[VectorHashImpl.probeCellsCoarse]]). This is what keeps the SERVING
+  * probe viable at the 100 TB geometry: [[ProbeCellsExpr]] ranks every
+  * one of nlist centroids per query row, which at nlist ~10⁶ makes the
+  * centroid scan itself the probe bottleneck; here each row ranks
+  * ncoarse + wCoarse·(nlist/ncoarse) centroids instead (~9k at
+  * nlist=10⁶/ncoarse=1024/w=8). The super-centroid matrix and the cell→
+  * super-cell assignment ride along as codegen references, loaded from
+  * the index's persisted `coarse/` medium at prepare time. */
+case class ProbeCellsCoarseExpr(child: Expression,
+    coarseCenters: Array[Array[Double]], cellToCoarse: Array[Int],
+    centers: Array[Array[Double]], nprobe: Int, wCoarse: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorHashImpl.probeCellsCoarse(input.asInstanceOf[ArrayData],
+      coarseCenters, cellToCoarse, centers, nprobe, wCoarse)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cc = ctx.addReferenceObj("coarseCenters", coarseCenters, "double[][]")
+    val c2c = ctx.addReferenceObj("cellToCoarse", cellToCoarse, "int[]")
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorHashImpl.probeCellsCoarse(" +
+        s"$c, $cc, $c2c, $ref, $nprobe, $wCoarse);")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : ProbeCellsCoarseExpr = copy(child = c)
 }
 
 /** Squared Euclidean distance of two `array<float>` columns in double
@@ -841,6 +956,15 @@ object VectorExpressions {
       nprobe: Int): Column =
     GraftSqlBridge.column(
       ProbeCellsExpr(GraftSqlBridge.expression(emb), centers, nprobe))
+
+  /** Column wrapper: the two-level (coarse-quantized) probe-cell choice of
+    * an `array<float>` column, best first. */
+  def probeCellsCoarse(emb: Column, coarseCenters: Array[Array[Double]],
+      cellToCoarse: Array[Int], centers: Array[Array[Double]],
+      nprobe: Int, wCoarse: Int): Column =
+    GraftSqlBridge.column(
+      ProbeCellsCoarseExpr(GraftSqlBridge.expression(emb), coarseCenters,
+        cellToCoarse, centers, nprobe, wCoarse))
 
   /** Column wrapper: squared L2 distance of two `array<float>` columns. */
   def l2Sq(a: Column, b: Column): Column =

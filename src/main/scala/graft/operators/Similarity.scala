@@ -291,7 +291,8 @@ object Similarity {
   final case class StandingIvf(spark: SparkSession, corpusPath: String,
       schema: org.apache.spark.sql.types.StructType,
       centers: Array[Array[Double]],
-      centersSig: Seq[(String, Long, Long)] = Nil) {
+      centersSig: Seq[(String, Long, Long)] = Nil,
+      coarse: Option[CoarseQuantizer] = None) {
     @transient private lazy val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -342,18 +343,37 @@ object Similarity {
     }
   }
 
-  /** Cheap change signature of a persisted index's CENTERS directory —
-    * (name, length, mtime) per file, one listing. A [[retrainIvfIndex]]
-    * swap replaces the directory with freshly written files (new part-file
-    * names), so the signature always changes across a retrain; appends
-    * never touch centers, so it never changes under plain ingest. The
-    * serving loop compares this per trigger to survive retrains. */
+  /** Cheap change signature of a persisted index's CENTERS directory PLUS
+    * its coarse-quantizer medium — (name, length, mtime) per file, two
+    * listings. A [[retrainIvfIndex]] swap replaces both directories with
+    * freshly written files (new part-file names), so the signature always
+    * changes across a retrain; appends never touch either, so it never
+    * changes under plain ingest. The serving loop compares this per
+    * trigger to survive retrains — covering the coarse medium means a
+    * coarse refit alone (or a late coarse-tier addition) also re-prepares
+    * the standing handle, never leaving a stale cell→super-cell map
+    * choosing cells against new centers. */
   private[graft] def centersSignature(spark: SparkSession,
       path: String): Seq[(String, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$path/centers")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+    val own = p.getFileSystem(conf).listStatus(p)
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
       .sortBy(_._1).toSeq
+    val cp = new org.apache.hadoop.fs.Path(s"$path/coarse")
+    val cfs = cp.getFileSystem(conf)
+    val coarse =
+      if (!cfs.exists(cp)) Nil
+      else {
+        def walk(d: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+          cfs.listStatus(d).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq((s"cq:${st.getPath.getParent.getName}/" +
+              st.getPath.getName, st.getLen, st.getModificationTime))
+          }
+        walk(cp).sortBy(_._1)
+      }
+    own ++ coarse
   }
 
   /** Resolve a persisted index into a [[StandingIvf]] serving handle: one
@@ -365,7 +385,7 @@ object Similarity {
     val sig = centersSignature(spark, path)
     val corpus = s"$path/corpus"
     StandingIvf(spark, corpus, spark.read.parquet(corpus).schema,
-      loadCenters(spark, path), sig)
+      loadCenters(spark, path), sig, loadCoarseQuantizer(spark, path))
   }
 
   /** Probe a prepared [[StandingIvf]] with a query FRAME — the serving
@@ -387,9 +407,19 @@ object Similarity {
     *    map-side in the scoring stage.
     */
   def queryStandingIvf(standing: StandingIvf, queryFrame: DataFrame,
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val probeCol = graft.functions.VectorExpressions
-      .probeCells($"embedding", standing.centers, nprobe)
+      k: Int = 10, nprobe: Int = 4, wCoarse: Int = 2): DataFrame = {
+    // indexes carrying a persisted coarse quantizer choose their cells
+    // through the TWO-LEVEL codegen expression — ncoarse + wCoarse·
+    // (nlist/ncoarse) centroids ranked per query row instead of nlist,
+    // the reduction the 100 TB geometry (nlist ~10⁶) requires on the
+    // serving path; flat indexes keep the exact single-level scan
+    val probeCol = standing.coarse match {
+      case Some(cq) => graft.functions.VectorExpressions.probeCellsCoarse(
+        $"embedding", cq.coarseCenters, cq.cellToCoarse, standing.centers,
+        nprobe, wCoarse)
+      case None => graft.functions.VectorExpressions
+        .probeCells($"embedding", standing.centers, nprobe)
+    }
     val cells = queryFrame.select(explode(probeCol).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
     val queryCells = queryFrame.select($"vec_id".as("query_id"),
@@ -440,7 +470,19 @@ object Similarity {
     * fit cost amortizes across every subsequent [[loadIvfIndex]] +
     * [[queryIvfIndex]] batch.
     */
-  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+  def writeIvfIndex(index: IvfIndex, path: String): Unit =
+    writeIvfIndex(index, path, ncoarse = 0)
+
+  /** [[writeIvfIndex]] with a persisted SECOND-LEVEL coarse quantizer:
+    * `ncoarse > 0` fits [[fitCoarseQuantizer]] over the index's centroid
+    * matrix (driver-side, trivial next to the corpus fit) and writes it
+    * as the index's `coarse/` medium — one nlist-sized parquet of
+    * (cell, coarse, coarse_center) rows, doubles round-tripping bit-exact.
+    * [[prepareIvfIndex]] then serves the probe-cell choice through the
+    * two-level [[graft.functions.ProbeCellsCoarseExpr]], and
+    * [[retrainIvfIndex]] REFITS the medium with the new centers (stale
+    * coarse cells after a retrain would be wrong cells). */
+  def writeIvfIndex(index: IvfIndex, path: String, ncoarse: Int): Unit = {
     val spark = index.bucketed.sparkSession
     import spark.implicits._
     index.bucketed.write.mode("overwrite").partitionBy("cell")
@@ -448,6 +490,48 @@ object Similarity {
     index.centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    if (ncoarse > 0)
+      writeCoarseQuantizer(spark,
+        fitCoarseQuantizer(index.centers, ncoarse), path)
+  }
+
+  private def writeCoarseQuantizer(spark: SparkSession,
+      cq: CoarseQuantizer, path: String): Unit = {
+    import spark.implicits._
+    // centers and assignments as separate sub-tables: an empty coarse
+    // cluster (Lloyd can leave one) has no member cells, so a centers
+    // table derived from assignment rows would silently drop it and the
+    // reloaded level-1 ranking would diverge from the fit
+    cq.coarseCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("coarse", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse/centers")
+    cq.cellToCoarse.zipWithIndex.toSeq
+      .map { case (cc, cell) => (cell, cc) }.toDF("cell", "coarse")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse/assign")
+  }
+
+  /** Load a persisted coarse quantizer, or None when the index has no
+    * `coarse/` medium (flat probe-cell choice then — small-nlist indexes
+    * don't need the second level). Doubles round-trip parquet bit-exact,
+    * so the reloaded quantizer ranks identically to the fit. */
+  private[graft] def loadCoarseQuantizer(spark: SparkSession,
+      path: String): Option[CoarseQuantizer] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/coarse")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val cc = spark.read.parquet(s"$path/coarse/centers")
+        .select($"coarse", $"center")
+        .collect() // ncoarse-sized
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      val assign = spark.read.parquet(s"$path/coarse/assign")
+        .select($"cell", $"coarse")
+        .collect() // nlist-sized — the same bound as loadCenters
+        .map(r => (r.getInt(0), r.getInt(1)))
+        .sortBy(_._1).map(_._2)
+      Some(CoarseQuantizer(cc, assign))
+    }
   }
 
   private[graft] def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
@@ -562,56 +646,65 @@ object Similarity {
         .toSeq
     }
 
-  /** The ONE coarse-quantizer-of-centroids fit per (process, sf dir,
-    * geometry) — the [[standingIndex]] discipline one level up: the dump
-    * and the probing entry must see the SAME fit or the dump replay
-    * hash-mismatches for run-order reasons. */
-  private val standingCoarseQs =
-    scala.collection.concurrent.TrieMap.empty[String, CoarseQuantizer]
-
-  private def standingCoarse(spark: SparkSession, sfDir: String,
-      nlist: Int, ncoarse: Int): CoarseQuantizer =
-    standingCoarseQs.getOrElseUpdate(s"$sfDir#$nlist#$ncoarse",
-      fitCoarseQuantizer(standingIndex(spark, sfDir, nlist).centers, ncoarse))
+  /** The ONE PERSISTED coarse-tier fixture index per (process, sf dir) —
+    * the [[ensureFixtureIndex]] discipline with the `coarse/` medium: the
+    * standing fit's corpus+centers written once with the second-level
+    * quantizer fit+persisted beside them ([[writeIvfIndex]]'s ncoarse
+    * form). The dump and the probing entry both read THIS medium, so the
+    * choice they replay is the persisted one — the serving path's — not a
+    * process-local re-fit. */
+  private def ensureCoarseFixtureIndex(spark: SparkSession, sfDir: String,
+      nlist: Int = 16, ncoarse: Int = 4): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${graft.util.TmpDirs.perProcessDir("graft_ivf_coarse")}/$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "coarse")))
+      writeIvfIndex(standingIndex(spark, sfDir, nlist), path, ncoarse)
+    path
+  }
 
   /** Registered rows-only dump (it IS the oracle input): the TWO-LEVEL
     * probe-cell choice, ranked to `maxNprobe` — `ivf_probe_cells`'
     * contract through the coarse tier, so the `ivf_topk_coarse` replay
-    * slices it at rk ≤ nprobe exactly like the flat probe's replay. */
+    * slices it at rk ≤ nprobe exactly like the flat probe's replay. The
+    * quantizer is the PERSISTED one ([[loadCoarseQuantizer]] off the
+    * coarse fixture index), and spec:SimilaritySpec pins the serving
+    * expression's cell choice to this exact driver-side ranking — so the
+    * dump replays the choice the serving path actually makes. */
   def ivfCoarseProbeCellsEntry(spark: SparkSession, sfDir: String,
       numQueries: Int = 5, maxNprobe: Int = 16, nlist: Int = 16,
       ncoarse: Int = 4, wCoarse: Int = 2): DataFrame = {
-    val index = standingIndex(spark, sfDir, nlist)
-    val cq = standingCoarse(spark, sfDir, nlist, ncoarse)
-    val ranked = probeCellsCoarseRanked(index.centers, cq,
+    val path = ensureCoarseFixtureIndex(spark, sfDir, nlist, ncoarse)
+    val centers = loadCenters(spark, path)
+    val cq = loadCoarseQuantizer(spark, path).getOrElse(
+      throw new IllegalStateException(s"no coarse medium under $path"))
+    val ranked = probeCellsCoarseRanked(centers, cq,
       fixtureQueryBatch(spark, sfDir, numQueries), maxNprobe, wCoarse)
     spark.createDataFrame(ranked).toDF("query_id", "cell", "rk")
   }
 
   /** Registered query (HASH-CHECKED): the IVF probe with its cell choice
-    * made through the SECOND-LEVEL quantizer — candidates and scoring are
-    * exactly [[ivfTopK]]'s machinery over the coarse-selected cells, so
-    * the entry replays from `ivf_assignments` + the
-    * `ivf_coarse_probe_cells` dump (the same replay SQL shape as
-    * `ivf_topk`, pointed at the coarse dump). What the oracle checks:
-    * the pruned-scan ∘ exact-rescore ∘ rank pipeline is bit-faithful to
-    * whatever cell set the coarse tier chose; what the spec checks
-    * (spec:SimilaritySpec): the choice itself — independent recomputation,
-    * the wCoarse = ncoarse degeneration to the exact flat scan, and the
-    * centroids-examined reduction. */
+    * made through the PERSISTED second-level quantizer ON THE SERVING
+    * PATH — [[prepareIvfIndex]] resolves the coarse medium into the
+    * standing handle and [[queryStandingIvf]] chooses cells in-plan via
+    * the two-level [[graft.functions.ProbeCellsCoarseExpr]]. The entry
+    * replays from `ivf_assignments` + the `ivf_coarse_probe_cells` dump
+    * (the same replay SQL shape as `ivf_topk`, pointed at the coarse
+    * dump): the oracle checks the pruned-scan ∘ exact-rescore ∘ rank
+    * pipeline is bit-faithful to the cell set the persisted coarse tier
+    * chose; spec:SimilaritySpec pins the choice itself — serving
+    * expression ≡ independent driver recomputation, persist/load
+    * round-trip, the wCoarse = ncoarse degeneration to the exact flat
+    * scan, and the retrain follow-through (coarse refit with new
+    * centers). */
   def ivfTopKCoarse(spark: SparkSession, sfDir: String,
       numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      ncoarse: Int = 4, wCoarse: Int = 2, salts: Int = 8): DataFrame = {
-    val index = standingIndex(spark, sfDir, nlist)
-    val cq = standingCoarse(spark, sfDir, nlist, ncoarse)
-    val queries = fixtureQueryBatch(spark, sfDir, numQueries)
-    val byId = queries.toMap
-    val probes = probeCellsCoarseRanked(index.centers, cq, queries,
-        nprobe, wCoarse)
-      .map { case (qid, cell, _) => (qid, cell, byId(qid)) }
-    val probeCells = probes.map(_._2).distinct
-    val pruned = index.bucketed.filter($"cell".isin(probeCells: _*))
-    scoreProbes(pruned, probes, k, salts)
+      ncoarse: Int = 4, wCoarse: Int = 2): DataFrame = {
+    val path = ensureCoarseFixtureIndex(spark, sfDir, nlist, ncoarse)
+    val queries = spark.createDataFrame(
+      fixtureQueryBatch(spark, sfDir, numQueries))
+      .toDF("vec_id", "embedding")
+    queryStandingIvf(prepareIvfIndex(spark, path), queries, k, nprobe,
+      wCoarse)
   }
 
   /** DELETE vectors from a persisted IVF index — the retraction contract
@@ -871,11 +964,19 @@ object Similarity {
     // does not re-decide capacity; pass nlist explicitly to resize)
     val cells =
       if (nlist > 0) nlist else loadCenters(spark, path).length
+    // an index serving through a persisted coarse quantizer REFITS it over
+    // the new centers at the same ncoarse and swaps it WITH them — coarse
+    // cells fit on retired centers would be wrong cells (the member lists
+    // point at geometry that no longer exists)
+    val ncoarse = loadCoarseQuantizer(spark, path)
+      .map(_.coarseCenters.length).getOrElse(0)
     val refit = buildIvfIndex(corpus, cells)
     val staging = s"$path/retrain_staging"
-    writeIvfIndex(refit, staging) // materializes before any old state moves
+    // materializes before any old state moves
+    writeIvfIndex(refit, staging, ncoarse)
     graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
-      Seq("corpus", "centers"))
+      if (ncoarse > 0) Seq("corpus", "centers", "coarse")
+      else Seq("corpus", "centers"))
   }
 
   /** The planted-drift corpus behind the retrain fixture — a deterministic

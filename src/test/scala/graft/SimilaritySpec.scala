@@ -268,6 +268,78 @@ class SimilaritySpec extends SparkTestBase {
       cq.cellToCoarse.forall(c => c >= 0 && c < 4))
   }
 
+  test("PERSISTED coarse tier: serving expr ≡ driver ranking, round-trip exact, full-width degeneration on the serving path, retrain refits it") {
+    import graft.functions.VectorExpressions
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val index = Similarity.buildIvfIndex(emb, nlist = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-coarse-idx").toString
+    Similarity.writeIvfIndex(index, path, ncoarse = 4)
+    val standing = Similarity.prepareIvfIndex(spark, path)
+    assert(standing.coarse.isDefined, "prepare must resolve the coarse medium")
+    val cq = standing.coarse.get
+    // 1. round-trip: the persisted+reloaded quantizer is BIT-equal to a
+    // fresh fit over the same centers (doubles round-trip parquet exactly;
+    // fitCoarseQuantizer is seeded/deterministic on fixed input)
+    val fresh = Similarity.fitCoarseQuantizer(index.centers, ncoarse = 4)
+    assert(cq.coarseCenters.map(_.toSeq).toSeq ==
+      fresh.coarseCenters.map(_.toSeq).toSeq)
+    assert(cq.cellToCoarse.toSeq == fresh.cellToCoarse.toSeq)
+    // 2. the SERVING expression's in-plan cell choice equals the
+    // driver-side ranked selection the oracle dump replays
+    val queries = emb.filter($"vec_id" < 4)
+    val exprCells = queries.select($"vec_id",
+      VectorExpressions.probeCellsCoarse($"embedding", cq.coarseCenters,
+        cq.cellToCoarse, standing.centers, 4, 2).as("cells"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val qSeq = queries.as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val want = qSeq.map { case (qid, q) =>
+      (qid, Similarity.probeCellsCoarseRanked(standing.centers, cq,
+        Seq((qid, q)), 4, 2).map(_._2))
+    }
+    assert(exprCells == want,
+      "in-plan two-level choice diverged from the driver ranking")
+    // 3. full-width degeneration ON THE SERVING PATH: wCoarse = ncoarse
+    // opens every super-cell, so the coarse-tier standing probe returns
+    // exactly the flat standing probe's rows over the same persisted fit
+    val flatPath = java.nio.file.Files
+      .createTempDirectory("graft-coarse-flat").toString
+    Similarity.writeIvfIndex(index, flatPath) // same fit, no coarse medium
+    val qdf = queries.toDF("vec_id", "embedding")
+    def rows(p: String, wCoarse: Int) = Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, p), qdf, 10, 4, wCoarse)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(path, 4) == rows(flatPath, 2),
+      "wCoarse = ncoarse must degenerate to the flat standing probe")
+    // 4. RETRAIN follow-through: the coarse medium refits with the new
+    // centers (a stale cell→super-cell map against new geometry would
+    // choose wrong cells) and the signature fires for serving re-prepare
+    val sigBefore = Similarity.centersSignature(spark, path)
+    Similarity.appendToIvfIndex(
+      emb.filter($"vec_id" % 3 === 0)
+        .select(($"vec_id" + 7000000L).as("vec_id"),
+          reverse($"embedding").as("embedding")), path)
+    Similarity.retrainIvfIndex(spark, path)
+    assert(Similarity.centersSignature(spark, path) != sigBefore)
+    val post = Similarity.prepareIvfIndex(spark, path)
+    assert(post.coarse.isDefined, "retrain must preserve the coarse tier")
+    val postFresh = Similarity.fitCoarseQuantizer(post.centers, ncoarse = 4)
+    assert(post.coarse.get.coarseCenters.map(_.toSeq).toSeq ==
+      postFresh.coarseCenters.map(_.toSeq).toSeq &&
+      post.coarse.get.cellToCoarse.toSeq == postFresh.cellToCoarse.toSeq,
+      "retrain must REFIT the coarse quantizer over the new centers")
+    // and the refit serves: post-retrain coarse probe ≡ post-retrain flat
+    // probe at full width (the degeneration again, new geometry) — the
+    // flat handle is built over the SAME swapped index, coarse tier off
+    val postFlat = Similarity.StandingIvf(spark, s"$path/corpus",
+      post.schema, post.centers, Nil, None)
+    assert(Similarity.queryStandingIvf(post, qdf, 10, 4, 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      Similarity.queryStandingIvf(postFlat, qdf, 10, 4)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("hardNegatives: other-label only, rank-contiguous, equals filtered brute force") {
     import org.apache.spark.sql.functions._
     val labels = graft.sources.Tables.embeddings(spark, sf)
