@@ -558,11 +558,40 @@ object Pq {
     * ([[graft.operators.Similarity.absorbIvfDeletes]]' pattern on the
     * codes/raw media). A later retrain re-encodes from `raw`, which may
     * resurrect deleted CODES — harmless while the tombstones stand
-    * (retrain swaps never touch the tombstone directory), but production
-    * absorbs `raw` before refitting to keep retracted vectors out of the
-    * fit sample entirely. */
+    * (retrain swaps never touch the tombstone directory); call
+    * [[absorbPqDeletes]] / [[absorbIvfPqDeletes]] to make the deletion
+    * physical in BOTH media before any tombstone retires, so a
+    * post-absorb retrain resurrects nothing. */
   def deleteFromPqIndex(ids: DataFrame, path: String): Unit =
     graft.util.Tombstones.append(ids.select($"vec_id"), path)
+
+  /** Physically ABSORB tombstoned vectors from a persisted PQ index:
+    * `codes` AND the raw refit/rerank corpus (`raw`, when the index keeps
+    * one) compact through the anti-join transform as one staged unit per
+    * medium, and the tombstones retire ONLY when BOTH rewrites were
+    * carry-free ([[graft.util.Tombstones.absorbAll]]). This is the code
+    * path behind "production absorbs raw before refitting": after a
+    * carry-free absorb, [[retrainPqIndex]]'s refit sample no longer holds
+    * the retracted vectors, so nothing resurrects into fresh codes
+    * (spec:TombstoneSpec pins retrain-after-absorb). */
+  def absorbPqDeletes(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : Seq[graft.util.Compaction.CompactionStats] =
+    graft.util.Tombstones.absorbAll(spark, path, "vec_id",
+      Seq(("codes", None), ("raw", None)), targetBytes, safeBatchFence)
+
+  /** [[absorbPqDeletes]] for the COMPOSED tiers (IVF×PQ and the residual
+    * form): the codes medium is cell-partitioned, so its rewrite keeps
+    * the directory pruning; raw stays flat. Same retire-only-when-all-
+    * carry-free contract. */
+  def absorbIvfPqDeletes(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : Seq[graft.util.Compaction.CompactionStats] =
+    graft.util.Tombstones.absorbAll(spark, path, "vec_id",
+      Seq(("codes", Some("cell")), ("raw", None)), targetBytes,
+      safeBatchFence)
 
   /** Append new vectors to a persisted PQ index WITHOUT retraining: encode
     * with the FROZEN codebooks and append into the codes dir — the

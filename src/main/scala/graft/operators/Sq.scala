@@ -253,6 +253,18 @@ object Sq {
   def deleteFromSqIndex(ids: DataFrame, path: String): Unit =
     graft.util.Tombstones.append(ids.select($"vec_id"), path)
 
+  /** Physically ABSORB tombstoned vectors from a persisted SQ8 index —
+    * [[Pq.absorbPqDeletes]]'s twin: `codes` and the raw refit corpus both
+    * compact through the anti-join transform, tombstones retire only when
+    * BOTH rewrites were carry-free, so a post-absorb [[retrainSqIndex]]
+    * (which re-encodes from `raw`) resurrects nothing. */
+  def absorbSqDeletes(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : Seq[graft.util.Compaction.CompactionStats] =
+    graft.util.Tombstones.absorbAll(spark, path, "vec_id",
+      Seq(("codes", None), ("raw", None)), targetBytes, safeBatchFence)
+
   /** Re-fit the grid over a CURRENT raw corpus and swap the persisted
     * index in place — the SQ8 retrain-on-drift response
     * ([[Pq.retrainPqIndex]]'s protocol on the 4× tier): a frozen grid

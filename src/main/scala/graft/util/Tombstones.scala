@@ -111,4 +111,38 @@ object Tombstones {
   def clear(spark: SparkSession, indexPath: String): Unit = {
     val _ = fs(spark, indexPath).delete(new Path(dir(indexPath)), true)
   }
+
+  /** Absorb one index's tombstones across ALL the media that hold its
+    * rows — the multi-directory form of the IVF absorb, and the function
+    * "production absorbs raw before refitting" names for the code tiers
+    * ([[graft.operators.Pq.absorbPqDeletes]] /
+    * [[graft.operators.Sq.absorbSqDeletes]]): every listed `(sub,
+    * partitionCol)` target that exists compacts through
+    * [[Compaction.compactDir]] with the anti-join as the row transform
+    * (one staged rewrite per medium), and the tombstones retire ONLY when
+    * EVERY rewrite was carry-free — a carried file in ANY medium may
+    * still hold masked rows, and for the code tiers specifically the raw
+    * corpus feeds retrains, so retiring tombstones while `raw` still
+    * holds a retracted vector would let the next refit RESURRECT it into
+    * fresh codes. Absent targets (an index keeping no raw tier) are
+    * skipped — nothing there to mask. Returns the per-target stats in
+    * input order (zeros for skipped targets). */
+  def absorbAll(spark: SparkSession, indexPath: String, idCol: String,
+      targets: Seq[(String, Option[String])],
+      targetBytes: Long = 128L << 20,
+      safeBatchFence: Option[Long] = None)
+      : Seq[Compaction.CompactionStats] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = targets.map { case (sub, pcol) =>
+      val p = new Path(s"$indexPath/$sub")
+      if (!p.getFileSystem(conf).exists(p))
+        Compaction.CompactionStats(0L, 0L, 0L, 0L, 0L, 0L)
+      else Compaction.compactDir(spark, indexPath, sub,
+        partitionCol = pcol, targetBytes = targetBytes,
+        safeBatchFence = safeBatchFence,
+        transform = antiJoin(_, indexPath, idCol))
+    }
+    if (stats.forall(_.carriedFiles == 0L)) clear(spark, indexPath)
+    stats
+  }
 }

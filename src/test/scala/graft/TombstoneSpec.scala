@@ -305,4 +305,97 @@ class TombstoneSpec extends SparkTestBase {
     assert(rows(Sq.queryStandingSq(Sq.prepareSqIndex(spark, sqA), queries)) ==
       rows(Sq.queryStandingSq(Sq.prepareSqIndex(spark, sqB), queries)))
   }
+
+  test("code tiers: absorb makes deletes physical in codes AND raw, retires tombstones only when BOTH are carry-free, and a post-absorb retrain resurrects nothing") {
+    import graft.operators.{Pq, Sq}
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 4 =!= 3)
+    val queries = emb.filter($"vec_id" % 4 === 3).limit(3)
+    val dead = corpus.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val deadIds = dead.as[Long].collect().toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"vec_id").as[Long].collect().toSet
+    val retainedIds = ids(corpus) -- deadIds
+
+    // ---- PQ: the resurrection chain the verdict flagged — absorb codes,
+    // clear tombstones, retrain from raw — must be IMPOSSIBLE through the
+    // absorb API because it rewrites raw in the same unit
+    val model = Pq.train(corpus)
+    val pq = tmp("graft-abs-pq")
+    Pq.writePqIndex(corpus, model, pq)
+    corpus.write.parquet(s"$pq/raw") // the rerank/refit tier the loop keeps
+    Pq.deleteFromPqIndex(dead, pq)
+    // pre-absorb: raw still holds the retracted vectors — the hazard
+    assert(ids(spark.read.parquet(s"$pq/raw"))
+      .intersect(deadIds).nonEmpty)
+    val stats = Pq.absorbPqDeletes(spark, pq)
+    assert(stats.forall(_.carriedFiles == 0L))
+    assert(!Tombstones.exists(spark, pq),
+      "carry-free absorb must retire the tombstones")
+    assert(ids(spark.read.parquet(s"$pq/codes")) == retainedIds,
+      "codes must be physically delete-free after absorb")
+    assert(ids(spark.read.parquet(s"$pq/raw")) == retainedIds,
+      "raw must be physically delete-free after absorb")
+    // retrain re-encodes from raw — with raw absorbed, nothing resurrects
+    Pq.retrainPqIndex(spark.read.parquet(s"$pq/raw"), pq)
+    assert(ids(spark.read.parquet(s"$pq/codes")) == retainedIds,
+      "a post-absorb retrain must not resurrect retracted codes")
+    val served = Pq.queryStandingPq(Pq.preparePqIndex(spark, pq), queries)
+      .collect().map(_.getLong(1)).toSet
+    assert(served.nonEmpty && served.intersect(deadIds).isEmpty)
+
+    // ---- SQ8 with a CARRY FENCE: a still-replayable tagged batch in raw
+    // rides through verbatim, so its masked rows survive — tombstones must
+    // NOT retire until a later carry-free absorb
+    val sqModel = Sq.fit(corpus)
+    val sq = tmp("graft-abs-sq")
+    Sq.writeSqIndex(corpus, sqModel, sq)
+    corpus.write.parquet(s"$sq/raw")
+    val junk = corpus.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 6000000L).as("vec_id"), $"embedding")
+    val junkIds = ids(junk)
+    // the ingest shape: one tagged batch lands in BOTH media
+    BatchAppend.append(junk, s"$sq/raw", BatchAppend.tag(9L))
+    BatchAppend.append(Sq.encode(junk, sqModel), s"$sq/codes",
+      BatchAppend.tag(9L))
+    Sq.deleteFromSqIndex(spark.createDataFrame(
+      junkIds.toSeq.map(Tuple1(_))).toDF("vec_id"), sq)
+    // fence at 8: batch 9 is still replayable — carried in both media
+    val fenced = Sq.absorbSqDeletes(spark, sq, safeBatchFence = Some(8L))
+    assert(fenced.exists(_.carriedFiles > 0L))
+    assert(Tombstones.exists(spark, sq),
+      "tombstones retired while a carried file still held masked rows")
+    // masked throughout the window: the probe never serves the junk
+    val probe1 = Sq.queryStandingSq(Sq.prepareSqIndex(spark, sq), queries)
+      .collect().map(_.getLong(1)).toSet
+    assert(probe1.intersect(junkIds).isEmpty)
+    // fence advances past the batch: absorb is carry-free, retires, and
+    // the refit corpus is clean — retrain resurrects nothing
+    val free = Sq.absorbSqDeletes(spark, sq, safeBatchFence = Some(9L))
+    assert(free.forall(_.carriedFiles == 0L))
+    assert(!Tombstones.exists(spark, sq))
+    assert(ids(spark.read.parquet(s"$sq/raw"))
+      .intersect(junkIds).isEmpty)
+    Sq.retrainSqIndex(spark.read.parquet(s"$sq/raw"), sq)
+    val probe2 = Sq.queryStandingSq(Sq.prepareSqIndex(spark, sq), queries)
+      .collect().map(_.getLong(1)).toSet
+    assert(probe2.nonEmpty && probe2.intersect(junkIds).isEmpty)
+
+    // ---- composed (IVF×PQ): the cell-partitioned codes medium absorbs
+    // through the same unit (directory pruning preserved by partitionCol)
+    val index = Similarity.buildIvfIndex(corpus)
+    val ivfpq = tmp("graft-abs-ivfpq")
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, ivfpq)
+    corpus.write.parquet(s"$ivfpq/raw")
+    Pq.deleteFromPqIndex(dead, ivfpq)
+    val cstats = Pq.absorbIvfPqDeletes(spark, ivfpq)
+    assert(cstats.forall(_.carriedFiles == 0L))
+    assert(!Tombstones.exists(spark, ivfpq))
+    assert(ids(spark.read.parquet(s"$ivfpq/codes")) == retainedIds)
+    assert(ids(spark.read.parquet(s"$ivfpq/raw")) == retainedIds)
+    Pq.retrainIvfPqIndex(spark.read.parquet(s"$ivfpq/raw"), ivfpq)
+    assert(ids(spark.read.parquet(s"$ivfpq/codes")) == retainedIds,
+      "composed retrain must not resurrect retracted codes")
+  }
 }
