@@ -170,6 +170,12 @@ object SparkEntry {
     // by warmup; probes read the corpus side co-located, zero exchange —
     // BucketingSpec pins the plan shape)
     "incremental_near_dup_indexed" -> (Dedup.incrementalNearDupIndexedEntry _),
+    // the band-index DELETE lifecycle: junk appended, tombstoned
+    // (deleteFromIndexTable), absorbed by compactIndexTable's rewrite —
+    // append∘delete∘absorb is the identity, so the probe shares the
+    // incremental oracle; the probe corpus includes the junk texts so a
+    // missed retraction fails the hash instead of hiding in the verify
+    "incremental_near_dup_deleted" -> (Dedup.incrementalNearDupDeletedEntry _),
     // TIERED probe against the persisted indexes: exact-hash tier first
     // (co-located equi-join, byte-equality verified, jaccard 1.0), the
     // 128-band near-dup tier only over the batch docs with no exact twin —
@@ -1681,6 +1687,9 @@ object SparkEntry {
     // LSH join — same shingle sets, same threshold, same miss bound
     "incremental_near_dup" -> incrementalNearDupSql,
     "incremental_near_dup_indexed" -> incrementalNearDupSql,
+    // the deleted-lifecycle probe must return exactly the never-appended
+    // index's rows — same oracle (the junk docs' retraction is complete)
+    "incremental_near_dup_deleted" -> incrementalNearDupSql,
     // first-tier-wins replay of the tiered probe: exact pairs by text
     // equality at jaccard 1.0 (the xxhash64 routing key is semantically
     // invisible — byte equality is the verified contract), then the same

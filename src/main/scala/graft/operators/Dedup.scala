@@ -715,11 +715,18 @@ object Dedup {
     * and a second rebuild ping-pongs back without nesting locations. */
   def rebuildBandIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
       numBands: Int = 128, rowsPerBand: Int = 8, buckets: Int = 32,
-      maxBucketSize: Int = 1000): Unit =
-    rebuildIndexTable(docs.sparkSession, table) { (stagingTable, loc) =>
-      writeBandIndex(docs, stagingTable, shingleLen, numBands, rowsPerBand,
-        buckets, maxBucketSize, location = Some(loc))
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = docs.sparkSession
+    // absorption rides the rebuild: tombstoned docs leave the input (the
+    // caller's corpus frame may still carry them), and the medium retires
+    // once the swapped index is delete-free
+    val retained = foldIndexTombstones(docs, table, "doc_id")
+    rebuildIndexTable(spark, table) { (stagingTable, loc) =>
+      writeBandIndex(retained, stagingTable, shingleLen, numBands,
+        rowsPerBand, buckets, maxBucketSize, location = Some(loc))
     }
+    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+  }
 
   /** Re-band the standing EMBEDDING corpus at new sign-LSH geometry
     * (plane count, rows per band, seed — the recall/fan-out dials of the
@@ -730,22 +737,30 @@ object Dedup {
     * (numBands, rowsPerBand, dim, seed) on both sides. */
   def rebuildEmbeddingBandIndex(embeddings: DataFrame, table: String,
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
-      seed: Long = 7L, buckets: Int = 32, maxBucketSize: Int = 1000): Unit =
-    rebuildIndexTable(embeddings.sparkSession, table) { (stagingTable, loc) =>
-      writeEmbeddingBandIndex(embeddings, stagingTable, numBands,
+      seed: Long = 7L, buckets: Int = 32, maxBucketSize: Int = 1000): Unit = {
+    val spark = embeddings.sparkSession
+    val retained = foldIndexTombstones(embeddings, table, "vec_id")
+    rebuildIndexTable(spark, table) { (stagingTable, loc) =>
+      writeEmbeddingBandIndex(retained, stagingTable, numBands,
         rowsPerBand, dim, seed, buckets, maxBucketSize,
         location = Some(loc))
     }
+    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+  }
 
   /** Re-hash the standing corpus's exact index (shingleLen / cap retune —
     * an append-time cap drifts conservatively, a rebuild re-applies it
     * cleanly) and swap — same protocol. */
   def rebuildExactIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
-      buckets: Int = 32, maxBucketSize: Int = 1000): Unit =
-    rebuildIndexTable(docs.sparkSession, table) { (stagingTable, loc) =>
-      writeExactIndex(docs, stagingTable, shingleLen, buckets,
+      buckets: Int = 32, maxBucketSize: Int = 1000): Unit = {
+    val spark = docs.sparkSession
+    val retained = foldIndexTombstones(docs, table, "doc_id")
+    rebuildIndexTable(spark, table) { (stagingTable, loc) =>
+      writeExactIndex(retained, stagingTable, shingleLen, buckets,
         maxBucketSize, location = Some(loc))
     }
+    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+  }
 
   /** Re-chunk the standing perceptual-hash index at a new `numChunks`
     * (the Hamming-budget pigeonhole dial) and swap — same protocol; the
@@ -753,11 +768,15 @@ object Dedup {
     * rename, so post-rebuild probes keep their geometry check. */
   def rebuildHashIndex(sigs: DataFrame, idCol: String, sigCol: String,
       table: String, numChunks: Int, buckets: Int = 32,
-      maxBucketSize: Int = 1000): Unit =
-    rebuildIndexTable(sigs.sparkSession, table) { (stagingTable, loc) =>
-      writeHashIndex(sigs, idCol, sigCol, stagingTable, numChunks, buckets,
-        maxBucketSize, location = Some(loc))
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = sigs.sparkSession
+    val retained = foldIndexTombstones(sigs, table, idCol)
+    rebuildIndexTable(spark, table) { (stagingTable, loc) =>
+      writeHashIndex(retained, idCol, sigCol, stagingTable, numChunks,
+        buckets, maxBucketSize, location = Some(loc))
     }
+    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+  }
 
   /** COMPACT a bucketed standing index table in place — the table-medium
     * twin of [[graft.util.Compaction.compactDir]], completing small-file
@@ -787,7 +806,8 @@ object Dedup {
     * slot exists at every trigger boundary — the slot retrains already
     * run in) or with ingest paused; concurrent PROBES are fine — they
     * retry once across the drop-rename gap, the rebuild contract. */
-  def compactIndexTable(spark: SparkSession, table: String): Unit =
+  def compactIndexTable(spark: SparkSession, table: String): Unit = {
+    val idCol = indexIdColumn(spark, table)
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -803,8 +823,13 @@ object Dedup {
       // the repartition's HashPartitioning(keys, numBuckets) is exactly
       // the writer's bucket-id rule, so each task holds one whole bucket.
       val current = spark.table(table) // schema + column order
-      val clustered = spark.read.schema(current.schema)
-        .parquet(meta.location.toString)
+      // tombstone ABSORPTION rides the rewrite (the Tombstones contract's
+      // compaction hook on the table medium): deleted ids drop here, and
+      // the medium retires after the swap — whole-table rewrites have no
+      // carry fence, so retirement is unconditional
+      val clustered = foldIndexTombstones(
+        spark.read.schema(current.schema).parquet(meta.location.toString),
+        table, idCol)
         .repartition(spec.numBuckets, keys.map(col): _*)
       val w0 = clustered.write.mode("overwrite").format("parquet")
         .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
@@ -818,6 +843,77 @@ object Dedup {
         spark.sql(s"ALTER TABLE $stagingTable SET TBLPROPERTIES (" +
           graftProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
     }
+    // the swapped table is delete-free: retire the absorbed medium (a
+    // crash before this leaves stale tombstones masking absent ids —
+    // harmless, retired by the next absorb)
+    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+  }
+
+  // ------------------------------------------------------------------
+  // DELETE-BY-ID for the standing dedup indexes (text band, embedding
+  // band, exact hash, perceptual hash) — the [[graft.util.Tombstones]]
+  // contract on the TABLE medium. Without it the probes serve append-only
+  // corpora: a retracted document's bands stay in the index, so it keeps
+  // matching arriving batches and its id keeps re-entering pair sets
+  // forever — a takedown must also leave the indexes. Tombstones live at
+  // a root STABLE across the rebuild scaffold's ping-pong data locations
+  // (they must survive the rewrite they'll eventually be absorbed by),
+  // under the canonical column name `id` regardless of tier. Probes fold
+  // them over the BOUNDED candidate frame (one fs.exists on the no-delete
+  // hot path — the IVF probes' cost shape); absorption rides the rewrite
+  // compactIndexTable / the rebuilds do anyway, and retires the medium
+  // (table rewrites are whole-table — no carry fence on this medium).
+  // ------------------------------------------------------------------
+
+  /** The tombstone root of a standing index TABLE: derived from the data
+    * location with the ping-pong toggle stripped, so the same root serves
+    * across every rebuild/compaction swap. */
+  private[graft] def indexTombstoneRoot(spark: SparkSession,
+      table: String): String = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    s"${loc.stripSuffix("_swapa").stripSuffix("_swapb")}_ts"
+  }
+
+  /** DELETE ids from a standing dedup index table — one tombstone append
+    * (single-column `ids` frame, any name; stored canonically as `id`),
+    * no index rewrite. Every indexed probe (band, exact, embedding,
+    * Hamming) anti-joins the ids out of its candidate frame from the next
+    * probe on; [[compactIndexTable]] and the rebuilds absorb them
+    * physically and retire the medium. */
+  def deleteFromIndexTable(spark: SparkSession, table: String,
+      ids: DataFrame): Unit =
+    graft.util.Tombstones.append(
+      ids.select(col(ids.columns.head).as("id")),
+      indexTombstoneRoot(spark, table))
+
+  /** Fold a table's tombstones out of a probe's candidate frame: anti-join
+    * `dfCol` (the candidate frame's index-side id column) against the
+    * canonical `id` tombstones — deletes-bounded, broadcast by Spark; one
+    * existence check and no job when no delete ever landed. */
+  private def foldIndexTombstones(df: DataFrame, table: String,
+      dfCol: String): DataFrame = {
+    val spark = df.sparkSession
+    graft.util.Tombstones
+      .idsOf(spark, indexTombstoneRoot(spark, table), "id") match {
+      case Some(ts) =>
+        // re-select the input's column ORDER: a USING join moves the key
+        // column to the front, and downstream tuple decoders (and the
+        // compaction rewrite's saveAsTable) are order-sensitive
+        df.join(ts.withColumnRenamed("id", dfCol), Seq(dfCol), "left_anti")
+          .select(df.columns.map(col): _*)
+      case None => df
+    }
+  }
+
+  /** The index table's own id column — what the absorbing rewrites
+    * anti-join on (band/exact: doc_id, embedding: vec_id, hash: id). */
+  private def indexIdColumn(spark: SparkSession, table: String): String = {
+    val cols = spark.table(table).columns.toSet
+    Seq("doc_id", "vec_id", "id").find(cols.contains).getOrElse(sys.error(
+      s"$table carries none of the standing-index id columns"))
+  }
 
   /** The ONE rebuild scaffold for every bucketed standing index (text
     * band, embedding band, exact hash, perceptual hash): resolve the
@@ -975,12 +1071,17 @@ object Dedup {
     // production batch sizes. The designed topology is the hint's: batch
     // side exchanges to the index's bucketing, index side streams in place
     // (zero Exchange above its scan, pinned in BucketingSpec).
-    batchBanded.as("l").hint("merge")
-      .join(spark.table(indexTable).as("r"),
-        col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
-      .select(col("l.doc_id").as("new_doc_id"),
-        col("r.doc_id").as("dup_of_doc_id"))
-      .distinct()
+    // retractions fold out of the bounded candidate frame — a deleted
+    // doc's bands may still sit in the index until absorption, but it
+    // must stop pairing from the delete on (deleteFromIndexTable)
+    foldIndexTombstones(
+      batchBanded.as("l").hint("merge")
+        .join(spark.table(indexTable).as("r"),
+          col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
+        .select(col("l.doc_id").as("new_doc_id"),
+          col("r.doc_id").as("dup_of_doc_id"))
+        .distinct(),
+      indexTable, "dup_of_doc_id")
   }
 
   def incrementalNearDupIndexed(corpus: DataFrame, indexTable: String,
@@ -1048,6 +1149,46 @@ object Dedup {
       .orderBy($"new_doc_id", $"dup_of_doc_id")
   }
 
+  /** Registered query (HASH-CHECKED): the band-index DELETE lifecycle —
+    * the dedup twin of `ivf_topk_deleted`. The index is built over the
+    * standing corpus, then a junk slice is APPENDED (each batch doc's
+    * exact text under a disjoint +2·10⁶ id namespace — every junk doc
+    * would pair with the batch at jaccard 1.0 and disturb the result),
+    * then DELETED ([[deleteFromIndexTable]] tombstones), then physically
+    * ABSORBED ([[compactIndexTable]]'s rewrite, which also retires the
+    * medium). The probe afterwards must return exactly
+    * [[incrementalNearDupIndexedEntry]]'s rows — append∘delete∘absorb is
+    * the identity on the index's semantics — so the entry shares
+    * `incremental_near_dup`'s oracle, making the table-medium tombstone
+    * fold and the absorbing rewrite DuckDB-replayed. The corpus frame
+    * passed to the probe deliberately INCLUDES the junk texts: a missed
+    * fold/absorb would verify them at 1.0 and fail the hash, so the
+    * retraction is load-bearing, not masked by the verify join.
+    * spec:DedupStreamSpec pins the pre-absorb (fold-only) stage
+    * cross-batch; spec:TombstoneSpec the embedding/hash tiers. */
+  def incrementalNearDupDeletedEntry(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val junk = batch.select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_band_index_del_$key"
+    if (!spark.catalog.tableExists(table)) {
+      writeBandIndex(corpus, table, location = Some(
+        s"${graft.util.TmpDirs.perProcessDir("graft_bandidx_del")}/$key"))
+      appendToBandIndex(junk, table)
+      deleteFromIndexTable(spark, table, junk.select($"doc_id"))
+      compactIndexTable(spark, table)
+      require(!graft.util.Tombstones.exists(spark,
+        indexTombstoneRoot(spark, table)),
+        "absorbing compaction did not retire the table-medium tombstones")
+    }
+    incrementalNearDupIndexed(
+      corpus.select($"doc_id", $"text").unionByName(junk), table, batch)
+      .orderBy($"new_doc_id", $"dup_of_doc_id")
+  }
+
   /** Materialize the standing corpus's EXACT-HASH index as a bucketed
     * table: one row per (h = xxhash64(text), doc_id), bucketed+sorted by
     * `h` — the cheap first tier of the tiered incremental probe
@@ -1097,14 +1238,16 @@ object Dedup {
   def exactIndexCandidates(exactTable: String, batch: DataFrame,
       shingleLen: Int = 5): DataFrame = {
     val spark = batch.sparkSession
-    spread(batch)
-      .select($"doc_id", coalesce($"text", lit("")).as("t"))
-      .filter(length($"t") >= shingleLen)
-      .withColumn("h", xxhash64($"t")).as("l")
-      .hint("merge")
-      .join(spark.table(exactTable).as("r"), col("l.h") === col("r.h"))
-      .select(col("l.doc_id").as("new_doc_id"), col("l.t").as("t"),
-        col("r.doc_id").as("dup_of_doc_id"))
+    foldIndexTombstones( // retractions fold out (see bandIndexCandidates)
+      spread(batch)
+        .select($"doc_id", coalesce($"text", lit("")).as("t"))
+        .filter(length($"t") >= shingleLen)
+        .withColumn("h", xxhash64($"t")).as("l")
+        .hint("merge")
+        .join(spark.table(exactTable).as("r"), col("l.h") === col("r.h"))
+        .select(col("l.doc_id").as("new_doc_id"), col("l.t").as("t"),
+          col("r.doc_id").as("dup_of_doc_id")),
+      exactTable, "dup_of_doc_id")
   }
 
   /** TIERED incremental probe — exact tier first, band tier for the rest.
@@ -1689,12 +1832,14 @@ object Dedup {
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
     // merge hint: see bandIndexCandidates — the exploded batch side's
     // pre-explode size estimate must not turn into a driver-side broadcast
-    batchBanded.as("l").hint("merge")
-      .join(spark.table(indexTable).as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
-      .select(col("l.vec_id").as("new_vec_id"),
-        col("r.vec_id").as("dup_of_vec_id"))
-      .distinct()
+    foldIndexTombstones( // retractions fold out (see bandIndexCandidates)
+      batchBanded.as("l").hint("merge")
+        .join(spark.table(indexTable).as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+        .select(col("l.vec_id").as("new_vec_id"),
+          col("r.vec_id").as("dup_of_vec_id"))
+        .distinct(),
+      indexTable, "dup_of_vec_id")
   }
 
   def incrementalEmbeddingNearDupIndexed(corpus: DataFrame,
@@ -1926,15 +2071,17 @@ object Dedup {
     val b = dropHotBuckets(
       chunkedSigs(spread(batch), idCol, sigCol, numChunks),
       Seq("chunk", "key"), maxBucketSize)
-    spark.table(indexTable).as("i")
-      // merge hint: see bandIndexCandidates — the chunked batch side's
-      // pre-explode size estimate must not turn into a driver broadcast
-      .join(b.as("n").hint("merge"),
-        col("i.chunk") === col("n.chunk") && col("i.key") === col("n.key") &&
-          col("i.id") =!= col("n.id"))
-      .select(col("n.id").as("new_id"), col("i.id").as("dup_of_id"),
-        hammingDist(col("n.sig"), col("i.sig")).as("hamming"))
-      .distinct()
-      .filter($"hamming" <= maxHamming)
+    foldIndexTombstones( // retractions fold out (see bandIndexCandidates)
+      spark.table(indexTable).as("i")
+        // merge hint: see bandIndexCandidates — the chunked batch side's
+        // pre-explode size estimate must not turn into a driver broadcast
+        .join(b.as("n").hint("merge"),
+          col("i.chunk") === col("n.chunk") && col("i.key") === col("n.key") &&
+            col("i.id") =!= col("n.id"))
+        .select(col("n.id").as("new_id"), col("i.id").as("dup_of_id"),
+          hammingDist(col("n.sig"), col("i.sig")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= maxHamming),
+      indexTable, "dup_of_id")
   }
 }

@@ -79,7 +79,18 @@ object DedupStream {
         }
         val pairs =
           try probe()
-          catch { case scala.util.control.NonFatal(_) => probe() }
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              // re-resolve THROUGH the micro-batch session's relation
+              // cache: foreachBatch runs in a cloned session whose cached
+              // table entry can outlive a rebuild/compaction swap — the
+              // outer session's metastore ops invalidate only its own
+              // cache, so a retry without the refresh would list the
+              // retired files again and fail the same way
+              batch.sparkSession.catalog.refreshTable(indexTable)
+              exactTable.foreach(batch.sparkSession.catalog.refreshTable)
+              probe()
+          }
         sink(pairs, batchId)
         if (appendAfterProbe) {
           Dedup.appendToBandIndex(batch, indexTable, shingleLen, numBands,
@@ -112,8 +123,16 @@ object DedupStream {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = Dedup.incrementalEmbeddingNearDupIndexed(corpus,
-          indexTable, batch, threshold, numBands, rowsPerBand, dim, seed)
+        def probe(): DataFrame = Dedup.incrementalEmbeddingNearDupIndexed(
+          corpus, indexTable, batch, threshold, numBands, rowsPerBand, dim,
+          seed)
+        val pairs = // retry-once across a rebuild swap (see the text twin)
+          try probe()
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              batch.sparkSession.catalog.refreshTable(indexTable)
+              probe()
+          }
         sink(pairs, batchId)
         if (appendAfterProbe)
           Dedup.appendToEmbeddingBandIndex(batch, indexTable, numBands,

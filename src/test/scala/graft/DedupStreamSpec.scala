@@ -47,6 +47,58 @@ class DedupStreamSpec extends SparkTestBase {
     assert(results.nonEmpty)
   }
 
+  test("cross-batch retraction: a doc deleted mid-stream stops pairing at the next trigger; absorption preserves the probe and retires the medium") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batchDocs = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // the retractable doc: one batch doc's exact text under a junk id —
+    // it pairs with that doc at jaccard 1.0 until the takedown lands
+    val probeText = batchDocs.head._2
+    val junkId = 7777777L
+    val corpusPlus = corpus.select($"doc_id", $"text")
+      .unionByName(Seq((junkId, probeText)).toDF("doc_id", "text"))
+    Dedup.writeBandIndex(corpusPlus, "band_idx_retract", buckets = 4)
+    val perBatch =
+      scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val ms = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalDedupQuery(
+      ms.toDF().toDF("doc_id", "text"), corpusPlus, "band_idx_retract") {
+      (pairs, bid) =>
+        perBatch(bid) = pairs.as[(Long, Long, Double)].collect().toSet
+    }.start()
+    try {
+      // trigger 1: the junk doc is standing — it must pair
+      ms.addData((batchDocs.head._1, probeText))
+      q.processAllAvailable()
+      assert(perBatch(0L).exists(_._2 == junkId),
+        "fixture degenerate: the retractable doc never paired")
+      // the takedown: one tombstone append, no index rewrite
+      Dedup.deleteFromIndexTable(spark, "band_idx_retract",
+        Seq(Tuple1(junkId)).toDF("doc_id"))
+      // trigger 2: same text — the junk id must be gone, real dups remain
+      ms.addData((batchDocs.head._1 + 5000000L, probeText))
+      q.processAllAvailable()
+      assert(!perBatch(1L).exists(_._2 == junkId),
+        "a deleted doc kept pairing from the standing index")
+      assert(perBatch(1L).map(_._2) ==
+        perBatch(0L).map(_._2) - junkId,
+        "the fold must remove ONLY the retracted id")
+      // absorption: the compaction rewrite drops the rows and retires the
+      // medium; the next trigger's probe is unchanged
+      Dedup.compactIndexTable(spark, "band_idx_retract")
+      assert(!graft.util.Tombstones.exists(spark,
+        Dedup.indexTombstoneRoot(spark, "band_idx_retract")))
+      ms.addData((batchDocs.head._1 + 6000000L, probeText))
+      q.processAllAvailable()
+      assert(perBatch(2L).map(_._2) == perBatch(1L).map(_._2))
+      assert(!perBatch(2L).exists(_._2 == junkId))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS band_idx_retract")
+    }
+  }
+
   test("streaming decontamination sweeps equal the batch sweep; benchmark prepared once") {
     import graft.operators.Decontamination
     val docs = Tables.documents(spark, sf)

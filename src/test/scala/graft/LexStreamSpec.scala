@@ -198,4 +198,79 @@ class LexStreamSpec extends SparkTestBase {
       assert(results.nonEmpty)
     } finally q.stop()
   }
+
+  test("hybrid serving through a RETRACTION: a doc deleted from BOTH legs mid-stream leaves the fused top-k at the next trigger") {
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val lexPath = java.nio.file.Files
+      .createTempDirectory("graft-hyret-lex").toString
+    val semPath = java.nio.file.Files
+      .createTempDirectory("graft-hyret-sem").toString
+    // reference twins: the never-appended corpus indexes
+    val lexRefPath = java.nio.file.Files
+      .createTempDirectory("graft-hyret-lexref").toString
+    val semRefPath = java.nio.file.Files
+      .createTempDirectory("graft-hyret-semref").toString
+    Bm25.writeBm25Index(docs, lexPath)
+    Bm25.writeBm25Index(docs, lexRefPath)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 16),
+      semPath)
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 16),
+      semRefPath)
+    val qText = String.valueOf(
+      docs.filter($"doc_id" === 0L).head().getString(1))
+    val qVec = emb.filter($"vec_id" === 0L)
+      .as[(Long, Seq[Float])].head()._2
+    // the retractable doc: EXACT text+embedding twin of query 0 under a
+    // junk id — it must rank at the top of BOTH legs and therefore fuse
+    val junkId = 9000001L
+    Bm25.appendToBm25Index(
+      Seq((junkId, qText)).toDF("doc_id", "text"), lexPath)
+    Similarity.appendToIvfIndex(
+      Seq((junkId, qVec)).toDF("vec_id", "embedding"), semPath)
+    val perBatch = scala.collection.mutable
+      .Map[Long, Set[(Long, Long, Long, Long, Long)]]()
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    // nprobe = nlist: both legs exact, so the post-delete trigger must be
+    // BIT-EQUAL to the fused probe of the never-appended reference twins
+    val q = graft.streaming.LexStream.hybridSearchQuery(
+      ms.toDF().toDF("query_id", "text", "embedding"),
+      lexPath, semPath, nprobe = 16) { (topk, bid) =>
+      perBatch(bid) = topk.as[(Long, Long, Long, Long, Long)].collect().toSet
+    }.start()
+    try {
+      ms.addData((0L, qText, qVec))
+      q.processAllAvailable()
+      assert(perBatch(0L).exists(_._3 == junkId),
+        "fixture degenerate: the planted twin never fused into the top-k")
+      // the takedown hits BOTH legs: lexical tombstone (with the (N, Σdl)
+      // correction) and vector tombstone — no rewrite on either
+      Bm25.deleteFromBm25Index(spark, lexPath,
+        Seq(Tuple1(junkId)).toDF("doc_id"))
+      Similarity.deleteFromIvfIndex(
+        Seq(Tuple1(junkId)).toDF("vec_id"), semPath)
+      ms.addData((0L, qText, qVec))
+      q.processAllAvailable()
+      assert(!perBatch(1L).exists(_._3 == junkId),
+        "a doc deleted from both legs kept fusing into the served top-k")
+      // and not merely absent: the post-delete fusion is bit-equal to the
+      // never-appended reference (constants correction included — a
+      // missed (N, Σdl) shift would change rrf_micros via the lex ranks)
+      val qdf = Seq((0L, qText)).toDF("query_id", "text")
+      val lexRef = Bm25.queryStandingBm25(
+          Bm25.prepareBm25Index(spark, lexRefPath), qdf)
+        .select($"query_id", $"doc_id", $"rk")
+      val semRef = Similarity.queryStandingIvf(
+          Similarity.prepareIvfIndex(spark, semRefPath),
+          Seq((0L, qVec)).toDF("vec_id", "embedding"), nprobe = 16)
+        .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+      val want = Bm25.rrfFuse(lexRef, semRef, 10, 60)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(perBatch(1L) == want,
+        s"post-retraction fusion ${perBatch(1L).toSeq.sortBy(_._2).take(4)}" +
+          s" vs reference ${want.toSeq.sortBy(_._2).take(4)}")
+    } finally q.stop()
+  }
 }

@@ -306,6 +306,65 @@ class TombstoneSpec extends SparkTestBase {
       rows(Sq.queryStandingSq(Sq.prepareSqIndex(spark, sqB), queries)))
   }
 
+  test("dedup table indexes (embedding band / perceptual hash): tombstones fold out of probes; rebuild and compaction absorb and retire") {
+    import graft.operators.Dedup
+    // ---- embedding band index: fold at probe, absorb via REBUILD (the
+    // caller's corpus still contains the victim — the rebuild must drop it)
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    Dedup.writeEmbeddingBandIndex(corpus, "emb_idx_ts", buckets = 4)
+    def probeE(): Set[(Long, Long)] =
+      Dedup.incrementalEmbeddingNearDupIndexed(corpus, "emb_idx_ts", batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val before = probeE()
+      assert(before.nonEmpty, "fixture degenerate: no embedding pairs")
+      val victim = before.head._2
+      Dedup.deleteFromIndexTable(spark, "emb_idx_ts",
+        Seq(Tuple1(victim)).toDF("vec_id"))
+      val after = probeE()
+      assert(after == before.filterNot(_._2 == victim),
+        "the fold must remove exactly the retracted vec's pairs")
+      Dedup.rebuildEmbeddingBandIndex(corpus, "emb_idx_ts", buckets = 4)
+      assert(!Tombstones.exists(spark,
+        Dedup.indexTombstoneRoot(spark, "emb_idx_ts")),
+        "rebuild absorption must retire the tombstones")
+      assert(probeE() == after,
+        "the rebuilt index must exclude the absorbed vec")
+    } finally spark.sql("DROP TABLE IF EXISTS emb_idx_ts")
+
+    // ---- perceptual hash index: fold at probe, absorb via COMPACTION
+    // (the chunk-geometry property must ride the absorbing rewrite)
+    val sigs = graft.multimodal.Media.imageAHash(
+      graft.multimodal.Media.synthesizeImageVariants(spark, 100)).toDF()
+    val hCorpus = sigs.filter($"media_id" < 150)
+    val hBatch = sigs.filter($"media_id" >= 150)
+    Dedup.writeHashIndex(hCorpus, "media_id", "ahash", "hash_idx_ts",
+      numChunks = 8, buckets = 4)
+    def probeH(): Set[(Long, Long, Int)] =
+      Dedup.hammingIndexProbe("hash_idx_ts", hBatch, "media_id", "ahash",
+        numChunks = 8, maxHamming = 6)
+        .as[(Long, Long, Int)].collect().toSet
+    try {
+      val hBefore = probeH()
+      assert(hBefore.nonEmpty, "fixture degenerate: no hamming pairs")
+      val hVictim = hBefore.head._2
+      Dedup.deleteFromIndexTable(spark, "hash_idx_ts",
+        Seq(Tuple1(hVictim)).toDF("media_id"))
+      val hAfter = probeH()
+      assert(hAfter == hBefore.filterNot(_._2 == hVictim))
+      Dedup.compactIndexTable(spark, "hash_idx_ts")
+      assert(!Tombstones.exists(spark,
+        Dedup.indexTombstoneRoot(spark, "hash_idx_ts")),
+        "compaction absorption must retire the tombstones")
+      assert(probeH() == hAfter,
+        "the compacted index must exclude the absorbed signature " +
+          "(and keep its chunk geometry)")
+    } finally spark.sql("DROP TABLE IF EXISTS hash_idx_ts")
+  }
+
   test("code tiers: absorb makes deletes physical in codes AND raw, retires tombstones only when BOTH are carry-free, and a post-absorb retrain resurrects nothing") {
     import graft.operators.{Pq, Sq}
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
