@@ -1089,8 +1089,14 @@ object AnnStream {
       (sink: (DataFrame, Long) => Unit): Unit =
     processDriftIngestBatch(monitor, batch, batchId)(sink)
 
+  /** `wCoarse` is the two-level probe's open width — consulted only when
+    * the index carries a persisted coarse quantizer ([[Similarity
+    * .writeIvfIndex]]'s ncoarse form); flat indexes ignore it. The handle
+    * re-prepare below picks up a coarse refit too: [[Similarity
+    * .centersSignature]] covers the coarse medium. */
   def ivfSearchQuery(queryStream: DataFrame, indexPath: String, k: Int = 10,
-      nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+      nprobe: Int = 4, wCoarse: Int = 2)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = queryStream.sparkSession
     var standing = Similarity.prepareIvfIndex(spark, indexPath)
     // Configure-time plan warm-up — part of preparing the standing side:
@@ -1104,7 +1110,8 @@ object AnnStream {
       import spark.implicits._
       val warm = Seq((-1L, standing.centers.head.map(_.toFloat).toSeq))
         .toDF("vec_id", "embedding")
-      val _ = Similarity.queryStandingIvf(standing, warm, k, nprobe).count()
+      val _ = Similarity.queryStandingIvf(standing, warm, k, nprobe,
+        wCoarse).count()
     }
     queryStream.writeStream
       .outputMode("append")
@@ -1142,8 +1149,8 @@ object AnnStream {
           // side effects — the sink executes exactly once per delivery,
           // against a result that can no longer hit the swapped index.
           def probe(): DataFrame =
-            Similarity.queryStandingIvf(standing, queries, k, nprobe)
-              .localCheckpoint(true)
+            Similarity.queryStandingIvf(standing, queries, k, nprobe,
+              wCoarse).localCheckpoint(true)
           val result =
             try probe()
             catch {

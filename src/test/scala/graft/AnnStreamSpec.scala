@@ -53,6 +53,51 @@ class AnnStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("serving over a COARSE-TIER index: stream ≡ batch standing probe; a retrain refits the coarse medium and the next trigger serves it") {
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-coarse-stream").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0)), path,
+      ncoarse = 4)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.ivfSearchQuery(
+      ms.toDF().toDF("vec_id", "embedding"), path) { (topk, _) =>
+      results ++= topk.as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      // the stream served through the persisted two-level choice — must
+      // equal the batch standing probe of the same index (which
+      // SimilaritySpec pins against the driver-side coarse ranking)
+      val qdf = queries.toDF("vec_id", "embedding")
+      val expected = Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, path), qdf)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expected)
+      assert(results.nonEmpty)
+      // retrain: new centers AND a refit coarse medium swap together; the
+      // signature (which covers the coarse medium) re-prepares the handle
+      Similarity.appendToIvfIndex(
+        emb.filter($"vec_id" % 2 === 1), path)
+      Similarity.retrainIvfIndex(spark, path)
+      results.clear()
+      ms.addData(queries: _*)
+      q.processAllAvailable()
+      val post = Similarity.prepareIvfIndex(spark, path)
+      assert(post.coarse.isDefined)
+      val expectedPost = Similarity.queryStandingIvf(post, qdf)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(results.toSet == expectedPost,
+        "post-retrain trigger must serve the refit coarse geometry")
+    } finally q.stop()
+  }
+
   test("serving survives a retrain: the next trigger probes the swapped geometry") {
     val emb = Tables.embeddings(spark, sf)
     val path = java.nio.file.Files
