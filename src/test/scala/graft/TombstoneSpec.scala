@@ -365,6 +365,57 @@ class TombstoneSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS hash_idx_ts")
   }
 
+  test("exact-hash tier: a tombstoned doc leaves the exact tier of the TIERED probe — and its batch twin falls through to the band tier") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter(length(coalesce($"text", lit(""))) >= 5)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    // one batch doc re-ingested verbatim: resolves in tier 1 against its
+    // standing exact twin until that twin is retracted. The seed doc's
+    // text must be UNIQUE in the corpus (the fixtures plant duplicates)
+    // or tier 1 would keep matching a second twin after the retraction.
+    val orig = corpus.groupBy($"text")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("doc_id"))
+      .filter($"n" === 1).orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val batch = Seq((orig._1 + 3000000L, orig._2)).toDF("doc_id", "text")
+    Dedup.writeBandIndex(corpus, "band_idx_ext", buckets = 4)
+    Dedup.writeExactIndex(corpus, "exact_idx_ext", buckets = 4)
+    def probe(): Set[(Long, Long, Double)] =
+      Dedup.tieredIncrementalNearDupIndexed(corpus, "band_idx_ext",
+        "exact_idx_ext", batch)
+        .as[(Long, Long, Double)].collect().toSet
+    try {
+      val before = probe()
+      assert(before.contains((orig._1 + 3000000L, orig._1, 1.0)),
+        s"fixture degenerate: no exact-tier pair in $before")
+      // retract the standing twin from the EXACT index only: tier 1 must
+      // stop matching it, and the batch doc falls through to the band
+      // tier — where the un-retracted band index still pairs it (the
+      // per-index independence of the tombstone media)
+      Dedup.deleteFromIndexTable(spark, "exact_idx_ext",
+        Seq(Tuple1(orig._1)).toDF("doc_id"))
+      val after = probe()
+      assert(after.contains((orig._1 + 3000000L, orig._1, 1.0)),
+        "band tier should still pair the twin (only the exact index was " +
+          s"retracted): $after")
+      // retract from the band index too: the pair is fully gone
+      Dedup.deleteFromIndexTable(spark, "band_idx_ext",
+        Seq(Tuple1(orig._1)).toDF("doc_id"))
+      assert(!probe().exists(_._2 == orig._1),
+        "a doc retracted from both indexes kept pairing")
+      // absorption on the exact medium rides compactIndexTable like the
+      // others; the probe is unchanged and the medium retires
+      Dedup.compactIndexTable(spark, "exact_idx_ext")
+      assert(!Tombstones.exists(spark,
+        Dedup.indexTombstoneRoot(spark, "exact_idx_ext")))
+      assert(!probe().exists(_._2 == orig._1))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_idx_ext")
+      spark.sql("DROP TABLE IF EXISTS exact_idx_ext")
+    }
+  }
+
   test("code tiers: absorb makes deletes physical in codes AND raw, retires tombstones only when BOTH are carry-free, and a post-absorb retrain resurrects nothing") {
     import graft.operators.{Pq, Sq}
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
