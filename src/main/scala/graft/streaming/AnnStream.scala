@@ -160,8 +160,18 @@ object AnnStream {
         val fired = compactTargets.map { case (sub, pcol) =>
           graft.util.Compaction
             .dataFileCount(spark, s"$indexPath/$sub") > limit && {
+            // tombstone ABSORPTION rides the rewrite the watch fires
+            // anyway (the Tombstones compaction hook): retracted rows
+            // drop physically for free. Tombstones are NEVER retired
+            // here — targets compact independently as each crosses the
+            // ceiling, so a sibling medium (or a carried file) may still
+            // hold masked rows; retirement stays with the explicit
+            // all-media absorbs (absorbIvfDeletes / absorbPqDeletes /
+            // absorbSqDeletes), which check carry across every medium.
             val stats = graft.util.Compaction.compactDir(spark, indexPath,
-              sub, partitionCol = pcol, safeBatchFence = Some(fence))
+              sub, partitionCol = pcol, safeBatchFence = Some(fence),
+              transform =
+                graft.util.Tombstones.antiJoin(_, indexPath, "vec_id"))
             stats.filesAfter < stats.filesBefore
           }
         }.exists(identity)

@@ -139,9 +139,18 @@ object LexStream {
     val compacted = autoCompactMaxFiles.exists { limit =>
       val postings = s"$indexPath/postings"
       graft.util.Compaction.dataFileCount(spark, postings) > limit && {
+        // retracted postings absorb physically during the rewrite the
+        // watch fires anyway (the AnnStream.maybeAutoCompact note);
+        // tombstones are NOT retired or folded here — the (N, Σdl)
+        // correction must keep standing until an explicit
+        // [[graft.operators.Bm25.absorbBm25Deletes]] folds it into a
+        // tsfold commit record (anti-joining an already-folded id's
+        // absent postings is a no-op, so the whole-dir read is safe)
         val stats = graft.util.Compaction.compactDir(spark, indexPath,
           "postings", partitionCol = Some("tb"),
-          safeBatchFence = Some(batchId - 1L))
+          safeBatchFence = Some(batchId - 1L),
+          transform =
+            graft.util.Tombstones.antiJoin(_, indexPath, "doc_id"))
         stats.filesAfter < stats.filesBefore
       }
     }

@@ -102,6 +102,53 @@ class AutoCompactSpec extends SparkTestBase {
     assert(restarted.lastFoldedBatch == 2L)
   }
 
+  test("auto-compaction ABSORBS standing tombstones in the rewrite it fires anyway: retracted rows drop physically, tombstones keep standing, probes unchanged") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"embedding".isNotNull)
+    val path = tmp("graft-autocompact-absorb")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 8 === 0)), path)
+    // the NEVER-JUNKED reference twin: identical centers (byte copy),
+    // receives only the real batch — the post-absorb probe must equal it
+    val twin = s"${tmp("graft-autocompact-absorb-twin")}/index"
+    copyDir(path, twin)
+    val stateDir = tmp("graft-autocompact-absorb-state")
+    val monitor = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, stateDir = Some(stateDir),
+      autoCompactMaxFiles = Some(16L))
+    // batch 0: junk vectors (disjoint ids) ingested, then RETRACTED —
+    // fold-only, no rewrite
+    val junk = emb.filter($"vec_id" % 8 === 1)
+      .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+    AnnStream.processIngestBatch(monitor, junk, 0L) { (r, _) =>
+      val _ = r.count()
+    }
+    Similarity.deleteFromIvfIndex(junk.select($"vec_id"), path)
+    def junkRows(): Long = spark.read.parquet(s"$path/corpus")
+      .filter($"vec_id" >= 5000000L).count()
+    assert(junkRows() > 0L, "fixture degenerate: junk never landed")
+    // batch 1 (real data, both indexes) crosses the ceiling → the watch's
+    // rewrite runs with the anti-join transform: the retracted rows drop
+    // DURING the compaction the loop was going to do anyway (the durable
+    // fence covers batch 1 too, so nothing carries and the absorption is
+    // complete)
+    val real = emb.filter($"vec_id" % 8 === 2)
+    AnnStream.processIngestBatch(monitor, real, 1L) { (r, _) =>
+      val _ = r.count()
+    }
+    Similarity.appendToIvfIndex(real, twin)
+    assert(monitor.compactions >= 1L, "fragmentation ceiling never fired")
+    assert(junkRows() == 0L,
+      "the maintenance-slot rewrite did not absorb the retracted rows")
+    // NO retirement in the auto path: targets compact independently, so
+    // only the explicit all-media absorbs may retire — the standing
+    // tombstones keep masking whatever a sibling medium might still hold
+    assert(graft.util.Tombstones.exists(spark, path),
+      "auto-compaction must not retire tombstones")
+    assert(probeOf(path) == probeOf(twin),
+      "post-absorb probe diverged from the never-junked twin")
+  }
+
   test("in-memory monitor: the folded batch is still replayable after a crash — its tagged files ride through the rewrite verbatim") {
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val path = tmp("graft-autocompact-mem")
