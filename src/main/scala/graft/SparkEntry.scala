@@ -373,6 +373,11 @@ object SparkEntry {
     // cell + staged-swapped (graft.util.Compaction) — same rows as the
     // one-shot build, so compaction itself is DuckDB-replay-checked
     "ivf_pq_topk_compacted" -> ((s, d) => Pq.ivfPqTopKCompacted(s, d)),
+    // a COMPOSED index probed THROUGH the persisted two-level coarse
+    // choice — the serving default at production nlist, pinned at the
+    // geometry the ivf_coarse_probe_cells dump replays (nlist=16,
+    // ncoarse=4, wCoarse=2); own oracle: the coarse dump is the probe set
+    "ivf_pq_topk_coarse" -> ((s, d) => Pq.ivfPqTopKCoarse(s, d)),
     // SQ8 scalar quantization — the 4x compression tier below PQ: per-dim
     // 8-bit grid, compressed-domain ranking in EXACT integer L2 (no
     // per-query table, no float pin), exact rerank of the shortlist
@@ -780,9 +785,10 @@ object SparkEntry {
   // the raw AND the residual composition replays both prune through it,
   // so an nprobe or dump-path change cannot leave the two replaying
   // different probe sets.
-  private val ivfCompDumpCtes =
+  private def ivfCompDumpCtesOver(probeDump: String) =
     "a AS (SELECT vec_id, cell FROM read_parquet('{OUT}/ivf_assignments/*.parquet')), " +
-      "p AS (SELECT query_id, cell FROM read_parquet('{OUT}/ivf_probe_cells/*.parquet') WHERE rk <= 4)"
+      s"p AS (SELECT query_id, cell FROM read_parquet('{OUT}/$probeDump/*.parquet') WHERE rk <= 4)"
+  private val ivfCompDumpCtes = ivfCompDumpCtesOver("ivf_probe_cells")
 
   // The IVF×PQ composition replayed end-to-end from the four dumps: probed
   // cells → assignments prune the candidate set, ADC from the codes +
@@ -790,8 +796,8 @@ object SparkEntry {
   // shared by ivf_pq_topk and its two layout twins (_indexed, _compacted) —
   // they return the same rows by contract, and a future fix to the shared
   // ADC replay must not have to land three times.
-  private val ivfPqTopkSql =
-    s"WITH $pqDumpCtes, $ivfCompDumpCtes, " +
+  private def ivfPqTopkSqlOver(probeDump: String) =
+    s"WITH $pqDumpCtes, ${ivfCompDumpCtesOver(probeDump)}, " +
       "s AS (SELECT p.query_id, c.vec_id, " +
       "round(list_sum(list_transform(generate_series(1, 8), " +
       "m -> q.dtab[(m-1)*64 + c.codes[m] + 1])), 6) AS adc " +
@@ -803,6 +809,7 @@ object SparkEntry {
       "SELECT query_id, vec_id, adc, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk FROM s) " +
       "WHERE rk <= 10"
+  private val ivfPqTopkSql = ivfPqTopkSqlOver("ivf_probe_cells")
 
   // the residual composition's scorer: residual codes + PER-(query, cell)
   // tables (the IVFADC twist — the dtab join carries the cell key), pruned
@@ -2043,6 +2050,10 @@ object SparkEntry {
     // layout-maintenance change, not semantic: append-fragmented cells
     // compacted to one file each still return ivf_pq_topk's rows
     "ivf_pq_topk_compacted" -> ivfPqTopkSql,
+    // the composed replay with the TWO-LEVEL probe dump as the cell set:
+    // same assignment prune + ADC arithmetic, cells chosen through the
+    // persisted coarse quantizer (ivf_coarse_probe_cells' geometry)
+    "ivf_pq_topk_coarse" -> ivfPqTopkSqlOver("ivf_coarse_probe_cells"),
     // identical integer-rational BM25: the only libm call (ln) quantizes
     // to micros per term; every per-(doc,term) weight is the same double
     // dag over exact integers, summed as BIGINT

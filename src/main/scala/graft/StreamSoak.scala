@@ -45,7 +45,7 @@ object StreamSoak {
         case "annretrain" => Soak.annRetrainRun(spark, corpusVecs = 20000,
           annRate, tag = s"only$cores", soakMs = 20000)
         case "ingestrestart" => Soak.annIngestRestartRun(spark,
-          corpusVecs = 20000, 5000 * math.min(cores / 4, 4),
+          corpusVecs = 20000, 5000 * coreScale,
           tag = s"only$cores", soakMs = 20000)
         case "ivfpq" => Soak.ivfPqRun(spark, corpusVecs = 20000, annRate,
           tag = s"only$cores")
@@ -59,7 +59,7 @@ object StreamSoak {
           tag = s"only$cores")
         case "autocompact" =>
           val (ing, srv, n) = Soak.annIngestAutoCompactRun(spark,
-            corpusVecs = 20000, 2500 * math.min(cores / 4, 4), annRate,
+            corpusVecs = 20000, 2500 * coreScale, annRate,
             tag = s"only$cores", soakMs = 30000)
           println(s"""{"serve":${Soak.json(srv)},"compactions":$n}""")
           ing

@@ -457,7 +457,28 @@ object Bm25 {
       partitionCol = Some("tb"), targetBytes = targetBytes,
       safeBatchFence = safeBatchFence,
       transform = graft.util.Tombstones.antiJoin(_, path, "doc_id"))
-    if (stats.carriedFiles == 0L && snapshot.nonEmpty) {
+    // the EMPTIES membership medium absorbs in the SAME unit: an empty
+    // doc's tombstone folds away below, so its empties row must leave too
+    // — otherwise it still reads as live committed membership and a
+    // re-delete after the fold lands a SECOND (N-1, dl=0) correction
+    // (permanent double-counted idf skew). Post-fold, a re-delete of an
+    // absorbed empty doc finds neither postings, empties, nor a live
+    // tombstone — and fails loudly, the same contract as absorbed
+    // postings docs. Skipped when no tombstone is in play (absent or
+    // fileless directory compacts to nothing).
+    val emptiesCarry: Long =
+      if (snapshot.isEmpty) 0L
+      else {
+        val ep = new org.apache.hadoop.fs.Path(s"$path/empties")
+        val efs = ep.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!efs.exists(ep)) 0L
+        else graft.util.Compaction.compactDir(spark, path, "empties",
+          targetBytes = targetBytes, safeBatchFence = safeBatchFence,
+          transform = graft.util.Tombstones.antiJoin(_, path, "doc_id"))
+          .carriedFiles
+      }
+    if (stats.carriedFiles == 0L && emptiesCarry == 0L &&
+        snapshot.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(
         graft.util.Tombstones.dir(path))
         .getFileSystem(spark.sessionState.newHadoopConf())

@@ -718,14 +718,17 @@ object Dedup {
       maxBucketSize: Int = 1000): Unit = {
     val spark = docs.sparkSession
     // absorption rides the rebuild: tombstoned docs leave the input (the
-    // caller's corpus frame may still carry them), and the medium retires
-    // once the swapped index is delete-free
-    val retained = foldIndexTombstones(docs, table, "doc_id")
+    // caller's corpus frame may still carry them), and the SNAPSHOT of the
+    // medium retires once the swapped index is delete-free — deletes
+    // landing mid-rebuild stay live (see foldTombstoneSnapshot)
+    val tsRoot = indexTombstoneRoot(spark, table)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, tsRoot)
+    val retained = foldTombstoneSnapshot(docs, snapshot, "doc_id")
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       writeBandIndex(retained, stagingTable, shingleLen, numBands,
         rowsPerBand, buckets, maxBucketSize, location = Some(loc))
     }
-    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+    graft.util.Tombstones.clearFiles(spark, tsRoot, snapshot)
   }
 
   /** Re-band the standing EMBEDDING corpus at new sign-LSH geometry
@@ -739,13 +742,15 @@ object Dedup {
       numBands: Int = 64, rowsPerBand: Int = 2, dim: Int = 64,
       seed: Long = 7L, buckets: Int = 32, maxBucketSize: Int = 1000): Unit = {
     val spark = embeddings.sparkSession
-    val retained = foldIndexTombstones(embeddings, table, "vec_id")
+    val tsRoot = indexTombstoneRoot(spark, table)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, tsRoot)
+    val retained = foldTombstoneSnapshot(embeddings, snapshot, "vec_id")
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       writeEmbeddingBandIndex(retained, stagingTable, numBands,
         rowsPerBand, dim, seed, buckets, maxBucketSize,
         location = Some(loc))
     }
-    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+    graft.util.Tombstones.clearFiles(spark, tsRoot, snapshot)
   }
 
   /** Re-hash the standing corpus's exact index (shingleLen / cap retune —
@@ -754,12 +759,14 @@ object Dedup {
   def rebuildExactIndex(docs: DataFrame, table: String, shingleLen: Int = 5,
       buckets: Int = 32, maxBucketSize: Int = 1000): Unit = {
     val spark = docs.sparkSession
-    val retained = foldIndexTombstones(docs, table, "doc_id")
+    val tsRoot = indexTombstoneRoot(spark, table)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, tsRoot)
+    val retained = foldTombstoneSnapshot(docs, snapshot, "doc_id")
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       writeExactIndex(retained, stagingTable, shingleLen, buckets,
         maxBucketSize, location = Some(loc))
     }
-    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+    graft.util.Tombstones.clearFiles(spark, tsRoot, snapshot)
   }
 
   /** Re-chunk the standing perceptual-hash index at a new `numChunks`
@@ -770,12 +777,14 @@ object Dedup {
       table: String, numChunks: Int, buckets: Int = 32,
       maxBucketSize: Int = 1000): Unit = {
     val spark = sigs.sparkSession
-    val retained = foldIndexTombstones(sigs, table, idCol)
+    val tsRoot = indexTombstoneRoot(spark, table)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, tsRoot)
+    val retained = foldTombstoneSnapshot(sigs, snapshot, idCol)
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       writeHashIndex(retained, idCol, sigCol, stagingTable, numChunks,
         buckets, maxBucketSize, location = Some(loc))
     }
-    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+    graft.util.Tombstones.clearFiles(spark, tsRoot, snapshot)
   }
 
   /** COMPACT a bucketed standing index table in place — the table-medium
@@ -808,6 +817,8 @@ object Dedup {
     * retry once across the drop-rename gap, the rebuild contract. */
   def compactIndexTable(spark: SparkSession, table: String): Unit = {
     val idCol = indexIdColumn(spark, table)
+    val tsRoot = indexTombstoneRoot(spark, table)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, tsRoot)
     rebuildIndexTable(spark, table) { (stagingTable, loc) =>
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -824,12 +835,13 @@ object Dedup {
       // the writer's bucket-id rule, so each task holds one whole bucket.
       val current = spark.table(table) // schema + column order
       // tombstone ABSORPTION rides the rewrite (the Tombstones contract's
-      // compaction hook on the table medium): deleted ids drop here, and
-      // the medium retires after the swap — whole-table rewrites have no
-      // carry fence, so retirement is unconditional
-      val clustered = foldIndexTombstones(
+      // compaction hook on the table medium): the PRE-REWRITE snapshot's
+      // ids drop here, and only that snapshot retires after the swap —
+      // whole-table rewrites have no carry fence, but a delete landing
+      // DURING the rewrite must stay live (foldTombstoneSnapshot's doc)
+      val clustered = foldTombstoneSnapshot(
         spark.read.schema(current.schema).parquet(meta.location.toString),
-        table, idCol)
+        snapshot, idCol)
         .repartition(spec.numBuckets, keys.map(col): _*)
       val w0 = clustered.write.mode("overwrite").format("parquet")
         .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
@@ -843,10 +855,11 @@ object Dedup {
         spark.sql(s"ALTER TABLE $stagingTable SET TBLPROPERTIES (" +
           graftProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
     }
-    // the swapped table is delete-free: retire the absorbed medium (a
-    // crash before this leaves stale tombstones masking absent ids —
-    // harmless, retired by the next absorb)
-    graft.util.Tombstones.clear(spark, indexTombstoneRoot(spark, table))
+    // the swapped table is free of the SNAPSHOT's deletes: retire exactly
+    // those files (a crash before this leaves stale tombstones masking
+    // absent ids — harmless, retired by the next absorb); tombstones
+    // appended mid-rewrite stay live for the next absorb
+    graft.util.Tombstones.clearFiles(spark, tsRoot, snapshot)
   }
 
   // ------------------------------------------------------------------
@@ -906,6 +919,27 @@ object Dedup {
       case None => df
     }
   }
+
+  /** Snapshot-scoped twin of [[foldIndexTombstones]] for the ABSORBING
+    * rewrites (rebuilds + [[compactIndexTable]]): the rewrite lists the
+    * tombstone data files ONCE before it starts, masks against exactly
+    * that frame, and retires ONLY those files after the swap
+    * ([[graft.util.Tombstones.clearFiles]]) — a [[deleteFromIndexTable]]
+    * landing while the rewrite runs stays live for the next probe and the
+    * next absorb instead of being cleared un-absorbed (the lost-takedown
+    * window the BM25 fold protocol already defends; takedowns are
+    * externally driven, nothing sequences them into the maintenance
+    * slot). */
+  private def foldTombstoneSnapshot(df: DataFrame,
+      snapshot: Seq[org.apache.hadoop.fs.FileStatus],
+      dfCol: String): DataFrame =
+    graft.util.Tombstones
+      .idsOfFiles(df.sparkSession, snapshot, "id") match {
+      case Some(ts) =>
+        df.join(ts.withColumnRenamed("id", dfCol), Seq(dfCol), "left_anti")
+          .select(df.columns.map(col): _*)
+      case None => df
+    }
 
   /** The index table's own id column — what the absorbing rewrites
     * anti-join on (band/exact: doc_id, embedding: vec_id, hash: id). */

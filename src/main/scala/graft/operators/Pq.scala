@@ -704,7 +704,19 @@ object Pq {
     * the persisted assignment bit-identical to the in-memory composition
     * the `ivf_pq_topk` oracle replays. */
   def writeIvfPqIndex(bucketed: DataFrame, model: PqModel,
-      centers: Array[Array[Double]], path: String): Unit = {
+      centers: Array[Array[Double]], path: String): Unit =
+    writeIvfPqIndex(bucketed, model, centers, path, ncoarse = -1)
+
+  /** [[writeIvfPqIndex]] with the coarse-tier dial explicit: `ncoarse < 0`
+    * (the default above) applies [[Similarity.autoNcoarse]] — serving-
+    * geometry indexes (nlist ≥ the auto threshold) persist the
+    * second-level quantizer and every composed probe chooses cells
+    * through it; `ncoarse == 0` forces a FLAT index and removes any stale
+    * `coarse/` left by a previous coarse write (the
+    * [[Similarity.writeIvfIndex]] contract); `ncoarse > 0` pins the
+    * super-cell count. */
+  def writeIvfPqIndex(bucketed: DataFrame, model: PqModel,
+      centers: Array[Array[Double]], path: String, ncoarse: Int): Unit = {
     val spark = bucketed.sparkSession
     bucketed.select($"vec_id",
         VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
@@ -720,6 +732,15 @@ object Pq {
     } yield (m, c, model.codebooks(m)(c).toSeq)
     spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val eff = if (ncoarse < 0) Similarity.autoNcoarse(centers.length)
+      else ncoarse
+    if (eff > 0) {
+      val _ = Similarity.deriveCoarseTier(spark, path, eff)
+    } else {
+      val cp = new org.apache.hadoop.fs.Path(s"$path/coarse")
+      val _ = cp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(cp, true)
+    }
   }
 
   /** A PREPARED standing handle on a persisted IVF×PQ index: coarse
@@ -732,7 +753,8 @@ object Pq {
   final case class StandingIvfPq(spark: SparkSession, codesPath: String,
       schema: org.apache.spark.sql.types.StructType,
       centers: Array[Array[Double]], model: PqModel,
-      sig: Seq[(String, Long, Long)]) {
+      sig: Seq[(String, Long, Long)],
+      coarse: Option[Similarity.CoarseQuantizer] = None) {
     private val fs = new org.apache.hadoop.fs.Path(codesPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -768,7 +790,13 @@ object Pq {
     val sig = ivfPqSignature(spark, path)
     val codes = s"$path/codes"
     StandingIvfPq(spark, codes, spark.read.parquet(codes).schema,
-      Similarity.loadCenters(spark, path), loadPqModel(spark, path), sig)
+      Similarity.loadCenters(spark, path), loadPqModel(spark, path), sig,
+      // an index written at serving geometry carries the second-level
+      // quantizer (writeIvfPqIndex's auto default); the probe-cell choice
+      // then goes two-level — the signature covers coarse/ (it rides
+      // centersSignature), so a coarse refit or late migration
+      // re-prepares the handle like any centers swap
+      Similarity.loadCoarseQuantizer(spark, path))
   }
 
   /** Probe a prepared [[StandingIvfPq]] with a query FRAME — the composed
@@ -799,7 +827,8 @@ object Pq {
     * ~32×-compressed artifact — both memory levers composed, which is
     * what a billion-vector deployment actually runs. */
   def queryStandingIvfPq(standing: StandingIvfPq, queryFrame: DataFrame,
-      k: Int = 10, nprobe: Int = 4, maxQueryBatch: Int = 32768): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, maxQueryBatch: Int = 32768,
+      wCoarse: Int = 2): DataFrame = {
     val spark = standing.spark
     val model = standing.model
     val q = collectDistinctQueries(queryFrame, maxQueryBatch,
@@ -807,7 +836,7 @@ object Pq {
     val survivorRows =
       if (q.isEmpty) emptySurvivors(spark)
       else q.grouped(maxQueryBatch).map { chunk =>
-        ivfPqFoldSurvivors(standing, chunk, k, nprobe)
+        ivfPqFoldSurvivors(standing, chunk, k, nprobe, wCoarse)
       }.reduceLeft(_ unionByName _)
     Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
   }
@@ -816,13 +845,18 @@ object Pq {
     * body behind [[queryStandingIvfPq]]; survivor rows as
     * [[pqFoldSurvivors]]. */
   private def ivfPqFoldSurvivors(standing: StandingIvfPq,
-      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int,
+      wCoarse: Int): DataFrame = {
     val spark = standing.spark
     import spark.implicits._
     val model = standing.model
     val (qids, tabs) = distanceTabs(model, chunk)
-    val probes =
-      Similarity.probeCellsFor(standing.centers, chunk.toSeq, nprobe)
+    // two-level when the index persists the coarse quantizer (the serving-
+    // geometry default), flat otherwise — at nlist ~10⁶ the flat ranking
+    // is itself the probe bottleneck, which is exactly the geometry the
+    // composed tiers exist for
+    val probes = Similarity.probeCellsForStanding(standing.centers,
+      standing.coarse, chunk.toSeq, nprobe, wCoarse)
     // ids are distinct within a chunk (collectDistinctQueries), so the
     // index map is lossless and no query's candidates can fold twice
     val qIndex = qids.zipWithIndex.toMap
@@ -956,11 +990,20 @@ object Pq {
           "with the initial corpus?")
       val refit = Similarity.buildIvfIndex(base, nlist)
       val staging = s"$path/retrain_staging"
+      // coarse-tier follow-through (the retrainIvfIndex rule): an index
+      // serving through a persisted quantizer refits it over the NEW
+      // centers at the same ncoarse; a flat index applies the auto policy
+      // — and the refit swaps WITH the centers, never against them
+      val ncoarse = Similarity.loadCoarseQuantizer(spark, path)
+        .map(_.coarseCenters.length)
+        .getOrElse(Similarity.autoNcoarse(nlist))
       writeIvfPqIndex(refit.bucketed,
         train(base, current.numSubspaces, current.k, seed = seed),
-        refit.centers, staging) // fully materialized before any old state moves
+        refit.centers, staging,
+        ncoarse) // fully materialized before any old state moves
       graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
-        Seq("codes", "centers", "codebooks"))
+        if (ncoarse > 0) Seq("codes", "centers", "codebooks", "coarse")
+        else Seq("codes", "centers", "codebooks"))
     } finally { val _ = base.unpersist() }
   }
 
@@ -1038,6 +1081,44 @@ object Pq {
       .select($"vec_id", $"embedding")
     queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
       k, nprobe)
+  }
+
+  /** tmpdir slot for the registered coarse-choice composed entry. */
+  private def ivfPqCoarsePath(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.util.TmpDirs.perProcessDir("graft_ivfpq_coarse")}/$key"
+  }
+
+  /** Registered query (HASH-CHECKED): a COMPOSED index probed THROUGH the
+    * two-level coarse choice — the serving default at production nlist
+    * ([[writeIvfPqIndex]]'s auto policy), pinned here at the fixture
+    * geometry the `ivf_coarse_probe_cells` dump replays (nlist=16,
+    * ncoarse=4, wCoarse=2 — the same standing centers, so the persisted
+    * quantizer is bit-identical to the coarse fixture index's). The
+    * oracle replays the full composition with the COARSE dump as the
+    * probe set: two-level cell choice → assignment prune → ADC from the
+    * codes dump → rank; identical rows to `ivf_pq_topk` only where the
+    * coarse tier happens to open the flat choice's cells, so the entry
+    * carries its own oracle rather than sharing. What it proves: the
+    * composed serving path's in-fold scan really scores the cells the
+    * persisted quantizer chose ([[Similarity.probeCellsForStanding]] —
+    * spec:PqSpec pins choice ≡ [[Similarity.probeCellsCoarseRanked]]). */
+  def ivfPqTopKCoarse(spark: SparkSession, sfDir: String,
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      ncoarse: Int = 4, wCoarse: Int = 2): DataFrame = {
+    val path = ivfPqCoarsePath(sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "coarse"))) {
+      val (_, model) = fixtureModel(spark, sfDir)
+      val index = Similarity.standingIndex(spark, sfDir, nlist)
+      writeIvfPqIndex(index.bucketed, model, index.centers, path, ncoarse)
+    }
+    val standing = prepareIvfPqIndex(spark, path)
+    require(standing.coarse.nonEmpty,
+      s"composed coarse fixture at $path lost its coarse/ medium")
+    val emb = spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding")
+    queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
+      k, nprobe, wCoarse = wCoarse)
   }
 
   /** tmpdir slot for the registered standing-index entry (same scheme as
@@ -1290,7 +1371,14 @@ object Pq {
     * artifact twice over here: probes need them for directory pruning AND
     * to residualize the query per probed cell. */
   def writeIvfPqResidualIndex(index: Similarity.IvfIndex, model: PqModel,
-      path: String): Unit = {
+      path: String): Unit =
+    writeIvfPqResidualIndex(index, model, path, ncoarse = -1)
+
+  /** [[writeIvfPqResidualIndex]] with the coarse-tier dial explicit — the
+    * [[writeIvfPqIndex]] ncoarse contract (auto below 0, forced flat at
+    * 0 with stale-medium removal, pinned above). */
+  def writeIvfPqResidualIndex(index: Similarity.IvfIndex, model: PqModel,
+      path: String, ncoarse: Int): Unit = {
     val spark = index.bucketed.sparkSession
     encodeResidual(index, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
@@ -1304,6 +1392,15 @@ object Pq {
     } yield (m, c, model.codebooks(m)(c).toSeq)
     spark.createDataFrame(flat).toDF("subspace", "codeword", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val eff = if (ncoarse < 0) Similarity.autoNcoarse(index.centers.length)
+      else ncoarse
+    if (eff > 0) {
+      val _ = Similarity.deriveCoarseTier(spark, path, eff)
+    } else {
+      val cp = new org.apache.hadoop.fs.Path(s"$path/coarse")
+      val _ = cp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(cp, true)
+    }
   }
 
   private def ivfPqResidualIndexPath(sfDir: String): String = {
@@ -1356,11 +1453,16 @@ object Pq {
           "seeded with the initial corpus?")
       val refit = Similarity.buildIvfIndex(base, nlist)
       val staging = s"$path/retrain_staging"
+      // coarse-tier follow-through — the retrainIvfPqIndex rule
+      val ncoarse = Similarity.loadCoarseQuantizer(spark, path)
+        .map(_.coarseCenters.length)
+        .getOrElse(Similarity.autoNcoarse(nlist))
       writeIvfPqResidualIndex(refit,
         trainResidual(refit, current.numSubspaces, current.k, seed = seed),
-        staging) // fully materialized before any old state moves
+        staging, ncoarse) // fully materialized before any old state moves
       graft.util.IndexSwap.swapDirs(spark, path, "retrain_staging",
-        Seq("codes", "centers", "codebooks"))
+        if (ncoarse > 0) Seq("codes", "centers", "codebooks", "coarse")
+        else Seq("codes", "centers", "codebooks"))
     } finally { val _ = base.unpersist() }
   }
 
@@ -1377,7 +1479,8 @@ object Pq {
     * tables are bit-identical to the driver-side `pq_residual_dtabs`
     * dump the oracle replays. */
   private def ivfPqResidualFoldSurvivors(standing: StandingIvfPq,
-      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+      chunk: Array[(Long, Seq[Float])], k: Int, nprobe: Int,
+      wCoarse: Int): DataFrame = {
     val spark = standing.spark
     import spark.implicits._
     val model = standing.model
@@ -1395,8 +1498,10 @@ object Pq {
       while (j < dim) { qflat(qi0 * dim + j) = q(j); j += 1 }
       qi0 += 1
     }
-    val probes =
-      Similarity.probeCellsFor(centers, chunk.toSeq, nprobe)
+    // the standing choice: two-level through a persisted coarse
+    // quantizer, flat otherwise (ivfPqFoldSurvivors' rationale)
+    val probes = Similarity.probeCellsForStanding(centers,
+      standing.coarse, chunk.toSeq, nprobe, wCoarse)
     // ids are distinct within a chunk (collectDistinctQueries), so the
     // index map is lossless and no query's candidates can fold twice
     val qIndex = qids.zipWithIndex.toMap
@@ -1495,7 +1600,7 @@ object Pq {
     * with scoring through the residual fold. */
   def queryStandingIvfPqResidual(standing: StandingIvfPq,
       queryFrame: DataFrame, k: Int = 10, nprobe: Int = 4,
-      maxQueryBatch: Int = 32768): DataFrame = {
+      maxQueryBatch: Int = 32768, wCoarse: Int = 2): DataFrame = {
     val spark = standing.spark
     val model = standing.model
     val q = collectDistinctQueries(queryFrame, maxQueryBatch,
@@ -1503,7 +1608,7 @@ object Pq {
     val survivorRows =
       if (q.isEmpty) emptySurvivors(spark)
       else q.grouped(maxQueryBatch).map { chunk =>
-        ivfPqResidualFoldSurvivors(standing, chunk, k, nprobe)
+        ivfPqResidualFoldSurvivors(standing, chunk, k, nprobe, wCoarse)
       }.reduceLeft(_ unionByName _)
     Similarity.topKViaAggregate(survivorRows, k, "adc", asc = true)
   }

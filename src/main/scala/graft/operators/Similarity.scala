@@ -471,7 +471,45 @@ object Similarity {
     * [[queryIvfIndex]] batch.
     */
   def writeIvfIndex(index: IvfIndex, path: String): Unit =
-    writeIvfIndex(index, path, ncoarse = 0)
+    writeIvfIndex(index, path, autoNcoarse(index.centers.length))
+
+  /** nlist at or above which the DEFAULT index write engages the
+    * second-level coarse quantizer. Small-nlist indexes (every oracle
+    * fixture runs nlist=16) keep the exact single-level scan — at 16
+    * centroids the two-level choice saves nothing and would change the
+    * fixtures' probed-cell sets; at serving geometry (the soak loops run
+    * nlist=64, production 10⁵–10⁶) the coarse tier is what keeps the
+    * per-query centroid ranking sublinear in nlist, so it must be the
+    * default, not an opt-in only the one registered coarse entry takes. */
+  val CoarseAutoNlistThreshold = 32
+
+  /** The auto-ncoarse policy: ⌈√nlist⌉ super-cells at or above the
+    * threshold (minimizes ncoarse + nlist/ncoarse, the two-level ranking
+    * cost), flat below it. Shared by [[writeIvfIndex]]'s default form,
+    * [[retrainIvfIndex]] (a flat index crossing the threshold engages the
+    * tier at its next retrain), [[deriveCoarseTier]], and the composed
+    * writers ([[graft.operators.Pq.writeIvfPqIndex]]). */
+  def autoNcoarse(nlist: Int): Int =
+    if (nlist >= CoarseAutoNlistThreshold)
+      math.ceil(math.sqrt(nlist.toDouble)).toInt
+    else 0
+
+  /** MIGRATE an existing flat index to the coarse tier from its centers
+    * alone — no corpus rewrite (the quantizer is centers-derived: one
+    * driver-side Lloyd over the nlist-sized centroid matrix). `ncoarse <=
+    * 0` applies [[autoNcoarse]]. Returns the effective ncoarse (0 = below
+    * the auto threshold, nothing written). Serving loops pick the new
+    * medium up through [[centersSignature]] (it covers `coarse/`), so a
+    * live stream migrates without a restart. Works on any layout keeping
+    * `centers/` at the index root (IVF, IVF×PQ, residual). */
+  def deriveCoarseTier(spark: SparkSession, path: String,
+      ncoarse: Int = 0): Int = {
+    val centers = loadCenters(spark, path)
+    val n = if (ncoarse > 0) ncoarse else autoNcoarse(centers.length)
+    if (n > 0)
+      writeCoarseQuantizer(spark, fitCoarseQuantizer(centers, n), path)
+    n
+  }
 
   /** [[writeIvfIndex]] with a persisted SECOND-LEVEL coarse quantizer:
     * `ncoarse > 0` fits [[fitCoarseQuantizer]] over the index's centroid
@@ -493,6 +531,16 @@ object Similarity {
     if (ncoarse > 0)
       writeCoarseQuantizer(spark,
         fitCoarseQuantizer(index.centers, ncoarse), path)
+    else {
+      // a FLAT rewrite over a path that previously carried the tier must
+      // remove it: corpus/ and centers/ overwrite above, but a stale
+      // coarse/ would serve a cell→super-cell map fit on centers that no
+      // longer exist — wrong probe cells, and an index-out-of-bounds in
+      // the two-level choice when the new nlist exceeds the stale map
+      val cp = new org.apache.hadoop.fs.Path(s"$path/coarse")
+      val _ = cp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(cp, true)
+    }
   }
 
   private def writeCoarseQuantizer(spark: SparkSession,
@@ -646,6 +694,25 @@ object Similarity {
         .toSeq
     }
 
+  /** Driver-side probe-cell choice for a STANDING handle: through the
+    * two-level quantizer when the index persists one, the exact flat scan
+    * otherwise — the one rule every composed serving path
+    * ([[graft.operators.Pq.queryStandingIvfPq]], its residual twin, and
+    * their serving streams) routes through, so an index written at
+    * serving geometry (the [[autoNcoarse]] default) ranks ncoarse +
+    * wCoarse·(nlist/ncoarse) centroids per query instead of nlist
+    * everywhere, not only in the one registered coarse entry.
+    * Cell choice is bit-identical to [[probeCellsCoarseRanked]] /
+    * [[probeCellsRanked]] by construction (it IS them). */
+  def probeCellsForStanding(centers: Array[Array[Double]],
+      coarse: Option[CoarseQuantizer], queries: Seq[(Long, Seq[Float])],
+      nprobe: Int, wCoarse: Int): Seq[(Long, Int)] = coarse match {
+    case Some(cq) =>
+      probeCellsCoarseRanked(centers, cq, queries, nprobe, wCoarse)
+        .map { case (qid, cell, _) => (qid, cell) }
+    case None => probeCellsFor(centers, queries, nprobe)
+  }
+
   /** The ONE PERSISTED coarse-tier fixture index per (process, sf dir) —
     * the [[ensureFixtureIndex]] discipline with the `coarse/` medium: the
     * standing fit's corpus+centers written once with the second-level
@@ -726,11 +793,17 @@ object Similarity {
       targetBytes: Long = 128L << 20,
       safeBatchFence: Option[Long] = None)
       : graft.util.Compaction.CompactionStats = {
+    // snapshot the tombstone files BEFORE the rewrite and retire only
+    // those: a delete landing mid-absorb stays live for the next absorb
+    // instead of being cleared un-absorbed (the fresh anti-join below
+    // covers at least the snapshot, so the retired files' rows are gone)
+    val snapshot = graft.util.Tombstones.dataFiles(spark, path)
     val stats = graft.util.Compaction.compactDir(spark, path, "corpus",
       partitionCol = Some("cell"), targetBytes = targetBytes,
       safeBatchFence = safeBatchFence,
       transform = graft.util.Tombstones.antiJoin(_, path, "vec_id"))
-    if (stats.carriedFiles == 0L) graft.util.Tombstones.clear(spark, path)
+    if (stats.carriedFiles == 0L)
+      graft.util.Tombstones.clearFiles(spark, path, snapshot)
     stats
   }
 
@@ -967,9 +1040,12 @@ object Similarity {
     // an index serving through a persisted coarse quantizer REFITS it over
     // the new centers at the same ncoarse and swaps it WITH them — coarse
     // cells fit on retired centers would be wrong cells (the member lists
-    // point at geometry that no longer exists)
+    // point at geometry that no longer exists). A FLAT index applies the
+    // auto policy instead: an index at (or resized to) serving geometry
+    // engages the tier at its next retrain rather than staying on the
+    // all-nlist probe-cell scan forever.
     val ncoarse = loadCoarseQuantizer(spark, path)
-      .map(_.coarseCenters.length).getOrElse(0)
+      .map(_.coarseCenters.length).getOrElse(autoNcoarse(cells))
     val refit = buildIvfIndex(corpus, cells)
     val staging = s"$path/retrain_staging"
     // materializes before any old state moves

@@ -27,9 +27,15 @@ object IndexSwap {
   /** Two-rename directory swap under `root`: each name in `names` moves
     * `root/name` → `root/retired/name`, then `root/stagingSub/name` →
     * `root/name`; staging and retired are deleted only after every rename
-    * succeeded. Precondition: `root/stagingSub/name` fully materialized for
-    * every name. On a mid-way failure the require message points at both
-    * recovery copies. */
+    * succeeded. A name ABSENT on one side is skipped on that side only —
+    * a rebuild may ADD a medium (a flat index crossing the coarse-tier
+    * auto threshold stages `coarse/` where the live index has none) or
+    * RETIRE one (an explicit flat retrain of a coarse index stages
+    * nothing there, so the live copy moves to retired and nothing moves
+    * back — the stale quantizer cannot survive the swap). Precondition:
+    * every name present under `root/stagingSub` is fully materialized. On
+    * a mid-way failure the require message points at both recovery
+    * copies. */
   def swapDirs(spark: SparkSession, root: String, stagingSub: String,
       names: Seq[String]): Unit = {
     val rootPath = new Path(root)
@@ -37,8 +43,10 @@ object IndexSwap {
     def p(s: String) = new Path(rootPath, s)
     fs.delete(p("retired"), true)
     fs.mkdirs(p("retired"))
-    val ok = names.forall(n => fs.rename(p(n), p(s"retired/$n"))) &&
-      names.forall(n => fs.rename(p(s"$stagingSub/$n"), p(n)))
+    val ok = names.forall(n =>
+      !fs.exists(p(n)) || fs.rename(p(n), p(s"retired/$n"))) &&
+      names.forall(n =>
+        !fs.exists(p(s"$stagingSub/$n")) || fs.rename(p(s"$stagingSub/$n"), p(n)))
     require(ok,
       s"index swap failed mid-way at $root — old index is under " +
         s"$root/retired, new under $root/$stagingSub")

@@ -112,6 +112,31 @@ object Tombstones {
     val _ = fs(spark, indexPath).delete(new Path(dir(indexPath)), true)
   }
 
+  /** Retire ONLY the named tombstone data files — the snapshot-scoped form
+    * of [[clear]] for absorbs that listed their tombstone frame before the
+    * rewrite started: a tombstone appended WHILE the absorb ran is not in
+    * the snapshot, was not necessarily masked out of every medium, and
+    * must stay live for the next absorb (deleting it would be a lost
+    * takedown — the BM25 fold protocol's defended window, applied to every
+    * snapshot-retiring caller). Idempotent: already-gone files skip. */
+  def clearFiles(spark: SparkSession, indexPath: String,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+    val f = fs(spark, indexPath)
+    files.foreach(st => if (f.exists(st.getPath)) {
+      val _ = f.delete(st.getPath, false)
+    })
+  }
+
+  /** The distinct ids held by a SPECIFIC set of tombstone data files —
+    * the snapshot twin of [[idsOf]], for absorbs that must mask and
+    * retire the SAME frame (files listed once, before any rewrite). */
+  def idsOfFiles(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      idCol: String): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.getPath.toString): _*)
+      .select(col(idCol)).distinct())
+
   /** Absorb one index's tombstones across ALL the media that hold its
     * rows — the multi-directory form of the IVF absorb, and the function
     * "production absorbs raw before refitting" names for the code tiers
@@ -126,13 +151,30 @@ object Tombstones {
     * holds a retracted vector would let the next refit RESURRECT it into
     * fresh codes. Absent targets (an index keeping no raw tier) are
     * skipped — nothing there to mask. Returns the per-target stats in
-    * input order (zeros for skipped targets). */
+    * input order (zeros for skipped targets).
+    *
+    * Snapshot scope: the tombstone FILES are listed ONCE, before the first
+    * rewrite, every medium masks against that one frame, and on
+    * all-carry-free ONLY the snapshot files retire ([[clearFiles]]) — a
+    * tombstone landing mid-absorb (e.g. after a later medium's anti-join
+    * resolved) stays live for the next absorb instead of being dropped
+    * un-absorbed from the earlier media (a lost takedown). */
   def absorbAll(spark: SparkSession, indexPath: String, idCol: String,
       targets: Seq[(String, Option[String])],
       targetBytes: Long = 128L << 20,
       safeBatchFence: Option[Long] = None)
       : Seq[Compaction.CompactionStats] = {
     val conf = spark.sessionState.newHadoopConf()
+    val snapshot = dataFiles(spark, indexPath)
+    val snapIds = idsOfFiles(spark, snapshot, idCol)
+    // mask with the snapshot frame; re-select the input's column ORDER (a
+    // USING join moves the key to the front, and the rewrite's writer and
+    // positional readers are order-sensitive)
+    def mask(df: DataFrame): DataFrame = snapIds match {
+      case Some(ids) =>
+        df.join(ids, Seq(idCol), "left_anti").select(df.columns.map(col): _*)
+      case None => df
+    }
     val stats = targets.map { case (sub, pcol) =>
       val p = new Path(s"$indexPath/$sub")
       if (!p.getFileSystem(conf).exists(p))
@@ -140,9 +182,10 @@ object Tombstones {
       else Compaction.compactDir(spark, indexPath, sub,
         partitionCol = pcol, targetBytes = targetBytes,
         safeBatchFence = safeBatchFence,
-        transform = antiJoin(_, indexPath, idCol))
+        transform = mask)
     }
-    if (stats.forall(_.carriedFiles == 0L)) clear(spark, indexPath)
+    if (stats.forall(_.carriedFiles == 0L))
+      clearFiles(spark, indexPath, snapshot)
     stats
   }
 }
