@@ -508,4 +508,82 @@ class TombstoneSpec extends SparkTestBase {
     assert(ids(spark.read.parquet(s"$ivfpq/codes")) == retainedIds,
       "composed retrain must not resurrect retracted codes")
   }
+
+  test("snapshot retirement: clearFiles retires only the named files — a tombstone landing after the snapshot stays live") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val path = tmp("graft-ts-snapshot")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 4 =!= 3)), path)
+    // first delete lands; an absorb would snapshot exactly these files
+    Similarity.deleteFromIvfIndex(
+      spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("vec_id"),
+      path)
+    val snapshot = Tombstones.dataFiles(spark, path)
+    assert(snapshot.nonEmpty)
+    // a second delete lands MID-ABSORB (after the snapshot listing)
+    Similarity.deleteFromIvfIndex(
+      spark.createDataFrame(Seq(Tuple1(5L))).toDF("vec_id"), path)
+    // retirement is snapshot-scoped: the late tombstone must survive it
+    Tombstones.clearFiles(spark, path, snapshot)
+    val live = Tombstones.idsOf(spark, path, "vec_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty[Long])
+    assert(live == Set(5L),
+      s"late-landed tombstone lost by snapshot retirement: $live")
+    // the late delete still masks, and the NEXT absorb retires it
+    val queries = emb.filter($"vec_id" % 4 === 3).limit(3)
+    val got = Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, path), queries)
+      .collect().map(_.getLong(1)).toSet
+    assert(!got.contains(5L))
+    val stats = Similarity.absorbIvfDeletes(spark, path)
+    assert(stats.carriedFiles == 0L)
+    assert(!Tombstones.exists(spark, path))
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter($"vec_id" === 5L).count() == 0L)
+  }
+
+  test("BM25: an absorbed EMPTY doc cannot be re-deleted — the empties medium absorbs with the postings, so a folded empty doc is unknown membership") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 40)
+    val path = tmp("graft-ts-bm25-empty-absorb")
+    writeAll(docs.unionByName(spark.createDataFrame(
+      Seq((800002L, ""))).toDF("doc_id", "text")), path)
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    // delete the empty doc (membership via empties/, correction dl = 0)
+    Bm25.deleteFromBm25Index(spark, path,
+      spark.createDataFrame(Seq(Tuple1(800002L))).toDF("doc_id"))
+    val want = Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    // absorb: postings AND empties compact carry-free, correction folds
+    val stats = Bm25.absorbBm25Deletes(spark, path)
+    assert(stats.carriedFiles == 0L)
+    assert(!Tombstones.exists(spark, path))
+    // the membership row is PHYSICALLY gone with the fold — a re-delete
+    // must fail loudly (a second (N-1, dl=0) correction would be
+    // permanent double-counted idf skew)
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.deleteFromBm25Index(spark, path,
+        spark.createDataFrame(Seq(Tuple1(800002L))).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("800002"))
+    // constants stayed single-counted: probe ≡ a fresh index over the
+    // retained corpus, before and after the rejected re-delete
+    val refPath = tmp("graft-ts-bm25-empty-absorb-ref")
+    writeAll(docs, refPath)
+    val ref = Bm25.queryBm25Index(spark, refPath, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(want == ref)
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == ref)
+    // a NON-empty doc's delete still works over the compacted empties
+    Bm25.deleteFromBm25Index(spark, path,
+      docs.filter($"doc_id" === 7L).select($"doc_id"))
+    val refPath2 = tmp("graft-ts-bm25-empty-absorb-ref2")
+    writeAll(docs.filter($"doc_id" =!= 7L), refPath2)
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq ==
+      Bm25.queryBm25Index(spark, refPath2, queries)
+        .collect().map(_.toSeq).toSeq)
+  }
 }
