@@ -93,6 +93,15 @@ object AnnStream {
       * prepare functions; None = manual compaction only, the r14
       * contract). */
     private[graft] var autoCompactMaxFiles: Option[Long] = None
+    /** Tombstone-pressure ceiling for the same maintenance slot: when the
+      * index's tombstone DATA-FILE count exceeds this, the slot fires the
+      * tier's all-media absorb ([[graft.util.Tombstones.absorbAll]] over
+      * [[compactTargets]]) even though no target crossed the
+      * fragmentation ceiling — a delete-heavy stream with few appends
+      * otherwise accumulates tombstones (and probe-time anti-join cost)
+      * indefinitely below it. None = absorbs stay explicit (the r16
+      * contract). */
+    private[graft] var autoCompactMaxTombstones: Option[Long] = None
     /** Compactions fired by this monitor since prepare — persisted like
       * the retrain counter (same at-most-once-across-crashes caveat: the
       * counter persists after the rewrite, the swapped layout is its own
@@ -151,13 +160,36 @@ object AnnStream {
       * stateDir (an in-memory fence dies with the process, so the folded
       * batch itself is still replayable after a crash — its tagged files
       * must ride through verbatim). Returns whether any target was
-      * rewritten. */
+      * rewritten.
+      *
+      * TOMBSTONE PRESSURE is watched in the same predicate (one tombstone
+      * directory listing per trigger): past `autoCompactMaxTombstones`
+      * data files, the slot fires the tier's ALL-MEDIA absorb
+      * ([[graft.util.Tombstones.absorbAll]] over every compact target, the
+      * same rewrite + snapshot-scoped retirement the explicit
+      * absorbIvfDeletes / absorbPqDeletes / absorbSqDeletes run) — a
+      * delete-heavy stream with few appends never crosses the
+      * fragmentation ceiling, yet every probe pays the growing anti-join;
+      * this bounds it. The absorb path is checked FIRST and the
+      * fragmentation rewrite skipped in that slot (the absorb just
+      * rewrote every target); carry above the fence keeps tombstones
+      * live, and the pressure simply re-fires at a later slot whose
+      * fence has advanced — absorption is eventually-retiring, never
+      * lost. */
     private[streaming] final def maybeAutoCompact(
-        spark: org.apache.spark.sql.SparkSession): Boolean =
-      autoCompactMaxFiles.exists { limit =>
-        val fence =
-          if (stateDir.isDefined) lastFoldedBatch else lastFoldedBatch - 1L
-        val fired = compactTargets.map { case (sub, pcol) =>
+        spark: org.apache.spark.sql.SparkSession): Boolean = {
+      val fence =
+        if (stateDir.isDefined) lastFoldedBatch else lastFoldedBatch - 1L
+      val absorbed = autoCompactMaxTombstones.exists { bound =>
+        graft.util.Tombstones.dataFiles(spark, indexPath)
+          .size.toLong > bound && {
+          val _ = graft.util.Tombstones.absorbAll(spark, indexPath,
+            "vec_id", compactTargets, safeBatchFence = Some(fence))
+          true
+        }
+      }
+      val fired = absorbed || autoCompactMaxFiles.exists { limit =>
+        compactTargets.map { case (sub, pcol) =>
           graft.util.Compaction
             .dataFileCount(spark, s"$indexPath/$sub") > limit && {
             // tombstone ABSORPTION rides the rewrite the watch fires
@@ -165,9 +197,10 @@ object AnnStream {
             // drop physically for free. Tombstones are NEVER retired
             // here — targets compact independently as each crosses the
             // ceiling, so a sibling medium (or a carried file) may still
-            // hold masked rows; retirement stays with the explicit
-            // all-media absorbs (absorbIvfDeletes / absorbPqDeletes /
-            // absorbSqDeletes), which check carry across every medium.
+            // hold masked rows; retirement stays with the all-media
+            // absorbs (the pressure path above, or the explicit
+            // absorbIvfDeletes / absorbPqDeletes / absorbSqDeletes),
+            // which check carry across every medium.
             val stats = graft.util.Compaction.compactDir(spark, indexPath,
               sub, partitionCol = pcol, safeBatchFence = Some(fence),
               transform =
@@ -175,9 +208,10 @@ object AnnStream {
             stats.filesAfter < stats.filesBefore
           }
         }.exists(identity)
-        if (fired) compactions += 1L
-        fired
       }
+      if (fired) compactions += 1L
+      fired
+    }
 
     private[streaming] final def persistState(
         spark: org.apache.spark.sql.SparkSession, gen: Long): Unit =
@@ -389,10 +423,12 @@ object AnnStream {
       indexPath: String, healthFloorMicros: Long,
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None,
-      autoCompactMaxFiles: Option[Long] = None): RetrainMonitor = {
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None): RetrainMonitor = {
     val m = new RetrainMonitor(indexPath, healthFloorMicros,
       minVecsForAlarm, stateDir)
     m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.autoCompactMaxTombstones = autoCompactMaxTombstones
     m.resync(spark)
     m.seedState(spark)
     m
@@ -648,10 +684,12 @@ object AnnStream {
       indexPath: String, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None,
-      autoCompactMaxFiles: Option[Long] = None): PqRetrainMonitor = {
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None): PqRetrainMonitor = {
     val m = new PqRetrainMonitor(indexPath, errCeilingMicros,
       minVecsForAlarm, stateDir)
     m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.autoCompactMaxTombstones = autoCompactMaxTombstones
     m.resync(spark)
     m.seedState(spark)
     m
@@ -801,10 +839,12 @@ object AnnStream {
       indexPath: String, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None,
-      autoCompactMaxFiles: Option[Long] = None): SqRetrainMonitor = {
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None): SqRetrainMonitor = {
     val m = new SqRetrainMonitor(indexPath, errCeilingMicros,
       minVecsForAlarm, stateDir)
     m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.autoCompactMaxTombstones = autoCompactMaxTombstones
     m.resync(spark)
     m.seedState(spark)
     m
@@ -979,10 +1019,12 @@ object AnnStream {
       indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None,
-      autoCompactMaxFiles: Option[Long] = None): IvfPqRetrainMonitor = {
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None): IvfPqRetrainMonitor = {
     val m = new IvfPqRetrainMonitor(indexPath, healthFloorMicros,
       errCeilingMicros, minVecsForAlarm, stateDir)
     m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.autoCompactMaxTombstones = autoCompactMaxTombstones
     m.resync(spark)
     m.seedState(spark)
     m
@@ -1053,10 +1095,12 @@ object AnnStream {
       indexPath: String, healthFloorMicros: Long, errCeilingMicros: Long,
       minVecsForAlarm: Long = 0L,
       stateDir: Option[String] = None,
-      autoCompactMaxFiles: Option[Long] = None): IvfPqResidualRetrainMonitor = {
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None): IvfPqResidualRetrainMonitor = {
     val m = new IvfPqResidualRetrainMonitor(indexPath, healthFloorMicros,
       errCeilingMicros, minVecsForAlarm, stateDir)
     m.autoCompactMaxFiles = autoCompactMaxFiles
+    m.autoCompactMaxTombstones = autoCompactMaxTombstones
     m.resync(spark)
     m.seedState(spark)
     m

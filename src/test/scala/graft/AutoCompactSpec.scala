@@ -193,4 +193,47 @@ class AutoCompactSpec extends SparkTestBase {
     assert(appended.count() == appended.distinct().count())
     assert(probeOf(path) == probeOf(twin))
   }
+
+  test("tombstone pressure: a DELETES-ONLY stream triggers the all-media absorb below the fragmentation ceiling, retires the medium, and the counter persists") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val path = tmp("graft-autocompact-ts")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0)), path)
+    val stateDir = tmp("graft-autocompact-ts-state")
+    // NO fragmentation ceiling: the pressure bound must fire on its own
+    val monitor = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, stateDir = Some(stateDir),
+      autoCompactMaxTombstones = Some(2L))
+    val deadIds = Seq(0L, 2L, 4L)
+    // three separate takedowns: three tombstone data files — past the bound
+    deadIds.foreach { id =>
+      Similarity.deleteFromIvfIndex(
+        spark.createDataFrame(Seq(Tuple1(id))).toDF("vec_id"), path)
+    }
+    assert(graft.util.Tombstones.dataFiles(spark, path).size >= 3)
+    // the stream carries NO vectors — only the maintenance slot runs
+    val emptyBatch = emb.filter($"vec_id" < 0)
+    AnnStream.processIngestBatch(monitor, emptyBatch, 0L) { (r, _) =>
+      val _ = r.count()
+    }
+    assert(monitor.compactions == 1L,
+      "tombstone pressure must fire the maintenance slot")
+    assert(!graft.util.Tombstones.exists(spark, path),
+      "carry-free all-media absorb must retire the tombstones")
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter($"vec_id".isin(deadIds: _*)).count() == 0L,
+      "absorb must drop the retracted rows physically")
+    // the probe serves the retained corpus with a clean (no-anti-join)
+    // hot path, and the next slot has no pressure to respond to
+    assert(probeOf(path).nonEmpty)
+    AnnStream.processIngestBatch(monitor, emptyBatch, 1L) { (r, _) =>
+      val _ = r.count()
+    }
+    assert(monitor.compactions == 1L, "no pressure, no rewrite")
+    // the ops counter persisted with the fold fence (crash-restart seed)
+    val seeded = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, stateDir = Some(stateDir),
+      autoCompactMaxTombstones = Some(2L))
+    assert(seeded.compactions == 1L)
+  }
 }
