@@ -91,6 +91,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Remainder(
         Cast(Conv(md5Prefix8(args(0)), Literal(16), Literal(10)), LongType),
         Cast(args(1), LongType))))
+    // —— TABLE-VALUED functions over the standing-index read paths ——
+    // each builder returns the SAME analyzed plan the Scala entry builds
+    // (graft.GraftTableFunctions — plan-identity, not re-implementation)
+    ext.injectTableFunction((FunctionIdentifier("graft_ivf_topk"),
+      info("graft_ivf_topk",
+        "graft_ivf_topk(path, queriesView, k, nprobe[, wCoarse]) - standing IVF probe"),
+      GraftTableFunctions.ivfTopK _))
+    ext.injectTableFunction((FunctionIdentifier("graft_pq_topk"),
+      info("graft_pq_topk",
+        "graft_pq_topk(path, queriesView, k) - standing PQ ADC probe"),
+      GraftTableFunctions.pqTopK _))
+    ext.injectTableFunction((FunctionIdentifier("graft_ivf_pq_topk"),
+      info("graft_ivf_pq_topk",
+        "graft_ivf_pq_topk(path, queriesView, k, nprobe[, wCoarse]) - composed probe"),
+      GraftTableFunctions.ivfPqTopK _))
+    ext.injectTableFunction((FunctionIdentifier("graft_bm25_topk"),
+      info("graft_bm25_topk",
+        "graft_bm25_topk(path, queriesView, k) - standing BM25 probe"),
+      GraftTableFunctions.bm25TopK _))
+    ext.injectTableFunction((FunctionIdentifier("graft_hybrid_rrf_topk"),
+      info("graft_hybrid_rrf_topk",
+        "graft_hybrid_rrf_topk(bm25Path, ivfPath, queriesView, k, rrfC) - hybrid RRF fusion"),
+      GraftTableFunctions.hybridRrfTopK _))
+    ext.injectTableFunction((FunctionIdentifier("graft_near_dup_probe"),
+      info("graft_near_dup_probe",
+        "graft_near_dup_probe(indexTable, corpusView, batchView, threshold) - band-index probe"),
+      GraftTableFunctions.nearDupProbe _))
     ext.injectFunction((FunctionIdentifier("hash_gate"),
       info("hash_gate", "hash_gate(key, fraction) - keep key iff md5 prefix under fraction"),
       (args: Seq[Expression]) => {

@@ -313,6 +313,10 @@ object SparkEntry {
     // untimed warmup; timed passes pay load + pruned probe only. Same
     // oracle as ivf_topk: the persisted layout is the standing index's fit
     "ivf_probe_only" -> ((s, d) => Similarity.ivfProbeOnly(s, d)),
+    // the standing probe through the SQL TABLE-VALUED surface
+    // (graft_ivf_topk TVF -> the queryStandingIvf plan, identical by
+    // construction); shares ivf_topk's oracle = hash-checked plan identity
+    "ivf_topk_sql" -> ((s, d) => Similarity.ivfTopKSql(s, d)),
     // product quantization: codes + per-query ADC tables dumped (they ARE
     // the oracle inputs), the ranking oracle-checked — DuckDB recomputes
     // the ADC top-k from the dumps alone
@@ -1936,6 +1940,8 @@ object SparkEntry {
         "FROM read_parquet('{OUT}/quality_classifier_scores/*.parquet') " +
         "GROUP BY weak_label, predicted ORDER BY weak_label, predicted"),
     "ivf_topk" -> ivfReplaySql,
+    // the SQL-surface twin: same plan, same oracle
+    "ivf_topk_sql" -> ivfReplaySql,
     // same rows by construction: the persisted standing index is the SAME
     // fit as the in-memory one (Similarity.ensureFixtureIndex persists it),
     // so the amortized probe replays identically

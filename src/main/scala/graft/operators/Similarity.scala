@@ -949,6 +949,23 @@ object Similarity {
     queryIvfIndex(index, fixtureQueryBatch(spark, sfDir, numQueries), k, nprobe)
   }
 
+  /** Registered query (HASH-CHECKED): the standing probe THROUGH THE SQL
+    * SURFACE — `SELECT * FROM graft_ivf_topk(path, view, k, nprobe)`
+    * ([[graft.GraftTableFunctions.ivfTopK]]). The TVF builder returns the
+    * analyzed plan [[queryStandingIvf]] builds, so this entry sharing
+    * `ivf_topk`'s oracle hash-checks PLAN IDENTITY between the SQL and
+    * Scala surfaces — a SQL-first user of the reference's transcript
+    * style gets byte-identical results to the Scala serving path. */
+  def ivfTopKSql(spark: SparkSession, sfDir: String, numQueries: Int = 5,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val path = ensureFixtureIndex(spark, sfDir, nlist)
+    spark.createDataFrame(fixtureQueryBatch(spark, sfDir, numQueries))
+      .toDF("vec_id", "embedding")
+      .createOrReplaceTempView("graft_sql_ivf_queries")
+    spark.sql(s"SELECT * FROM graft_ivf_topk('$path', " +
+      s"'graft_sql_ivf_queries', $k, $nprobe)")
+  }
+
   /** Persist the standing fixture index once per process (shared by
     * [[ivfProbeOnly]] and the oracle dumps below); returns its path. The
     * persisted copy is the STANDING index's fit — never an independent

@@ -96,4 +96,103 @@ class SqlFunctionsSpec extends SparkTestBase {
       .as[(Int, Int)].collect()
       .foreach { case (n, m) => assert(n == m) }
   }
+
+  // ------------------------------------------------------------------
+  // TABLE-VALUED surface over the standing-index read paths: every
+  // graft_* TVF must return EXACTLY the Scala entry's rows (the builder
+  // returns the same analyzed plan — these pin that nothing in the SQL
+  // arg plumbing diverges). The `ivf_topk_sql` registered entry
+  // hash-checks the IVF one against the DuckDB oracle besides.
+  // ------------------------------------------------------------------
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  private def emb = graft.util.Cols.spread(
+      graft.sources.Tables.embeddings(spark, sf))
+    .select($"vec_id", $"embedding")
+
+  test("graft_ivf_topk / graft_pq_topk / graft_ivf_pq_topk serve the Scala standing probes from SQL") {
+    import graft.operators.{Pq, Similarity}
+    val queries = emb.filter($"vec_id" < 4)
+    queries.createOrReplaceTempView("tvf_q_vec")
+
+    val ivf = tmp("graft-tvf-ivf")
+    // nlist=32: the auto coarse tier engages — the SQL path must serve
+    // the same two-level choice the Scala path does
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 32), ivf)
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_ivf_topk('$ivf', 'tvf_q_vec', 10, 4)")) ==
+      rows(Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, ivf), queries)))
+    // explicit wCoarse arg threads through
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_ivf_topk('$ivf', 'tvf_q_vec', 10, 4, 6)")) ==
+      rows(Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, ivf), queries, wCoarse = 6)))
+
+    val model = Pq.train(emb)
+    val pq = tmp("graft-tvf-pq")
+    Pq.writePqIndex(emb, model, pq)
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_pq_topk('$pq', 'tvf_q_vec', 10)")) ==
+      rows(Pq.queryStandingPq(Pq.preparePqIndex(spark, pq), queries)))
+
+    val index = Similarity.buildIvfIndex(emb, nlist = 16)
+    val ivfpq = tmp("graft-tvf-ivfpq")
+    Pq.writeIvfPqIndex(index.bucketed, model, index.centers, ivfpq,
+      ncoarse = 4)
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_ivf_pq_topk('$ivfpq', 'tvf_q_vec', 10, 4)")) ==
+      rows(Pq.queryStandingIvfPq(Pq.prepareIvfPqIndex(spark, ivfpq),
+        queries)))
+  }
+
+  test("graft_bm25_topk and graft_hybrid_rrf_topk serve the lexical and fused standing probes from SQL") {
+    import graft.operators.{Bm25, Similarity}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val bm25 = tmp("graft-tvf-bm25")
+    Bm25.writeBm25Index(docs, bm25)
+    val qtext = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    qtext.createOrReplaceTempView("tvf_q_text")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_bm25_topk('$bm25', 'tvf_q_text', 10)")) ==
+      rows(Bm25.queryBm25Index(spark, bm25, qtext)))
+
+    val ivf = tmp("graft-tvf-hybrid-ivf")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nlist = 16), ivf)
+    // hybrid queries carry BOTH modalities, doc-aligned ids
+    val qboth = qtext.join(
+      emb.select($"vec_id".as("query_id"), $"embedding"), Seq("query_id"))
+    qboth.createOrReplaceTempView("tvf_q_both")
+    val lex = Bm25.queryBm25Index(spark, bm25,
+        qboth.select($"query_id", $"text"), 10)
+      .select($"query_id", $"doc_id", $"rk")
+    val sem = Similarity.queryStandingIvf(
+        Similarity.prepareIvfIndex(spark, ivf),
+        qboth.select($"query_id".as("vec_id"), $"embedding"), 10)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+    assert(rows(spark.sql("SELECT * FROM graft_hybrid_rrf_topk(" +
+        s"'$bm25', '$ivf', 'tvf_q_both', 10, 60)")) ==
+      rows(Bm25.rrfFuse(lex, sem, 10, 60)))
+  }
+
+  test("graft_near_dup_probe serves the standing band-index probe from SQL") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 4 =!= 3)
+    val batch = docs.filter($"doc_id" % 4 === 3)
+    Dedup.writeBandIndex(corpus, "tvf_band_idx", buckets = 4)
+    corpus.createOrReplaceTempView("tvf_corpus")
+    batch.createOrReplaceTempView("tvf_batch")
+    assert(rows(spark.sql("SELECT * FROM graft_near_dup_probe(" +
+        "'tvf_band_idx', 'tvf_corpus', 'tvf_batch', 0.8)")) ==
+      rows(Dedup.incrementalNearDupIndexed(corpus, "tvf_band_idx", batch)))
+  }
 }
