@@ -341,12 +341,39 @@ object AnnStream {
       extends DriftMonitor(indexPath, minVecsForAlarm, stateDir) {
     private[streaming] var centers: Array[Array[Double]] = Array.empty
     private[streaming] var centersSig: Seq[(String, Long, Long)] = Nil
+    private[streaming] var coarseQ: Option[Similarity.CoarseQuantizer] = None
     private[streaming] val cellN =
       scala.collection.mutable.Map.empty[Int, Long]
     private[streaming] val cellSum =
       scala.collection.mutable.Map.empty[Int, Long]
+    // COARSE-CONSISTENCY tallies (indexes serving through the two-level
+    // quantizer only): Σ|flat-choice ∩ two-level-choice| over probed
+    // vectors, at the serving defaults (nprobe=4, wCoarse=2). The fine
+    // centers' health says the GEOMETRY still fits the data; this says
+    // the coarse SHORTCUT still finds the cells the exact ranking would —
+    // the one medium the r16 monitors left unwatched. Exact integers;
+    // reset with the health totals at every resync (the ratio is a
+    // property of one (centers, coarse) pairing).
+    private[streaming] var coarseOverlapSum: Long = 0L
+    private[streaming] var coarseProbeN: Long = 0L
 
     def totalVecs: Long = cellN.values.sum
+
+    /** nprobe / wCoarse the consistency watch scores at — the serving
+      * defaults, so the ratio measures the choice production probes make. */
+    val CoarseWatchNprobe = 4
+    val CoarseWatchWCoarse = 2
+
+    /** Mean fraction (in micros) of the exact flat probe-cell choice the
+      * two-level choice reproduces, since the last resync: 1 000 000 =
+      * every probed vector would open identical cells; degradation means
+      * drift has made the coarse shortcut miss cells the exact ranking
+      * ranks — raise wCoarse or refit at new ncoarse. None for flat
+      * indexes and until any vector was scored. */
+    def coarseConsistencyMicros: Option[Long] =
+      if (coarseProbeN == 0L) None
+      else Some(1000000L * coarseOverlapSum /
+        (coarseProbeN * CoarseWatchNprobe))
 
     /** Corpus-weighted mean health since the last retrain: Σsum / Σn in
       * Long division (truncates toward zero — Spark `DIV`, Scala Long `/`,
@@ -366,7 +393,10 @@ object AnnStream {
     private[streaming] def metricName: String = "weighted_mean_micros"
     private[streaming] def storedSig: Seq[(String, Long, Long)] = centersSig
 
-    private[streaming] def resetTotals(): Unit = { cellN.clear(); cellSum.clear() }
+    private[streaming] def resetTotals(): Unit = {
+      cellN.clear(); cellSum.clear()
+      coarseOverlapSum = 0L; coarseProbeN = 0L
+    }
 
     /** Re-sync the scored-against geometry with the index on disk: if the
       * centers signature changed (a retrain — ours or an external one —
@@ -378,6 +408,10 @@ object AnnStream {
       val sig = Similarity.centersSignature(spark, indexPath)
       if (sig != centersSig) {
         centers = Similarity.loadCenters(spark, indexPath)
+        // the signature covers coarse/ — a coarse refit (or a late
+        // migration) reloads the quantizer and restarts the consistency
+        // tallies with the health totals
+        coarseQ = Similarity.loadCoarseQuantizer(spark, indexPath)
         centersSig = sig
         resetTotals()
       }
@@ -399,17 +433,44 @@ object AnnStream {
     /** SCORE the batch's health against the same centers it was just
       * encoded with — the shared [[cellHealthFold]]. */
     private[streaming] def foldBatch(
-        vecs: org.apache.spark.sql.DataFrame): Long =
-      cellHealthFold(vecs, centers, cellN, cellSum)
+        vecs: org.apache.spark.sql.DataFrame): Long = {
+      val n = cellHealthFold(vecs, centers, cellN, cellSum)
+      // coarse-consistency fold: one tiny exact aggregate per batch —
+      // both choices are codegen expressions, the overlap is an integer
+      coarseQ.foreach { cq =>
+        val r = vecs
+          .select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_intersect(
+              graft.functions.VectorExpressions.probeCells(
+                col("embedding"), centers, CoarseWatchNprobe),
+              graft.functions.VectorExpressions.probeCellsCoarse(
+                col("embedding"), cq.coarseCenters, cq.cellToCoarse,
+                centers, CoarseWatchNprobe, CoarseWatchWCoarse)))
+            .cast("long").as("overlap"))
+          .agg(count(lit(1)),
+            coalesce(sum(col("overlap")), lit(0L))).head()
+        coarseProbeN += r.getLong(0)
+        coarseOverlapSum += r.getLong(1)
+      }
+      n
+    }
 
     private[streaming] def fireRetrain(
         spark: org.apache.spark.sql.SparkSession): Unit =
       Similarity.retrainIvfIndex(spark, indexPath)
 
     private[streaming] def totalsJson: String =
-      s"""{"cells":${cellTotalsJson(cellN, cellSum)}}"""
-    private[streaming] def restoreTotals(m: Map[String, Any]): Unit =
+      s"""{"cells":${cellTotalsJson(cellN, cellSum)},""" +
+        s""""coarse_overlap":"$coarseOverlapSum",""" +
+        s""""coarse_probes":"$coarseProbeN"}"""
+    private[streaming] def restoreTotals(m: Map[String, Any]): Unit = {
       restoreCellTotals(m("cells"), cellN, cellSum)
+      // absent in state persisted before the watch existed: zero tallies
+      coarseOverlapSum = m.get("coarse_overlap")
+        .map(_.asInstanceOf[String].toLong).getOrElse(0L)
+      coarseProbeN = m.get("coarse_probes")
+        .map(_.asInstanceOf[String].toLong).getOrElse(0L)
+    }
     private[streaming] def compactTargets: Seq[(String, Option[String])] =
       Seq(("corpus", Some("cell")))
   }

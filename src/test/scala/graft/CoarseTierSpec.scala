@@ -175,6 +175,60 @@ class CoarseTierSpec extends SparkTestBase {
     assert(Pq.queryStandingIvfPqResidual(sc, queries).count() > 0)
   }
 
+  test("the IVF drift monitor watches coarse-assignment consistency: exact tallies, flat-index None, durable across restart, reset by resync") {
+    import graft.streaming.AnnStream
+    val path = tmp("graft-coarse-watch")
+    // auto-engaged geometry: the monitor must find and score the quantizer
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0),
+        nlist = 32), path)
+    val stateDir = tmp("graft-coarse-watch-state")
+    val monitor = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, stateDir = Some(stateDir))
+    assert(monitor.coarseConsistencyMicros.isEmpty, "no vector scored yet")
+    val batch = emb.filter($"vec_id" % 2 === 1 && $"vec_id" < 101)
+    AnnStream.processIngestBatch(monitor, batch, 0L) { (r, _) =>
+      val _ = r.count()
+    }
+    val got = monitor.coarseConsistencyMicros
+    assert(got.nonEmpty)
+    // exact driver-side recomputation at the watch's serving defaults
+    val standing = Similarity.prepareIvfIndex(spark, path)
+    val cq = standing.coarse.get
+    val qs = batch.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val flat = Similarity.probeCellsFor(standing.centers, qs,
+        monitor.CoarseWatchNprobe)
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    val two = Similarity.probeCellsCoarseRanked(standing.centers, cq, qs,
+        monitor.CoarseWatchNprobe, monitor.CoarseWatchWCoarse)
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    val overlap = qs.map { case (q, _) =>
+      flat(q).intersect(two(q)).size.toLong }.sum
+    val want = 1000000L * overlap /
+      (qs.length.toLong * monitor.CoarseWatchNprobe)
+    assert(got.get == want, s"got ${got.get}, want $want")
+    // the tallies persist with the monitor state (crash-restart seed)
+    val seeded = AnnStream.prepareRetrainMonitor(spark, path,
+      healthFloorMicros = Long.MinValue, stateDir = Some(stateDir))
+    assert(seeded.coarseConsistencyMicros.contains(want))
+    // a retrain (signature change) resets the pairing-scoped tallies at
+    // the next slot's resync — delivered here as an EMPTY batch
+    Similarity.retrainIvfIndex(spark, path)
+    AnnStream.processIngestBatch(monitor,
+      emb.filter($"vec_id" < 0), 1L) { (r, _) => val _ = r.count() }
+    assert(monitor.coarseConsistencyMicros.isEmpty)
+    // a FLAT index never tallies: the watch is coarse-medium-scoped
+    val flatPath = tmp("graft-coarse-watch-flat")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb, nlist = 16), flatPath)
+    val flatMon = AnnStream.prepareRetrainMonitor(spark, flatPath,
+      healthFloorMicros = Long.MinValue)
+    AnnStream.processIngestBatch(flatMon,
+      emb.filter($"vec_id" < 10), 0L) { (r, _) => val _ = r.count() }
+    assert(flatMon.coarseConsistencyMicros.isEmpty)
+  }
+
   test("composed retrains carry the tier: an engaged index refits it, a flat serving-geometry index engages it") {
     val model = Pq.train(emb)
     val index = Similarity.buildIvfIndex(emb, nlist = 32)
