@@ -65,6 +65,23 @@ object ScaleBench {
       record(s"$entry@$tag", sec, s""","rows":$n,"warm_sec":${f"$warm%.2f"}""")
     }
 
+    // production-geometry embedding near-dup (threshold 0.95, b=32, r=8
+    // — the 100 TB geometry the embedding tier's scale argument is
+    // about): the REGISTERED embedding entries deliberately run the
+    // near-exhaustive oracle geometry (threshold 0.4, r=2 → 4 keys per
+    // band), whose hot-bucket cap correctly drops every bucket once the
+    // corpus is 10× the key space — a capped no-op, not a measurement.
+    // This is the embedding tier's actual scale path.
+    for ((dir, tag) <- Seq((sfDir, "sf0.1"), (scaledDir, "sf1"))) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val (_, w) = timed(graft.operators.Dedup.embeddingNearDupOf(e,
+        threshold = 0.95, numBands = 32, rowsPerBand = 8).count())
+      val (np, sec) = timed(graft.operators.Dedup.embeddingNearDupOf(e,
+        threshold = 0.95, numBands = 32, rowsPerBand = 8).count())
+      record(s"embedding_near_dup_prod@$tag", sec,
+        s""","pairs":$np,"warm_sec":${f"$w%.2f"}""")
+    }
+
     // iterative-clustering ROUND COUNT at the larger graph diameter — the
     // first out-of-fixture data point for the O(log diameter) claim
     for ((dir, tag) <- Seq((sfDir, "sf0.1"), (scaledDir, "sf1"))) {
