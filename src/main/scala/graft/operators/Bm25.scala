@@ -434,6 +434,19 @@ object Bm25 {
       .groupBy($"doc_id").agg(max($"dl").as("dl")))
   }
 
+  /** Count of LIVE (unfolded) tombstone data files — the pressure signal
+    * the BM25 ingest loop's maintenance slot watches
+    * ([[graft.streaming.LexStream.bm25IngestQuery]]): folded files are
+    * excluded by name exactly as every reader excludes them, so
+    * crash-window leftovers (record written, GC pending) exert no
+    * pressure. One fold-record read + one directory listing. */
+  private[graft] def liveTombstoneFileCount(spark: SparkSession,
+      path: String): Int = {
+    val (_, _, foldedFiles) = readFolds(spark, path)
+    graft.util.Tombstones.dataFiles(spark, path)
+      .count(st => !foldedFiles.contains(st.getPath.getName))
+  }
+
   /** Physically ABSORB tombstoned postings and BOUND the tombstone medium:
     * the postings compact through [[graft.util.Compaction.compactDir]]
     * with the anti-join as the row transform, and — iff the rewrite was

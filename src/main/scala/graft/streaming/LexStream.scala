@@ -107,6 +107,14 @@ object LexStream {
     * the current batch has not committed to the checkpoint yet and may
     * replay, so its tagged files ride through the rewrite verbatim.
     *
+    * `autoCompactMaxTombstones` arms the TOMBSTONE-PRESSURE watch in the
+    * same slot (the [[AnnStream]] monitors' twin): past the bound of
+    * live unfolded tombstone files, the slot runs
+    * [[graft.operators.Bm25.absorbBm25Deletes]] under the same fence —
+    * absorbing postings + empties and folding the (N, Σdl) correction
+    * when carry-free — so a delete-heavy stream cannot grow probe-time
+    * anti-join cost indefinitely below the fragmentation ceiling.
+    *
     * One audit row per delivered batch to `sink`:
     * (batch_id, seg_docs, seg_total_dl, compacted).
     *
@@ -115,13 +123,14 @@ object LexStream {
     * state is never rewritten — the Lucene segment shape, which is what
     * makes lexical ingest embarrassingly appendable at 100 TB. */
   def bm25IngestQuery(docStream: DataFrame, indexPath: String,
-      autoCompactMaxFiles: Option[Long] = None)
+      autoCompactMaxFiles: Option[Long] = None,
+      autoCompactMaxTombstones: Option[Long] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBm25IngestBatch(batch, batchId, indexPath,
-          autoCompactMaxFiles)(sink)
+          autoCompactMaxFiles, autoCompactMaxTombstones)(sink)
       }
 
   /** One BM25 ingest micro-batch — [[bm25IngestQuery]]'s foreachBatch
@@ -129,14 +138,45 @@ object LexStream {
     * lifecycles are directly testable (the
     * [[AnnStream.processIngestBatch]] convention). */
   private[graft] def processBm25IngestBatch(batch: DataFrame, batchId: Long,
-      indexPath: String, autoCompactMaxFiles: Option[Long])
+      indexPath: String, autoCompactMaxFiles: Option[Long],
+      autoCompactMaxTombstones: Option[Long] = None)
       (sink: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (nDocs, totalDl) = Bm25.appendSegmentTagged(
-      batch.selectExpr("doc_id", "text"), indexPath,
-      graft.util.BatchAppend.tag(batchId))
-    val compacted = autoCompactMaxFiles.exists { limit =>
+    // TOMBSTONE PRESSURE (the AnnStream.maybeAutoCompact twin for the
+    // lexical tier): past the bound of LIVE (unfolded) tombstone files,
+    // the slot runs the full absorb — postings AND empties compact, and
+    // iff carry-free the (N, Σdl) correction FOLDS into one tsfold
+    // record and the files retire. A delete-heavy, append-light stream
+    // otherwise accumulates per-probe anti-join + correction-scan cost
+    // forever below the fragmentation ceiling. Checked BEFORE the
+    // append: this batch's files don't exist yet, so the slot's own
+    // publish can never carry itself past the fold (and the absorb
+    // includes the fragmentation rewrite, making the frag check below
+    // redundant in the same slot). Carry above the fence (an earlier
+    // replayable batch) still skips the fold; pressure re-fires at a
+    // later slot whose fence has advanced — eventually-folding, never
+    // lost.
+    val absorbed = autoCompactMaxTombstones.exists { bound =>
+      Bm25.liveTombstoneFileCount(spark, indexPath).toLong > bound && {
+        val _ = Bm25.absorbBm25Deletes(spark, indexPath,
+          safeBatchFence = Some(batchId - 1L))
+        true
+      }
+    }
+    // an EMPTY batch publishes NO segment: a zero-doc segment carries no
+    // postings, no empties, and (0, 0) stats — publishing one per trigger
+    // would grow the stats medium (and the committed-segment set every
+    // probe filters on) without bound on a delete-heavy, append-light
+    // stream, and its tagged files would carry above every same-slot
+    // fence. The replay contract is unaffected (a replayed empty batch
+    // re-skips identically).
+    val (nDocs, totalDl) =
+      if (batch.isEmpty) (0L, 0L)
+      else Bm25.appendSegmentTagged(
+        batch.selectExpr("doc_id", "text"), indexPath,
+        graft.util.BatchAppend.tag(batchId))
+    val compacted = absorbed || autoCompactMaxFiles.exists { limit =>
       val postings = s"$indexPath/postings"
       graft.util.Compaction.dataFileCount(spark, postings) > limit && {
         // retracted postings absorb physically during the rewrite the

@@ -273,4 +273,55 @@ class LexStreamSpec extends SparkTestBase {
           s" vs reference ${want.toSeq.sortBy(_._2).take(4)}")
     } finally q.stop()
   }
+
+  test("tombstone pressure: a DELETES-ONLY ingest stream fires the full absorb+fold below the fragmentation ceiling; probes stay bit-equal and the medium retires") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 60)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-tspressure").toString
+    Bm25.writeBm25Index(docs, path)
+    val dead = Seq(5L, 7L, 11L)
+    // three separate takedowns: three live tombstone files — past bound 2
+    dead.foreach { id =>
+      Bm25.deleteFromBm25Index(spark, path,
+        spark.createDataFrame(Seq(Tuple1(id))).toDF("doc_id"))
+    }
+    val queries = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val want = Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    val rows = scala.collection.mutable.Buffer[(Long, Long, Long, Boolean)]()
+    // the stream carries NO documents — only the maintenance slot runs;
+    // NO fragmentation ceiling is configured, the pressure bound alone
+    // must fire. Fence = batchId - 1 = 0: every pre-existing file is
+    // eligible, so the absorb is carry-free and the correction FOLDS.
+    graft.streaming.LexStream.processBm25IngestBatch(
+      docs.filter($"doc_id" < 0), 1L, path, None,
+      autoCompactMaxTombstones = Some(2L)) { (r, _) =>
+      rows ++= r.as[(Long, Long, Long, Boolean)].collect()
+    }
+    assert(rows.map(r => (r._1, r._4)) == Seq((1L, true)),
+      s"pressure slot must report the absorb: $rows")
+    assert(Bm25.liveTombstoneFileCount(spark, path) == 0,
+      "carry-free absorb must fold and retire the live tombstones")
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"doc_id".isin(dead: _*)).count() == 0L,
+      "absorb must drop the retracted postings physically")
+    // scoring unchanged across the fold (correction now in tsfold), and
+    // equal to a fresh index over the retained corpus
+    assert(Bm25.queryBm25Index(spark, path, queries)
+      .collect().map(_.toSeq).toSeq == want)
+    val refPath = java.nio.file.Files
+      .createTempDirectory("graft-bm25-tspressure-ref").toString
+    Bm25.writeBm25Index(docs.filter(!$"doc_id".isin(dead: _*)), refPath)
+    assert(Bm25.queryBm25Index(spark, refPath, queries)
+      .collect().map(_.toSeq).toSeq == want)
+    // no pressure left: the next deletes-only slot is quiet
+    graft.streaming.LexStream.processBm25IngestBatch(
+      docs.filter($"doc_id" < 0), 2L, path, None,
+      autoCompactMaxTombstones = Some(2L)) { (r, _) =>
+      rows ++= r.as[(Long, Long, Long, Boolean)].collect()
+    }
+    assert(rows.last == ((2L, 0L, 0L, false)))
+  }
 }
