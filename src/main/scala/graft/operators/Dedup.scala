@@ -226,12 +226,27 @@ object Dedup {
   /** Banded-LSH candidate generation shared by the MinHash-Jaccard and
     * edit-distance tiers: distinct unordered (a_doc_id < b_doc_id) pairs
     * colliding in at least one band. Cost O(docs × bands) rows exchanged;
-    * only colliding buckets join; hot buckets capped ([[dropHotBuckets]]). */
+    * only colliding buckets join; hot buckets capped ([[dropHotBuckets]]).
+    *
+    * The banded frame is lineage-cut ONCE, eagerly, right after the
+    * minhash expression: the candidate topology consumes it four times
+    * (hot-bucket count ×2 — one per self-join side — plus the two join
+    * sides themselves), and without the cut each consumer re-runs the
+    * full scan → spread → 1024-slot minhash pass (the dominant per-row
+    * cost of the whole tier; plan-verified as four `minhashbandsexpr`
+    * Generates over four parquet scans). A checkpointed scan also keeps
+    * AQE's skew-split: the self-join's exchanges stay ENSURE_REQUIREMENTS
+    * (the round-6 `repartition(keys)` dead end documented on
+    * [[dropHotBuckets]] does not apply). The materialized rows are narrow
+    * (doc_id, band, bsig) — bands×corpus rows of ~20 bytes, ≪ the text
+    * they derive from. localCheckpoint here; reliable `checkpoint` (or
+    * the persisted band-index table, which IS this frame) on a cluster. */
   private def bandedCandidates(base: DataFrame, shingleLen: Int,
       numBands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
     val banded = dropHotBuckets(base.select($"doc_id",
       posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
-        .as(Seq("band", "bsig"))), Seq("band", "bsig"), maxBucketSize)
+        .as(Seq("band", "bsig"))).localCheckpoint(), Seq("band", "bsig"),
+      maxBucketSize)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig") &&
@@ -570,8 +585,13 @@ object Dedup {
     def bandsOf(base: DataFrame) = base.select($"doc_id",
       posexplode(bandKeys($"t", shingleLen, numBands, rowsPerBand))
         .as(Seq("band", "bsig")))
-    val corpusBanded =
-      dropHotBuckets(bandsOf(corpusBase), Seq("band", "bsig"), maxBucketSize)
+    // lineage-cut the corpus side's banded frame (the [[bandedCandidates]]
+    // discipline): the hot-bucket count and the candidate join would
+    // otherwise run the corpus-wide minhash pass twice. The batch side is
+    // evaluated once, so it carries no cut. In production this frame IS
+    // the persisted band-index table ([[incrementalNearDupIndexed]]).
+    val corpusBanded = dropHotBuckets(bandsOf(corpusBase).localCheckpoint(),
+      Seq("band", "bsig"), maxBucketSize)
     val candidates = bandsOf(batchBase).as("l")
       .join(corpusBanded.as("r"),
         col("l.band") === col("r.band") && col("l.bsig") === col("r.bsig"))
@@ -1403,6 +1423,28 @@ object Dedup {
     // O(rounds × full-pipeline) at 100×. localCheckpoint here; use
     // reliable `checkpoint` on a cluster.
     val p = pairs.select($"a_doc_id", $"b_doc_id").localCheckpoint()
+    // SCALE-ADAPTIVE loop parallelism: every in-loop exchange (the edge
+    // join, the min-label hash-agg, the doubling join) is sized by
+    // spark.sql.shuffle.partitions, a constant tuned for the CORPUS scan —
+    // but the loop runs over the (already materialized, already counted)
+    // pair graph, which is orders of magnitude smaller. Sizing the loop's
+    // shuffles from the edge list's actual row count (~64 MB per
+    // partition at 32 B/edge-row, the AQE advisory target) instead of the
+    // session constant removes rounds × stages × (constant − needed)
+    // empty-task overhead at fixture scale AND over-splitting at 100 TB —
+    // a 1e9-edge graph gets ~500 partitions of ~64 MB, not whatever the
+    // corpus needed. The count is one cheap job over checkpointed blocks;
+    // set/restore mirrors graft.streaming.Soak's documented pattern (the
+    // conf is session-scoped and the loop is the only planner under it —
+    // every frame that escapes this method is checkpoint-materialized
+    // BEFORE the restore, so no caller plans under the loop's setting).
+    val spark = p.sparkSession
+    val nEdges = p.count()
+    val loopParts = math.max(1L, math.min(nEdges * 32L / (64L << 20) + 1L,
+      1000000L)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     val sym = p
       .select($"a_doc_id".as("src"), $"b_doc_id".as("dst"))
       .union(p.select($"b_doc_id".as("src"), $"a_doc_id".as("dst")))
@@ -1441,6 +1483,7 @@ object Dedup {
       s"dupClusters: $changed labels still changing after $maxIters rounds " +
         "— pair-graph diameter exceeds 2^rounds; raise maxIters")
     (labels.select($"node".as("doc_id"), $"label".as("cluster_id")), iter)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** One min-label propagation round — the loop body of [[dupClusters]],
@@ -1743,10 +1786,16 @@ object Dedup {
     // the dot with plane b·rows+r, P[bit agrees] = 1 − θ/π); the plane
     // matrix (bands×rows×dim doubles) rides along as a codegen reference
     val planes = gaussianPlanes(numBands * rowsPerBand, dim, seed)
+    // lineage-cut after the band expression, same as [[bandedCandidates]]:
+    // the hot-bucket count (×2, one per join side) and the self-join's two
+    // sides would otherwise each re-run scan → spread → bands·rows dot
+    // products per vector; the cut leaves narrow (vec_id, band, key) rows
+    // and keeps the join exchanges ENSURE_REQUIREMENTS (AQE skew-split —
+    // critical here: sign-LSH at r=2 has only 4 keys per band)
     val banded = dropHotBuckets(emb
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
-        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucketSize)
+        .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key")))
+      .localCheckpoint(), Seq("band", "key"), maxBucketSize)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -1937,7 +1986,12 @@ object Dedup {
     */
   def simhashSignatures(spark: SparkSession, sfDir: String,
       shingleLen: Int = 5): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread first — the per-shingle SimHash is the whole cost of this
+    // entry, and a small fixture file is ONE scan split: without the
+    // spread the corpus-wide hash pass serializes onto a single task
+    // (measured 1.9 s → 0.3 s at sf0.1/local[32]; same guard as every
+    // other compute-dense tier, no-op on an already-split production scan)
+    spread(Tables.documents(spark, sfDir))
       .select($"doc_id", simhash($"text", shingleLen).as("sh"))
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
@@ -1987,7 +2041,14 @@ object Dedup {
       numChunks: Int, maxHamming: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     requirePigeonhole(numChunks, maxHamming)
-    val chunked = dropHotBuckets(chunkedSigs(sigs, idCol, sigCol, numChunks),
+    // lineage-cut after the signature+chunk expressions, same as
+    // [[bandedCandidates]]: the hot-bucket count (×2) and the self-join's
+    // two sides would otherwise each re-run the UPSTREAM signature pass —
+    // for [[simhashNearDupOf]] that is the full per-shingle SimHash over
+    // the corpus text, for the media tiers the perceptual-hash decode —
+    // four times per query. Narrow (id, sig, chunk, key) rows materialize.
+    val chunked = dropHotBuckets(
+      chunkedSigs(sigs, idCol, sigCol, numChunks).localCheckpoint(),
       Seq("chunk", "key"), maxBucketSize)
     chunked.as("l")
       .join(chunked.as("r"),
