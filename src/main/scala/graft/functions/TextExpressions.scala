@@ -27,15 +27,49 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashImpl {
 
+  /** Byte offset of every character boundary (length numChars+1): ONE
+    * O(bytes) pass over the string. The previous per-position
+    * `substringSQL(i, n)` walks the byte array from position 0 on EVERY
+    * call to find the char boundary — O(chars²) byte-steps per document,
+    * which is the difference between linear and quadratic shingling on long
+    * documents — and allocates a copy per position even for duplicate
+    * shingles. All shingle walkers below share this. */
+  private def charOffsets(s: UTF8String): Array[Int] = {
+    val nChars = s.numChars()
+    val offs = new Array[Int](nChars + 1)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var c = 0
+    while (c < nChars) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      c += 1
+    }
+    offs(nChars) = s.numBytes
+    offs
+  }
+
   /** Distinct character shingles in first-occurrence order — the fused form
-    * of `array_distinct(transform(sequence(...), i => substr(i, n)))`. */
+    * of `array_distinct(transform(sequence(...), i => substr(i, n)))`.
+    * Membership is tested with a zero-copy window view over the parent
+    * buffer; only FIRST occurrences are copied out (the output must own its
+    * bytes — the parent buffer is a reused row buffer). */
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]
-    var i = 1
-    while (i <= len - n + 1) {
-      seen.add(s.substringSQL(i, n))
+    val offs = charOffsets(s)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nPos = len - n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      Math.min(nPos * 2, 1 << 16))
+    var i = 0
+    while (i < nPos) {
+      val b0 = offs(i)
+      val view = UTF8String.fromAddress(base, off + b0, offs(i + n) - b0)
+      if (!seen.contains(view)) seen.add(view.copy())
       i += 1
     }
     val arr = new Array[Any](seen.size())
@@ -45,25 +79,78 @@ object TextHashImpl {
     new GenericArrayData(arr)
   }
 
-  /** MinHash signature straight from text. Duplicate shingles cannot change
-    * a minimum, so no distinct pass is needed. Each slot h mixes the slot
-    * index into the shingle's base hash exactly like `xxhash64(shingle, h)`
-    * (seed 42, then int child), so the estimator is the same family the
-    * column form used. */
+  /** Per-slot multiply-add coefficients for the minhash slot family —
+    * deterministic (derived from the slot index via XXH64), odd multipliers,
+    * computed once per slot count instead of once per row. */
+  private val slotCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]
+  private def slotCoefs(numHashes: Int): (Array[Long], Array[Long]) =
+    slotCoefCache.computeIfAbsent(numHashes, { k =>
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var h = 0
+      while (h < k) {
+        a(h) = XXH64.hashInt(h, 0x9E3779B97F4A7C15L) | 1L
+        b(h) = XXH64.hashInt(h, 0x517CC1B727220A95L)
+        h += 1
+      }
+      (a, b)
+    })
+
+  /** MinHash signature straight from text: slot h keeps
+    * `min over shingles of (a_h · xxhash64(shingle, 42) + b_h)` — the
+    * standard multiply-add universal family over one 64-bit base hash per
+    * shingle. The base hash is computed directly over the in-place byte
+    * window (no substring allocation, no per-position boundary walk), and
+    * positions whose base REPEATS are skipped outright (identical base ⇒
+    * identical slot values ⇒ the min cannot move — an exact identity, since
+    * every slot value is a function of the base alone). The previous form
+    * ran a full XXH64 avalanche per (position × slot): ~15 ALU ops where
+    * the mul-add family needs 2, on the single hottest loop of every
+    * banded-LSH tier (measured: the banded lineage-cut stage dominates all
+    * text-dedup entries). */
   def minhash(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val len = s.numChars()
     if (len >= n) {
-      var i = 1
-      while (i <= len - n + 1) {
-        val sh = s.substringSQL(i, n)
-        val base = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
-        var h = 0
-        while (h < numHashes) {
-          val v = XXH64.hashInt(h, base)
-          if (v < mins(h)) mins(h) = v
-          h += 1
+      val offs = charOffsets(s)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val (ca, cb) = slotCoefs(numHashes)
+      val nPos = len - n + 1
+      // open-address set of seen base hashes (linear probing, power-of-2).
+      // The skip is purely an optimization, so the table is size-capped and
+      // simply stops absorbing once half full (a re-processed duplicate
+      // changes nothing); load factor stays ≤ 1/2 and probes stay short.
+      var cap = 16
+      while (cap < nPos * 2 && cap < (1 << 20)) cap <<= 1
+      val seenTab = new Array[Long](cap)
+      var seenZero = false
+      var seenCount = 0
+      val seenMax = cap >> 1
+      val mask = cap - 1
+      var i = 0
+      while (i < nPos) {
+        val b0 = offs(i)
+        val h64 = XXH64.hashUnsafeBytes(base, off + b0, offs(i + n) - b0, 42L)
+        var fresh = false
+        if (h64 == 0L) { fresh = !seenZero; seenZero = true }
+        else if (seenCount >= seenMax) fresh = true
+        else {
+          var slot = (h64 ^ (h64 >>> 32)).toInt & mask
+          while (seenTab(slot) != 0L && seenTab(slot) != h64)
+            slot = (slot + 1) & mask
+          fresh = seenTab(slot) == 0L
+          if (fresh) { seenTab(slot) = h64; seenCount += 1 }
+        }
+        if (fresh) {
+          var h = 0
+          while (h < numHashes) {
+            val v = ca(h) * h64 + cb(h)
+            if (v < mins(h)) mins(h) = v
+            h += 1
+          }
         }
         i += 1
       }
@@ -101,15 +188,22 @@ object TextHashImpl {
   def simhash(s: UTF8String, n: Int): Long = {
     val len = s.numChars()
     if (len < n) return 0L
-    val seen = new java.util.HashSet[UTF8String]
+    val offs = charOffsets(s)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nPos = len - n + 1
+    // distinctness by STRING (zero-copy window views — safe within one eval;
+    // the set never outlives the parent buffer), same majority vote as before
+    val seen = new java.util.HashSet[UTF8String](Math.min(nPos * 2, 1 << 16))
     val counts = new Array[Int](64)
     var any = false
-    var i = 1
-    while (i <= len - n + 1) {
-      val sh = s.substringSQL(i, n)
-      if (seen.add(sh)) {
+    var i = 0
+    while (i < nPos) {
+      val b0 = offs(i)
+      val view = UTF8String.fromAddress(base, off + b0, offs(i + n) - b0)
+      if (seen.add(view)) {
         any = true
-        val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        val h = XXH64.hashUnsafeBytes(base, off + b0, offs(i + n) - b0, 42L)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
