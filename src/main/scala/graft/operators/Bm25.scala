@@ -57,22 +57,32 @@ object Bm25 {
       count(lit(1)).as("n_docs"), sum($"dl").as("total_dl")).head()
     val nDocs = statsRow.getLong(0)
     val totalDl = statsRow.getLong(1)
-    val exploded = docs.select($"doc_id", explode($"toks").as("term"))
-    val qterms = exploded.filter($"doc_id" < numQueries).distinct()
-      .select($"doc_id".as("query_id"), $"term")
+    // dl DENORMALIZED onto the exploded postings (the standing-index
+    // layout's own trick, §"space-for-shuffle"): kills the probe-time
+    // corpus-wide `lens` join — and with it one full tokenize pass — since
+    // dl rides the group-by key (functionally dependent on doc_id).
+    val exploded = docs.select($"doc_id", size($"toks").cast("long").as("dl"),
+      explode($"toks").as("term"))
+    val qterms = exploded.filter($"doc_id" < numQueries)
+      .select($"doc_id".as("query_id"), $"term").distinct()
     val qvocab = broadcast(qterms.select($"term").distinct())
-    // inverted-index slice: only query-term postings survive the explode
-    val postings = exploded.join(qvocab, "term")
-    val dfTab = postings.distinct()
+    // inverted-index slice: only query-term postings survive the explode;
+    // the (query-vocab-pruned, tiny) tf table is lineage-cut ONCE — its two
+    // consumers (the idf aggregate and the weight projection) would
+    // otherwise each re-run the corpus-wide tokenize → explode → join pass,
+    // the query's dominant stage. localCheckpoint here; reliable checkpoint
+    // on a cluster.
+    val tf = exploded.join(qvocab, "term")
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // df per term = one row per (doc, term) in tf — no second corpus pass
+    val idf = broadcast(tf
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val idf = broadcast(dfTab
       .select($"term", round(
         log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
         .cast("long").as("idf_micros")))
-    val tf = postings.groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
     val weights = tf
-      .join(lens, "doc_id")
       .join(idf, "term")
       .select($"doc_id", $"term",
         weightMicros($"idf_micros", $"tf", $"dl", nDocs, totalDl).as("wm"))
@@ -575,16 +585,27 @@ object Bm25 {
     }
     val nDocs = standing.segDocs - standing.foldedDocs - tsDocs
     val totalDl = standing.segDl - standing.foldedDl - tsDl
-    val qterms = queries
+    // ONE bounded collect of the (query-sized by contract) term set serves
+    // every query-side derivation: the probed buckets (driver arithmetic —
+    // the same xxhash64-seed-42 + pmod the SQL expression computes), the
+    // broadcast vocab, and the scored join's (query_id, term) frame. The
+    // previous shape planned three separate jobs over the query scan
+    // (buckets collect, qvocab exchange, scored join side) on the serving
+    // hot path.
+    val qtermRows = queries
       .select($"query_id", explode(TextAnalysis.tokens($"text")).as("term"))
-      .distinct()
-    // the probed "cells": distinct term buckets of the query batch —
-    // query-sized by contract, so the collect is bounded like the IVF
-    // probe-cell collect
-    val buckets = qterms
-      .select(pmod(xxhash64($"term"), lit(TermBuckets.toLong)).as("tb"))
-      .distinct().collect().map(_.getLong(0))
-    val qvocab = broadcast(qterms.select($"term").distinct())
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val qterms = spark.createDataFrame(qtermRows).toDF("query_id", "term")
+    val buckets = qtermRows.map { case (_, t) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      ((h % TermBuckets) + TermBuckets) % TermBuckets
+    }.distinct
+    val qvocab = broadcast(spark
+      .createDataFrame(qtermRows.map(_._2).distinct.map(Tuple1(_)))
+      .toDF("term"))
     // per-directory chunked listing of ONLY the probed buckets
     // (Similarity.prunedScan — the StandingIvfPq.prunedCodes rationale): a
     // whole-tree read + partition filter would list every segment's files

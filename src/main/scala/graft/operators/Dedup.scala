@@ -537,6 +537,15 @@ object Dedup {
           col("l.sz") >= lit(t) * col("r.sz") - lit(1e-9))
       .select(col("l.doc_id").as("a_doc_id"), col("r.doc_id").as("b_doc_id"))
       .distinct()
+      // restore verify parallelism: the distinct's output is BYTE-tiny (two
+      // longs per pair), so AQE coalesces it to 1-2 partitions — and the
+      // per-pair verify below (gram-set intersection over full arrays) is
+      // the query's most compute-dense stage, measured serializing on 2
+      // tasks (5.5 s task-time, 2.8 s wall floor) behind a broadcast of the
+      // gram table. Pair ROWS are cheap to exchange at any scale; their
+      // VERIFY is not — round-robin them across the session parallelism.
+      .repartition(documents.sparkSession
+        .conf.get("spark.sql.shuffle.partitions").toInt)
     candidates
       .join(grams.select($"doc_id".as("a_doc_id"), $"grams".as("a_g")), "a_doc_id")
       .join(grams.select($"doc_id".as("b_doc_id"), $"grams".as("b_g")), "b_doc_id")
@@ -1441,10 +1450,23 @@ object Dedup {
     val spark = p.sparkSession
     val nEdges = p.count()
     val loopParts = math.max(1L, math.min(nEdges * 32L / (64L << 20) + 1L,
-      1000000L)).toString
+      1000000L))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE gated on the SAME size signal (scale-adaptive, not a local[k]
+    // constant): when the derived loop partition count does not even fill
+    // the session's default parallelism, the partitions are already exactly
+    // advisory-sized, so AQE has nothing to coalesce and no skew wide
+    // enough to split — but it still turns every in-loop shuffle stage into
+    // its own re-optimization job, and rounds × stages of per-job latency
+    // IS the loop's wall cost at that size (measured: 114 jobs for a
+    // 3-round fixture loop). Above the threshold (a pair graph wide enough
+    // to fill the cluster) AQE stays on for exactly the reason it exists:
+    // runtime skew-splitting of hot-label joins.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val loopAqe = loopParts > prevParts.toLong
     try {
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", loopAqe.toString)
     val sym = p
       .select($"a_doc_id".as("src"), $"b_doc_id".as("dst"))
       .union(p.select($"b_doc_id".as("src"), $"a_doc_id".as("dst")))
@@ -1483,7 +1505,10 @@ object Dedup {
       s"dupClusters: $changed labels still changing after $maxIters rounds " +
         "— pair-graph diameter exceeds 2^rounds; raise maxIters")
     (labels.select($"node".as("doc_id"), $"label".as("cluster_id")), iter)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** One min-label propagation round — the loop body of [[dupClusters]],
@@ -1814,6 +1839,10 @@ object Dedup {
     val emb = prepareEmbeddings(embeddings)
     val candidates = embeddingCandidatesOf(emb, numBands, rowsPerBand,
       dim, seed, maxBucketSize)
+    // (measured non-win: a tokenJaccardPairsOf-style repartition of the
+    // candidate frame before the verify read NEUTRAL here — at the fixture's
+    // near-exhaustive geometry the candidate set is large, so re-exchanging
+    // it costs what the verify parallelism gains back)
     candidates
       .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("a_emb")), "a_vec_id")
       .join(emb.select($"vec_id".as("b_vec_id"), $"embedding".as("b_emb")), "b_vec_id")

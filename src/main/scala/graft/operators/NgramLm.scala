@@ -53,10 +53,15 @@ object NgramLm {
     val toks = spread(reference)
       .select(explode(TextExpressions.tokenNgramsPos(
         coalesce($"text", lit("")), 1)).as("token"))
+    // lineage-cut, not persist: the unigram table (vocab-sized) has THREE
+    // consumers — the v count, the bigram-logprob join, and the defaults
+    // table — and the previous persist was unpersisted before the model
+    // tables ever executed (they are returned as plans), so every consumer
+    // re-ran the reference tokenize pass. localCheckpoint materializes it
+    // once with no lifecycle to get wrong; reliable checkpoint on a cluster.
     val uni = toks.groupBy($"token").agg(count(lit(1)).as("c_u"))
-      .persist()
-    try {
-      val v = uni.count() + 1
+      .localCheckpoint()
+    val v = uni.count() + 1
       val bi = spread(reference)
         .select(explode(TextExpressions.tokenNgramsPos(
           coalesce($"text", lit("")), 2)).as("gram"))
@@ -75,7 +80,6 @@ object NgramLm {
         reference.sparkSession.range(1).select(lit("").as("context"),
           lit(globalDef).as("def_micros")))
       BigramModel(lp, contexts, globalDef)
-    } finally uni.unpersist() // both model tables are now derived plans
   }
 
   /** The fixture reference corpus: the English-tagged slice (the "train on

@@ -224,8 +224,15 @@ object Pq {
     (emb, train(emb))
   }
 
-  private def fixtureQueries(emb: DataFrame, numQueries: Int): Seq[(Long, Seq[Float])] =
-    emb.filter($"vec_id" < numQueries).collect()
+  /** The fixture query batch: a pushed-down vec_id point lookup over the
+    * RAW table — never over a spread frame (the repartition would sit above
+    * the filter and drag the whole table through an exchange to fetch a
+    * handful of query rows; spread exists for compute-dense per-row work,
+    * not lookups). */
+  private def fixtureQueries(spark: SparkSession, sfDir: String,
+      numQueries: Int): Seq[(Long, Seq[Float])] =
+    Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+      .filter($"vec_id" < numQueries).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
   /** Registered rows-only dump (it IS the oracle input): the PQ-coded
@@ -248,7 +255,7 @@ object Pq {
       numQueries: Int = 5): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
     spark.createDataFrame(
-      fixtureQueries(emb, numQueries)
+      fixtureQueries(spark, sfDir, numQueries)
         .map { case (qid, q) => (qid, model.distanceTable(q).toSeq) })
       .toDF("query_id", "dtab")
       .withColumn("dtab", expr("array_join(transform(dtab, x -> cast(x AS string)), ',')"))
@@ -260,7 +267,7 @@ object Pq {
   def pqAdcTopK(spark: SparkSession, sfDir: String, numQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
-    adcTopK(encode(emb, model), model, fixtureQueries(emb, numQueries), k)
+    adcTopK(encode(emb, model), model, fixtureQueries(spark, sfDir, numQueries), k)
   }
 
   /** ADC shortlist + exact rerank — the production retrieval shape: the
@@ -1032,7 +1039,8 @@ object Pq {
       writeIvfPqIndex(index.bucketed, model, index.centers, path)
     }
     val standing = prepareIvfPqIndex(spark, path)
-    val emb = spread(Tables.embeddings(spark, sfDir))
+    // raw scan, no spread: the query frame is a pushed-down point lookup
+    val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
     queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
       k, nprobe)
@@ -1077,7 +1085,8 @@ object Pq {
         s"compaction did not reduce the fragmented layout: $stats")
     }
     val standing = prepareIvfPqIndex(spark, path)
-    val emb = spread(Tables.embeddings(spark, sfDir))
+    // raw scan, no spread: the query frame is a pushed-down point lookup
+    val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
     queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
       k, nprobe)
@@ -1115,7 +1124,8 @@ object Pq {
     val standing = prepareIvfPqIndex(spark, path)
     require(standing.coarse.nonEmpty,
       s"composed coarse fixture at $path lost its coarse/ medium")
-    val emb = spread(Tables.embeddings(spark, sfDir))
+    // raw scan, no spread: the query frame is a pushed-down point lookup
+    val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
     queryStandingIvfPq(standing, emb.filter($"vec_id" < numQueries),
       k, nprobe, wCoarse = wCoarse)
@@ -1143,8 +1153,7 @@ object Pq {
     }
     val model = loadPqModel(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
-    val emb = spread(Tables.embeddings(spark, sfDir)).select($"vec_id", $"embedding")
-    adcTopK(codes, model, fixtureQueries(emb, numQueries), k)
+    adcTopK(codes, model, fixtureQueries(spark, sfDir, numQueries), k)
   }
 
   /** Registered query: PQ shortlist + exact rerank end-to-end. Oracle:
@@ -1154,7 +1163,7 @@ object Pq {
       k: Int = 10, shortlist: Int = 50): DataFrame = {
     val (emb, model) = fixtureModel(spark, sfDir)
     rerankTopK(encode(emb, model), emb, model,
-      fixtureQueries(emb, numQueries), k, shortlist)
+      fixtureQueries(spark, sfDir, numQueries), k, shortlist)
   }
 
   /** Registered query (oracle-checked + spec:PqSpec recall floor): IVF ×
@@ -1177,7 +1186,7 @@ object Pq {
     val coded = index.bucketed.select($"vec_id",
       VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
       $"cell")
-    val queries = fixtureQueries(emb, numQueries)
+    val queries = fixtureQueries(spark, sfDir, numQueries)
     val byId = queries.toMap
     val probes = Similarity.probeCellsFor(index.centers, queries, nprobe)
       .map { case (qid, cell) => (qid, cell, model.distanceTable(byId(qid)).toSeq) }
@@ -1263,7 +1272,9 @@ object Pq {
 
   private def fixtureQueriesOf(index: Similarity.IvfIndex,
       numQueries: Int): Seq[(Long, Seq[Float])] =
-    fixtureQueries(index.bucketed.select($"vec_id", $"embedding"), numQueries)
+    index.bucketed.select($"vec_id", $"embedding")
+      .filter($"vec_id" < numQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
   /** The per-(query, probed-cell) residual probe set: cell ranks from the
     * ONE shared [[Similarity.probeCellsFor]] path (so the `ivf_probe_cells`
@@ -1426,7 +1437,8 @@ object Pq {
       writeIvfPqResidualIndex(index, model, path)
     }
     val standing = prepareIvfPqIndex(spark, path)
-    val emb = spread(Tables.embeddings(spark, sfDir))
+    // raw scan, no spread: the query frame is a pushed-down point lookup
+    val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
     queryStandingIvfPqResidual(standing, emb.filter($"vec_id" < numQueries),
       k, nprobe)
