@@ -19,8 +19,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Reference.groupByTextCount(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 — every entry
+    * routed through the scale-adaptive session tuning prelude
+    * ([[graft.util.Tune.ensureSession]]: one memoized metadata call per
+    * (session, dir), derives the shuffle-partition count from the input's
+    * measured size). The wrapper changes no plan and no result;
+    * it only sets session confs the same way for every entry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (n, f) =>
+      n -> { (s: SparkSession, d: String) =>
+        graft.util.Tune.ensureSession(s, d); f(s, d) }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— reference parity (SURVEY.md §2.2-2.5) ——
     "scan_count" -> (Reference.scanCount _),
     "groupby_text_count" -> (Reference.groupByTextCount _),

@@ -208,7 +208,12 @@ object Bm25 {
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .persist()
     try {
-      postingsOf(toks, seg).write.mode(mode).partitionBy("tb")
+      // cluster to the term-bucket before the write: one file per tb per
+      // segment instead of (tokenize tasks × 64 buckets) fragments — the
+      // BatchAppend staging rationale; the pruned probe scan then opens
+      // one file per (probed bucket, segment), guide §6
+      postingsOf(toks, seg).repartition($"tb").write.mode(mode)
+        .partitionBy("tb")
         .parquet(s"$path/postings")
       // empty-doc membership lands with the data, BEFORE the commit row —
       // an uncommitted segment's empties are invisible like its postings

@@ -715,7 +715,14 @@ object Dedup {
     // outlives the in-memory CATALOG: a fresh process would see
     // tableExists=false yet hit LOCATION_ALREADY_EXISTS on the stale
     // managed dir. In production this is an explicit warehouse path anyway.
-    val writer = banded.write.mode("overwrite").format("parquet")
+    // pre-cluster to the writer's own bucket rule (HashPartitioning(keys,
+    // buckets) == the bucket-id expression — the compactIndexTable
+    // rationale): each task holds one whole bucket, so the table lands as
+    // `buckets` files instead of (banding tasks × buckets) fragments, and
+    // every subsequent probe scan opens `buckets` files (guide §6: small
+    // files hurt on the READ side, per probe, forever)
+    val writer = banded.repartition(buckets, $"band", $"bsig")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
   }
@@ -1086,7 +1093,12 @@ object Dedup {
           .select(keys: _*)
         banded.join(broadcast(hot), keyCols, "left_anti")
       }
-    kept.write.mode("append").format("parquet")
+    // one file per bucket per append (not banding-tasks × buckets): the
+    // writeBandIndex pre-clustering, applied to the append half — a
+    // standing index probed every trigger pays file-open cost per PROBE,
+    // so append-time fragmentation is the expensive kind (guide §6)
+    kept.repartition(numBuckets, keys: _*)
+      .write.mode("append").format("parquet")
       .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
@@ -1273,7 +1285,10 @@ object Dedup {
         .filter(length($"t") >= shingleLen)
         .select(xxhash64($"t").as("h"), $"doc_id"),
       Seq("h"), maxBucketSize)
-    val writer = hashed.write.mode("overwrite").format("parquet")
+    // pre-cluster to the bucket rule — `buckets` files, not tasks×buckets
+    // (writeBandIndex's read-side small-file rationale, guide §6)
+    val writer = hashed.repartition(buckets, $"h")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "h").sortBy("h")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
   }
@@ -1915,7 +1930,10 @@ object Dedup {
       .select($"vec_id", posexplode(graft.functions.VectorExpressions
         .signLshBands($"embedding", planes, rowsPerBand)).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucketSize)
-    val writer = banded.write.mode("overwrite").format("parquet")
+    // pre-cluster to the bucket rule — `buckets` files, not tasks×buckets
+    // (writeBandIndex's read-side small-file rationale, guide §6)
+    val writer = banded.repartition(buckets, $"band", $"key")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "key").sortBy("band", "key")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
   }
@@ -2122,7 +2140,10 @@ object Dedup {
     val chunked = dropHotBuckets(
       chunkedSigs(spread(sigs), idCol, sigCol, numChunks),
       Seq("chunk", "key"), maxBucketSize)
-    val writer = chunked.write.mode("overwrite").format("parquet")
+    // pre-cluster to the bucket rule — `buckets` files, not tasks×buckets
+    // (writeBandIndex's read-side small-file rationale, guide §6)
+    val writer = chunked.repartition(buckets, $"chunk", $"key")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "chunk", "key").sortBy("chunk", "key")
     location.fold(writer)(writer.option("path", _)).saveAsTable(table)
     // record the chunk geometry as a table property — probes and appends

@@ -728,6 +728,10 @@ object Pq {
     bucketed.select($"vec_id",
         VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
         $"cell")
+      // encode at scan parallelism, then cluster the NARROW code rows to
+      // one file per cell (not tasks × cells — the BatchAppend staging
+      // rationale; Similarity.writeIvfIndex has the measured numbers)
+      .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     spark.createDataFrame(
         centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
@@ -959,6 +963,8 @@ object Pq {
         VectorExpressions.pqCodes($"embedding", model.codebooks).as("codes"),
         graft.functions.VectorExpressions
           .nearestCenter($"embedding", centers).as("cell"))
+      // one file per cell per append (BatchAppend staging rationale)
+      .repartition($"cell")
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -1392,6 +1398,9 @@ object Pq {
       path: String, ncoarse: Int): Unit = {
     val spark = index.bucketed.sparkSession
     encodeResidual(index, model)
+      // one file per cell (BatchAppend staging rationale; see
+      // Similarity.writeIvfIndex for the measured small-file cost)
+      .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     spark.createDataFrame(
         index.centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
