@@ -196,8 +196,12 @@ object Dedup {
     * can run it over a SHARED candidate pass. */
   private def jaccardVerify(base: DataFrame, candidates: DataFrame,
       shingleLen: Int, threshold: Double): DataFrame = {
+    // sorted producer + merge-intersect: the per-PAIR set op drops its
+    // HashSet build/probe for a linear merge; the sort is once per DOC
+    // (SetOpsImpl.sortedIntersectSize has the measured numbers)
     val sets = base.select($"doc_id",
-      graft.functions.TextExpressions.charShingles($"t", shingleLen).as("shingles"))
+      graft.functions.TextExpressions.charShinglesSorted($"t", shingleLen)
+        .as("shingles"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "a_doc_id")
         .withColumnRenamed("shingles", "a_sh"), "a_doc_id")
@@ -207,7 +211,7 @@ object Dedup {
       // intersect-size is a native codegen expression (ArrayIntersect/
       // ArrayUnion evaluate interpreted with per-element lambda dispatch)
       .withColumn("inter",
-        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
+        graft.functions.TextExpressions.sortedIntersectSize($"a_sh", $"b_sh"))
       .withColumn("jaccard", round($"inter".cast("double") /
         (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
@@ -506,9 +510,13 @@ object Dedup {
   def tokenJaccardPairsOf(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val t = threshold
+    // sorted producer: explode/df-count below are order-blind, and the
+    // verify tail's per-pair set op becomes a linear merge
+    // (SetOpsImpl.sortedIntersectSize — this verify measured 65.7 s of
+    // task time with the per-pair HashSet form)
     val grams = spread(documents)
       .select($"doc_id", graft.functions.TextExpressions
-        .tokenNgrams(coalesce($"text", lit("")), n).as("grams"))
+        .tokenNgramsSorted(coalesce($"text", lit("")), n).as("grams"))
       .filter(size($"grams") > 0)
     val ex = grams.select($"doc_id", size($"grams").as("sz"),
       explode($"grams").as("gram"))
@@ -550,7 +558,7 @@ object Dedup {
       .join(grams.select($"doc_id".as("a_doc_id"), $"grams".as("a_g")), "a_doc_id")
       .join(grams.select($"doc_id".as("b_doc_id"), $"grams".as("b_g")), "b_doc_id")
       .withColumn("inter",
-        graft.functions.TextExpressions.setIntersectSize($"a_g", $"b_g"))
+        graft.functions.TextExpressions.sortedIntersectSize($"a_g", $"b_g"))
       .withColumn("jaccard", round($"inter".cast("double") /
         (size($"a_g") + size($"b_g") - $"inter"), 4))
       .filter($"jaccard" >= t)
@@ -607,14 +615,16 @@ object Dedup {
       .select(col("l.doc_id").as("new_doc_id"),
         col("r.doc_id").as("dup_of_doc_id"))
       .distinct()
+    // sorted producer + merge-intersect (SetOpsImpl.sortedIntersectSize)
     val shingleSets = (base: DataFrame, idAs: String, setAs: String) =>
       base.select($"doc_id".as(idAs),
-        graft.functions.TextExpressions.charShingles($"t", shingleLen).as(setAs))
+        graft.functions.TextExpressions.charShinglesSorted($"t", shingleLen)
+          .as(setAs))
     candidates
       .join(shingleSets(batchBase, "new_doc_id", "a_sh"), "new_doc_id")
       .join(shingleSets(corpusBase, "dup_of_doc_id", "b_sh"), "dup_of_doc_id")
       .withColumn("inter",
-        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
+        graft.functions.TextExpressions.sortedIntersectSize($"a_sh", $"b_sh"))
       .withColumn("jaccard", round($"inter".cast("double") /
         (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
@@ -1184,15 +1194,18 @@ object Dedup {
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
       .filter(length($"t") >= shingleLen)
       .join(broadcast(candIds), $"doc_id" === $"dup_of_doc_id", "left_semi")
+      // sorted producer + merge-intersect (SetOpsImpl.sortedIntersectSize)
       .select($"doc_id".as("dup_of_doc_id"),
-        graft.functions.TextExpressions.charShingles($"t", shingleLen).as("b_sh"))
+        graft.functions.TextExpressions.charShinglesSorted($"t", shingleLen)
+          .as("b_sh"))
     val batchSets = batchBase.select($"doc_id".as("new_doc_id"),
-      graft.functions.TextExpressions.charShingles($"t", shingleLen).as("a_sh"))
+      graft.functions.TextExpressions.charShinglesSorted($"t", shingleLen)
+        .as("a_sh"))
     candidates
       .join(batchSets, "new_doc_id")
       .join(corpusSets, "dup_of_doc_id")
       .withColumn("inter",
-        graft.functions.TextExpressions.setIntersectSize($"a_sh", $"b_sh"))
+        graft.functions.TextExpressions.sortedIntersectSize($"a_sh", $"b_sh"))
       .withColumn("jaccard", round($"inter".cast("double") /
         (size($"a_sh") + size($"b_sh") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
